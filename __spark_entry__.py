@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registry of every implemented operator from SURVEY.md §2 (reference
+surface: Q1-Q4, MR shim, KV/shard semantics), §2.5 (relational coverage),
+and §7.4 (north-star dedup/similarity/text/multimodal) — each as a
+``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, a DuckDB
+oracle with identical column names and determinism conventions (see
+tinymapreduce_spark/plans/analytics.py docstring).
 """
 
 from __future__ import annotations
@@ -13,26 +14,163 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tinymapreduce_spark.operators import dedup, kv, multimodal, reference_queries, shards, similarity, textstats
+from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
+from tinymapreduce_spark.plans import analytics, events
+from tinymapreduce_spark.sources.loaders import text_documents
+from tinymapreduce_spark.streaming import windows as stream_windows
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Shared CTE: the reference-shaped (filename, contents) corpus view.
+_DOCS_CTE = (
+    "WITH docs AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS filename, text AS contents FROM documents)"
+)
+
+_TOK = "list_filter(regexp_split_to_array(contents, '[^A-Za-z]+'), x -> x <> '')"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Q1 word count over the sf0.001 corpus (SURVEY.md §7.1)."""
+    return reference_queries.word_count(spark, SF0001)
+
+
+def _mr_wordcount_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-MR surface (D1/D5) running the reference wc app verbatim:
+    Python mapf/reducef through mapInPandas + applyInPandas."""
+    return run_mapreduce(text_documents(spark, sf_dir), wc_map, wc_reduce)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference MR application surface (SURVEY.md §2.3) ---
+        "word_count": reference_queries.word_count,
+        "inverted_index": reference_queries.inverted_index,
+        "per_source_count": reference_queries.per_file_count,
+        "sorted_group_concat": reference_queries.sorted_group_concat,
+        "mr_wordcount_shim": _mr_wordcount_shim,
+        # --- keyed-state / sharding semantics (SURVEY.md §2.4) ---
+        "kv_replay": kv.kv_replay,
+        "shard_distribution": kv.shard_distribution,
+        "shard_rebalance": shards.shard_rebalance,
+        # --- relational operator coverage (SURVEY.md §2.5) ---
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+        "semi_anti_join": analytics.semi_anti_join,
+        "outer_join_coverage": analytics.outer_join_coverage,
+        "window_running_sum": analytics.window_running_sum,
+        "topk_per_group": analytics.topk_per_group,
+        "rollup_revenue": analytics.rollup_revenue,
+        "cube_orders": analytics.cube_orders,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "distinct_counts": analytics.distinct_counts,
+        "set_ops": analytics.set_ops,
+        "scalar_functions": analytics.scalar_functions,
+        "sort_limit": analytics.sort_limit,
+        # --- event analytics: windows / sessions / as-of (batch + stream) ---
+        "tumbling_window_agg": events.tumbling_window_agg,
+        "sessionize": events.sessionize,
+        "asof_join": events.asof_join,
+        "stream_tumbling_window": stream_windows.stream_tumbling_window,
+        # --- north-star: dedup / similarity / text / multimodal (§7.4) ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ann_topk_cosine": similarity.ann_topk_cosine,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_stats": textstats.token_stats,
+        "fingerprint": textstats.fingerprint,
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB oracles. Omitted on purpose (rows-only driver check):
+    shard_rebalance (iterative algorithm), dedup_minhash_lsh /
+    dedup_simhash / ann_ivf_topk (approximate by construction — tests
+    assert their recall against the exact forms instead).
     """
-    return {}
+    return {
+        "word_count": f"""
+            {_DOCS_CTE}
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
+            GROUP BY word
+        """,
+        "inverted_index": f"""
+            {_DOCS_CTE},
+            dw AS (
+              SELECT DISTINCT filename, word
+              FROM (SELECT filename, UNNEST({_TOK}) AS word FROM docs)
+            )
+            SELECT word, COUNT(*) AS n_docs,
+                   array_to_string(list_sort(list(filename)), ',') AS doc_list
+            FROM dw GROUP BY word
+        """,
+        "per_source_count": "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source",
+        "sorted_group_concat": """
+            SELECT lang AS key,
+                   array_to_string(list_sort(list(DISTINCT source)), ' ') AS value
+            FROM documents GROUP BY lang
+        """,
+        "mr_wordcount_shim": f"""
+            {_DOCS_CTE}
+            SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+            FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
+            GROUP BY word
+        """,
+        "kv_replay": f"""
+            WITH ops AS ({kv.OPS_LOG_SQL}),
+            writes AS (
+              SELECT *, MAX(CASE WHEN op = 'put' THEN seq END)
+                        OVER (PARTITION BY key) AS last_put_seq
+              FROM ops WHERE op <> 'get'
+            ),
+            live AS (
+              SELECT * FROM writes
+              WHERE (op = 'put' AND seq = last_put_seq)
+                 OR (op = 'append' AND (last_put_seq IS NULL OR seq > last_put_seq))
+            )
+            SELECT key, string_agg(value, '' ORDER BY seq) AS value
+            FROM live GROUP BY key
+        """,
+        "shard_distribution": f"""
+            WITH ops AS ({kv.OPS_LOG_SQL})
+            SELECT CAST(CASE WHEN length(key) > 0 THEN ascii(substr(key, 1, 1)) % 10 ELSE 0 END AS INT) AS shard,
+                   COUNT(*) AS n_ops,
+                   COUNT(DISTINCT key) AS n_keys
+            FROM ops GROUP BY 1
+        """,
+        "q1_pricing_summary": analytics.Q1_SQL,
+        "q3_shipping_priority": analytics.Q3_SQL,
+        "q5_local_supplier_volume": analytics.Q5_SQL,
+        "semi_anti_join": analytics.SEMI_ANTI_SQL,
+        "outer_join_coverage": analytics.OUTER_SQL,
+        "window_running_sum": analytics.WINDOW_SQL,
+        "topk_per_group": analytics.TOPK_SQL,
+        "rollup_revenue": analytics.ROLLUP_SQL,
+        "cube_orders": analytics.CUBE_SQL,
+        "grouping_sets_revenue": analytics.GROUPING_SETS_SQL,
+        "distinct_counts": analytics.DISTINCT_SQL,
+        "set_ops": analytics.SET_OPS_SQL,
+        "scalar_functions": analytics.SCALAR_SQL,
+        "sort_limit": analytics.SORT_LIMIT_SQL,
+        "tumbling_window_agg": events.TUMBLING_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "asof_join": events.ASOF_SQL,
+        "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
+        "ann_topk_cosine": similarity.ANN_TOPK_SQL,
+        "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "quality_score": textstats.QUALITY_SQL,
+        "token_stats": textstats.TOKEN_STATS_SQL,
+        "fingerprint": textstats.FINGERPRINT_SQL,
+        "multimodal_features": multimodal.MULTIMODAL_SQL,
+    }

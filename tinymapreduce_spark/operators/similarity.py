@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+- ``ann_topk_cosine``: exact brute-force top-k — the correctness baseline,
+  fully SQL-oracle-able (DuckDB list_dot_product on DOUBLE[]).
+- ``ann_ivf_topk``: IVF-style scale path — vectors bucketed by nearest
+  centroid (the ``label`` clusters bootstrap the codebook), queries probe
+  only the closest ``nprobe`` buckets. Search cost drops from O(N) to
+  O(N * nprobe / nlist) per query; the bucket join is an equi-join on
+  centroid id, so at 100 TB it's a partition-pruned shuffle instead of a
+  broadcast cross product.
+
+Determinism: scores fold left-to-right in double (functions/vectors.dot),
+rounded to 6 dp at the output edge; ranking tie-breaks on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.functions.vectors import cosine_similarity
+from tinymapreduce_spark.sources.loaders import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+TOP_K = 5
+
+
+def _ranked_topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10,
+    self excluded). The query side is broadcast, so the corpus scan is a
+    single narrow pass — the right brute-force shape at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored)
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(q.q_emb, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+NPROBE = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: centroids = per-label mean vector (labels
+    act as the trained codebook); each query probes its NPROBE nearest
+    centroids and scores only those buckets.
+
+    Rows-only driver check (approximation may differ from exact top-k by
+    construction); tests assert recall against ann_topk_cosine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroid per label: posexplode -> mean per (label, pos) -> re-assemble.
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("centroid")
+        )
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # Probe assignment: per query, top-NPROBE centroids by cosine.
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("label"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "label",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 6).alias("c_score"),
+        )
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .where(F.col("p_rank") <= NPROBE)
+        .select("query_id", "q_emb", "label")
+    )
+    # Bucket-pruned scoring: equi-join on label prunes the corpus.
+    scored = (
+        emb.join(F.broadcast(probes), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding tier of the
+    dedup ladder): bucket by label (IVF cell), compare only within a
+    bucket — the blocked all-pairs pattern that keeps 100 TB dedup from
+    being O(N^2). SQL-oracle-able because the blocking is deterministic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(
+        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+        6) >= 0.95
+"""

@@ -1,0 +1,198 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token statistics, fingerprinting. All pure Catalyst expressions
+(no UDFs): at 100 TB these run inside WholeStageCodegen on the scan.
+
+Determinism: ratios are exact-integer-count divisions rounded to 6 dp —
+bit-identical across engines; fingerprints are md5 (same algorithm both
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.functions.text import normalized_text, tokens
+from tinymapreduce_spark.sources.loaders import load_table
+
+# n-gram-heuristic language markers: deterministic marker-token votes.
+# (The synthetic corpus is English-ish for every lang label; the point is
+# the operator shape — marker-list lookup + argmax vote — not model
+# quality. Same lists are inlined in the oracle SQL.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _count_tokens_in(tok_col: Column, wordlist: list[str]) -> Column:
+    return F.size(F.filter(tok_col, lambda t: t.isin(wordlist)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vote language ID: count marker hits per language, argmax
+    with deterministic tie-break (marker count desc, language name asc,
+    'und' when zero hits everywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_count_tokens_in(toks, ws).alias(f"hits_{lg}") for lg, ws in LANG_MARKERS.items()],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # argmax with name-asc tie-break: walk langs in reverse-sorted order so
+    # the earliest name wins the final when-chain.
+    for lg in sorted(langs, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+_LANG_HIT_SQL = ", ".join(
+    "len(list_filter(toks, t -> t IN ({words}))) AS hits_{lg}".format(
+        words=", ".join(f"'{w}'" for w in ws), lg=lg
+    )
+    for lg, ws in LANG_MARKERS.items()
+)
+_LANG_CASE_SQL = (
+    "CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN hits_{lg} = greatest(hits_en, hits_de, hits_fr, hits_es) THEN '{lg}'"
+        for lg in sorted(LANG_MARKERS)
+    )
+    + " END"
+)
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), t -> lower(t)) AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {_LANG_HIT_SQL} FROM t
+)
+SELECT doc_id, lang, {_LANG_CASE_SQL} AS pred_lang,
+       CAST(greatest(hits_en, hits_de, hits_fr, hits_es) AS INT) AS marker_hits
+FROM scored
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score per document:
+    token count, mean token length, stopword ratio, non-alpha char ratio.
+    Score = clamped linear blend, rounded at the edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop_hits = _count_tokens_in(F.transform(toks, lambda t: F.lower(t)), STOPWORDS)
+    mean_tok_len = F.when(n_tok > 0, alpha_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            0.4 * alpha_ratio + 0.3 * F.least(F.lit(1.0), n_tok.cast("double") / 100)
+            + 0.3 * (1 - stop_ratio),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN CAST(alpha_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(list_transform(toks, x -> lower(x)), t -> t IN ({_STOPS}))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(mean_token_len, 6) AS mean_token_len,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(least(1.0, greatest(0.0,
+         0.4 * alpha_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.3 * (1 - stop_ratio)
+       )), 6) AS quality
+FROM m
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: whitespace tokens, letter-run tokens
+    (the BPE-ish regex form), distinct tokens, longest token."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(ws_toks).alias("n_ws_tokens"),
+        F.size(toks).alias("n_alpha_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws_toks,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws_toks) AS INT) AS n_ws_tokens,
+       CAST(len(toks) AS INT) AS n_alpha_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(toks, t -> length(t))) AS INT) AS max_token_len
+FROM t
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key) and
+    md5 of the sorted distinct token set (bag-of-words key — catches
+    reorderings). Both algorithms exist verbatim in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("vocab_md5"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''))), ' ')) AS vocab_md5
+FROM documents
+"""

@@ -1,0 +1,488 @@
+"""Relational operator coverage — SURVEY.md §2.5.
+
+The reference has NO binary operators, no windows, no set ops, no scalar
+function library (its only dataflow is map -> shuffle -> sort-group ->
+reduce). These plans expose the full relational surface a user of a real
+engine needs, over the driver's TPC-H-ish star schema, each with a DuckDB
+oracle.
+
+Cross-engine determinism conventions (used by every query + oracle pair):
+- Money aggregates fold in DECIMAL(18,2) (exact, order-insensitive) and
+  cast to DOUBLE only at the output edge — double summation order differs
+  between engines, decimal doesn't.
+- Averages = CAST(decimal_sum AS DOUBLE) / count, same formula both sides.
+- Timestamps leave as epoch microseconds (bigint) or 'yyyy-MM-dd' strings;
+  never raw timestamp objects.
+- Every LIMIT/top-k has a unique total order (explicit tie-break column).
+
+Scale notes per query are inline; the common ones: filters stated before
+joins so Catalyst pushes them into the parquet scan, dimensions under the
+64 MB autoBroadcast threshold go broadcast automatically (region, nation,
+supplier, part, customer at any sf), fact-fact joins shuffle on the join
+key and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.sources.loaders import load_table
+
+
+def _dec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates.
+
+    The filter (`l_shipdate <= ...`) reaches the parquet scan as a pushed
+    predicate; hash agg does partial+final automatically — at 100 TB the
+    shuffle carries |groups| x partitions rows, not |lineitem|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer is broadcast (small side); orders-lineitem shuffle on
+    orderkey. Tie-break on o_orderkey makes LIMIT stable across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (fact + 5 dims) + group-agg.
+
+    All dimensions broadcast; lineitem never shuffles for the dim joins —
+    exactly the plan you want at 100 TB. The customer-supplier
+    same-nation predicate is the join-graph cycle that makes Q5
+    interesting; Catalyst handles it as a post-join filter.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) in one result:
+    per market segment, customers with vs without any order. Semi/anti
+    ship only the join key through the shuffle — no payload amplification.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+SEMI_ANTI_SQL = """
+WITH w AS (
+  SELECT c_mktsegment, COUNT(*) AS n_with_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+), wo AS (
+  SELECT c_mktsegment, COUNT(*) AS n_without_orders
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       COALESCE(n_with_orders, 0) AS n_with_orders,
+       COALESCE(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+def outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join null semantics: orders with their lineitem counts,
+    rolled up by how many lines an order has (0 for no-lineitem orders).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_outer")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    return per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+OUTER_SQL = """
+WITH per_order AS (
+  SELECT o_orderkey, COUNT(l_orderkey) AS n_lines
+  FROM orders LEFT OUTER JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey
+)
+SELECT n_lines, COUNT(*) AS n_orders FROM per_order GROUP BY n_lines
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-supplier running revenue + row_number + lag,
+    restricted to one returnflag to keep the correctness result compact.
+    Running sum folds in DECIMAL over a unique total order (shipdate,
+    orderkey, linenumber) so both engines produce identical doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.sum(rev).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_rev"),
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+    )
+
+
+WINDOW_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  ROW_NUMBER() OVER w AS rn,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
+       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+  LAG(l_quantity, 1) OVER w AS prev_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand — the canonical
+    row_number-over-window top-k (no global sort; each group ranks inside
+    its shuffle partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+    )
+
+
+TOPK_SQL = """
+WITH per_part AS (
+  SELECT p_brand, p_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rank
+  FROM per_part
+) WHERE rank <= 3
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag -> linestatus -> grand total). NULL group keys
+    are replaced with 'ALL' sentinels so the hash compare is
+    null-ambiguity-free across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) with decimal-exact totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "total",
+            "n_orders",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregation (multiple distincts in one agg —
+    Catalyst expands them; the reference's only distinct was an ad-hoc
+    per-doc set, /root/reference/src/mrapps/indexer.go:21-26)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT cardinalities over customer key sets
+    (customers with orders vs customers with high balance)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("k")).distinct()
+    b = cust.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    return spark.createDataFrame(
+        [("union",)], "op string"
+    ).crossJoin(a.union(b).distinct().agg(F.count(F.lit(1)).alias("n"))).union(
+        spark.createDataFrame([("intersect",)], "op string").crossJoin(
+            a.intersect(b).agg(F.count(F.lit(1)).alias("n"))
+        )
+    ).union(
+        spark.createDataFrame([("except",)], "op string").crossJoin(
+            a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n"))
+        )
+    )
+
+
+SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+"""
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library showcase (string / date / math / JSON) —
+    all per-row Catalyst expressions, zero UDFs. JSON extraction pulls
+    `props.k` out of the events payload."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 500).select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.length("event_type").alias("type_len"),
+        F.substring("event_type", 1, 3).alias("type_pfx"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 2, 2).alias("value_x2"),
+        F.abs(F.col("value") - 100).alias("value_dist"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+SCALAR_SQL = """
+SELECT event_id,
+  UPPER(event_type) AS type_upper,
+  CAST(LENGTH(event_type) AS INT) AS type_len,
+  SUBSTRING(event_type, 1, 3) AS type_pfx,
+  CAST(YEAR(ts) AS INT) AS y,
+  CAST(MONTH(ts) AS INT) AS m,
+  CAST(DAY(ts) AS INT) AS d,
+  CAST(HOUR(ts) AS INT) AS h,
+  epoch_us(ts) AS ts_us,
+  ROUND(value * 2, 2) AS value_x2,
+  ABS(value - 100) AS value_dist,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events WHERE event_id < 500
+"""
+
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (a
+    per-partition top-k + driver merge), never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand
+    operator as rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""

@@ -1,0 +1,146 @@
+"""Event-stream analytics in batch form: tumbling windows, sessionization,
+as-of join. The streaming twins live in tinymapreduce_spark/streaming/.
+
+Determinism: timestamps leave as epoch micros; session/window math is
+integer arithmetic on those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.sources.loaders import load_table
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — batch form via
+    date_trunc (equivalent to F.window() buckets for aligned windows, and
+    directly SQL-oracle-able)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): per user, assign
+    session ids via lag + cumulative sum of gap-breaks, then aggregate
+    session stats. One shuffle on user_id; both window and final agg
+    reuse it."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_us").alias("max_session_us"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_id,
+    CASE WHEN LAG(ts_us) OVER w IS NULL
+           OR ts_us - LAG(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MAX(ts_us) - MIN(ts_us) AS duration_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(duration_us) AS max_session_us
+FROM per_session GROUP BY user_id
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no native one — SURVEY.md §2.5): each
+    'purchase' event matched to the latest 'signup' event of the same
+    user at-or-before it.
+
+    Implementation: union both sides tagged, one window pass carrying the
+    last signup timestamp forward (`last(..., ignorenulls)` over rows up
+    to current). ONE shuffle on user_id — no join at all, which beats the
+    bucketized range-join at scale when both sides share the partition
+    key. Equal timestamps order signup first (tag 0 < 1), matching the
+    ASOF >= convention.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.lit(1).alias("tag"),
+        "event_id", "value",
+    )
+    unioned = signups.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_asof = unioned.withColumn(
+        "signup_ts_us",
+        F.last(F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True).over(w),
+    )
+    return (
+        with_asof.where(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts_us", "value", "signup_ts_us")
+    )
+
+
+# DuckDB has a native ASOF JOIN — the oracle uses it directly, which makes
+# this a true cross-implementation check (window-emulation vs native).
+ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       p.value,
+       epoch_us(s.ts) AS signup_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""

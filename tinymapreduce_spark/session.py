@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for local[N] testing but configured the way a
+large cluster run would be (AQE, Arrow, UTC, sane shuffle parallelism).
+
+At 100 TB on a real cluster the only things that change are master/memory
+sizing and ``spark.sql.shuffle.partitions`` (set ~2-3x total cores there);
+every query in this package is written to be partition-count agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tinymapreduce_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    - AQE on: runtime coalescing of small shuffle partitions + skew-join
+      splitting — the 100 TB answer to static partition-count tuning.
+    - Arrow on: every pandas-UDF operator in this package moves data in
+      Arrow batches, not pickled rows.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      DuckDB oracle (naive-UTC) exactly.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in the loader (lossless:
+        # the testdata has no sub-microsecond components).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Parquet sources for the driver testdata star schema (TESTDATA.md).
+
+The reference's only source is a whole-file text scan
+(``/root/reference/src/mr/worker.go:78-89`` — SURVEY.md §2.1 S1); here the
+engine reads columnar Parquet so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free. ``text_documents`` exposes the
+reference-shaped ``(filename, contents)`` view over the ``documents`` table
+so every MR-era query still runs unchanged.
+
+Scale posture: loaders never collect, never infer schema from data
+(Parquet footers carry it), and never coalesce — partition layout is left
+to the file scan + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that are always broadcast-join candidates at any
+# scale factor (they grow ~O(1) or ~O(sf) with tiny constants).
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Pure metadata op — no job is triggered.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
+    convert to a micros timestamp via integer division (`div`, not `/` —
+    double division would lose precision on epoch-nanos > 2^53).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped corpus view: ``(filename, contents)``.
+
+    Mirrors the map-task input contract ``Map(filename, contents)``
+    (``/root/reference/src/mrapps/wc.go:21``): one row per whole document.
+    doc_id stands in for the filename (stable, unique).
+    """
+    return load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("filename"),
+        F.col("text").alias("contents"),
+    )
