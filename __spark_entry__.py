@@ -14,10 +14,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tinymapreduce_spark.operators import dedup, kv, multimodal, reference_queries, shards, similarity, textstats
+from tinymapreduce_spark.operators import dedup, kv, multimodal, reference_queries, shards, similarity, textstats, udaf
 from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
-from tinymapreduce_spark.plans import analytics, events
+from tinymapreduce_spark.plans import analytics, events, subqueries
+from tinymapreduce_spark.sources import textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
+from tinymapreduce_spark.streaming import state as stream_state
 from tinymapreduce_spark.streaming import windows as stream_windows
 
 SF0001 = "/root/testdata/sf0.001"
@@ -28,6 +30,13 @@ _DOCS_CTE = (
 )
 
 _TOK = "list_filter(regexp_split_to_array(contents, '[^A-Za-z]+'), x -> x <> '')"
+
+_WORD_COUNT_SQL = f"""
+{_DOCS_CTE}
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
+GROUP BY word
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -68,11 +77,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": analytics.set_ops,
         "scalar_functions": analytics.scalar_functions,
         "sort_limit": analytics.sort_limit,
+        "correlated_scalar_subquery": subqueries.correlated_scalar_subquery,
+        "in_subquery": subqueries.in_subquery,
+        "exact_percentiles": subqueries.exact_percentiles,
+        "pivot_counts": subqueries.pivot_counts,
+        "unpivot_stack": subqueries.unpivot_stack,
+        "range_join_bucketed": subqueries.range_join_bucketed,
+        "approx_aggregates": subqueries.approx_aggregates,
+        "grouped_agg_udaf": udaf.grouped_agg_udaf,
+        "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
         "asof_join": events.asof_join,
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
+        "stream_kv_state": stream_state.stream_kv_state,
+        "stream_session_window": stream_state.stream_session_window,
         # --- north-star: dedup / similarity / text / multimodal (§7.4) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -96,12 +116,8 @@ def oracle_sql() -> dict[str, str]:
     assert their recall against the exact forms instead).
     """
     return {
-        "word_count": f"""
-            {_DOCS_CTE}
-            SELECT word, COUNT(*) AS cnt
-            FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
-            GROUP BY word
-        """,
+        "word_count": _WORD_COUNT_SQL,
+        "text_roundtrip_wordcount": _WORD_COUNT_SQL,
         "inverted_index": f"""
             {_DOCS_CTE},
             dw AS (
@@ -124,21 +140,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
             GROUP BY word
         """,
-        "kv_replay": f"""
-            WITH ops AS ({kv.OPS_LOG_SQL}),
-            writes AS (
-              SELECT *, MAX(CASE WHEN op = 'put' THEN seq END)
-                        OVER (PARTITION BY key) AS last_put_seq
-              FROM ops WHERE op <> 'get'
-            ),
-            live AS (
-              SELECT * FROM writes
-              WHERE (op = 'put' AND seq = last_put_seq)
-                 OR (op = 'append' AND (last_put_seq IS NULL OR seq > last_put_seq))
-            )
-            SELECT key, string_agg(value, '' ORDER BY seq) AS value
-            FROM live GROUP BY key
-        """,
+        "kv_replay": kv.KV_REPLAY_SQL,
         "shard_distribution": f"""
             WITH ops AS ({kv.OPS_LOG_SQL})
             SELECT CAST(CASE WHEN length(key) > 0 THEN ascii(substr(key, 1, 1)) % 10 ELSE 0 END AS INT) AS shard,
@@ -164,6 +166,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,
         "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
+        "stream_kv_state": kv.KV_REPLAY_SQL,
+        "stream_session_window": stream_state.STREAM_SESSION_SQL,
+        "correlated_scalar_subquery": subqueries.CORRELATED_SQL,
+        "in_subquery": subqueries.IN_SUBQUERY_SQL,
+        "exact_percentiles": subqueries.PERCENTILES_SQL,
+        "pivot_counts": subqueries.PIVOT_SQL,
+        "unpivot_stack": subqueries.UNPIVOT_SQL,
+        "range_join_bucketed": subqueries.RANGE_JOIN_SQL,
+        "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "ann_topk_cosine": similarity.ANN_TOPK_SQL,

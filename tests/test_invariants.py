@@ -1,0 +1,142 @@
+"""Invariant tests for operators without SQL oracles: the shard
+controller's reference-specified invariants, recall of the approximate
+dedup/similarity tiers against their exact counterparts, sketch error
+bounds, and the MR-shim vs built-in equivalence."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.operators import dedup, similarity
+from tinymapreduce_spark.operators.multimodal import decode_image
+from tinymapreduce_spark.operators.shards import NSHARDS, ShardController
+from tinymapreduce_spark.plans.subqueries import approx_aggregates
+from tinymapreduce_spark.sources.loaders import load_table
+
+
+class TestShardController:
+    """Invariants from /root/reference/src/shardctrler/test_test.go:36-53:
+    every shard owned, balance max-min <= 1, minimal movement."""
+
+    def _check_balance(self, ctl: ShardController) -> None:
+        cfg = ctl.query()
+        gids = set(cfg.groups)
+        assert all(g in gids for g in cfg.shards), "unowned shard"
+        counts = Counter(cfg.shards)
+        per_group = [counts.get(g, 0) for g in gids]
+        assert max(per_group) - min(per_group) <= 1
+
+    def test_join_leave_balance(self):
+        ctl = ShardController()
+        ctl.join({1: ["a"]})
+        assert set(ctl.query().shards) == {1}
+        ctl.join({2: ["b"], 3: ["c"]})
+        self._check_balance(ctl)
+        ctl.leave([1])
+        self._check_balance(ctl)
+        ctl.join({4: ["d"], 5: ["e"], 6: ["f"]})
+        self._check_balance(ctl)
+
+    def test_minimal_movement(self):
+        ctl = ShardController()
+        ctl.join({1: ["a"], 2: ["b"]})
+        before = list(ctl.query().shards)
+        ctl.join({3: ["c"]})
+        after = ctl.query().shards
+        moved = sum(1 for b, a in zip(before, after) if b != a)
+        # 10 shards over 3 groups: exactly ceil terms move to the newcomer
+        assert moved == NSHARDS // 3
+
+    def test_move_then_rebalance_preserves(self):
+        ctl = ShardController()
+        ctl.join({1: ["a"], 2: ["b"]})
+        ctl.move(0, 2)
+        assert ctl.query().shards[0] == 2
+        # configs are a chain: Query(n) returns historical configs
+        assert ctl.query(0).shards == [0] * NSHARDS
+        assert ctl.query(-1).num == len(ctl.configs) - 1
+
+    def test_determinism(self):
+        a, b = ShardController(), ShardController()
+        for ctl in (a, b):
+            ctl.join({5: ["x"], 9: ["y"]})
+            ctl.leave([5])
+            ctl.join({1: ["z"], 2: ["w"], 3: ["v"]})
+        assert a.query().shards == b.query().shards
+
+
+class TestApproxRecall:
+    def test_minhash_lsh_recall(self, spark, sf_dir):
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+        }
+        # verified candidates are a subset of the exact pairs...
+        assert approx <= exact
+        # ...and at j>=0.5 with 8x4 banding, recall should be high
+        if exact:
+            assert len(approx) / len(exact) >= 0.8
+
+    def test_ivf_recall(self, spark, sf_dir):
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ann_topk_cosine(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ann_ivf_topk(spark, sf_dir).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.7
+
+    def test_simhash_pairs_are_similar(self, spark, sf_dir):
+        pairs = dedup.dedup_simhash(spark, sf_dir).collect()
+        for r in pairs:
+            assert r.hamming <= 3
+
+    def test_approx_count_distinct_error(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        exact = {
+            r.l_returnflag: r.n
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        approx = {r.l_returnflag: r.approx_orders for r in approx_aggregates(spark, sf_dir).collect()}
+        for k, exact_n in exact.items():
+            assert abs(approx[k] - exact_n) / exact_n < 0.1  # HLL++ rsd default 0.05
+
+
+class TestMrShim:
+    def test_shim_equals_builtin(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
+        from tinymapreduce_spark.operators.reference_queries import word_count
+        from tinymapreduce_spark.sources.loaders import text_documents
+
+        shim = {
+            (r.key, int(r.value))
+            for r in run_mapreduce(text_documents(spark, sf_dir), wc_map, wc_reduce).collect()
+        }
+        builtin = {(r.word, r.cnt) for r in word_count(spark, sf_dir).collect()}
+        assert shim == builtin
+
+    def test_explicit_partitions(self, spark, sf_dir):
+        """nReduce analog: explicit R is respected (D2 surface)."""
+        from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
+        from tinymapreduce_spark.sources.loaders import text_documents
+
+        out = run_mapreduce(
+            text_documents(spark, sf_dir), wc_map, wc_reduce, num_partitions=10
+        )
+        assert out.count() > 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

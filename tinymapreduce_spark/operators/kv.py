@@ -47,6 +47,25 @@ FROM events
 """
 
 
+# Batch-replay oracle (K4) — also the oracle for the streaming state form
+# (streaming/state.py): replaying the full log must equal the batch fold.
+KV_REPLAY_SQL = f"""
+WITH ops AS ({OPS_LOG_SQL}),
+writes AS (
+  SELECT *, MAX(CASE WHEN op = 'put' THEN seq END)
+            OVER (PARTITION BY key) AS last_put_seq
+  FROM ops WHERE op <> 'get'
+),
+live AS (
+  SELECT * FROM writes
+  WHERE (op = 'put' AND seq = last_put_seq)
+     OR (op = 'append' AND (last_put_seq IS NULL OR seq > last_put_seq))
+)
+SELECT key, string_agg(value, '' ORDER BY seq) AS value
+FROM live GROUP BY key
+"""
+
+
 def ops_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(

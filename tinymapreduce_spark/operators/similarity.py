@@ -74,50 +74,103 @@ SELECT query_id, vec_id, score, rank FROM (
 ) WHERE rank <= {TOP_K}
 """
 
-NPROBE = 3
+NLIST = 16  # k-means cells
+NPROBE = 4  # cells probed per query (~25% of corpus scanned, ~0.9 recall)
+KMEANS_ITERS = 5
+
+
+def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters: int = KMEANS_ITERS) -> list[list[float]]:
+    """Spherical k-means codebook, trained distributed (assignment +
+    mean entirely in DataFrame ops; only the k x dim centroid matrix ever
+    reaches the driver). Deterministic: init = first k vectors by vec_id,
+    ties broken by cid.
+
+    100 TB posture: train on a bounded sample (emb here IS the sample at
+    test sf); per-iteration cost is one broadcast-join pass + one
+    (cid, pos) aggregation — no all-pairs anything.
+    """
+    init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            list(enumerate(centroids)), "cid int, centroid array<double>"
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                cosine_similarity(F.col("embedding"), F.col("centroid")).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.mv
+        for cid, comps in by_cid.items():
+            vec = [comps[p] for p in sorted(comps)]
+            norm = sum(x * x for x in vec) ** 0.5 or 1.0
+            centroids[cid] = [x / norm for x in vec]
+    return centroids
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: centroids = per-label mean vector (labels
-    act as the trained codebook); each query probes its NPROBE nearest
-    centroids and scores only those buckets.
+    """IVF approximate top-k: spherical-k-means codebook; each vector
+    lives in its nearest-centroid cell; each query probes its NPROBE
+    nearest cells and scores only those.
 
-    Rows-only driver check (approximation may differ from exact top-k by
-    construction); tests assert recall against ann_topk_cosine.
+    Scan cost per query drops from O(N) to ~NPROBE/NLIST of the corpus,
+    and the cell join is an equi-join on cid — at 100 TB that's a
+    partition-pruned shuffle, not a broadcast cross product. Rows-only
+    driver check (approximate by construction); tests/test_invariants.py
+    asserts recall >= 0.7 against ann_topk_cosine.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroid per label: posexplode -> mean per (label, pos) -> re-assemble.
-    centroids = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
-            ).alias("centroid")
+    centroids = _train_centroids(spark, emb)
+    cdf = F.broadcast(
+        spark.createDataFrame(list(enumerate(centroids)), "cid int, centroid array<double>")
+    )
+    # cell assignment for every corpus vector
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(cdf)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
         )
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    # Probe assignment: per query, top-NPROBE centroids by cosine.
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("label"))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cid"))
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(cdf)
         .select(
             "query_id",
             "q_emb",
-            "label",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 6).alias("c_score"),
+            "cid",
+            cosine_similarity(F.col("q_emb"), F.col("centroid")).alias("c_score"),
         )
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .where(F.col("p_rank") <= NPROBE)
-        .select("query_id", "q_emb", "label")
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "q_emb", "cid")
     )
-    # Bucket-pruned scoring: equi-join on label prunes the corpus.
     scored = (
-        emb.join(F.broadcast(probes), "label")
+        cells.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

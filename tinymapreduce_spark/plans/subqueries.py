@@ -1,0 +1,235 @@
+"""Subquery + miscellaneous relational surface: correlated scalar
+subqueries, IN-subqueries, exact percentiles, pivot/unpivot, bucketed
+range join, approximate aggregates.
+
+Same determinism conventions as plans/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.sources.loaders import load_table
+
+
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems with quantity below 20% of their part's
+    average quantity. Expressed as a true correlated scalar subquery in
+    the SQL surface — Catalyst decorrelates it into an aggregate + join
+    (check: one shuffle on l_partkey, no per-row re-execution)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+CORRELATED_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery pair: order counts for customers in the top
+    nation-by-customer-count vs everyone else. IN-subqueries plan as
+    left-semi joins (no materialized id list on the driver)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+          ) THEN 'rich' ELSE 'other' END AS bucket,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1
+        """
+    )
+
+
+IN_SUBQUERY_SQL = """
+SELECT
+  CASE WHEN o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+  ) THEN 'rich' ELSE 'other' END AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based) continuous percentiles of l_quantity per
+    returnflag — Spark `percentile` vs DuckDB `quantile_cont`, identical
+    linear-interpolation semantics. Quantities are whole doubles so the
+    interpolation arithmetic is bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.percentile("l_quantity", 0.95).alias("p95"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per user-decile bucket, one count column per event type.
+    Explicit value list keeps the plan a single pass (no distinct-values
+    pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+       COALESCE(COUNT(*) FILTER (event_type = 'click'), 0) AS click,
+       COALESCE(COUNT(*) FILTER (event_type = 'view'), 0) AS view,
+       COALESCE(COUNT(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+       COALESCE(COUNT(*) FILTER (event_type = 'signup'), 0) AS signup,
+       COALESCE(COUNT(*) FILTER (event_type = 'error'), 0) AS error
+FROM events GROUP BY 1
+"""
+
+
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): customer balance/metrics wide -> long via
+    ``unpivot`` — the inverse surface of pivot."""
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.max(F.col("c_acctbal")).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["total_bal", "n_customers", "max_bal"], "metric", "value"
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         MAX(c_acctbal) AS max_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (total_bal, n_customers, max_bal))
+"""
+
+
+RANGE_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, bucketized for scale: for each 'error'
+    event, how many events the same user produced in the following 10
+    minutes.
+
+    A naive theta-join (`a.user_id = b.user_id AND b.ts BETWEEN a.ts AND
+    a.ts+10m`) is an equi-join on user_id only — fine when users are
+    small, quadratic on hot users. The scale-safe form implemented here
+    adds a coarse time-bucket equi-key: each probe row joins buckets
+    [floor(ts/W), floor((ts+W)/W)], turning the range predicate into an
+    (user_id, bucket) equi-join + residual filter. Same result, bounded
+    fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id").alias("err_id"), F.col("ts_us").alias("err_ts")
+    )
+    # probe side: expand each error into the (at most 2) coarse buckets
+    # its window can overlap
+    probe = errors.select(
+        "user_id",
+        "err_id",
+        "err_ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("err_ts") / RANGE_WINDOW_US).cast("long"),
+                    ((F.col("err_ts") + RANGE_WINDOW_US) / RANGE_WINDOW_US).cast("long"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    build = ev.select(
+        "user_id",
+        F.col("ts_us"),
+        (F.col("ts_us") / RANGE_WINDOW_US).cast("long").alias("bucket"),
+    )
+    joined = probe.join(build, ["user_id", "bucket"]).where(
+        (F.col("ts_us") > F.col("err_ts")) & (F.col("ts_us") <= F.col("err_ts") + RANGE_WINDOW_US)
+    )
+    counts = joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_follow"))
+    # left join back so errors with no follow-up events appear with 0
+    return (
+        errors.join(counts, "err_id", "left_outer")
+        .select("err_id", "user_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow"))
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id AS err_id, e.user_id,
+       COALESCE(COUNT(f.event_id), 0) AS n_follow
+FROM events e
+LEFT JOIN events f
+  ON f.user_id = e.user_id
+ AND epoch_us(f.ts) > epoch_us(e.ts)
+ AND epoch_us(f.ts) <= epoch_us(e.ts) + 10*60*1000000
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation surface: HLL++ approx_count_distinct and
+    t-digest-style approx percentile. No SQL oracle (sketch results are
+    engine-specific by construction); tests bound the error vs the exact
+    forms instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )

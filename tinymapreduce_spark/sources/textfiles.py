@@ -1,0 +1,75 @@
+"""Whole-file text ingestion + the reference's text sink (SURVEY.md §2.1).
+
+S1 — the reference's only scan: one record per whole file,
+``(filename, contents)`` (``/root/reference/src/mr/worker.go:78-89``).
+Spark-native: ``sc.wholeTextFiles`` (binaryFiles-style grouped splits;
+each file read once, small files coalesced per partition).
+
+S5 — atomic text sink: ``"%v %v\n"`` lines, temp-file + rename
+(``/root/reference/src/mr/worker.go:160-184``). Spark-native:
+``df.write.text`` — the FileOutputCommitter task-attempt protocol IS the
+temp+rename idempotency trick, at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Scratch dir inside the repo (the environment forbids writing elsewhere).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def read_whole_text_files(spark: SparkSession, path_glob: str, min_partitions: int = 8) -> DataFrame:
+    """(filename, contents) DataFrame over a file glob — the Map-task
+    input contract. RDD ingest edge only; everything downstream is
+    DataFrame (SURVEY.md §7.0)."""
+    rdd = spark.sparkContext.wholeTextFiles(path_glob, min_partitions)
+    return spark.createDataFrame(rdd, "filename string, contents string").select(
+        F.element_at(F.split("filename", "/"), -1).alias("filename"), "contents"
+    )
+
+
+def write_mr_text(df: DataFrame, path: str, key_col: str = "key", value_col: str = "value") -> None:
+    """Write ``"key value"`` lines, reference output format
+    (``/root/reference/src/mr/worker.go:180``), atomically committed."""
+    df.select(
+        F.concat_ws(" ", F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def text_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S1+S5 certification: materialize the corpus as real
+    text files, re-ingest with wholeTextFiles, word-count, and ALSO
+    round-trip the result through the text sink + line scan. Equals the
+    parquet-based word count (same oracle)."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources.loaders import text_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = os.path.join(SCRATCH, f"corpus_{tag}")
+    out_dir = os.path.join(SCRATCH, f"wc_out_{tag}")
+
+    docs = text_documents(spark, sf_dir)
+    # one text file per document partition-batch is wasteful at tiny sf;
+    # a real corpus would already be files. Write one file per doc via
+    # partitionBy on filename (exercises the committer's rename path).
+    docs.write.mode("overwrite").partitionBy("filename").text(corpus_dir)
+
+    ingested = read_whole_text_files(spark, os.path.join(corpus_dir, "*", "*.txt"))
+    # filename arrives as the part-file name; recover doc identity from
+    # the directory not needed for word_count (corpus-global counts).
+    counts = (
+        ingested.select(F.explode(tokens("contents")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    write_mr_text(counts, out_dir, "word", "cnt")
+
+    lines = spark.read.text(out_dir)
+    return lines.select(
+        F.split_part(F.col("value"), F.lit(" "), F.lit(1)).alias("word"),
+        F.split_part(F.col("value"), F.lit(" "), F.lit(2)).cast("bigint").alias("cnt"),
+    )

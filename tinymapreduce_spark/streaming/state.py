@@ -1,0 +1,156 @@
+"""Stateful Structured Streaming — the online form of the KV semantics
+(SURVEY.md §2.4, §3.3): the reference *specifies* a replicated keyed
+store applying Get/Put/Append in log order; Spark's equivalent of that
+ordered apply-stream is per-key state in ``applyInPandasWithState``.
+
+The batch form (operators/kv.py::kv_replay) is the oracle: replaying the
+whole log through the streaming operator must produce the same final
+state, so this query shares kv_replay's SQL oracle.
+"""
+
+from __future__ import annotations
+
+import sys
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+OUTPUT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+STATE_SCHEMA = StructType([StructField("value", StringType())])
+
+
+def _apply_ops(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's ops (in seq order) into the key's state.
+
+    Put replaces, Append concatenates onto current state (missing key
+    reads as "" — /root/reference/src/kvraft/client.go:28-31); Get is a
+    no-op for state. Emits the post-batch value.
+    """
+    cur = state.get[0] if state.exists else None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("seq")
+        for op, value in zip(pdf["op"], pdf["value"]):
+            if op == "put":
+                cur = value
+            elif op == "append":
+                cur = (cur or "") + value
+    if cur is not None:
+        state.update((cur,))
+        yield pd.DataFrame({"key": [key[0]], "value": [cur]})
+
+
+def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the derived ops log through per-key streaming state and
+    return the final value per key. With the bounded input this equals
+    kv_replay — that's the correctness contract (same SQL oracle)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ops = stream.select(
+        F.col("event_id").alias("seq"),
+        F.concat(
+            F.substring(F.lit("abcdefghijklmnopqrst"), (F.col("user_id") % 20).cast("int") + 1, 1),
+            (F.col("user_id") % 20).cast("string"),
+        ).alias("key"),
+        F.when(F.col("event_type") == "signup", F.lit("put"))
+        .when(F.col("event_type") == "error", F.lit("get"))
+        .otherwise(F.lit("append"))
+        .alias("op"),
+        F.concat_ws(
+            " ", F.lit("x"), F.col("user_id").cast("string"), F.col("event_id").cast("string"), F.lit("y")
+        ).alias("value"),
+    ).where(F.col("op") != "get")
+
+    result = ops.groupBy("key").applyInPandasWithState(
+        _apply_ops,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_kv_{uuid.uuid4().hex[:8]}"
+    q = result.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT key, value FROM {name}")
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows: per user, sessions closed by a
+    30-minute inactivity gap (the streaming twin of plans/events.py::
+    sessionize — same gap, so the per-session rows match its
+    ``per_session`` CTE).
+
+    Complete output mode: bounded input never advances the watermark far
+    enough to finalize appends.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               unix_micros(session_window.start) AS session_start_us,
+               n_events
+        FROM {name}
+        """
+    )
+
+
+# Session-window semantics note: the window *end* extends 30min past the
+# last event, but start == first event's ts, and n_events matches the
+# gap-based batch sessionization exactly.
+STREAM_SESSION_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), flagged AS (
+  -- >= : Spark session_window starts a NEW session when the gap equals
+  -- the timeout exactly (merge condition is strict next < last + gap)
+  SELECT user_id, ts_us,
+    CASE WHEN LAG(ts_us) OVER w IS NULL
+           OR ts_us - LAG(ts_us) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
