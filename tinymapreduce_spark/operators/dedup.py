@@ -5,20 +5,26 @@ for the 100 TB training-data-pipeline case.
 Four tiers, cheapest first:
 - exact:        one hash-groupBy on md5(normalized text) — narrow 16-byte
                 shuffle key regardless of document size.
-- ngram-jaccard: exact set similarity via shared-shingle equi-join —
-                the SQL-oracle-able ground truth for the fuzzy tiers.
+- ngram-jaccard: EXACT set-similarity self-join with PPJoin-style prefix
+                filtering (rarest-shingle prefixes generate candidates;
+                hot shingles never enter the candidate join) + length
+                filter + array_intersect verify. Ground truth for the
+                fuzzy tiers, still O(candidates), not O(n^2).
 - minhash-LSH:  V-SMART-Join-style banded MinHash (shingle -> k minhashes
                 -> band buckets -> bucket equi-join -> exact verify).
                 Candidate generation cost is O(sum bucket^2), not O(n^2).
 - simhash:      64-bit simhash + 16-bit band join for hamming<=3 pairs.
 
 All shuffles key on small fixed-width values (hashes/bands), never on
-document text.
+document text: shingles travel as xxhash64 longs from the moment they
+are formed (8 bytes vs ~20-byte strings; collision probability over a
+100 TB corpus of ~2^40 distinct shingles is ~2^-44 per pair — far below
+any oracle-observable rate).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.functions.text import normalized_text, tokens
@@ -28,10 +34,11 @@ SHINGLE_K = 3  # token 3-gram shingles
 
 
 def _shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct token 3-grams per document.
+    """(doc_id, h) — distinct token 3-grams per document, as xxhash64 longs.
 
-    Built from posexplode + self-zip (all codegen): shingle i = tokens
-    [i..i+2] joined by space.
+    Built from transform + slice (all codegen): shingle i = tokens
+    [i..i+2] joined by space, hashed immediately so nothing downstream
+    ever shuffles shingle text.
     """
     toks = tokens(text_col)
     sh = F.filter(
@@ -39,12 +46,40 @@ def _shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             toks,
             lambda _t, i: F.when(
                 i + SHINGLE_K <= F.size(toks),
-                F.array_join(F.slice(toks, i + 1, SHINGLE_K), " "),
+                F.xxhash64(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")),
             ),
         ),
         lambda s: s.isNotNull(),
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("h"))
+
+
+def _doc_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh_set array<bigint>, n_sh) — one row per doc; the whole
+    shingle set rides in a single array column so pair verification is a
+    codegen ``array_intersect``, not another explode + shuffle."""
+    return sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("h")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate (doc_a, doc_b) pairs: two equi-joins
+    against the per-doc set arrays, intersection in codegen."""
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("sz_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,37 +104,45 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: |A∩B| via a shared-shingle
-    self-join, |A∪B| from per-doc sizes. This is the ground-truth fuzzy
-    dedup (and the oracle for the MinHash tier's recall).
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering (the
+    PPJoin family, Xiao et al., WWW'08): a pair with J >= t MUST share a
+    shingle within each doc's prefix of its |d| - ceil(t*|d|) + 1 rarest
+    shingles (global document frequency ascending). Candidates come from
+    a prefix-only self-join + symmetric length filter, then exact verify.
 
-    Scale: the join fans out only on shared shingles; hot shingles are
-    the skew risk — AQE skew-join handles it, and stop-shingle filtering
-    (drop shingles in >0.1% of docs) is the 100 TB mitigation, applied
-    here as a document-frequency cap.
+    Scale: the candidate join never touches frequent shingles (they sort
+    to the suffix), which is exactly the hot-key blowup that kills a
+    naive shared-shingle self-join at 100 TB. Cost is O(prefix join
+    fan-out + candidates), with no recall loss — output is identical to
+    the naive form and to the SQL oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    sets = _doc_sets(sh)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        sh.join(dfreq, "h")
+        .withColumn("r", F.row_number().over(w))
+        .join(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")), "doc_id")
+        .where(F.col("r") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        .select("doc_id", "h", "n_sh")
     )
-    return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")), 6
-            ),
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            )
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    return _verify_pairs(cand, sets, threshold)
 
 
 DEDUP_NGRAM_SQL_TMPL = """
@@ -141,7 +184,7 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
     """
     hashed = sh.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(NUM_MINHASH)],
+        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}") for i in range(NUM_MINHASH)],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_MINHASH)]
@@ -179,25 +222,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify: recompute shared/union only for candidate pairs.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")), "doc_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_shared", "jaccard")
-    )
+    # Exact verify on the candidates only (shared with the ngram tier).
+    return _verify_pairs(cand, _doc_sets(sh), threshold)
 
 
 SIMHASH_BITS = 64

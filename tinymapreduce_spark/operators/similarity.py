@@ -28,7 +28,7 @@ TOP_K = 5
 def _ranked_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "score", "rank")
     )

@@ -242,7 +242,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.sum(rev).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_rev"),
         F.lag("l_quantity", 1).over(w).alias("prev_qty"),
     )
@@ -275,7 +275,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
-        per_part.withColumn("rank", F.row_number().over(w))
+        per_part.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("p_brand", "p_partkey", "revenue", "rank")
     )

@@ -89,7 +89,7 @@ WITH ev AS (
          MAX(ts_us) - MIN(ts_us) AS duration_us
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(duration_us) AS max_session_us
 FROM per_session GROUP BY user_id
 """
