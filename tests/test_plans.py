@@ -1,0 +1,105 @@
+"""Physical-plan regression tests — the 100 TB posture, enforced.
+
+Correctness tests say the answers are right; these say the PLANS are
+right: filters reach the parquet scan, scans read only needed columns,
+aggregations combine map-side, small dimensions broadcast, top-k never
+globally sorts, and no hot-path query falls back to row-at-a-time
+Python. A regression here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tinymapreduce_spark.operators import dedup
+from tinymapreduce_spark.plans import analytics, events
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_prune_partial_agg(spark, sf_dir):
+    p = plan_of(analytics.q1_pricing_summary(spark, sf_dir))
+    # predicate pushdown: the shipdate filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in p and "l_shipinstruct" not in p
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in p
+    # exactly one shuffle (the groupBy) — no accidental repartitions
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    p = plan_of(analytics.q5_local_supplier_volume(spark, sf_dir))
+    # every dimension join (orders/supplier/customer/nation/region) is a
+    # broadcast hash join on the lineitem probe side: zero fact shuffles
+    # before the final aggregation
+    assert p.count("BroadcastHashJoin Inner") == 5
+    assert "SortMergeJoin" not in p
+    assert p.count("Arguments: hashpartitioning") == 1  # only the agg
+
+
+def test_word_count_stays_jvm_side(spark, sf_dir):
+    from tinymapreduce_spark.operators import reference_queries
+
+    p = plan_of(reference_queries.word_count(spark, sf_dir))
+    # tokenize+explode+count entirely in codegen — no Python in the plan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "PythonUDF" not in p
+    assert "partial_count" in p
+
+
+def test_topk_per_group_no_global_sort(spark, sf_dir):
+    p = plan_of(analytics.topk_per_group(spark, sf_dir))
+    # rank-per-group must partition by group, never collapse to one task
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(p_brand" in p or "hashpartitioning(p_brand".replace("p_brand","p_brand#") in p
+
+
+def test_sort_limit_is_topk_not_full_sort(spark, sf_dir):
+    p = plan_of(analytics.sort_limit(spark, sf_dir))
+    # orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    # top-k + merge), not a global sort of the full table
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_exact_narrow_shuffle(spark, sf_dir):
+    p = plan_of(dedup.dedup_exact(spark, sf_dir))
+    # only doc_id + text are scanned; the shuffle key is the md5, with
+    # map-side partial aggregation so duplicate groups collapse pre-shuffle
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "partial_min" in p or "partial_count" in p
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    p = plan_of(events.asof_join(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_dedup_candidate_join_on_hashes(spark, sf_dir):
+    p = plan_of(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    # shingles travel as xxhash64 longs — no shingle strings in any
+    # exchange; every hashpartitioning key is doc_id/hash/band typed
+    assert "xxhash64" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "shingle" not in line
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume"],
+)
+def test_tpch_queries_whole_stage_codegen(spark, sf_dir, qname):
+    # AQE finalizes the plan at runtime, so codegen spans are only visible
+    # on the executed plan: run the query, then check for "*(n)" stages.
+    df = getattr(analytics, qname)(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final, f"no WholeStageCodegen span in executed plan:\n{final[:2000]}"

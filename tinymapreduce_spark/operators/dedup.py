@@ -36,22 +36,23 @@ SHINGLE_K = 3  # token 3-gram shingles
 def _shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, h) — distinct token 3-grams per document, as xxhash64 longs.
 
-    Built from transform + slice (all codegen): shingle i = tokens
-    [i..i+2] joined by space, hashed immediately so nothing downstream
-    ever shuffles shingle text.
+    All codegen: tokenize once into a bound column (so the regexp split
+    runs once per document, never per element inside the lambda), then a
+    sequence-driven transform hashes each (tok[i], tok[i+1], tok[i+2])
+    tuple directly — no intermediate shingle strings are ever built, so
+    nothing downstream shuffles or allocates shingle text.
     """
-    toks = tokens(text_col)
-    sh = F.filter(
-        F.transform(
-            toks,
-            lambda _t, i: F.when(
-                i + SHINGLE_K <= F.size(toks),
-                F.xxhash64(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")),
-            ),
-        ),
-        lambda s: s.isNotNull(),
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    idx = F.when(n >= SHINGLE_K, F.sequence(F.lit(1), n - (SHINGLE_K - 1))).otherwise(
+        F.array().cast("array<int>")
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("h"))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(t, i + k) for k in range(SHINGLE_K)]),
+    )
+    return base.select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
 
 
 def _doc_sets(sh: DataFrame) -> DataFrame:
