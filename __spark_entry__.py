@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tinymapreduce_spark.operators import dedup, kv, multimodal, reference_queries, shards, similarity, textstats, udaf
 from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
-from tinymapreduce_spark.plans import analytics, events, subqueries
+from tinymapreduce_spark.plans import analytics, events, layout, subqueries
 from tinymapreduce_spark.sources import textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import state as stream_state
@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggregates": subqueries.approx_aggregates,
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
+        # --- physical layout: bucketing / partition pruning / skew salting ---
+        "bucketed_join_revenue": layout.bucketed_join_revenue,
+        "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
+        "salted_skew_join": layout.salted_skew_join,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
@@ -162,6 +166,9 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": analytics.SET_OPS_SQL,
         "scalar_functions": analytics.SCALAR_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
+        "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
+        "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,
+        "salted_skew_join": layout.SALTED_SKEW_SQL,
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,

@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_topk_cosine",
     "fingerprint",
     "token_stats",
+    "bucketed_join_revenue",
+    "salted_skew_join",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from tinymapreduce_spark.operators import dedup
-from tinymapreduce_spark.plans import analytics, events
+from tinymapreduce_spark.plans import analytics, events, layout
 
 
 def plan_of(df) -> str:
@@ -90,6 +90,34 @@ def test_ngram_dedup_candidate_join_on_hashes(spark, sf_dir):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "shingle" not in line
+
+
+def test_bucketed_join_zero_shuffle(spark, sf_dir):
+    p = plan_of(layout.bucketed_join_revenue(spark, sf_dir))
+    # co-bucketed fact-fact join: SMJ with NO exchange on either join
+    # side — the only shuffle in the whole query is the final groupBy
+    assert "SortMergeJoin" in p
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "SelectedBucketsCount: 8 out of 8" in p
+
+
+def test_partitioned_sink_prunes_directories(spark, sf_dir):
+    p = plan_of(layout.partitioned_sink_pruned_scan(spark, sf_dir))
+    # the lang predicate must be a partition filter (directory pruning at
+    # plan time), not a data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(lang" in p
+    assert "= en)]" in p
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    p = plan_of(layout.salted_skew_join(spark, sf_dir))
+    # the join must shuffle on (event_type, salt) — never on the bare hot
+    # key — and stay a shuffle join (broadcast would bypass the salting)
+    assert any(
+        "hashpartitioning(event_type" in line and "salt" in line
+        for line in p.splitlines()
+        if "Arguments: hashpartitioning" in line
+    )
 
 
 @pytest.mark.parametrize(

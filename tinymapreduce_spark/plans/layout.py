@@ -1,0 +1,158 @@
+"""Physical-layout operators: bucketing, partitioned sinks, skew salting.
+
+The reference's entire physical layout is "hash(key) % R files on a
+shared disk" (``/root/reference/src/mr/worker.go:98-117`` — SURVEY.md §2.2
+D2). These operators are the cluster-scale generalizations a 100 TB
+deployment actually uses:
+
+- **Bucketed co-located join** — persist both sides pre-hashed on the
+  join key (``bucketBy``), so the fact-fact join runs with ZERO
+  exchanges: the reference's "intermediate runs are already partitioned"
+  trick, made durable across jobs.
+- **Partitioned sink + pruned scan** — ``partitionBy`` on a low-card
+  column; a predicate on it prunes whole directories at planning time
+  (the 100 TB analog of "only read the mr-*-r files for your task",
+  ``/root/reference/src/mr/worker.go:125-137``).
+- **Salted skew join** — explicit hot-key mitigation: spread each big-side
+  key over S salt buckets, replicate the small side S×. AQE's skew-join
+  handles most cases at runtime; salting is the deterministic form for
+  catastrophic single-key skew.
+
+Everything writes under the repo-local scratch dir (never outside the
+repo); all outputs are oracle-checked against DuckDB on the same logical
+query, proving layout changes never change results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.sources.loaders import load_table
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+N_BUCKETS = 8
+SALT_BUCKETS = 16
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist orders+lineitem bucketed AND sorted on the join key.
+
+    Idempotent per (session, sf_dir): table names embed the sf tag. At
+    100 TB this is the one-off layout job whose cost every subsequent
+    join amortizes.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for table, src, key in ((t_orders, "orders", "o_orderkey"), (t_lineitem, "lineitem", "l_orderkey")):
+        if spark.catalog.tableExists(table):
+            continue
+        # The in-memory catalog forgets tables between sessions but their
+        # managed locations persist; clear stale ones before re-creating.
+        loc = os.path.join(warehouse, table)
+        if os.path.exists(loc):
+            import shutil
+
+            shutil.rmtree(loc)
+        load_table(spark, sf_dir, src).write.bucketBy(N_BUCKETS, key).sortBy(key).mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(table)
+    return t_orders, t_lineitem
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (lineitem ⨝ orders) over co-bucketed tables:
+    both sides arrive pre-hashed into the same N buckets, so the
+    sort-merge join plans with no Exchange on either side (asserted in
+    tests/test_plans.py). The merge hint pins SMJ so the zero-shuffle
+    property is visible even at scale factors where broadcast would win.
+    """
+    t_orders, t_lineitem = _ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table(t_orders).hint("merge")
+    lineitem = spark.table(t_lineitem)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents partitioned by ``lang``, then aggregate one
+    language from the partitioned copy. The ``lang = 'en'`` predicate
+    becomes a PartitionFilter: non-matching directories are never opened
+    (asserted in tests/test_plans.py).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"docs_by_lang_{tag}")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg(F.length("text")).alias("avg_len"))
+    )
+
+
+PARTITIONED_SINK_SQL = """
+SELECT source, COUNT(*) AS n_docs, AVG(LENGTH(text)) AS avg_len
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof big⨝small join: events.event_type has a handful of hot
+    values (every row is one of ~6 types). Salting spreads each hot key
+    over SALT_BUCKETS deterministic sub-keys (hash of event_id, not
+    rand(), so retried tasks recompute identically) and replicates the
+    dim side once per salt; the merge hint keeps the join a shuffle join
+    so the salting is actually exercised (broadcast would hide it).
+    Results are salt-invariant — same oracle as the unsalted join.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("type_avg"))
+    )
+    salted_big = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int"))
+    salted_dim = dim.select(
+        "event_type", "type_avg", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt")
+    ).hint("merge")
+    joined = salted_big.join(salted_dim, ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("type_avg"), 6).alias("type_avg"),
+        F.count(F.when(F.col("value") > F.col("type_avg"), 1)).alias("n_above_avg"),
+    )
+
+
+SALTED_SKEW_SQL = """
+WITH dim AS (SELECT event_type, AVG(value) AS type_avg FROM events GROUP BY event_type)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(d.type_avg), 6) AS type_avg,
+       COUNT(*) FILTER (WHERE e.value > d.type_avg) AS n_above_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""

@@ -48,6 +48,12 @@ def get_spark(
         # reader rejects; read as long and convert in the loader (lossless:
         # the testdata has no sub-microsecond components).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # saveAsTable targets (bucketed layouts) must land inside the repo
+        # regardless of the driver's cwd.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
