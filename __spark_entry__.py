@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": analytics.distinct_counts,
         "set_ops": analytics.set_ops,
         "scalar_functions": analytics.scalar_functions,
+        "array_functions": analytics.array_functions,
         "sort_limit": analytics.sort_limit,
         "correlated_scalar_subquery": subqueries.correlated_scalar_subquery,
         "in_subquery": subqueries.in_subquery,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggregates": subqueries.approx_aggregates,
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
+        "json_runs_roundtrip": textfiles.json_runs_roundtrip,
         # --- physical layout: bucketing / partition pruning / skew salting ---
         "bucketed_join_revenue": layout.bucketed_join_revenue,
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
@@ -165,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": analytics.DISTINCT_SQL,
         "set_ops": analytics.SET_OPS_SQL,
         "scalar_functions": analytics.SCALAR_SQL,
+        "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
+        "json_runs_roundtrip": _WORD_COUNT_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,

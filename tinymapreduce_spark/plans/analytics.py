@@ -486,3 +486,48 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar-function coverage (SURVEY.md §2.5 scalar row):
+    per-document token-array manipulation plus a MapType round-trip
+    (map_from_arrays -> element_at), all Catalyst expressions. The
+    reference's only array op was the transient []string inside reduce
+    (/root/reference/src/mrapps/indexer.go:36).
+    """
+    from tinymapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    stats_map = F.map_from_arrays(
+        F.array(F.lit("n"), F.lit("uniq")),
+        F.array(F.size(t).cast("long"), F.size(F.array_distinct(t)).cast("long")),
+    )
+    return base.select(
+        "doc_id",
+        F.element_at(stats_map, "n").alias("n_toks"),
+        F.element_at(stats_map, "uniq").alias("n_uniq"),
+        F.element_at(t, 1).alias("first_tok"),
+        F.element_at(t, -1).alias("last_tok"),
+        F.array_contains(t, "the").alias("has_the"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(t)), 1, 3), ",").alias("first3_alpha"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       toks[1] AS first_tok,
+       toks[-1] AS last_tok,
+       list_contains(toks, 'the') AS has_the,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_alpha
+FROM t
+"""

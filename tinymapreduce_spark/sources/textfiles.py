@@ -73,3 +73,27 @@ def text_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("value"), F.lit(" "), F.lit(1)).alias("word"),
         F.split_part(F.col("value"), F.lit(" "), F.lit(2)).cast("bigint").alias("cnt"),
     )
+
+
+def json_runs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 parity at the user level: materialize word-count KV pairs as
+    hash-partitioned JSON run files (the reference's ``mr-<map>-<reduce>``
+    intermediate format, ``/root/reference/src/mr/worker.go:102-117``),
+    re-ingest them with an explicit 2-column schema
+    (``/root/reference/src/mr/worker.go:140-156``), and finish the
+    aggregation from the runs. Result equals the straight word count.
+    """
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources.loaders import text_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    runs_dir = os.path.join(SCRATCH, f"json_runs_{tag}")
+
+    docs = text_documents(spark, sf_dir)
+    kv = docs.select(F.explode(tokens("contents")).alias("key"), F.lit("1").alias("value"))
+    # R hash-partitioned runs, exactly the reference's intermediate layout
+    # (ihash(key) % R) — one JSON-lines file per reduce bucket.
+    kv.repartition(10, "key").write.mode("overwrite").json(runs_dir)
+
+    runs = spark.read.schema("key string, value string").json(runs_dir)
+    return runs.groupBy(F.col("key").alias("word")).agg(F.count(F.lit(1)).alias("cnt"))
