@@ -92,7 +92,14 @@ def kv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't appear (a get neither creates state nor changes it; missing
     key reads as "" — ``/root/reference/src/kvraft/client.go:28-31``).
     """
-    writes = ops_log(spark, sf_dir).where(F.col("op") != "get")
+    return replay_ops(ops_log(spark, sf_dir))
+
+
+def replay_ops(ops: DataFrame) -> DataFrame:
+    """Fold an arbitrary ``(seq, key, op, value)`` log into final state —
+    the reusable K4 core (kv_replay applies it to the derived log;
+    property tests apply it to random logs)."""
+    writes = ops.where(F.col("op") != "get")
     w = Window.partitionBy("key")
     writes = writes.withColumn(
         "last_put_seq", F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w)
