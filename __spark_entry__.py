@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "semi_anti_join": analytics.semi_anti_join,
         "outer_join_coverage": analytics.outer_join_coverage,
+        "theta_join_nl": analytics.theta_join_nl,
         "window_running_sum": analytics.window_running_sum,
         "topk_per_group": analytics.topk_per_group,
         "rollup_revenue": analytics.rollup_revenue,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
         "stream_kv_state": stream_state.stream_kv_state,
         "stream_session_window": stream_state.stream_session_window,
+        "stream_dedup": stream_state.stream_dedup,
         # --- north-star: dedup / similarity / text / multimodal (§7.4) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -159,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": analytics.Q5_SQL,
         "semi_anti_join": analytics.SEMI_ANTI_SQL,
         "outer_join_coverage": analytics.OUTER_SQL,
+        "theta_join_nl": analytics.THETA_JOIN_SQL,
         "window_running_sum": analytics.WINDOW_SQL,
         "topk_per_group": analytics.TOPK_SQL,
         "rollup_revenue": analytics.ROLLUP_SQL,
@@ -179,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
         "stream_kv_state": kv.KV_REPLAY_SQL,
         "stream_session_window": stream_state.STREAM_SESSION_SQL,
+        "stream_dedup": stream_state.STREAM_DEDUP_SQL,
         "correlated_scalar_subquery": subqueries.CORRELATED_SQL,
         "in_subquery": subqueries.IN_SUBQUERY_SQL,
         "exact_percentiles": subqueries.PERCENTILES_SQL,

@@ -531,3 +531,30 @@ SELECT doc_id,
        array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_alpha
 FROM t
 """
+
+
+def theta_join_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi key): supplier x customer on a strict
+    inequality over different columns — Catalyst plans a
+    BroadcastNestedLoopJoin. Kept deliberately small-side-bounded
+    (supplier is tiny at every sf); the point is API/planner coverage of
+    the NL path, which the reference cannot express at all (it has no
+    binary operators, SURVEY.md §2.5).
+    """
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    # theta predicate: different nation AND customer out-earns supplier 10x
+    pairs = cust.join(
+        F.broadcast(supp),
+        (F.col("c_nationkey") != F.col("s_nationkey"))
+        & (F.col("c_acctbal") > F.col("s_acctbal") * 10),
+    )
+    return pairs.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_richer_foreign_cust"))
+
+
+THETA_JOIN_SQL = """
+SELECT s_suppkey, COUNT(*) AS n_richer_foreign_cust
+FROM customer JOIN supplier
+  ON c_nationkey <> s_nationkey AND c_acctbal > s_acctbal * 10
+GROUP BY s_suppkey
+"""

@@ -154,3 +154,34 @@ WITH ev AS (
 SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` keyed state over the
+    event stream (first occurrence wins, later duplicates dropped
+    mid-stream), then per-type distinct-user counts. The streaming twin
+    of the batch dedup tier — on an unbounded feed this is how exact
+    dedup runs at all; bounded input makes it oracle-checkable
+    (== COUNT(DISTINCT user_id) per event_type).
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT event_type, n_users FROM {name}")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
