@@ -16,7 +16,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    return get_spark(app_name="tms-tests", cpus=8, shuffle_partitions=8)
+    # "8,2" -> master local[8,2]: 8 threads, 2 task attempts, so tests can
+    # certify retry/exactly-once-output semantics (reference D7).
+    return get_spark(app_name="tms-tests", cpus="8,2", shuffle_partitions=8)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,90 @@
+"""D2/D3/D7 guarantees: hash co-location, sorted runs, and correct
+output under task crashes + retries (the reference's crash test,
+/root/reference/src/main/test-mr.sh:275-322, re-expressed for Spark's
+recovery model)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark import cloudpickle
+
+from tinymapreduce_spark.operators.partitioning import hash_partition, sorted_runs
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def test_hash_partition_colocates_keys(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    parts = (
+        hash_partition(li, 8, "l_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+    )
+    # every key lives in exactly one partition
+    assert parts.where(F.col("n_parts") != 1).count() == 0
+
+
+def test_sorted_runs_are_sorted_within_partitions(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    runs = sorted_runs(li, 8, "l_orderkey")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(batches)) if batches else pd.DataFrame({"l_orderkey": []})
+        ok = bool(rows["l_orderkey"].is_monotonic_increasing) if len(rows) else True
+        yield pd.DataFrame({"ok": [ok]})
+
+    # mapInPandas may split a partition into several batches; concat per
+    # partition before checking monotonicity
+    flags = runs.mapInPandas(check, schema="ok boolean").collect()
+    assert flags and all(r["ok"] for r in flags)
+
+
+def test_output_correct_despite_task_crash(spark, sf_dir):
+    """A map task crashes on its first attempt; the retried attempt must
+    succeed and the job's output must equal the no-crash run exactly —
+    the reference's exactly-once-visible-output contract under worker
+    crashes (coordinator re-issue + atomic rename,
+    /root/reference/src/mr/coordinator.go:158-186)."""
+    marker = os.path.join(SCRATCH, f"crash_once_{uuid.uuid4().hex}")
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def flaky_tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # first task attempt anywhere crashes mid-stream, after yielding
+        # partial output (like a worker dying mid-write)
+        first = not os.path.exists(marker)
+        if first:
+            open(marker, "w").close()
+        emitted = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_toks": pdf["text"].str.split().map(len)}
+            )
+            yield out
+            emitted += len(out)
+            if first and emitted > 0:
+                raise RuntimeError("injected crash: first attempt dies mid-write")
+
+    crashed = docs.mapInPandas(flaky_tokenize, schema="doc_id long, n_toks long")
+    got = crashed.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("total")
+    ).collect()[0]
+
+    expect = (
+        docs.select(F.size(F.split("text", r"\s+")).alias("n_toks"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("total"))
+        .collect()[0]
+    )
+    assert os.path.exists(marker), "injected crash never fired"
+    assert (got["n"], got["total"]) == (expect["n"], expect["total"])
+    os.remove(marker)
