@@ -50,6 +50,11 @@ def main() -> None:
     spark = get_spark(app_name="tms-bench", cpus=cpus)
     queries = entrymod.queries()
 
+    # Warm the JVM/codegen/parquet-footer caches once so per-query numbers
+    # measure the queries, not first-touch JIT and class loading.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

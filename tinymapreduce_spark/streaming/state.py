@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 import uuid
 from collections.abc import Iterator
-from typing import Any
+
 
 import pandas as pd
 
