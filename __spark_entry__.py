@@ -14,7 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tinymapreduce_spark.operators import dedup, kv, multimodal, reference_queries, shards, similarity, textstats, udaf
+from tinymapreduce_spark.operators import (
+    curation,
+    dedup,
+    kv,
+    multimodal,
+    reference_queries,
+    shards,
+    similarity,
+    textstats,
+    udaf,
+)
 from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
 from tinymapreduce_spark.plans import analytics, events, layout, subqueries
 from tinymapreduce_spark.sources import textfiles
@@ -114,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textstats.token_stats,
         "fingerprint": textstats.fingerprint,
         "multimodal_features": multimodal.multimodal_features,
+        "deterministic_sample": curation.deterministic_sample,
+        "train_val_test_split": curation.train_val_test_split,
     }
 
 
@@ -199,4 +211,6 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": textstats.TOKEN_STATS_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
+        "deterministic_sample": curation.DETERMINISTIC_SAMPLE_SQL,
+        "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,
     }
