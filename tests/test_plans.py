@@ -92,6 +92,26 @@ def test_ngram_dedup_candidate_join_on_hashes(spark, sf_dir):
             assert "shingle" not in line
 
 
+def test_kv_replay_single_shuffle(spark, sf_dir):
+    from tinymapreduce_spark.operators import kv
+
+    p = plan_of(kv.kv_replay(spark, sf_dir))
+    # the per-key window and the final groupBy share hashpartitioning(key):
+    # Catalyst reuses the partitioning, so the whole replay is ONE shuffle
+    assert p.count("Arguments: hashpartitioning") == 1
+    # and the scan reads only the three columns the log derivation needs
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>" in p
+
+
+def test_multimodal_prunes_to_payload_columns(spark, sf_dir):
+    from tinymapreduce_spark.operators import multimodal
+
+    p = plan_of(multimodal.multimodal_features(spark, sf_dir))
+    # only (doc_id, text->payload) enter the Arrow channel; no shuffle at all
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert p.count("Arguments: hashpartitioning") == 0
+
+
 def test_bucketed_join_zero_shuffle(spark, sf_dir):
     p = plan_of(layout.bucketed_join_revenue(spark, sf_dir))
     # co-bucketed fact-fact join: SMJ with NO exchange on either join
