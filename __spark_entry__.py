@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kv_state": stream_state.stream_kv_state,
         "stream_session_window": stream_state.stream_session_window,
         "stream_dedup": stream_state.stream_dedup,
+        "stream_stream_join": stream_windows.stream_stream_join,
         # --- north-star: dedup / similarity / text / multimodal (§7.4) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_kv_state": kv.KV_REPLAY_SQL,
         "stream_session_window": stream_state.STREAM_SESSION_SQL,
         "stream_dedup": stream_state.STREAM_DEDUP_SQL,
+        "stream_stream_join": stream_windows.STREAM_STREAM_JOIN_SQL,
         "correlated_scalar_subquery": subqueries.CORRELATED_SQL,
         "in_subquery": subqueries.IN_SUBQUERY_SQL,
         "exact_percentiles": subqueries.PERCENTILES_SQL,

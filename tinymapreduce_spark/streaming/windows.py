@@ -74,3 +74,78 @@ SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each 'error' event joined to
+    the same user's 'purchase' events in the following 10 minutes. Both
+    sides carry watermarks and the join has a bounded time range, so
+    state for either side is dropped once the other side's watermark
+    passes — the only shape under which an unbounded x unbounded join
+    holds finite state. Bounded input makes it equal to the batch range
+    join (same derivation as plans/subqueries.py::range_join_bucketed's
+    oracle family).
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    errors = (
+        src()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("err_user"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("err_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("err_ts"))
+        & (F.col("p_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "err_user",
+        "err_id",
+        "p_id",
+        (F.unix_micros("p_ts") - F.unix_micros("err_ts")).alias("lag_us"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT err_user, err_id, p_id, lag_us FROM {name}")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT e.user_id AS err_user,
+       e.event_id AS err_id,
+       p.event_id AS p_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND p.ts > e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
