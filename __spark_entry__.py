@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": layout.bucketed_join_revenue,
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
         "salted_skew_join": layout.salted_skew_join,
+        "compact_small_files": layout.compact_small_files,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_stats": textstats.token_stats,
         "fingerprint": textstats.fingerprint,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
         "deterministic_sample": curation.deterministic_sample,
         "train_val_test_split": curation.train_val_test_split,
@@ -189,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,
         "salted_skew_join": layout.SALTED_SKEW_SQL,
+        "compact_small_files": layout.COMPACT_SQL,
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,
@@ -212,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.QUALITY_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
+        "tfidf_top_terms": textstats.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
         "deterministic_sample": curation.DETERMINISTIC_SAMPLE_SQL,
         "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,

@@ -196,3 +196,64 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''))), ' ')) AS vocab_md5
 FROM documents
 """
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tie-break: term asc) — the
+    classic corpus-statistics join: per-doc term frequencies x corpus
+    document frequencies.
+
+    Shape at scale: tf is one narrow (doc_id, term, tf) relation; df is a
+    term-keyed aggregate of it (shuffle on term, the small side after
+    aggregation); idf join shuffles on term; ranking shuffles on doc_id.
+    Every shuffle key is a single token or id — no document text moves
+    after tokenization. Determinism: ln() both engines, round 6dp at the
+    edge, rank ties broken on term.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar corpus constant (one tiny job)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, UNNEST(list_transform(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), t -> lower(t))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term, tf,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -156,3 +156,46 @@ SELECT e.event_type,
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type
 """
+
+
+TARGET_FILE_BYTES = 8 * 1024 * 1024  # compaction target (scaled for testdata)
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance job every 100 TB
+    lake needs: a fragmented table (here: documents deliberately shattered
+    into 64 shards) is rewritten into ceil(total_bytes / target) files.
+
+    The file count comes from the SOURCE's actual byte size (one metadata
+    pass, no data read), so the same code yields ~128 MB files on a real
+    table. Returns a per-source aggregate computed FROM the compacted
+    copy — equality with the straight oracle proves compaction is
+    content-preserving; tests/test_layout_compact.py asserts the file
+    counts.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag_dir = os.path.join(SCRATCH, f"docs_fragmented_{tag}")
+    compact_dir = os.path.join(SCRATCH, f"docs_compacted_{tag}")
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-frag_bytes // TARGET_FILE_BYTES))  # ceil
+    spark.read.parquet(frag_dir).repartition(n_files).write.mode("overwrite").parquet(compact_dir)
+
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.length("text")).alias("total_chars"))
+    )
+
+
+COMPACT_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
