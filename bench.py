@@ -41,6 +41,8 @@ HEADLINE = [
     "token_stats",
     "bucketed_join_revenue",
     "salted_skew_join",
+    "tfidf_top_terms",
+    "dedup_incremental",
 ]
 
 

@@ -296,3 +296,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the steady-state form at 100 TB: a NEW batch
+    arrives and must be deduplicated against the existing BASE corpus
+    without rescanning base content (only its content-key index).
+
+    Here base/new is a deterministic hash split of ``documents`` (first
+    md5(doc_id) byte: ~25% "new"). The join is md5-key vs md5-key — at
+    scale the base side is a pre-computed key index (16 bytes/doc), so
+    cost is |new| + |base_index|, never |base_text|. left_anti = the
+    genuinely novel docs; the returned summary counts both classes per
+    source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    batch_byte = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    keyed = docs.select(
+        "doc_id", "source", F.md5(normalized_text("text")).alias("content_key"),
+        (batch_byte < 64).alias("is_new"),
+    )
+    base_index = keyed.where(~F.col("is_new")).select("content_key").distinct()
+    new_batch = keyed.where(F.col("is_new"))
+    novel = new_batch.join(base_index, "content_key", "left_anti")
+    dup = new_batch.join(base_index, "content_key", "left_semi")
+    return (
+        novel.groupBy("source").agg(F.count(F.lit(1)).alias("n_novel"))
+        .join(
+            dup.groupBy("source").agg(F.count(F.lit(1)).alias("n_dup_of_base")),
+            "source",
+            "full_outer",
+        )
+        .select(
+            "source",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.coalesce("n_dup_of_base", F.lit(0)).alias("n_dup_of_base"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) < 64 AS is_new
+  FROM documents
+), base_index AS (
+  SELECT DISTINCT content_key FROM keyed WHERE NOT is_new
+), new_batch AS (
+  SELECT * FROM keyed WHERE is_new
+), novel AS (
+  SELECT source, COUNT(*) AS n_novel FROM new_batch
+  WHERE content_key NOT IN (SELECT content_key FROM base_index)
+  GROUP BY source
+), dup AS (
+  SELECT source, COUNT(*) AS n_dup_of_base FROM new_batch
+  WHERE content_key IN (SELECT content_key FROM base_index)
+  GROUP BY source
+)
+SELECT COALESCE(novel.source, dup.source) AS source,
+       COALESCE(n_novel, 0) AS n_novel,
+       COALESCE(n_dup_of_base, 0) AS n_dup_of_base
+FROM novel FULL OUTER JOIN dup ON novel.source = dup.source
+"""
