@@ -128,7 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textstats.fingerprint,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "sliding_window_agg": events.sliding_window_agg,
+        "stream_sliding_window": stream_windows.stream_sliding_window,
         "deterministic_sample": curation.deterministic_sample,
+        "stratified_sample": curation.stratified_sample,
         "train_val_test_split": curation.train_val_test_split,
     }
 
@@ -219,6 +224,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.FINGERPRINT_SQL,
         "tfidf_top_terms": textstats.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
+        "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
+        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        "sliding_window_agg": events.SLIDING_SQL,
+        "stream_sliding_window": events.SLIDING_SQL,
         "deterministic_sample": curation.DETERMINISTIC_SAMPLE_SQL,
+        "stratified_sample": curation.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,
     }

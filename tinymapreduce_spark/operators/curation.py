@@ -80,3 +80,42 @@ SELECT CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test'
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM b GROUP BY 1
 """
+
+
+# Per-language keep thresholds out of 256 — the downsample-the-majority
+# shape every multilingual training mix uses (keep all scarce langs, 25%
+# of English). Stratum membership stays hash-stable per document.
+STRATA_NUM = {"en": 64, "de": 256, "fr": 256, "es": 256, "zh": 256}
+DEFAULT_NUM = 128
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep fraction via
+    the same md5-byte routing as deterministic_sample, so the selected
+    SET (not just its size) is reproducible across runs and engines.
+    One scan, no shuffle until the final tiny per-lang aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(DEFAULT_NUM)
+    for lang, n in STRATA_NUM.items():
+        thr = F.when(F.col("lang") == lang, F.lit(n)).otherwise(thr)
+    return (
+        docs.where(_hash_byte(F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )
+
+
+_THR_CASE = " ".join(f"WHEN lang = '{lang}' THEN {n}" for lang, n in STRATA_NUM.items())
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT)
+      < (CASE {_THR_CASE} ELSE {DEFAULT_NUM} END)
+GROUP BY lang
+"""

@@ -89,3 +89,104 @@ SELECT doc_id,
        lower(substr(hex(encode(text)), 1, 16)) AS header_hex
 FROM documents
 """
+
+# --- resize (byte-stride downsample) -----------------------------------
+# A real image resize is a codec call; the deterministic stand-in keeps
+# every RESIZE_STRIDE-th byte, which exercises the identical Spark
+# plumbing: binary in, smaller binary out, Arrow batches, stable schema.
+RESIZE_STRIDE = 4
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' each binary payload by keeping every 4th byte (the
+    deterministic stand-in for a decoder+scaler — see ``decode_image``).
+    Output proves content, not just shape: md5 of the resized bytes is
+    oracle-checked, so the byte-level transform itself is verified."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_payload(docs).select("doc_id", "payload")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p)[::RESIZE_STRIDE] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": [len(p) for p in pdf["payload"]],
+                    "resized_len": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return payloads.mapInPandas(
+        resize, schema="doc_id long, orig_len long, resized_len long, resized_md5 string"
+    )
+
+
+# Text is pure ASCII in the fixtures, so char positions == byte positions
+# and DuckDB can replicate the stride with a list comprehension.
+MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST(length(array_to_string(
+           [substr(text, i, 1) for i in range(1, length(text)+1, {RESIZE_STRIDE})], '')) AS BIGINT)
+         AS resized_len,
+       md5(array_to_string(
+           [substr(text, i, 1) for i in range(1, length(text)+1, {RESIZE_STRIDE})], ''))
+         AS resized_md5
+FROM documents
+"""
+
+# --- frame sampling -----------------------------------------------------
+# Video stand-in: the payload is a sequence of fixed-size frames; keep
+# every FRAME_EVERY-th frame. Same batch shape as ffmpeg-style sampling.
+FRAME_BYTES = 16
+FRAME_EVERY = 4
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th 16-byte 'frame' from each binary payload via
+    Arrow-batched mapInPandas; emits frame counts plus an md5 over the
+    concatenated sampled frames so the exact sampled bytes are verified."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_payload(docs).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"], "n_frames": [], "n_sampled": [], "sampled_md5": []}
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                frames = [
+                    b[FRAME_BYTES * i : FRAME_BYTES * (i + 1)]
+                    for i in range(0, n_frames, FRAME_EVERY)
+                ]
+                rows["n_frames"].append(n_frames)
+                rows["n_sampled"].append(len(frames))
+                rows["sampled_md5"].append(hashlib.md5(b"".join(frames)).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        sample, schema="doc_id long, n_frames long, n_sampled long, sampled_md5 string"
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       n_frames,
+       CAST(ceil(n_frames / {FRAME_EVERY}.0) AS BIGINT) AS n_sampled,
+       md5(array_to_string(
+           [substr(text, 1 + {FRAME_BYTES}*i, {FRAME_BYTES})
+            for i in range(0, CAST(n_frames AS INT), {FRAME_EVERY})], ''))
+         AS sampled_md5
+FROM f
+"""

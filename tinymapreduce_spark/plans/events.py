@@ -40,6 +40,42 @@ GROUP BY 1, 2
 """
 
 
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h long, 30 min slide) per event_type via
+    F.window — each event lands in exactly duration/slide = 2 windows.
+    Spark expands the window set BEFORE the shuffle, so partial
+    aggregation still applies; the blow-up factor is the overlap count,
+    not the row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# Oracle: every event belongs to windows starting at its 30-min bucket and
+# the bucket 30 min earlier (time_bucket's 2000-01-01 origin is 30-min
+# aligned with Spark's 1970 epoch anchor, so the grids coincide).
+SLIDING_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE)
+         AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, (VALUES (0), (1)) k(k)
+GROUP BY 1, 2
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap): per user, assign
     session ids via lag + cumulative sum of gap-breaks, then aggregate

@@ -76,6 +76,42 @@ GROUP BY 1, 2
 """
 
 
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h / 30 min slide) per event_type through the
+    streaming engine — the overlapping-window twin of
+    stream_tumbling_window, sharing the batch form's SQL oracle
+    (plans/events.py::SLIDING_SQL). Complete mode: bounded input never
+    closes the final windows."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT unix_micros(window.start) AS window_start_us, event_type, n, total_value
+        FROM {name}
+        """
+    )
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: each 'error' event joined to
     the same user's 'purchase' events in the following 10 minutes. Both
