@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_stats": textstats.token_stats,
         "fingerprint": textstats.fingerprint,
+        "repetition_score": textstats.repetition_score,
+        "pii_mask": textstats.pii_mask,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -135,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": curation.deterministic_sample,
         "stratified_sample": curation.stratified_sample,
         "train_val_test_split": curation.train_val_test_split,
+        "contamination_check": curation.contamination_check,
+        "sequence_pack": curation.sequence_pack,
     }
 
 
@@ -222,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.QUALITY_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
+        "repetition_score": textstats.REPETITION_SQL,
+        "pii_mask": textstats.PII_MASK_SQL,
         "tfidf_top_terms": textstats.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
@@ -231,4 +237,6 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": curation.DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": curation.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,
+        "contamination_check": curation.CONTAMINATION_SQL,
+        "sequence_pack": curation.SEQUENCE_PACK_SQL,
     }

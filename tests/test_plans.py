@@ -151,3 +151,27 @@ def test_tpch_queries_whole_stage_codegen(spark, sf_dir, qname):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final, f"no WholeStageCodegen span in executed plan:\n{final[:2000]}"
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.contamination_check(spark, sf_dir))
+    # the distinct eval-gram set (tiny) must broadcast; the training-side
+    # gram stream must NEVER shuffle on the gram string for the semi join
+    assert "BroadcastHashJoin LeftSemi" in p
+    # exactly one gram shuffle total: the eval side's distinct (under the
+    # BroadcastExchange); the training side's grams move through no exchange
+    assert p.count("Arguments: hashpartitioning(gram") == 1
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.sequence_pack(spark, sf_dir))
+    # window partitionBy(bucket) and groupBy(bucket, seq_id) must share
+    # one hashpartitioning(bucket) exchange: hashpartitioning on a subset
+    # of the grouping keys satisfies the aggregate's distribution
+    assert p.count("Arguments: hashpartitioning") == 1
+    # and only (doc_id, text) are read from the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

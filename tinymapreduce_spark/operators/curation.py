@@ -12,9 +12,10 @@ its size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tinymapreduce_spark.functions.text import tokens
 from tinymapreduce_spark.sources.loaders import load_table
 
 SAMPLE_NUM = 32  # keep 32/256 ≈ 12.5% of documents
@@ -106,6 +107,145 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_doc_id"),
         )
     )
+
+
+# Benchmark-contamination check: n-gram size and the deterministic
+# "held-out eval set" slice (every 97th doc stands in for the benchmark
+# suite). Real pipelines use 8-13-gram overlap (GPT-3/PaLM decontam);
+# the synthetic corpus needs 3-grams to produce any overlap at all.
+GRAM_N = 3
+EVAL_MOD = 97
+
+
+def _grams(d: DataFrame) -> DataFrame:
+    """One row per (doc_id, n-gram string) — array built row-local with
+    transform-over-sequence (guarded: short docs yield no grams), then
+    exploded. At 100 TB the gram would travel as an xxhash64 long (as
+    the dedup module does); strings here keep the oracle bit-checkable."""
+    gram_arr = F.when(
+        F.size("toks") >= GRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(toks)-{GRAM_N - 1}),"
+            f" i -> array_join(slice(toks, i, {GRAM_N}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(gram_arr).alias("gram"))
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram with the held-out eval slice, counted per source.
+
+    Scale shape: the eval side aggregates to a DISTINCT gram set first
+    (tiny — ~1/97th of the corpus), which broadcasts; training grams
+    then left-semi join against it with NO shuffle of the training side,
+    and only contaminated doc_ids (a tiny set) reach the final
+    aggregate. The 100 TB cost is one scan + one broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    grams = _grams(d)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = grams.where(is_eval).select("gram").distinct()
+    contaminated = (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.where(~is_eval)
+        .select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, i, i+{GRAM_N - 1}), ' ')
+                 for i in range(1, len(toks)-{GRAM_N - 2})]) AS gram
+  FROM t
+), e AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0
+), c AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % {EVAL_MOD} <> 0 AND gram IN (SELECT gram FROM e)
+)
+SELECT t.source,
+       COUNT(*) AS n_train_docs,
+       COUNT(c.doc_id) AS n_contaminated
+FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+WHERE t.doc_id % {EVAL_MOD} <> 0
+GROUP BY t.source
+"""
+
+
+# Sequence packing: concatenate-then-chunk documents into fixed
+# token-budget training sequences. Routing is hash-bucketed so packing
+# parallelizes; within a bucket the order (doc_id asc) and therefore
+# every sequence boundary is deterministic and engine-independent.
+SEQ_TOKENS = 256
+PACK_BUCKETS = 8
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 256-token training sequences: docs route to
+    one of 8 hash buckets, are laid end-to-end in doc_id order, and a
+    doc's sequence id is its start offset div 256 (concatenate-then-
+    chunk, the GPT-style packing rule). Emits per-sequence doc counts
+    and token totals.
+
+    One shuffle total (hash-partition by bucket); the running offset is
+    a window sum inside each partition, and the final per-sequence
+    aggregate reuses the same partitioning — no second exchange of the
+    full data."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        F.pmod(_hash_byte(F.col("doc_id")), F.lit(PACK_BUCKETS)).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.withColumn("seq_id", F.floor(cum_before / SEQ_TOKENS))
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) % {PACK_BUCKETS} AS bucket
+  FROM documents
+), s AS (
+  SELECT bucket, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(FLOOR(cum_before / {SEQ_TOKENS}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM s
+GROUP BY 1, 2
+"""
 
 
 _THR_CASE = " ".join(f"WHEN lang = '{lang}' THEN {n}" for lang, n in STRATA_NUM.items())

@@ -198,6 +198,118 @@ FROM documents
 """
 
 
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style quality
+    filter): fraction of duplicated word bigrams per document. High
+    ratios flag boilerplate/spam for removal before training.
+
+    Whole computation is one Catalyst expression per row — bigrams are
+    built with transform-over-slice (no explode), so nothing shuffles
+    and a 100 TB scan stays embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks"))
+    bigrams = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        " (t, i) -> concat(t, ' ', toks[i+1]))"
+    )
+    d = d.select("doc_id", bigrams.alias("bigrams"))
+    n = F.size("bigrams")
+    nd = F.size(F.array_distinct("bigrams"))
+    ratio = F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        ratio.alias("dup_bigram_ratio"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS INT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS INT) AS n_distinct_bigrams,
+       CASE WHEN len(bigrams) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM b
+"""
+
+
+# PII masking patterns — pinned to syntax RE2 (DuckDB) and java.util.regex
+# (Spark) interpret identically. Masking order is URL -> email -> digits
+# so each count is taken on text with the broader patterns already gone.
+URL_RE = "https?://[^ ]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+NUM_RE = "[0-9]+"
+
+
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction: replace URLs, emails, and digit runs with
+    typed placeholder tokens, reporting per-doc match counts and the md5
+    of the fully masked text (so the byte-exact masked output is
+    oracle-verified, not just the counts).
+
+    The fixture corpus contains no PII, so the query first injects a
+    deterministic per-doc footer (email + URL + numeric ref derived from
+    doc_id) — the masking operator itself is generic. Pure regexp
+    expressions: JVM-side, no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select("doc_id", footer.alias("t0"))
+    t1 = F.regexp_replace(F.col("t0"), URL_RE, "<URL>")
+    d = d.select("doc_id", "t0", t1.alias("t1"))
+    t2 = F.regexp_replace(F.col("t1"), EMAIL_RE, "<EMAIL>")
+    d = d.select("doc_id", "t0", "t1", t2.alias("t2"))
+    t3 = F.regexp_replace(F.col("t2"), NUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t0"), F.lit(URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("t1"), F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t2"), F.lit(NUM_RE), F.lit(0))).alias("n_nums"),
+        F.md5(t3).alias("masked_md5"),
+    )
+
+
+PII_MASK_SQL = f"""
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref ' || CAST(doc_id AS VARCHAR) AS t0
+  FROM documents
+), s AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{URL_RE}', '<URL>', 'g') AS t1
+  FROM t0
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{URL_RE}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t1, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{NUM_RE}')) AS INT) AS n_nums,
+       md5(regexp_replace(t2, '{NUM_RE}', '<NUM>', 'g')) AS masked_md5
+FROM s2
+"""
+
+
 TFIDF_TOP_K = 3
 
 
