@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": curation.train_val_test_split,
         "contamination_check": curation.contamination_check,
         "sequence_pack": curation.sequence_pack,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
     }
 
 
