@@ -76,6 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q10_returned_items": analytics.q10_returned_items,
+        "q12_priority_lines": analytics.q12_priority_lines,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q18_large_orders": analytics.q18_large_orders,
+        "q19_disjunctive_parts": analytics.q19_disjunctive_parts,
+        "q22_idle_customers": analytics.q22_idle_customers,
+        "global_sort_range": analytics.global_sort_range,
         "semi_anti_join": analytics.semi_anti_join,
         "outer_join_coverage": analytics.outer_join_coverage,
         "theta_join_nl": analytics.theta_join_nl,
@@ -185,6 +193,14 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": analytics.Q1_SQL,
         "q3_shipping_priority": analytics.Q3_SQL,
         "q5_local_supplier_volume": analytics.Q5_SQL,
+        "q6_forecast_revenue": analytics.Q6_SQL,
+        "q10_returned_items": analytics.Q10_SQL,
+        "q12_priority_lines": analytics.Q12_SQL,
+        "q14_promo_revenue": analytics.Q14_SQL,
+        "q18_large_orders": analytics.Q18_SQL,
+        "q19_disjunctive_parts": analytics.Q19_SQL,
+        "q22_idle_customers": analytics.Q22_SQL,
+        "global_sort_range": analytics.GLOBAL_SORT_SQL,
         "semi_anti_join": analytics.SEMI_ANTI_SQL,
         "outer_join_coverage": analytics.OUTER_SQL,
         "theta_join_nl": analytics.THETA_JOIN_SQL,

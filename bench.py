@@ -27,6 +27,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_parts",
+    "q22_idle_customers",
+    "global_sort_range",
     "window_running_sum",
     "topk_per_group",
     "kv_replay",
@@ -43,6 +51,9 @@ HEADLINE = [
     "salted_skew_join",
     "tfidf_top_terms",
     "dedup_incremental",
+    "repetition_score",
+    "contamination_check",
+    "sequence_pack",
 ]
 
 

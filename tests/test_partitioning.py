@@ -88,3 +88,42 @@ def test_output_correct_despite_task_crash(spark, sf_dir):
     assert os.path.exists(marker), "injected crash never fired"
     assert (got["n"], got["total"]) == (expect["n"], expect["total"])
     os.remove(marker)
+
+
+def test_global_sort_is_totally_ordered(spark, sf_dir):
+    """global_sort_range's output is a TOTAL order: within every
+    partition rows are sorted, and each partition's key range is
+    entirely below the next partition's (range partitioning)."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.plans.analytics import global_sort_range
+
+    # at sf0.001 AQE coalesces the sorted output to one partition (it is
+    # tiny); disable coalescing so the multi-partition range layout —
+    # what actually exists at scale — is observable
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        df = global_sort_range(spark, sf_dir)
+
+        def summarize(pid, rows):
+            first = last = None
+            sorted_within = True
+            for r in rows:
+                k = (r.ship_day, r.l_orderkey, r.l_linenumber)
+                if first is None:
+                    first = k
+                elif k < last:
+                    sorted_within = False
+                last = k
+            if first is not None:
+                yield (pid, sorted_within, first, last)
+
+        per_part = sorted(df.rdd.mapPartitionsWithIndex(summarize).collect())
+    finally:
+        spark.conf.set(coalesce_key, old)
+    assert len(per_part) > 1, "sort collapsed to one partition"
+    assert all(ok for _, ok, _, _ in per_part)
+    for (_, _, _, prev_hi), (_, _, nxt_lo, _) in zip(per_part, per_part[1:]):
+        assert tuple(prev_hi) <= tuple(nxt_lo)

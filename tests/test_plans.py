@@ -142,7 +142,14 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "qname",
-    ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume"],
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q18_large_orders",
+    ],
 )
 def test_tpch_queries_whole_stage_codegen(spark, sf_dir, qname):
     # AQE finalizes the plan at runtime, so codegen spans are only visible
@@ -175,3 +182,92 @@ def test_sequence_pack_single_shuffle(spark, sf_dir):
     assert p.count("Arguments: hashpartitioning") == 1
     # and only (doc_id, text) are read from the scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    p = plan_of(analytics.q6_forecast_revenue(spark, sf_dir))
+    # every predicate reaches the parquet reader; scan reads only the
+    # four filter/product columns
+    for pushed in (
+        "IsNotNull(l_shipdate)",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in p
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in p
+    )
+
+
+def test_q10_topn_never_global_sorts(spark, sf_dir):
+    p = plan_of(analytics.q10_returned_items(spark, sf_dir))
+    # global top-20 must plan as TakeOrderedAndProject (per-partition
+    # heaps + driver merge), with the returnflag filter pushed and the
+    # dims broadcast
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    # every join broadcasts at this sf (orders may or may not depending
+    # on stats); at minimum customer and nation never shuffle the fact
+    assert p.count("BroadcastHashJoin Inner") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    p = plan_of(analytics.q18_large_orders(spark, sf_dir))
+    # the quantity rollup must run BEFORE any join (partial_sum feeding
+    # the one l_orderkey exchange), so only qualifying orderkeys reach
+    # the join, and lineitem's scan reads just (orderkey, quantity)
+    assert "partial_sum(l_quantity" in p
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(l_orderkey" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_q12_case_folds_into_partial_agg(spark, sf_dir):
+    p = plan_of(analytics.q12_priority_lines(spark, sf_dir))
+    # the shipdate window prunes at the scan; the CASE WHEN evaluates
+    # inside the map-side partial aggregate, never as materialized rows
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in p
+    assert "partial_sum(CASE WHEN o_orderpriority" in p
+    # one shuffle total: the tiny post-join group-by
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_q14_broadcasts_part_single_row_out(spark, sf_dir):
+    p = plan_of(analytics.q14_promo_revenue(spark, sf_dir))
+    # part broadcasts; the fact table never hash-shuffles — the only
+    # exchange is the SinglePartition final-agg gather
+    assert "BroadcastHashJoin Inner" in p
+    assert "Arguments: hashpartitioning" not in p
+    assert "Arguments: SinglePartition" in p
+    assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate" in p
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    p = plan_of(analytics.q19_disjunctive_parts(spark, sf_dir))
+    # the OR-of-ANDs splits: lineitem's scan gets the quantity-range
+    # disjunction, part's scan gets the brand/size disjunction — both
+    # prune BEFORE the join re-checks the cross-side condition
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in p
+    assert "BroadcastHashJoin Inner" in p
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    p = plan_of(analytics.q22_idle_customers(spark, sf_dir))
+    # anti join builds on the URGENT slice (predicate pushed to orders'
+    # scan, custkey-only read); the AVG subquery broadcasts as one row
+    assert "BroadcastHashJoin LeftAnti" in p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in p
+    assert "BroadcastNestedLoopJoin" in p  # the one-row acctbal threshold
+
+
+def test_global_sort_plans_range_partitioning(spark, sf_dir):
+    p = plan_of(analytics.global_sort_range(spark, sf_dir))
+    # total order = range-partitioning exchange (sampled quantile
+    # boundaries) + per-partition sort; never a single-partition sort
+    assert "Arguments: rangepartitioning(ship_day" in p
+    assert "Arguments: SinglePartition" not in p
+    assert "EqualTo(l_returnflag,A)" in p

@@ -161,6 +161,328 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins, zero
+    groups — the query that most directly measures pushdown + codegen.
+
+    All three predicates (shipdate range, discount band, quantity cap)
+    must reach the parquet reader as PushedFilters; only the two columns
+    in the product are read. At 100 TB this is row-group pruning on
+    shipdate statistics doing almost all the work.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+Q10_TOP_N = 20
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — fact filter,
+    star join, group by customer, global top-20.
+
+    Scale: the returnflag filter pushes to the scan, customer/nation
+    broadcast, the one shuffle is the customer-grain aggregate, and the
+    top-20 plans as TakeOrderedAndProject (per-partition heaps + driver
+    merge), never a global sort. Tie-break on c_custkey makes the cut
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — aggregate-then-semi-join.
+
+    Scale: the order-grain quantity rollup happens FIRST (shuffle on
+    l_orderkey, partial sums map-side), producing a tiny qualifying-key
+    set that drives the rest of the query; orders joins it on its key
+    and customer broadcasts. The anti-pattern this avoids is joining
+    full lineitem to orders before aggregating."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE WHEN inside SUM)
+    over a fact-fact join — per line status, how many lines belong to
+    urgent/high-priority orders vs the rest, in one pass.
+
+    Scale: the one shuffle is the lineitem<->orders hash join on
+    orderkey (both sides pre-filtered at the scan); the CASE folds into
+    the aggregate so priority classes never materialize as rows. AQE
+    coalesces the post-join partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional numerator over
+    a broadcast dimension join, single output row.
+
+    Scale: part broadcasts (it is orders-of-magnitude smaller than
+    lineitem at every sf), so the fact table never shuffles; the month
+    filter prunes at the scan. The percentage is computed from two
+    decimal sums folded in the same aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double")).alias(
+                "promo_revenue_pct"
+            ),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q19_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    the classic disjunctive-pushdown test.
+
+    Scale: Catalyst extracts the single-side implications of the
+    disjunction — lineitem gets `l_quantity BETWEEN 1 AND 30` pushed to
+    its scan, part gets the brand/size disjunction pushed to its — so
+    both scans prune before the broadcast join, and the full OR is
+    re-checked only on join survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15)) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25)) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35)) & q.between(20, 30))
+    )
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT orders — uncorrelated scalar aggregate subquery feeding a
+    filter, then an anti join, then a small group-by. (Every synthetic
+    customer has *some* order, so the anti-join side is the urgent
+    slice — same plan shape as pristine Q22, non-degenerate result.)
+
+    Scale: the AVG subquery reduces to one row (broadcast as a literal
+    into the filter); the anti join build side is the filtered orders'
+    custkey projection, with the priority predicate pushed to its scan.
+    Grouping by nation keeps the output tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).drop("a")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
+def global_sort_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order sort (terasort shape): globally sort lineitem by
+    (l_shipdate, l_orderkey, l_linenumber) — the unique line identity —
+    keeping a thin projection.
+
+    Scale: `orderBy` plans as a range-partitioning exchange (driver
+    samples key quantiles, assigns contiguous key ranges to partitions)
+    + per-partition sort — the only scalable global sort; no single
+    reducer ever sees the whole dataset. The driver-side compare is
+    order-insensitive, so the oracle checks the multiset; the
+    cross-partition monotonicity invariant is asserted in
+    tests/test_partitioning.py::test_global_sort_is_totally_ordered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag") == "A")
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+        )
+        .orderBy("ship_day", "l_orderkey", "l_linenumber")
+    )
+
+
+GLOBAL_SORT_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+       l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'A'
+ORDER BY ship_day, l_orderkey, l_linenumber
+"""
+
+
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) in one result:
     per market segment, customers with vs without any order. Semi/anti
