@@ -76,12 +76,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+        "q4_order_priority": analytics.q4_order_priority,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q9_product_profit": analytics.q9_product_profit,
         "q10_returned_items": analytics.q10_returned_items,
+        "q11_supplier_concentration": analytics.q11_supplier_concentration,
         "q12_priority_lines": analytics.q12_priority_lines,
+        "q13_customer_distribution": analytics.q13_customer_distribution,
         "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_orders": analytics.q18_large_orders,
         "q19_disjunctive_parts": analytics.q19_disjunctive_parts,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "q22_idle_customers": analytics.q22_idle_customers,
         "global_sort_range": analytics.global_sort_range,
         "semi_anti_join": analytics.semi_anti_join,
@@ -193,12 +201,20 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": analytics.Q1_SQL,
         "q3_shipping_priority": analytics.Q3_SQL,
         "q5_local_supplier_volume": analytics.Q5_SQL,
+        "q4_order_priority": analytics.Q4_SQL,
         "q6_forecast_revenue": analytics.Q6_SQL,
+        "q7_volume_shipping": analytics.Q7_SQL,
+        "q9_product_profit": analytics.Q9_SQL,
         "q10_returned_items": analytics.Q10_SQL,
+        "q11_supplier_concentration": analytics.Q11_SQL,
         "q12_priority_lines": analytics.Q12_SQL,
+        "q13_customer_distribution": analytics.Q13_SQL,
         "q14_promo_revenue": analytics.Q14_SQL,
+        "q15_top_supplier": analytics.Q15_SQL,
+        "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_orders": analytics.Q18_SQL,
         "q19_disjunctive_parts": analytics.Q19_SQL,
+        "q21_waiting_suppliers": analytics.Q21_SQL,
         "q22_idle_customers": analytics.Q22_SQL,
         "global_sort_range": analytics.GLOBAL_SORT_SQL,
         "semi_anti_join": analytics.SEMI_ANTI_SQL,

@@ -27,12 +27,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q10_returned_items",
+    "q11_supplier_concentration",
     "q12_priority_lines",
+    "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_parts",
+    "q21_waiting_suppliers",
     "q22_idle_customers",
     "global_sort_range",
     "window_running_sum",

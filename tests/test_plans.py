@@ -271,3 +271,85 @@ def test_global_sort_plans_range_partitioning(spark, sf_dir):
     assert "Arguments: rangepartitioning(ship_day" in p
     assert "Arguments: SinglePartition" not in p
     assert "EqualTo(l_returnflag,A)" in p
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    p = plan_of(analytics.q4_order_priority(spark, sf_dir))
+    # EXISTS compiles to a semi join (each order emitted at most once,
+    # no distinct, no row explosion); both scans pre-filter
+    assert "Join type: LeftSemi" in p
+    assert "LessThan(o_orderdate,1996-04-01" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    # the EXISTS probe reads only the two columns it needs
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in p
+
+
+def test_q7_nation_tagging_is_broadcast(spark, sf_dir):
+    p = plan_of(analytics.q7_volume_shipping(spark, sf_dir))
+    # nation joined twice under different roles + supplier + customer:
+    # all broadcast; the only fact-fact shuffle is lineitem<->orders on
+    # orderkey; the pair disjunction prunes nation's scan
+    assert p.count("Join type: Inner") >= 4
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(l_orderkey" in p and "hashpartitioning(o_orderkey" in p
+    assert "EqualTo(n_name,NATION_1)" in p and "EqualTo(n_name,NATION_2)" in p
+
+
+def test_q9_like_pushdown_single_shuffle(spark, sf_dir):
+    p = plan_of(analytics.q9_product_profit(spark, sf_dir))
+    # LIKE '%red%' reaches part's scan as StringContains; every join
+    # broadcasts at this sf, so the only exchange is the final group-by
+    assert "StringContains(p_name,red)" in p
+    assert p.count("BroadcastHashJoin Inner") >= 4
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_q11_single_fact_scan(spark, sf_dir):
+    p = plan_of(analytics.q11_supplier_concentration(spark, sf_dir))
+    # the global total is a window over the grouped result, NOT a second
+    # aggregate subtree — lineitem is scanned exactly once (the string
+    # appears twice: once in the plan tree, once in the node details)
+    assert p.count("Scan parquet") == 2
+    assert "partial_sum" in p
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert p.count("Arguments: SinglePartition") == 1  # |suppliers|-row window
+
+
+def test_q13_outer_join_on_clause_filter(spark, sf_dir):
+    p = plan_of(analytics.q13_customer_distribution(spark, sf_dir))
+    # the ON-clause predicate pushes to orders' scan (it filters the
+    # preserved side's matches, not customers); two stacked aggregations
+    # = two exchanges, no more
+    assert "Join type: LeftOuter" in p
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in p
+    assert p.count("Arguments: hashpartitioning") == 2
+
+
+def test_q15_max_via_window_single_fact_scan(spark, sf_dir):
+    p = plan_of(analytics.q15_top_supplier(spark, sf_dir))
+    # MAX(total_revenue) is a window over the grouped result — lineitem
+    # scanned once (2 scans total incl. supplier; x2 for tree+details)
+    assert p.count("Scan parquet") == 4
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in p
+
+
+def test_q17_window_avg_one_shuffle(spark, sf_dir):
+    p = plan_of(analytics.q17_small_quantity_revenue(spark, sf_dir))
+    # brand filter pushes to part's scan and broadcasts into lineitem
+    # BEFORE the per-part window; the window's partitionBy is the one
+    # hash exchange
+    assert "EqualTo(p_brand,Brand#23)" in p
+    assert p.count("hashpartitioning(p_partkey") == 1
+    assert "BroadcastHashJoin Inner" in p
+
+
+def test_q21_correlated_exists_residual_conditions(spark, sf_dir):
+    p = plan_of(analytics.q21_waiting_suppliers(spark, sf_dir))
+    # EXISTS/NOT EXISTS with key inequality ride the orderkey equi-join
+    # as residual conditions — hash semi/anti joins, never a nested loop
+    assert p.count("Join type: LeftSemi") == 2
+    assert "Join type: LeftAnti" in p
+    assert "Join condition: NOT (l_suppkey" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p

@@ -483,6 +483,384 @@ ORDER BY ship_day, l_orderkey, l_linenumber
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders that had at least
+    one returned line in a quarter — EXISTS as a left-semi join.
+    (Schema-adapted: this testdata has no commit/receipt dates, so the
+    "late delivery" EXISTS becomes a "returned line" EXISTS — identical
+    plan shape, per SURVEY.md §2.5 joins row.)
+
+    Scale: both scans pre-filter (orderdate window, returnflag), the
+    semi join shuffles only (orderkey) pairs and emits each order at
+    most once — no fact-fact row explosion, no distinct needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — the same dimension (nation) joined twice under different
+    roles, with a cross-side disjunctive pair filter.
+
+    Scale: supplier+nation broadcast onto lineitem and customer+nation
+    broadcast onto orders, so each fact is nation-tagged before the one
+    fact-fact shuffle on orderkey; the (supp,cust) pair filter then
+    drops ~all rows at the join, and the final group-by is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li_n = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    ord_n = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li_n.join(ord_n, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    product family — the widest star join (two dimensions + both facts).
+    (Schema-adapted: no partsupp table, so cost = 10% of
+    p_retailprice x quantity instead of ps_supplycost x quantity.)
+
+    Scale: part (name-filtered at its scan), supplier and nation all
+    broadcast onto lineitem; the only shuffle joins the slimmed,
+    part-filtered lineitem to orders on orderkey for the year. Revenue
+    and cost fold as exact decimals; profit is derived at the edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("sum_revenue"),
+            F.sum(cost).cast("double").alias("sum_cost"),
+            (F.sum(revenue).cast("double") - F.lit(0.1) * F.sum(cost).cast("double")).alias(
+                "profit"
+            ),
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_cost,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         - 0.1 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+
+def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers whose revenue exceeds a fraction of
+    the global total — GROUP BY ... HAVING against a scalar aggregate of
+    the same grouped relation. (Schema-adapted: revenue concentration
+    over lineitem instead of partsupp inventory value.)
+
+    Scale: the fact is scanned ONCE — the per-supplier rollup is the
+    only shuffle, and the global total is an empty-frame window over
+    that already-tiny grouped result (|suppliers| rows on one task, by
+    construction small), not a second aggregate subtree that would
+    rescan lineitem. Comparison is exact decimal x1000 — no division,
+    no double drift at the threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("value"))
+    return (
+        per_supp.withColumn("grand_total", F.sum("value").over(Window.partitionBy()))
+        .where(F.col("value") * 1000 > F.col("grand_total"))
+        .select("l_suppkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(value AS DOUBLE) AS value
+FROM per_supp
+WHERE value * 1000 > (SELECT SUM(value) FROM per_supp)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket — LEFT OUTER join with a predicate in the ON clause
+    (NOT pushable to a WHERE without changing semantics), then two
+    stacked aggregations.
+
+    Scale: the outer join shuffles on custkey; the first aggregate
+    reuses that same partitioning (no second exchange until the tiny
+    histogram rollup). count(o_orderkey) counts only matched rows, so
+    customers with no qualifying orders land in bucket 0."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter — an aggregated view joined against its own MAX (ties kept,
+    like the pristine query).
+
+    Scale: the fact is scanned ONCE — per-supplier revenue is the only
+    shuffle; MAX is an empty-frame window over that small grouped
+    result (not a second aggregate subtree rescanning lineitem). The
+    revenue stays DECIMAL through the comparison — double max-equality
+    would be engine-dependent at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_revenue"))
+    )
+    return (
+        rev.withColumn("max_revenue", F.max("total_revenue").over(Window.partitionBy()))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of the per-part average — a correlated aggregate subquery
+    (avg per partkey) consumed as a window, brand-filtered.
+
+    Scale: the brand filter broadcasts into lineitem FIRST, so the
+    per-part average (window over p_partkey) runs on the pruned slice,
+    one shuffle. The 20%-of-avg comparison is division-free exact
+    decimal: 5*qty*cnt < sum_qty — a double avg would make boundary
+    rows engine-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_partkey")
+    flagged = (
+        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#23")), li.l_partkey == part.p_partkey)
+        .withColumn("sum_qty", F.sum(_dec("l_quantity")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return flagged.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT l_extendedprice, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         COUNT(*) OVER (PARTITION BY p_partkey) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY p_partkey) AS sum_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+) t
+WHERE qty * 5 * cnt < sum_qty
+"""
+
+
+Q21_TOP_N = 10
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS with key
+    inequality — suppliers who were the SOLE supplier with a returned
+    line in a multi-supplier finalized order. (Schema-adapted: "returned
+    line" stands in for "late delivery"; identical join topology.)
+
+    Scale: three passes over lineitem, all hash-joined on l_orderkey:
+    the base slice (nation-filtered via broadcast supplier+nation), a
+    LEFT SEMI against other-supplier lines, a LEFT ANTI against
+    other-supplier returned lines. The suppkey inequality rides the
+    equi-join as a residual condition, so no nested loop appears."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .join(orders.where(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2_okey"), F.col("l_suppkey").alias("o2_skey"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_okey"), F.col("l_suppkey").alias("o3_skey")
+    )
+    sole = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2_okey) & (l1.l_suppkey != l2.o2_skey),
+            "left_semi",
+        ).join(
+            l3,
+            (l1.l_orderkey == l3.o3_okey) & (l1.l_suppkey != l3.o3_skey),
+            "left_anti",
+        )
+    )
+    return (
+        sole.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP_N)
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP_N}
+"""
+
+
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) in one result:
     per market segment, customers with vs without any order. Semi/anti
