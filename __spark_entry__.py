@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_clusters": dedup.dedup_clusters,
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_topk_cosine": similarity.ANN_TOPK_SQL,
         "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -59,6 +59,7 @@ HEADLINE = [
     "salted_skew_join",
     "tfidf_top_terms",
     "dedup_incremental",
+    "dedup_clusters",
     "repetition_score",
     "contamination_check",
     "sequence_pack",

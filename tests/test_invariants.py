@@ -154,3 +154,59 @@ class TestMrShim:
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from tinymapreduce_spark.operators.graph import connected_components
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        return {
+            (r.node, r.component) for r in connected_components(df).collect()
+        }
+
+    def test_long_chain_converges_fast(self, spark):
+        """A 200-node chain has diameter 199 — naive min-label
+        propagation would need 199 rounds and trip max_rounds=50; the
+        two-phase star contraction must finish in O(log^2 n)."""
+        n = 200
+        got = self._cc(spark, [(i, i + 1) for i in range(n)])
+        assert got == {(i, 0) for i in range(n + 1)}
+
+    def test_matches_union_find(self, spark):
+        """Random graph vs a plain union-find reference."""
+        import random
+
+        rnd = random.Random(7)
+        nodes = list(range(100))
+        edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(60)]
+        edges = [(u, v) for u, v in edges if u != v]
+
+        parent = {i: i for i in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        in_graph = {u for e in edges for u in e}
+        roots = {}
+        for x in sorted(in_graph):
+            roots.setdefault(find(x), x)
+        expect = {(x, roots[find(x)]) for x in in_graph}
+        assert self._cc(spark, edges) == expect
+
+    def test_cluster_endpoints_share_component(self, spark, sf_dir):
+        """Every near-dup pair's endpoints land in the same cluster, and
+        the component label is a member of its own cluster."""
+        from tinymapreduce_spark.operators.dedup import dedup_clusters, dedup_ngram_jaccard
+
+        comp = {r.doc_id: r.component for r in dedup_clusters(spark, sf_dir).collect()}
+        pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+        assert pairs, "fixture produced no near-dup pairs"
+        for r in pairs:
+            assert comp[r.doc_a] == comp[r.doc_b]
+        assert all(comp[c] == c for c in set(comp.values()))

@@ -359,3 +359,63 @@ SELECT COALESCE(novel.source, dup.source) AS source,
        COALESCE(n_dup_of_base, 0) AS n_dup_of_base
 FROM novel FULL OUTER JOIN dup ON novel.source = dup.source
 """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from exact near-dup pairs: connected
+    components over the n-gram Jaccard pair graph (`dedup_ngram_jaccard`
+    edges), each doc labeled with its component root (smallest doc_id
+    reachable) and the cluster size.
+
+    This is what a curation pipeline deletes from — pairs alone can't
+    answer "keep one per group" when dup relations chain (A~B, B~C but
+    A!~C). Components use the two-phase star contraction in
+    operators/graph.py (O(log^2 n) rounds, two shuffles per round) —
+    see that module for the 100 TB posture. Only docs that appear in
+    some pair are emitted (singletons are trivially their own cluster).
+    """
+    from tinymapreduce_spark.operators.graph import cluster_stats, connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(edges)
+    return cluster_stats(comp).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), good AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM good
+  UNION
+  SELECT doc_b, doc_a FROM good
+), reach (u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
