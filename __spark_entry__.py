@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
         "asof_join": events.asof_join,
+        "resample_ffill": events.resample_ffill,
+        "value_histogram": events.value_histogram,
+        "window_rank_funcs": analytics.window_rank_funcs,
+        "stream_static_join": stream_windows.stream_static_join,
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
         "stream_kv_state": stream_state.stream_kv_state,
         "stream_session_window": stream_state.stream_session_window,
@@ -239,6 +243,10 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,
+        "resample_ffill": events.RESAMPLE_SQL,
+        "value_histogram": events.HISTOGRAM_SQL,
+        "window_rank_funcs": analytics.WINDOW_RANK_SQL,
+        "stream_static_join": stream_windows.STREAM_STATIC_SQL,
         "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
         "stream_kv_state": kv.KV_REPLAY_SQL,
         "stream_session_window": stream_state.STREAM_SESSION_SQL,

@@ -44,7 +44,10 @@ HEADLINE = [
     "q22_idle_customers",
     "global_sort_range",
     "window_running_sum",
+    "window_rank_funcs",
     "topk_per_group",
+    "resample_ffill",
+    "value_histogram",
     "kv_replay",
     "sessionize",
     "asof_join",

@@ -353,3 +353,21 @@ def test_q21_correlated_exists_residual_conditions(spark, sf_dir):
     assert "Join condition: NOT (l_suppkey" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_window_rank_funcs_single_exchange(spark, sf_dir):
+    p = plan_of(analytics.window_rank_funcs(spark, sf_dir))
+    # six window functions, ONE window spec -> one exchange + one sort;
+    # a second spec would double the shuffle
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(o_custkey" in p
+
+
+def test_resample_grid_is_data_proportional(spark, sf_dir):
+    from tinymapreduce_spark.plans import events as ev
+
+    p = plan_of(ev.resample_ffill(spark, sf_dir))
+    # the calendar grid comes from per-user sequence() + explode/generate
+    # (data-proportional), never a cross join against a global calendar
+    assert "explode(sequence(" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -1258,3 +1258,40 @@ FROM customer JOIN supplier
   ON c_nationkey <> s_nationkey AND c_acctbal > s_acctbal * 10
 GROUP BY s_suppkey
 """
+
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked/navigational window functions in one pass: row_number,
+    ntile quartiles, lag/lead, percent_rank, cume_dist over each
+    customer's order history.
+
+    Scale: ALL six functions share one window spec, so Catalyst plans a
+    single exchange on o_custkey + one sort — adding functions to the
+    same frame is free; a second window SPEC would be a second shuffle.
+    The ordering is unique (orderdate, orderkey), so every output is
+    deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER()   OVER w AS rn,
+       NTILE(4)       OVER w AS quartile,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

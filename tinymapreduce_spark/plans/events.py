@@ -180,3 +180,94 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND p.ts >= s.ts
 """
+
+
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user DAILY grid from first to last
+    active day, with gap days forward-filled from the last observed
+    daily total (LOCF). The gap-free regular grid is what downstream
+    feature pipelines consume.
+
+    Scale: one shuffle builds (user, day) totals; the per-user grid is
+    generated with `sequence()` + explode from each user's tiny
+    (lo, hi) bounds row — data-proportional, never a cross join against
+    a global calendar. The fill is `last(value, ignorenulls)` over the
+    user-day window; totals stay exact decimal until the output edge."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("day").alias("day_us"),
+            F.last("day_value", ignorenulls=True).over(w).cast("double").alias("value_ffill"),
+            F.col("day_value").isNotNull().alias("had_data"),
+        )
+    )
+
+
+RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT g.user_id, epoch_us(g.day) AS day_us,
+       CAST(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_ffill,
+       d.day_value IS NOT NULL AS had_data
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+HIST_BUCKET_WIDTH = 50
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of event values — the profiling
+    primitive behind quality dashboards and bucketized skew checks.
+
+    Scale: bucket assignment is pure codegen arithmetic at the scan;
+    the aggregate ships |buckets| partial rows per task. (An equi-depth
+    variant is `exact_percentiles`/`approx_aggregates`.)"""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * HIST_BUCKET_WIDTH).cast("double"))
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT CAST(FLOOR(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(CAST(FLOOR(value / {HIST_BUCKET_WIDTH}) AS BIGINT) * {HIST_BUCKET_WIDTH} AS DOUBLE) AS bucket_lo
+FROM events
+GROUP BY 1
+"""

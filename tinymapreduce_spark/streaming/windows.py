@@ -185,3 +185,53 @@ FROM events e JOIN events p
  AND p.ts <= e.ts + INTERVAL 10 MINUTE
 WHERE e.event_type = 'error' AND p.event_type = 'purchase'
 """
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    dimension (customer -> nation) built once on the batch side, then
+    aggregated per nation.
+
+    This is the workhorse pattern at scale — the static side broadcasts
+    into every micro-batch with NO streaming state (unlike the
+    stream-stream join, which must buffer both sides under watermarks).
+    Stateless enrichment keeps the checkpoint tiny regardless of
+    dimension size churn."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAM_STATIC_SQL = """
+SELECT n_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
