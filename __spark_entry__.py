@@ -26,7 +26,7 @@ from tinymapreduce_spark.operators import (
     udaf,
 )
 from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
-from tinymapreduce_spark.plans import analytics, events, layout, subqueries
+from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
 from tinymapreduce_spark.sources import textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import state as stream_state
@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": events.sessionize,
         "asof_join": events.asof_join,
         "resample_ffill": events.resample_ffill,
+        "merge_upsert": maintenance.merge_upsert,
+        "scd2_history": maintenance.scd2_history,
         "value_histogram": events.value_histogram,
         "window_rank_funcs": analytics.window_rank_funcs,
         "stream_static_join": stream_windows.stream_static_join,
@@ -244,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,
         "resample_ffill": events.RESAMPLE_SQL,
+        "merge_upsert": maintenance.MERGE_UPSERT_SQL,
+        "scd2_history": maintenance.SCD2_SQL,
         "value_histogram": events.HISTOGRAM_SQL,
         "window_rank_funcs": analytics.WINDOW_RANK_SQL,
         "stream_static_join": stream_windows.STREAM_STATIC_SQL,

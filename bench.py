@@ -49,6 +49,8 @@ HEADLINE = [
     "resample_ffill",
     "value_histogram",
     "kv_replay",
+    "merge_upsert",
+    "scd2_history",
     "sessionize",
     "asof_join",
     "tumbling_window_agg",

@@ -210,3 +210,24 @@ class TestConnectedComponents:
         for r in pairs:
             assert comp[r.doc_a] == comp[r.doc_b]
         assert all(comp[c] == c for c in set(comp.values()))
+
+
+def test_scd2_intervals_tile(spark, sf_dir):
+    """SCD2 version chains: per key exactly one current row (the last),
+    and every version's valid_to equals the next version's valid_from —
+    no gaps, no overlaps."""
+    import collections
+
+    from tinymapreduce_spark.plans.maintenance import scd2_history
+
+    by_cust = collections.defaultdict(list)
+    for r in scd2_history(spark, sf_dir).collect():
+        by_cust[r.o_custkey].append(r)
+    assert by_cust
+    for rs in by_cust.values():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current
+        assert rs[-1].valid_to_us is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
