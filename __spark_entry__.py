@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
         "salted_skew_join": layout.salted_skew_join,
         "compact_small_files": layout.compact_small_files,
+        "zorder_pruned_agg": layout.zorder_pruned_agg,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,
         "salted_skew_join": layout.SALTED_SKEW_SQL,
         "compact_small_files": layout.COMPACT_SQL,
+        "zorder_pruned_agg": layout.ZORDER_SQL,
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,

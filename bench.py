@@ -62,6 +62,7 @@ HEADLINE = [
     "token_stats",
     "bucketed_join_revenue",
     "salted_skew_join",
+    "zorder_pruned_agg",
     "tfidf_top_terms",
     "dedup_incremental",
     "dedup_clusters",
