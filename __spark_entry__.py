@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "distinct_counts": analytics.distinct_counts,
         "set_ops": analytics.set_ops,
+        "set_ops_all": analytics.set_ops_all,
         "scalar_functions": analytics.scalar_functions,
         "array_functions": analytics.array_functions,
         "sort_limit": analytics.sort_limit,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": layout.salted_skew_join,
         "compact_small_files": layout.compact_small_files,
         "zorder_pruned_agg": layout.zorder_pruned_agg,
+        "dpp_partitioned_join": layout.dpp_partitioned_join,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
@@ -235,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": analytics.GROUPING_SETS_SQL,
         "distinct_counts": analytics.DISTINCT_SQL,
         "set_ops": analytics.SET_OPS_SQL,
+        "set_ops_all": analytics.SET_OPS_ALL_SQL,
         "scalar_functions": analytics.SCALAR_SQL,
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
@@ -244,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": layout.SALTED_SKEW_SQL,
         "compact_small_files": layout.COMPACT_SQL,
         "zorder_pruned_agg": layout.ZORDER_SQL,
+        "dpp_partitioned_join": layout.DPP_SQL,
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,

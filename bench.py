@@ -63,6 +63,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "salted_skew_join",
     "zorder_pruned_agg",
+    "dpp_partitioned_join",
     "tfidf_top_terms",
     "dedup_incremental",
     "dedup_clusters",

@@ -371,3 +371,13 @@ def test_resample_grid_is_data_proportional(spark, sf_dir):
     # (data-proportional), never a cross join against a global calendar
     assert "explode(sequence(" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dpp_runtime_partition_filter(spark, sf_dir):
+    p = plan_of(layout.dpp_partitioned_join(spark, sf_dir))
+    # the selective predicate lives on the dim's non-join column, so
+    # directory pruning can only happen at runtime: the fact scan's
+    # PartitionFilters must contain a dynamicpruningexpression and NO
+    # static lang IN (...) filter
+    assert "dynamicpruningexpression" in p
+    assert " IN (en,de)" not in p

@@ -1295,3 +1295,39 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    cardinalities over order-priority multisets (high-priority orders vs
+    'F'-status orders — overlapping bags with duplicates, so ALL vs
+    DISTINCT genuinely differ).
+
+    Scale: INTERSECT ALL / EXCEPT ALL plan as aggregated count-matching
+    (per-row multiplicity min / difference) — one shuffle each, never a
+    pairwise join."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        tagged("union_all", a.unionAll(b))
+        .union(tagged("intersect_all", a.intersectAll(b)))
+        .union(tagged("except_all", a.exceptAll(b)))
+    )
+
+
+SET_OPS_ALL_SQL = """
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')),
+     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all', COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all', COUNT(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+"""

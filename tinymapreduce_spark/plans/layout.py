@@ -96,16 +96,27 @@ GROUP BY o_orderpriority
 """
 
 
+def _ensure_partitioned_docs(spark: SparkSession, sf_dir: str) -> str:
+    """documents re-written partitioned by ``lang`` (hive-style dirs).
+    Idempotent per (session, sf_dir)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"docs_by_lang_{tag}")
+    marker = f"spark.tinymr.docs_by_lang_{tag.replace('.', '_')}"
+    if not spark.conf.get(marker, None):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(path)
+        spark.conf.set(marker, "1")
+    return path
+
+
 def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents partitioned by ``lang``, then aggregate one
     language from the partitioned copy. The ``lang = 'en'`` predicate
     becomes a PartitionFilter: non-matching directories are never opened
     (asserted in tests/test_plans.py).
     """
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(SCRATCH, f"docs_by_lang_{tag}")
-    docs = load_table(spark, sf_dir, "documents")
-    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    path = _ensure_partitioned_docs(spark, sf_dir)
     return (
         spark.read.parquet(path)
         .where(F.col("lang") == "en")
@@ -288,4 +299,53 @@ SELECT COUNT(*) AS n_lines,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem
 WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 29
+"""
+
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: join the lang-partitioned documents
+    copy to a dimension FILTERED ON A NON-JOIN COLUMN (language family).
+    No static predicate mentions `lang`, so directory pruning can only
+    happen at RUNTIME — Catalyst injects a dynamicpruningexpression into
+    the fact scan's PartitionFilters, fed by the broadcast dim (asserted
+    in tests/test_plans.py).
+
+    At 100 TB this is the difference between scanning 2 of 5 partitions
+    and scanning all of them whenever the selective predicate lives on
+    the dimension, which is the normal star-schema case."""
+    path = _ensure_partitioned_docs(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    # external literal mapping (NOT derived from the fact's lang column:
+    # a CASE over lang would let Catalyst fold the family predicate into
+    # a static `lang IN (...)` filter, and the demo would no longer
+    # exercise runtime pruning). Langs are the fixture's fixed domain.
+    dim = spark.createDataFrame(
+        [
+            ("en", "germanic"),
+            ("de", "germanic"),
+            ("es", "romance"),
+            ("fr", "romance"),
+            ("zh", "sinitic"),
+        ],
+        "lang string, family string",
+    )
+    return (
+        fact.join(F.broadcast(dim.where(F.col("family") == "germanic")), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+DPP_SQL = """
+WITH dim(lang, family) AS (
+  VALUES ('en','germanic'), ('de','germanic'), ('es','romance'),
+         ('fr','romance'), ('zh','sinitic')
+)
+SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN dim ON d.lang = dim.lang
+WHERE dim.family = 'germanic'
+GROUP BY d.lang
 """
