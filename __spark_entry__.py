@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
+        "custom_source_runs": textfiles.custom_source_runs,
         # --- physical layout: bucketing / partition pruning / skew salting ---
         "bucketed_join_revenue": layout.bucketed_join_revenue,
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_functions": analytics.SCALAR_SQL,
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
+        "custom_source_runs": _WORD_COUNT_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,

@@ -231,3 +231,26 @@ def test_scd2_intervals_tile(spark, sf_dir):
         assert rs[-1].valid_to_us is None
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to_us == b.valid_from_us
+
+
+def test_custom_source_partition_per_file(spark, sf_dir):
+    """mr_runs connector: reader parallelism mirrors the run layout —
+    exactly one InputPartition per run file, and every row carries the
+    file it came from."""
+    import os
+
+    from tinymapreduce_spark.sources import mr_runs_source
+    from tinymapreduce_spark.sources.textfiles import _ensure_json_runs
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    n_files = len(
+        [
+            f
+            for f in os.listdir(runs_dir)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        ]
+    )
+    mr_runs_source.register(spark)
+    df = spark.read.format("mr_runs").option("path", runs_dir).load()
+    assert df.rdd.getNumPartitions() == n_files
+    assert df.select("run_file").distinct().count() == n_files

@@ -1,0 +1,80 @@
+"""Custom connector (Spark 4 Python DataSource API) for the reference's
+``mr-<map>-<reduce>`` intermediate-run layout.
+
+The reference persists shuffle data as a directory of JSON run files,
+one per (map task, reduce bucket), each a stream of ``{"key","value"}``
+records (`/root/reference/src/mr/worker.go:102-117`), and a reduce task
+re-reads the files of its bucket (`worker.go:125-156`). This module
+exposes that layout as a first-class Spark source:
+
+    spark.read.format("mr_runs").option("path", runs_dir).load()
+    -> DataFrame[key string, value string, run_file string]
+
+Partitioning mirrors the reference's reduce fan-out: ONE InputPartition
+per run file, so reader parallelism scales with the layout and each
+executor opens only its own files — no driver-side data movement (the
+driver only lists the directory).
+
+This is the extension-API surface (what a user writes for a system Spark
+has no native reader for); the high-volume path for JSON stays the
+native reader (sources/textfiles.py::json_runs_roundtrip) which is
+vectorized and supports pushdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pyspark import cloudpickle
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class MrRunsDataSource(DataSource):
+    """``format("mr_runs")``: directory of JSON-lines run files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr_runs"
+
+    def schema(self) -> str:
+        return "key string, value string, run_file string"
+
+    def reader(self, schema) -> "MrRunsReader":
+        return MrRunsReader(self.options)
+
+
+class MrRunsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_runs source requires option 'path'")
+
+    def partitions(self):
+        # one partition per run file = the reference's per-bucket reduce
+        # fan-out; listing is driver-side metadata only
+        files = sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        fname = partition.value
+        with open(os.path.join(self.path, fname)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    yield (rec.get("key"), rec.get("value"), fname)
+
+
+# The datasource class is shipped to executors by value — the repo is on
+# the driver's sys.path only (see .claude/skills/verify gotchas).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MrRunsDataSource)

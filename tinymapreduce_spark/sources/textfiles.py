@@ -75,6 +75,26 @@ def text_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_json_runs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize word-count KV pairs as R hash-partitioned JSON runs —
+    exactly the reference's intermediate layout (ihash(key) % R, one
+    JSON-lines file per reduce bucket). Idempotent per (session, sf)."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources.loaders import text_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    runs_dir = os.path.join(SCRATCH, f"json_runs_{tag}")
+    marker = f"spark.tinymr.json_runs_{tag.replace('.', '_')}"
+    if not spark.conf.get(marker, None):
+        docs = text_documents(spark, sf_dir)
+        kv = docs.select(
+            F.explode(tokens("contents")).alias("key"), F.lit("1").alias("value")
+        )
+        kv.repartition(10, "key").write.mode("overwrite").json(runs_dir)
+        spark.conf.set(marker, "1")
+    return runs_dir
+
+
 def json_runs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 parity at the user level: materialize word-count KV pairs as
     hash-partitioned JSON run files (the reference's ``mr-<map>-<reduce>``
@@ -86,14 +106,23 @@ def json_runs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.functions.text import tokens
     from tinymapreduce_spark.sources.loaders import text_documents
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    runs_dir = os.path.join(SCRATCH, f"json_runs_{tag}")
-
-    docs = text_documents(spark, sf_dir)
-    kv = docs.select(F.explode(tokens("contents")).alias("key"), F.lit("1").alias("value"))
-    # R hash-partitioned runs, exactly the reference's intermediate layout
-    # (ihash(key) % R) — one JSON-lines file per reduce bucket.
-    kv.repartition(10, "key").write.mode("overwrite").json(runs_dir)
+    runs_dir = _ensure_json_runs(spark, sf_dir)
 
     runs = spark.read.schema("key string, value string").json(runs_dir)
     return runs.groupBy(F.col("key").alias("word")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def custom_source_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same runs directory read back through the CUSTOM connector
+    (sources/mr_runs_source.py, Spark 4 Python DataSource API) instead of
+    the native JSON reader — one InputPartition per run file, executors
+    open only their own files. Finishing the count from the connector's
+    rows must equal the straight word count (same oracle)."""
+    from tinymapreduce_spark.sources import mr_runs_source
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    mr_runs_source.register(spark)
+    runs = spark.read.format("mr_runs").option("path", runs_dir).load()
+    return runs.groupBy(F.col("key").alias("word")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
