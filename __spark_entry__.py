@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_small_files": layout.compact_small_files,
         "zorder_pruned_agg": layout.zorder_pruned_agg,
         "dpp_partitioned_join": layout.dpp_partitioned_join,
+        "bloom_filter_join": layout.bloom_filter_join,
         # --- event analytics: windows / sessions / as-of (batch + stream) ---
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_small_files": layout.COMPACT_SQL,
         "zorder_pruned_agg": layout.ZORDER_SQL,
         "dpp_partitioned_join": layout.DPP_SQL,
+        "bloom_filter_join": layout.BLOOM_JOIN_SQL,
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,

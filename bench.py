@@ -64,6 +64,7 @@ HEADLINE = [
     "salted_skew_join",
     "zorder_pruned_agg",
     "dpp_partitioned_join",
+    "bloom_filter_join",
     "tfidf_top_terms",
     "dedup_incremental",
     "dedup_clusters",

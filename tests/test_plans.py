@@ -381,3 +381,27 @@ def test_dpp_runtime_partition_filter(spark, sf_dir):
     # static lang IN (...) filter
     assert "dynamicpruningexpression" in p
     assert " IN (en,de)" not in p
+
+
+def test_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.plans.layout import BLOOM_CONFS, _temp_confs
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    with _temp_confs(spark, BLOOM_CONFS):
+        j = li.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        ).groupBy("o_orderstatus").count()
+        p = plan_of(j)
+    # the urgent-orders keys become a bloom filter probed on the fact
+    # side BEFORE its shuffle — and the filter side feeds it via
+    # bloom_filter_agg
+    assert "might_contain" in p
+    assert "bloom_filter_agg" in p
+    # injection happens on the fact's pre-shuffle filter, not post-join
+    fact_filter = [l for l in p.splitlines() if "might_contain" in l]
+    assert any("l_orderkey" in l for l in fact_filter)

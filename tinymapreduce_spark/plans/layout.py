@@ -349,3 +349,82 @@ FROM documents d JOIN dim ON d.lang = dim.lang
 WHERE dim.family = 'germanic'
 GROUP BY d.lang
 """
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _temp_confs(spark: SparkSession, confs: dict):
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local testdata is MBs; at 100 TB the real default (10 GB
+    # application-side scan) holds and nothing needs overriding
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # the creation side must NOT be broadcastable or Catalyst rightly
+    # prefers a broadcast join; -1 simulates the 100 TB regime where the
+    # filtered dim exceeds the broadcast threshold
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: when the selective side of a
+    SHUFFLE join is too big to broadcast, Catalyst builds a bloom filter
+    from its join keys (bloom_filter_agg) and injects might_contain()
+    into the big side's scan filter — most non-matching fact rows die
+    before the shuffle instead of after it.
+
+    This is the shuffle-join sibling of dynamic partition pruning and
+    the key mitigation when BOTH join sides are fact-sized at 100 TB.
+    Executed eagerly under temporarily-set confs (broadcast disabled to
+    simulate the at-scale regime) so the session's planner behavior is
+    untouched for every other query; the injected filter is asserted in
+    tests/test_plans.py. Results are filter-invariant — plain-SQL
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    with _temp_confs(spark, BLOOM_CONFS):
+        rows = (
+            li.join(
+                orders.where(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_lines long, total_price double"
+    )
+
+
+BLOOM_JOIN_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
