@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": stream_windows.stream_static_join,
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
         "stream_kv_state": stream_state.stream_kv_state,
+        "stream_tws_counter": stream_state.stream_tws_counter,
         "stream_session_window": stream_state.stream_session_window,
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_static_join": stream_windows.STREAM_STATIC_SQL,
         "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
         "stream_kv_state": kv.KV_REPLAY_SQL,
+        "stream_tws_counter": stream_state.STREAM_TWS_SQL,
         "stream_session_window": stream_state.STREAM_SESSION_SQL,
         "stream_dedup": stream_state.STREAM_DEDUP_SQL,
         "stream_stream_join": stream_windows.STREAM_STREAM_JOIN_SQL,

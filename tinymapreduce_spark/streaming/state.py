@@ -21,7 +21,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -184,4 +184,138 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+"""
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its
+    state-server protocol; this container doesn't ship it. Gate the
+    modern API behind an import-try per the no-install constraint."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _totals_apply(key, pdf_iter, state):
+    """applyInPandasWithState twin of the TWS processor below — same
+    per-key fold, same integer-cents determinism."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count + value total in a typed per-key
+    state cell, emitted per micro-batch update.
+
+    Primary path: the Spark 4 ``transformWithStateInPandas`` API (the
+    applyInPandasWithState successor — explicit state variables, TTL,
+    timers) on the RocksDB state store (the API refuses the HDFS
+    provider; at 100 TB RocksDB is what you run anyway for state larger
+    than executor heap). This container lacks google.protobuf (required
+    by TWS's state-server protocol; installs are off-limits), so the
+    same fold runs through applyInPandasWithState — identical output,
+    same SQL oracle, and the TWS path stays exercised wherever protobuf
+    exists. Money folds in integer cents: float accumulation order
+    would diverge from the oracle."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("totals", TOTALS_STATE)
+
+            def handleInputRows(self, key, rows, timerValues):
+                row = self._state.get()
+                n, cents = (row[0], row[1]) if row else (0, 0)
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                self._state.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [cents / 100.0],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    else:
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _totals_apply,
+            outputStructType=TOTALS_OUTPUT,
+            stateStructType=TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        provider_key = old = None
+
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    try:
+        q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if provider_key is not None:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
+    return spark.sql(f"SELECT user_id, n_events, total_value FROM {name}")
+
+
+STREAM_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
 """
