@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bucketed": subqueries.range_join_bucketed,
         "approx_aggregates": subqueries.approx_aggregates,
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
+        "python_udtf_split": udaf.python_udtf_split,
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
         "custom_source_runs": textfiles.custom_source_runs,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": events.tumbling_window_agg,
         "sessionize": events.sessionize,
         "asof_join": events.asof_join,
+        "cogrouped_asof": events.cogrouped_asof,
         "resample_ffill": events.resample_ffill,
         "merge_upsert": maintenance.merge_upsert,
         "scd2_history": maintenance.scd2_history,
@@ -168,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": curation.train_val_test_split,
         "contamination_check": curation.contamination_check,
         "sequence_pack": curation.sequence_pack,
+        "doc_chunk_overlap": curation.doc_chunk_overlap,
         "ann_lsh_topk": similarity.ann_lsh_topk,
     }
 
@@ -256,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_agg": events.TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_join": events.ASOF_SQL,
+        "cogrouped_asof": events.ASOF_SQL,
         "resample_ffill": events.RESAMPLE_SQL,
         "merge_upsert": maintenance.MERGE_UPSERT_SQL,
         "scd2_history": maintenance.SCD2_SQL,
@@ -275,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_stack": subqueries.UNPIVOT_SQL,
         "range_join_bucketed": subqueries.RANGE_JOIN_SQL,
         "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
+        "python_udtf_split": udaf.PYTHON_UDTF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
@@ -298,4 +303,5 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,
         "contamination_check": curation.CONTAMINATION_SQL,
         "sequence_pack": curation.SEQUENCE_PACK_SQL,
+        "doc_chunk_overlap": curation.DOC_CHUNK_SQL,
     }

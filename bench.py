@@ -71,6 +71,8 @@ HEADLINE = [
     "repetition_score",
     "contamination_check",
     "sequence_pack",
+    "doc_chunk_overlap",
+    "cogrouped_asof",
 ]
 
 

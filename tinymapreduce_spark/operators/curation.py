@@ -259,3 +259,57 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT)
       < (CASE {_THR_CASE} ELSE {DEFAULT_NUM} END)
 GROUP BY lang
 """
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the embedding-pipeline
+    primitive: every document becomes ceil(n/stride) chunks of up to
+    CHUNK_TOKENS tokens, consecutive chunks sharing
+    CHUNK_TOKENS-CHUNK_STRIDE tokens so no span falls on a boundary.
+
+    Scale: pure codegen — tokenize once, `sequence()` generates the
+    per-doc start offsets (data-proportional), `slice()` cuts each
+    window from the in-row array; no shuffle at all, chunks stream
+    straight to the sink. Chunk content is certified by md5 so the
+    oracle compares text, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    starts = toked.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    ).where(F.col("s") < F.col("n"))
+    chunk = F.slice("t", F.col("s") + 1, CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         UNNEST(generate_series(0, GREATEST(len(t) - 1, 0), {CHUNK_STRIDE})) AS s
+  FROM toked
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, s + 1, s + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(t, s + 1, s + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+FROM starts WHERE s < n
+"""

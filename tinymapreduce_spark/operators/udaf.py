@@ -63,3 +63,49 @@ SELECT l_returnflag,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+UDTF_MAX_POS = 5
+
+
+def python_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF API (Spark 3.5+/@udtf): a table function lateral-
+    joined per input row — the modern form of the reference's Map-emits-
+    many contract (`/root/reference/src/mr/worker.go:47-48` — one input
+    record, 0..n output records).
+
+    This is API-surface coverage: Python UDTFs run row-at-a-time in the
+    Python worker, so the HOT path for tokenization stays
+    explode(split()) in codegen (reference_queries.word_count); use a
+    UDTF only when per-row logic genuinely needs Python. Output bounded
+    to the first UDTF_MAX_POS tokens per doc."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str, max_pos: int):
+            toks = [w for w in _re.split(r"[^A-Za-z]+", text or "") if w]
+            for i, w in enumerate(toks[:max_pos]):
+                yield (w, i)
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        f"""
+        SELECT doc_id, t.word, t.pos
+        FROM docs_udtf, LATERAL split_words(text, {UDTF_MAX_POS}) t
+        """
+    )
+
+
+PYTHON_UDTF_SQL = f"""
+SELECT doc_id, t.word, CAST(t.i - 1 AS INT) AS pos
+FROM documents,
+     LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS word,
+                     generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+WHERE t.i <= {UDTF_MAX_POS}
+"""

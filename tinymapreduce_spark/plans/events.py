@@ -271,3 +271,44 @@ SELECT CAST(FLOOR(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
 FROM events
 GROUP BY 1
 """
+
+
+def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same AS-OF semantics as `asof_join`, through the cogrouped
+    pandas API: both sides shuffle ONCE on user_id, arrive per key as
+    Arrow batches, and pd.merge_asof does the O(n) two-pointer match —
+    the canonical distributed as-of when both sides are fact-sized and
+    the matching logic outgrows window tricks. Shares asof_join's
+    oracle (DuckDB's native ASOF JOIN), so window-emulation, cogrouped
+    pandas, and a native implementation are checked against each other."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.unix_micros("ts").alias("signup_ts_us")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_us", "value", "signup_ts_us"]
+            )
+        l = left.sort_values("ts_us")
+        r = right[["signup_ts_us"]].sort_values("signup_ts_us")
+        out = pd.merge_asof(
+            l, r, left_on="ts_us", right_on="signup_ts_us", direction="backward"
+        )
+        out["signup_ts_us"] = out["signup_ts_us"].astype("Int64")
+        return out[["event_id", "user_id", "ts_us", "value", "signup_ts_us"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts_us long, value double, signup_ts_us long",
+        )
+    )
