@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": analytics.q4_order_priority,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q8_market_share": analytics.q8_market_share,
         "q9_product_profit": analytics.q9_product_profit,
         "q10_returned_items": analytics.q10_returned_items,
         "q11_supplier_concentration": analytics.q11_supplier_concentration,
@@ -86,9 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": analytics.q13_customer_distribution,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "q15_top_supplier": analytics.q15_top_supplier,
+        "q16_supplier_counts": analytics.q16_supplier_counts,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q18_large_orders": analytics.q18_large_orders,
         "q19_disjunctive_parts": analytics.q19_disjunctive_parts,
+        "q20_promo_heavy_suppliers": analytics.q20_promo_heavy_suppliers,
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "q22_idle_customers": analytics.q22_idle_customers,
         "global_sort_range": analytics.global_sort_range,
@@ -220,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": analytics.Q4_SQL,
         "q6_forecast_revenue": analytics.Q6_SQL,
         "q7_volume_shipping": analytics.Q7_SQL,
+        "q8_market_share": analytics.Q8_SQL,
         "q9_product_profit": analytics.Q9_SQL,
         "q10_returned_items": analytics.Q10_SQL,
         "q11_supplier_concentration": analytics.Q11_SQL,
@@ -227,9 +231,11 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": analytics.Q13_SQL,
         "q14_promo_revenue": analytics.Q14_SQL,
         "q15_top_supplier": analytics.Q15_SQL,
+        "q16_supplier_counts": analytics.Q16_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q18_large_orders": analytics.Q18_SQL,
         "q19_disjunctive_parts": analytics.Q19_SQL,
+        "q20_promo_heavy_suppliers": analytics.Q20_SQL,
         "q21_waiting_suppliers": analytics.Q21_SQL,
         "q22_idle_customers": analytics.Q22_SQL,
         "global_sort_range": analytics.GLOBAL_SORT_SQL,

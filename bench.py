@@ -30,6 +30,7 @@ HEADLINE = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_supplier_concentration",
@@ -37,9 +38,11 @@ HEADLINE = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_parts",
+    "q20_promo_heavy_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "global_sort_range",

@@ -1331,3 +1331,140 @@ SELECT 'intersect_all', COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FR
 UNION ALL
 SELECT 'except_all', COUNT(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
 """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's promo-part
+    revenue per year — a ratio of conditional aggregates over a
+    two-level dimension chain (nation -> region) joined on BOTH fact
+    roles (customer region filters, supplier nation is the share).
+
+    Scale: region+nation+customer+part+supplier all broadcast; the only
+    fact-fact shuffle is lineitem<->orders on orderkey. The share is
+    exact-decimal numerator/denominator, divided at the output edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_c = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n_s = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    share_rev = F.when(F.col("supp_nation") == "NATION_5", revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("cr_key") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(share_rev).cast("double") / F.sum(revenue).cast("double")).alias("mkt_share"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+GROUP BY YEAR(o_orderdate)
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, size band), EXCLUDING a supplier blacklist via NOT IN.
+    (Schema-adapted: supply relationships come from lineitem instead of
+    partsupp; the blacklist is negative-balance suppliers.)
+
+    Scale: the blacklist is a tiny broadcast anti join; the distinct
+    count shuffles (brand, band, suppkey) pairs once — partial distinct
+    happens map-side so duplicate pairs collapse pre-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    band = F.floor(F.col("p_size") / 10).cast("long").alias("size_band")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", band)
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, CAST(FLOOR(p_size / 10) AS BIGINT) AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, CAST(FLOOR(p_size / 10) AS BIGINT)
+"""
+
+
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by a nested aggregate
+    threshold — here, suppliers whose PROMO-part shipped quantity
+    exceeds 18% of their total shipped quantity — then the supplier dim
+    semi-joined against that qualifying set.
+
+    Scale: both rollups share one shuffle (per-supplier grouping with a
+    conditional partial sum — never two scans); the qualifying keys are
+    a tiny set that semi-joins the dim. Threshold compare is exact
+    decimal x100 vs x18, no division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    promo_qty = F.when(F.col("p_type") == "PROMO", _dec("l_quantity")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(promo_qty).alias("promo_qty"),
+            F.sum(_dec("l_quantity")).alias("total_qty"),
+        )
+    )
+    qualifying = per_supp.where(F.col("promo_qty") * 100 > F.col("total_qty") * 18)
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_qty,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp WHERE promo_qty * 100 > total_qty * 18)
+"""
