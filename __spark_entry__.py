@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_rebalance": shards.shard_rebalance,
         # --- relational operator coverage (SURVEY.md §2.5) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "q4_order_priority": analytics.q4_order_priority,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ops GROUP BY 1
         """,
         "q1_pricing_summary": analytics.Q1_SQL,
+        "q2_min_cost_supplier": analytics.Q2_SQL,
         "q3_shipping_priority": analytics.Q3_SQL,
         "q5_local_supplier_volume": analytics.Q5_SQL,
         "q4_order_priority": analytics.Q4_SQL,

@@ -25,6 +25,7 @@ HEADLINE = [
     "inverted_index",
     "mr_wordcount_shim",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",

@@ -1468,3 +1468,64 @@ SELECT s_suppkey, s_name, s_nationkey
 FROM supplier
 WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp WHERE promo_qty * 100 > total_qty * 18)
 """
+
+
+Q2_TOP_N = 100
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each large part, the supplier(s) whose line
+    price equals the per-part MINIMUM — a correlated aggregate-equality
+    subquery, resolved as a window MIN (ties kept, like pristine Q2).
+    (Schema-adapted: no partsupp, so the supply relation is lineitem and
+    'cost' is l_extendedprice.) Completes the 22-shape TPC-H sweep.
+
+    Scale: the size filter broadcasts into lineitem first; the window
+    MIN is the one shuffle (partitionBy partkey); the comparison stays
+    exact DECIMAL (double equality at a min boundary is engine-
+    dependent). Supplier+nation broadcast onto the tiny survivor set;
+    deterministic top-100 via full tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey")
+    cheapest = (
+        li.join(F.broadcast(part.where(F.col("p_size") >= 45)), li.l_partkey == part.p_partkey)
+        .withColumn("min_price", F.min(_dec("l_extendedprice")).over(w))
+        .where(_dec("l_extendedprice") == F.col("min_price"))
+    )
+    return (
+        cheapest.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.col("min_price").cast("double").alias("min_price"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("p_partkey", "s_name", "l_orderkey", "l_linenumber")
+        .limit(Q2_TOP_N)
+    )
+
+
+Q2_SQL = f"""
+WITH priced AS (
+  SELECT p_partkey, p_brand, l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY p_partkey) AS min_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 45
+)
+SELECT p_partkey, p_brand, s_name, n_name AS supp_nation,
+       CAST(min_price AS DOUBLE) AS min_price, l_orderkey, l_linenumber
+FROM priced
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE price = min_price
+ORDER BY p_partkey, s_name, l_orderkey, l_linenumber
+LIMIT {Q2_TOP_N}
+"""
