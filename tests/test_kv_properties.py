@@ -46,3 +46,43 @@ def test_replay_matches_sequential_model(spark, log):
     ) if rows else spark.createDataFrame([], "seq long, key string, op string, value string")
     got = {r["key"]: r["value"] for r in replay_ops(ops).collect()}
     assert got == model_fold(log)
+
+
+# --- connected components: random graphs vs a sequential union-find model ---
+
+edge_strategy = st.tuples(st.integers(0, 40), st.integers(0, 40))
+graph_strategy = st.lists(edge_strategy, min_size=1, max_size=60)
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    nodes = {u for e in edges if e[0] != e[1] for u in e}
+    parent = {x: x for x in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u != v:
+            parent[find(u)] = find(v)
+    mins: dict[int, int] = {}
+    for x in sorted(nodes):
+        mins.setdefault(find(x), x)
+    return {(x, mins[find(x)]) for x in nodes}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(graph_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    """Star contraction equals the sequential union-find model on
+    arbitrary graphs (self-loops, duplicates, disconnected pieces)."""
+    from tinymapreduce_spark.operators.graph import connected_components
+
+    expect = union_find_components(edges)
+    if not expect:
+        return  # only self-loops: no nodes enter the graph
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == expect

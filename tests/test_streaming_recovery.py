@@ -66,3 +66,60 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path_factory):
     ).collect()[0]
     assert agg["d"] == 250
     assert agg["s"] == sum(i * 20 for i in range(250))
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path_factory):
+    """foreachBatch exactly-once pattern: the sink writes one directory
+    per epoch with overwrite semantics, so a RE-EXECUTED epoch (Spark
+    replays the last uncommitted batch after a crash) lands on the same
+    path and changes nothing. Restarting with new input appends new
+    epochs and never touches committed ones."""
+    import glob
+
+    base = str(tmp_path_factory.mktemp("feb_sink"))
+    src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    os.makedirs(sink)
+
+    _write_file(spark, src, "f1", range(0, 50))
+    _write_file(spark, src, "f2", range(50, 100))
+
+    def write_batch(bdf, epoch_id):
+        bdf.withColumn("doubled", F.col("v") * 2).write.mode("overwrite").parquet(
+            os.path.join(sink, f"epoch={epoch_id}")
+        )
+
+    def start():
+        return (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    def read_all():
+        df = spark.read.option("basePath", sink).parquet(os.path.join(sink, "epoch=*"))
+        return sorted((r.id, r.v, r.doubled) for r in df.collect())
+
+    first = read_all()
+    assert first == [(i, i * 10, i * 20) for i in range(100)]
+
+    # simulated epoch re-execution (crash between sink write and commit):
+    # rerun the latest epoch's data through the same writer — idempotent
+    epochs = sorted(int(p.split("=")[-1]) for p in glob.glob(os.path.join(sink, "epoch=*")))
+    replay = spark.createDataFrame([(i, i * 10) for i in range(50, 100)], "id long, v long")
+    write_batch(replay, epochs[-1])
+    assert read_all() == first
+
+    # restart with new input: a new epoch appears, old ones untouched
+    _write_file(spark, src, "f3", range(100, 150))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert read_all() == [(i, i * 10, i * 20) for i in range(150)]
