@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": analytics.set_ops,
         "set_ops_all": analytics.set_ops_all,
         "scalar_functions": analytics.scalar_functions,
+        "variant_extract": analytics.variant_extract,
+        "collated_group": analytics.collated_group,
         "array_functions": analytics.array_functions,
         "sort_limit": analytics.sort_limit,
         "correlated_scalar_subquery": subqueries.correlated_scalar_subquery,
@@ -253,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": analytics.SET_OPS_SQL,
         "set_ops_all": analytics.SET_OPS_ALL_SQL,
         "scalar_functions": analytics.SCALAR_SQL,
+        "variant_extract": analytics.VARIANT_SQL,
+        "collated_group": analytics.COLLATED_SQL,
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,

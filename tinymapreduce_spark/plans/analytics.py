@@ -1529,3 +1529,62 @@ WHERE price = min_price
 ORDER BY p_partkey, s_name, l_orderkey, l_linenumber
 LIMIT {Q2_TOP_N}
 """
+
+
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the Spark 4 VARIANT type: parse once
+    into the binary variant encoding, then typed-path extraction —
+    unlike get_json_object (string re-parse per access), a variant
+    column parses each JSON document ONCE and every later extraction is
+    a binary traversal, which is the difference between O(fields) and
+    O(fields x accesses) parses at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+VARIANT_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a deterministically
+    mixed-case brand column grouped under UNICODE_CI — equality,
+    grouping, and joins follow the collation instead of ad-hoc lower()
+    wrapping (which breaks pushdown and collation-aware sort orders).
+    Output normalizes the group representative with lower() because
+    CI grouping keeps an arbitrary case variant."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+    ).otherwise(F.lower("p_brand"))
+    return (
+        part.select(mixed.alias("w"))
+        .groupBy(F.collate("w", "UNICODE_CI").alias("w_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("w_ci").alias("brand_ci"), "n")
+    )
+
+
+COLLATED_SQL = """
+SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand) ELSE LOWER(p_brand) END) AS brand_ci,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1
+"""
