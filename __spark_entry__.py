@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": curation.contamination_check,
         "sequence_pack": curation.sequence_pack,
         "doc_chunk_overlap": curation.doc_chunk_overlap,
+        "curation_pipeline": curation.curation_pipeline,
         "ann_lsh_topk": similarity.ann_lsh_topk,
     }
 
@@ -316,4 +317,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": curation.CONTAMINATION_SQL,
         "sequence_pack": curation.SEQUENCE_PACK_SQL,
         "doc_chunk_overlap": curation.DOC_CHUNK_SQL,
+        "curation_pipeline": curation.CURATION_PIPELINE_SQL,
     }

@@ -76,6 +76,7 @@ HEADLINE = [
     "contamination_check",
     "sequence_pack",
     "doc_chunk_overlap",
+    "curation_pipeline",
     "cogrouped_asof",
 ]
 

@@ -313,3 +313,69 @@ SELECT doc_id,
        md5(array_to_string(list_slice(t, s + 1, s + {CHUNK_TOKENS}), ' ')) AS chunk_md5
 FROM starts WHERE s < n
 """
+
+
+MIN_TOKENS = 20
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE declarative plan — the
+    composition the individual operators exist for:
+
+      language filter (en/de) -> quality gate (>= MIN_TOKENS tokens)
+      -> exact dedup (keep min doc_id per normalized-content group)
+      -> overlapping chunking -> per (lang, source) corpus stats.
+
+    Scale: expressed as a single DataFrame chain, Catalyst fuses the
+    filters into the scan, the dedup is the only wide shuffle (16-byte
+    md5 key, min/first per group), and chunk counting is arithmetic on
+    the kept rows (ceil(n/stride)) — chunks are never materialized just
+    to be counted. One job, two stages, at any corpus size."""
+    from tinymapreduce_spark.functions.text import normalized_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        docs.where(F.col("lang").isin("en", "de"))
+        .withColumn("n_tok", F.size(tokens("text")))
+        .where(F.col("n_tok") >= MIN_TOKENS)
+    )
+    kept = (
+        gated.select(
+            F.md5(normalized_text("text")).alias("content_key"),
+            F.struct("doc_id", "lang", "source", "n_tok").alias("rec"),
+        )
+        .groupBy("content_key")
+        .agg(F.min("rec").alias("rec"))  # min doc_id wins (struct order)
+        .select("rec.doc_id", "rec.lang", "rec.source", "rec.n_tok")
+    )
+    n_chunks = F.ceil(F.col("n_tok") / CHUNK_STRIDE)
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(n_chunks).alias("n_chunks"),
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS n_tok,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+  FROM documents
+  WHERE lang IN ('en', 'de')
+), sized AS (
+  SELECT * FROM gated WHERE n_tok >= {MIN_TOKENS}
+), kept AS (
+  SELECT content_key,
+         MIN({{'doc_id': doc_id, 'lang': lang, 'source': source, 'n_tok': n_tok}}) AS rec
+  FROM sized GROUP BY content_key
+), flat AS (
+  SELECT rec.doc_id AS doc_id, rec.lang AS lang, rec.source AS source, rec.n_tok AS n_tok
+  FROM kept
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(CEIL(CAST(n_tok AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT)) AS BIGINT) AS n_chunks
+FROM flat
+GROUP BY lang, source
+"""
