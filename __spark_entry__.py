@@ -17,11 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from tinymapreduce_spark.operators import (
     curation,
     dedup,
+    graph,
     kv,
     multimodal,
     reference_queries,
     shards,
     similarity,
+    sketches,
     textstats,
     udaf,
 )
@@ -124,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
         "custom_source_runs": textfiles.custom_source_runs,
+        "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
+        "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
         # --- physical layout: bucketing / partition pruning / skew salting ---
         "bucketed_join_revenue": layout.bucketed_join_revenue,
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
@@ -179,14 +183,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": curation.doc_chunk_overlap,
         "curation_pipeline": curation.curation_pipeline,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "semdedup_drops": similarity.semdedup_drops,
+        "pagerank_trade": graph.pagerank_trade,
+        "hll_distinct_merge": sketches.hll_distinct_merge,
+        "kll_quantile_merge": sketches.kll_quantile_merge,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    shard_rebalance (iterative algorithm), dedup_minhash_lsh /
-    dedup_simhash / ann_ivf_topk (approximate by construction — tests
-    assert their recall against the exact forms instead).
+    shard_rebalance / pagerank_trade (iterative algorithms),
+    dedup_minhash_lsh / dedup_simhash / ann_ivf_topk / ann_lsh_topk /
+    semdedup_drops (approximate by construction — tests assert their
+    recall against the exact forms instead), hll_distinct_merge /
+    kll_quantile_merge (sketch estimates are engine-specific — tests
+    bound their error vs the exact aggregates).
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -261,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,
+        "csv_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
+        "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,

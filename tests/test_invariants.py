@@ -254,3 +254,121 @@ def test_custom_source_partition_per_file(spark, sf_dir):
     df = spark.read.format("mr_runs").option("path", runs_dir).load()
     assert df.rdd.getNumPartitions() == n_files
     assert df.select("run_file").distinct().count() == n_files
+
+
+class TestSketches:
+    """Mergeable DataSketches aggregates: estimates must stay within the
+    configured error envelopes of the exact forms, and the merged ALL row
+    must agree with a direct global aggregate (mergeability)."""
+
+    def test_hll_estimates_and_union(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.sketches import hll_distinct_merge
+
+        got = {r.grp: r.approx_custkeys for r in hll_distinct_merge(spark, sf_dir).collect()}
+        orders = load_table(spark, sf_dir, "orders")
+        exact = {
+            r.o_orderpriority: r.n
+            for r in orders.groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_custkey").alias("n"))
+            .collect()
+        }
+        exact["ALL"] = orders.select("o_custkey").distinct().count()
+        assert set(got) == set(exact)
+        for grp, est in got.items():
+            # lgConfigK=12 -> ~1.6% RSE; allow 5 sigma plus integer slack
+            assert abs(est - exact[grp]) <= max(3, 0.08 * exact[grp]), (grp, est, exact[grp])
+
+    def test_kll_quantiles_and_merge(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.sketches import QUANTILES, kll_quantile_merge
+
+        rows = {r.grp: r for r in kll_quantile_merge(spark, sf_dir).collect()}
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+        )
+        for grp, row in rows.items():
+            src = li if grp == "ALL" else li.where(F.col("l_returnflag") == grp)
+            vals = sorted(r.price for r in src.collect())
+            for q in QUANTILES:
+                est = getattr(row, f"p{int(q * 100)}")
+                # KLL k=200 -> ~1.3% rank error; check the estimate's RANK
+                import bisect
+
+                rank = bisect.bisect_right(vals, est) / len(vals)
+                assert abs(rank - q) <= 0.03, (grp, q, est, rank)
+
+
+class TestSemDeDup:
+    def test_recall_and_precision(self, spark, sf_dir):
+        from tinymapreduce_spark.functions.vectors import cosine_similarity
+        from tinymapreduce_spark.operators.similarity import (
+            SEMDEDUP_THRESHOLD,
+            semdedup_drops,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+        exact_pairs = (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+            )
+            .where(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        )
+        true_by_id = {}
+        for r in exact_pairs.collect():
+            true_by_id.setdefault(r.id_b, set()).add(r.id_a)
+        drops = semdedup_drops(spark, sf_dir).collect()
+        got_ids = {r.vec_id for r in drops}
+        # recall vs the exact all-pairs ground truth
+        recall = len(got_ids & set(true_by_id)) / max(len(true_by_id), 1)
+        assert recall >= 0.75, recall
+        # precision = 1: every emitted decision is a true near-dup pair
+        # with the keeper below the dropped id
+        for r in drops:
+            assert r.kept_by < r.vec_id
+            assert r.kept_by in true_by_id[r.vec_id]
+
+
+class TestPageRank:
+    def _toy(self, spark):
+        # A -> B -> C -> A plus dangling D fed by A
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+        )
+        nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "node string")
+        return nodes, edges
+
+    def test_matches_handwritten_power_iteration(self, spark):
+        from tinymapreduce_spark.operators.graph import PR_DAMPING, PR_ITERS, pagerank
+
+        nodes, edges = self._toy(spark)
+        got = {r.node: r.rank for r in pagerank(nodes, edges).collect()}
+        # same iteration, dangling-redistribution convention, in pure python
+        adj = {"a": ["b", "d"], "b": ["c"], "c": ["a"]}
+        ranks = {n: 0.25 for n in "abcd"}
+        for _ in range(PR_ITERS):
+            mass = {n: 0.0 for n in "abcd"}
+            dangling = sum(v for n, v in ranks.items() if n not in adj)
+            for n, outs in adj.items():
+                for o in outs:
+                    mass[o] += ranks[n] / len(outs)
+            ranks = {
+                n: (1 - PR_DAMPING) / 4 + PR_DAMPING * (mass[n] + dangling / 4)
+                for n in "abcd"
+            }
+        for n in "abcd":
+            assert got[n] == pytest.approx(ranks[n], abs=1e-12), n
+
+    def test_mass_conserved_and_deterministic(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.graph import pagerank_trade
+
+        top = pagerank_trade(spark, sf_dir)
+        first = [(r.node, r.rank) for r in top.collect()]
+        assert len(first) == 20
+        assert first == sorted(first, key=lambda t: (-t[1], t[0]))
+        again = [(r.node, r.rank) for r in pagerank_trade(spark, sf_dir).collect()]
+        assert first == again

@@ -92,3 +92,100 @@ def cluster_stats(components: DataFrame) -> DataFrame:
     """Attach per-component size: (node, component, cluster_size)."""
     w = Window.partitionBy("component")
     return components.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """Standard PageRank by power iteration over an edge DataFrame.
+
+    ``nodes``: one column ``node``; ``edges``: ``(src, dst)`` directed,
+    pre-deduplicated. Returns (node, rank) with sum(rank) = 1; dangling
+    mass (nodes with no out-edges) is redistributed uniformly each
+    round, so the distribution stays a distribution.
+
+    Iterative shape mirrors connected_components: per round one shuffle
+    for the contribution aggregation (the edges-join-ranks is an
+    equi-join on src that AQE plans as broadcast while ranks are small
+    and shuffle at scale), one tiny scalar aggregate for dangling mass
+    (crossJoin of a 1-row frame — never a collect of data rows), and
+    `localCheckpoint(eager=True)` to truncate lineage. Per-round cost is
+    O(|E|) shuffled bytes — the same bound as one groupBy over the edge
+    list — so 10 rounds at 100 TB is 10 bounded shuffles, not a growing
+    plan.
+    """
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is loop-invariant: materialize once.
+    fanout = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contribs = (
+            fanout.join(ranks, fanout["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dmass") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_trade(spark, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer<->supplier trade graph: one
+    edge pair per distinct (customer, supplier) trading relation (via
+    orders x lineitem), both directions, so rank measures how central a
+    party is in the trading network. Top 20 by rank.
+
+    The edge build is itself the scale-relevant part: the orders-lineitem
+    join is an equi-join on orderkey and the distinct() collapses the
+    multi-line orders BEFORE the iteration, so the loop runs on the
+    (much smaller) relation graph, not raw line items. Iterative, so no
+    SQL oracle (rows-only driver check); tests assert mass conservation,
+    determinism across runs, and the handwritten power-iteration oracle
+    on a toy graph.
+    """
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    rel = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    ranks = pagerank(nodes, edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.round("rank", 9).alias("rank"))
+    )

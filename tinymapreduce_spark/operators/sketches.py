@@ -1,0 +1,97 @@
+"""Mergeable sketches (Apache DataSketches built-ins, Spark >= 3.5/4.x).
+
+The reference has no approximate operators (SURVEY.md §2.5 "Approximate
+ops: None"); these are north-star scale operators. The property that
+matters at 100 TB is MERGEABILITY: each partition/group builds a
+fixed-size sketch (a few KB), and any rollup — per-group, global,
+cross-day — is a union of sketches, never a re-scan of raw data. That is
+exactly the partial+final aggregation shape Spark already plans, but with
+O(1)-size partial state even for DISTINCT and quantiles.
+
+- ``hll_distinct_merge``: per-group HLL sketches of a key + an ``ALL``
+  row computed by unioning the group sketches (``hll_union_agg``), not by
+  re-aggregating the fact table. Estimates are deterministic for a fixed
+  input and lgConfigK.
+- ``kll_quantile_merge``: per-group KLL quantile sketches over a DOUBLE
+  measure, quantiles extracted from the sketch; the ``ALL`` row merges
+  the per-group sketches (``kll_sketch_merge_double``).
+
+No SQL oracle (sketch internals are engine-specific by construction);
+``tests/test_invariants.py`` bounds the error against the exact forms
+(HLL lgConfigK=12 -> ~1.6% rel. std error; KLL k=200 -> ~1.3% rank
+error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.sources.loaders import load_table
+
+HLL_LG_K = 12  # 2^12 registers: ~1.6% relative standard error, 4 KB sketch
+KLL_K = 200  # datasketches default: ~1.3% one-sided rank error
+QUANTILES = [0.5, 0.95, 0.99]
+
+
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-priority via HLL sketches, plus a
+    global ``ALL`` row that UNIONS the per-group sketches — the rollup
+    never touches the fact table again. At 100 TB the per-group state is
+    4 KB regardless of cardinality, and daily/global rollups are sketch
+    unions over a tiny intermediate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K)).alias("sk")
+    )
+    # Cache: the ALL row must union the *same* per-group sketches.
+    per_group = per_group.persist()
+    groups = per_group.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.hll_sketch_estimate("sk").alias("approx_custkeys"),
+    )
+    merged = per_group.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("grp"),
+        F.hll_sketch_estimate("sk").alias("approx_custkeys"),
+    )
+    return groups.unionByName(merged).orderBy("grp")
+
+
+def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of extended price per return flag via KLL sketches,
+    plus a merged ``ALL`` row. Same mergeability story as HLL but for
+    quantiles: the global percentiles come from merging three ~2 KB
+    sketches, not from a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    per_group = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("price", F.lit(KLL_K)).alias("sk")
+    )
+    per_group = per_group.persist()
+
+    def quantile_cols(df: DataFrame) -> DataFrame:
+        cols = [
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 2
+            ).alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ]
+        return df.select("grp", *cols)
+
+    groups = quantile_cols(per_group.withColumnRenamed("l_returnflag", "grp"))
+    # kll_sketch_merge_double is a binary scalar merge; fold the (tiny)
+    # per-group sketch list with a higher-order aggregate. The list has
+    # one ~2 KB element per group — never data-proportional.
+    merged = quantile_cols(
+        per_group.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.aggregate(
+                F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk")
+        )
+        .withColumn("grp", F.lit("ALL"))
+    )
+    return groups.unionByName(merged).orderBy("grp")

@@ -126,3 +126,71 @@ def custom_source_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy(F.col("key").alias("word")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+LINEITEM_SLIM_SCHEMA = (
+    "l_returnflag string, l_linestatus string, l_quantity double, "
+    "l_extendedprice double, l_discount double"
+)
+
+
+def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared body for the CSV/ORC sink+source parity queries: write the
+    slim lineitem projection in ``fmt``, read it back, and finish a
+    revenue aggregate from the round-tripped files. Must equal the same
+    aggregate over the original parquet (shared oracle).
+
+    Scale notes: the write is column-pruned at the parquet scan (5 of 11
+    columns read); the read-back supplies an EXPLICIT schema so CSV never
+    pays an inference scan; doubles survive the text round-trip because
+    the writer emits shortest-round-trip representations.
+    """
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"{fmt}_lineitem_{tag}")
+    marker = f"spark.tinymr.{fmt}_lineitem_{tag.replace('.', '_')}"
+    if not spark.conf.get(marker, None):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        writer = li.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(out)
+        spark.conf.set(marker, "1")
+
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.schema(LINEITEM_SLIM_SCHEMA).option("header", True)
+    back = reader.load(out)
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-ful CSV scan parity (a source format the
+    reference lacks entirely; its only format is whole text files,
+    ``/root/reference/src/mr/worker.go:78-89``)."""
+    return _roundtrip_agg(spark, sf_dir, "csv")
+
+
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan parity — the second columnar format besides
+    parquet; footer-borne schema, no inference."""
+    return _roundtrip_agg(spark, sf_dir, "orc")
+
+
+ROUNDTRIP_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
