@@ -38,14 +38,32 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Pure metadata op — no job is triggered.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
-    convert to a micros timestamp via integer division (`div`, not `/` —
-    double division would lose precision on epoch-nanos > 2^53).
+    ``events.ts`` normalization — the generator has shipped this column as
+    both TIMESTAMP(NANOS) and TIMESTAMP_NTZ(MICROS) across rounds, so accept
+    either and present one canonical type (session-tz TIMESTAMP, UTC):
+
+    - TIMESTAMP(NANOS) + ``spark.sql.legacy.parquet.nanosAsLong`` → arrives
+      as a long; integer-divide to micros (`div`, not `/` — double division
+      would lose precision on epoch-nanos > 2^53).
+    - TIMESTAMP_NTZ → cast to TIMESTAMP; with the session pinned to UTC the
+      wall-clock value is reinterpreted as the same UTC instant, matching
+      the DuckDB oracle's naive-as-UTC semantics.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to session-tz TIMESTAMP (UTC) regardless
+    of which physical form the generator shipped (see load_table docstring).
+    Shared by the batch loader and every streaming reader."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
