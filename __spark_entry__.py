@@ -185,8 +185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "semdedup_drops": similarity.semdedup_drops,
         "pagerank_trade": graph.pagerank_trade,
+        "triangle_count": graph.triangle_count,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        "weighted_sample": curation.weighted_sample,
+        "per_source_cap": curation.per_source_cap,
+        "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
+        "window_range_frame": analytics.window_range_frame,
+        "mode_median_stats": analytics.mode_median_stats,
     }
 
 
@@ -196,8 +203,8 @@ def oracle_sql() -> dict[str, str]:
     dedup_minhash_lsh / dedup_simhash / ann_ivf_topk / ann_lsh_topk /
     semdedup_drops (approximate by construction — tests assert their
     recall against the exact forms instead), hll_distinct_merge /
-    kll_quantile_merge (sketch estimates are engine-specific — tests
-    bound their error vs the exact aggregates).
+    kll_quantile_merge / cms_heavy_hitters (sketch estimates are
+    engine-specific — tests bound their error vs the exact aggregates).
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -331,4 +338,10 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": curation.SEQUENCE_PACK_SQL,
         "doc_chunk_overlap": curation.DOC_CHUNK_SQL,
         "curation_pipeline": curation.CURATION_PIPELINE_SQL,
+        "triangle_count": graph.TRIANGLE_SQL,
+        "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
+        "per_source_cap": curation.PER_SOURCE_CAP_SQL,
+        "fuzzy_join_levenshtein": similarity.FUZZY_LEV_SQL,
+        "window_range_frame": analytics.RANGE_FRAME_SQL,
+        "mode_median_stats": analytics.MODE_MEDIAN_SQL,
     }

@@ -78,6 +78,11 @@ HEADLINE = [
     "doc_chunk_overlap",
     "curation_pipeline",
     "cogrouped_asof",
+    "triangle_count",
+    "cms_heavy_hitters",
+    "window_range_frame",
+    "weighted_sample",
+    "fuzzy_join_levenshtein",
 ]
 
 

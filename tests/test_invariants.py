@@ -296,6 +296,32 @@ class TestSketches:
                 rank = bisect.bisect_right(vals, est) / len(vals)
                 assert abs(rank - q) <= 0.03, (grp, q, est, rank)
 
+    def test_cms_overestimates_within_bound(self, spark, sf_dir):
+        from tinymapreduce_spark.functions.text import tokens
+        from tinymapreduce_spark.operators.sketches import (
+            CMS_WIDTH,
+            cms_heavy_hitters,
+        )
+
+        est = {r.token: r.est_count for r in cms_heavy_hitters(spark, sf_dir).collect()}
+        tok = load_table(spark, sf_dir, "documents").select(
+            F.explode(tokens("text")).alias("token")
+        )
+        exact = {
+            r.token: r.n
+            for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(exact.values())
+        # CMS guarantees: never under-estimates; over-estimate bounded by
+        # eps*N per row with eps = e/width (min over depth rows only helps)
+        eps_n = (2.718281828 / CMS_WIDTH) * total
+        for token, e in est.items():
+            assert e >= exact[token], (token, e, exact[token])
+            assert e - exact[token] <= max(3, 3 * eps_n), (token, e, exact[token])
+        # with ~30 distinct tokens the top-1 exact heavy hitter must surface
+        top_exact = max(exact, key=lambda t: (exact[t], t))
+        assert top_exact in est
+
 
 class TestSemDeDup:
     def test_recall_and_precision(self, spark, sf_dir):

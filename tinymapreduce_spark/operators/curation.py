@@ -379,3 +379,71 @@ SELECT lang, source, COUNT(*) AS n_docs,
 FROM flat
 GROUP BY lang, source
 """
+
+WEIGHTED_K = 50
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample: top-``WEIGHTED_K`` docs
+    by priority ``u / n_chars`` ascending, where ``u`` is a uniform int
+    from md5(doc_id) — longer documents draw smaller priorities and are
+    proportionally more likely to make the cut (the priority-sampling
+    scheme of Duffield et al., with the exponential clock replaced by a
+    hash-uniform one).
+
+    Arithmetic is deliberately ln/pow-free: IEEE division is exactly
+    rounded, so Spark and DuckDB compute bit-identical priorities and
+    the selected SET — not just its size — oracle-checks. At scale this
+    is one scan + one top-k (TakeOrderedAndProject), no full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+    pri = u / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", pri.alias("pri"))
+        .orderBy(F.asc("pri"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS DOUBLE) / n_chars ASC,
+         doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+
+CAP_PER_SOURCE = 8
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the anti-domination rule of web-scale
+    mixes (no single domain may contribute more than N docs): keep the
+    ``CAP_PER_SOURCE`` longest docs per source, ties broken by doc_id so
+    the kept set is deterministic.
+
+    One shuffle on source for the row_number window. At 100 TB with a
+    mega-domain the window partition itself skews; the fix is a first
+    pass computing each hot source's n_chars cutoff (a tiny aggregate)
+    and a broadcast-filtered second scan — same result, no giant
+    partition. The direct form here is right while every source fits an
+    executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= CAP_PER_SOURCE)
+    )
+
+
+PER_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= {CAP_PER_SOURCE}
+"""

@@ -189,3 +189,75 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.round("rank", 9).alias("rank"))
     )
+
+
+def triangle_count(spark, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the nation trade graph: nations A-B are
+    adjacent when some customer in A ordered from some supplier in B;
+    every triangle (na < nb < nc) is emitted as one row. Triangle density
+    is the classic graph-health statistic (clustering coefficient) and
+    the canonical non-iterative multiway self-join.
+
+    Plan shape: the edge build is the expensive part — the fact-fact
+    orders-lineitem equi-join with all dimensions broadcast, collapsed by
+    distinct() to the (at most nations^2) relation edges BEFORE the
+    3-way self-join, which then runs entirely on a broadcast-sized edge
+    list. The a<b<c canonical orientation both dedups (each triangle
+    once, not 6x) and halves every join's input — the same trick at
+    web scale (node-id ordering == degree ordering after relabeling).
+    """
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    cnat = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cnat"))
+    snat = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("snat"))
+    rel = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sk"))
+        .select("cnat", "snat")
+        .distinct()
+    )
+    edges = (
+        rel.where(F.col("cnat") != F.col("snat"))
+        .select(
+            F.least("cnat", "snat").alias("u"),
+            F.greatest("cnat", "snat").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("na"), F.col("v").alias("nb"))
+    e2 = edges.select(F.col("u").alias("nb"), F.col("v").alias("nc"))
+    e3 = edges.select(F.col("u").alias("na"), F.col("v").alias("nc"))
+    return (
+        e1.join(F.broadcast(e2), "nb")
+        .join(F.broadcast(e3), ["na", "nc"])
+        .select("na", "nb", "nc")
+    )
+
+
+TRIANGLE_SQL = """
+WITH rel AS (
+  SELECT DISTINCT cn.n_name AS cnat, sn.n_name AS snat
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+), edges AS (
+  SELECT DISTINCT LEAST(cnat, snat) AS u, GREATEST(cnat, snat) AS v
+  FROM rel WHERE cnat <> snat
+)
+SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""

@@ -409,3 +409,48 @@ def semdedup_drops(
             "cosine",
         )
     )
+
+
+LEV_MAX = 2
+
+
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join — the entity-resolution primitive
+    (near-identical product names, misspelled titles): distinct part
+    names paired when they share a blocking key AND levenshtein <= 2.
+
+    The blocking key (the name's last token — the product family) is
+    what makes this scale: candidate pairs are generated per block by an
+    equi-join, so the quadratic levenshtein only runs within blocks, not
+    across the full cross product (the standard blocking/filtering
+    decomposition every record-linkage system uses; at 100 TB the
+    blocks themselves are the partition keys). levenshtein and the
+    a < b orientation are bit-identical in Spark and DuckDB, so the
+    pair set oracle-checks exactly."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "blk", F.element_at(F.split("name", " "), -1)
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= LEV_MAX)
+    )
+
+
+FUZZY_LEV_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b
+  ON split_part(a.name, ' ', -1) = split_part(b.name, ' ', -1)
+ AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
+"""

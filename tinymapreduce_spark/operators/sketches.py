@@ -95,3 +95,67 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grp", F.lit("ALL"))
     )
     return groups.unionByName(merged).orderBy("grp")
+
+
+CMS_DEPTH = 4  # independent hash rows: P(overestimate > eps*N) <= (1/2)^4 per row min
+CMS_WIDTH = 1024  # buckets per row: eps ~ e/1024 ~ 0.27% of total count
+CMS_TOPK = 20
+
+
+def _cms_cells(token_col):
+    """The d (row, bucket) coordinates of one token — seed folded into
+    the hashed value so the rows are independent."""
+    from tinymapreduce_spark.sources.loaders import load_table  # noqa: F401 (doc parity)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(F.xxhash64(F.concat(F.lit(f"{i}:"), token_col)), F.lit(CMS_WIDTH)).alias(
+                    "b"
+                ),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters over the document token stream:
+    top-``CMS_TOPK`` tokens by estimated count. Composed entirely of
+    built-ins — the sketch IS a (row, bucket) -> count DataFrame of
+    ``CMS_DEPTH * CMS_WIDTH`` cells, built by one groupBy (partial
+    aggregation gives the per-partition sketches; the shuffle merges
+    them, which for CMS is exactly cell-wise addition). Cross-day /
+    cross-corpus rollups union the cell tables and re-sum — never
+    re-scan the text.
+
+    Estimation joins each candidate token's d cells against the
+    (broadcast, 4K-row) sketch and takes the min — the classic CMS
+    read, still overestimate-only. At 100 TB the candidate set is the
+    point: you query the sketch for a small candidate list (here the
+    distinct tokens, which the same scan yields for free) instead of
+    keeping exact per-token counters.
+
+    No SQL oracle (cell layout is hash-seed-specific);
+    tests/test_invariants.py asserts the CMS guarantees against exact
+    counts: est >= exact always, and est - exact <= eps * N."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cells = (
+        tok.select(F.explode(_cms_cells(F.col("token"))).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    cand = tok.select("token").distinct()
+    est = (
+        cand.select("token", F.explode(_cms_cells(F.col("token"))).alias("c"))
+        .select("token", F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("token")
+        .agg(F.min("cell_n").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)

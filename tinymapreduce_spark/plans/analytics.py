@@ -1588,3 +1588,99 @@ SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand) ELSE LOWER(p_brand)
 FROM part
 GROUP BY 1
 """
+
+
+TRAILING_DAYS = 90
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE window frame: per customer, each order's trailing
+    90-day average spend — RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+    over epoch-day order, which (unlike a ROWS frame) spans a fixed TIME
+    width regardless of how many orders land in it and includes same-day
+    peers symmetrically in both engines.
+
+    One shuffle on o_custkey shared by the whole window spec. The
+    average is computed as exact DECIMAL sum divided in DOUBLE at the
+    end — float summation order inside a RANGE frame is engine-specific,
+    an exactly-rounded single division is not."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(TRAILING_DAYS - 1), 0)
+    )
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        (F.sum("price").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "trailing_avg"
+        ),
+    )
+
+
+RANGE_FRAME_SQL = f"""
+SELECT o_custkey,
+       o_orderkey,
+       COUNT(*) OVER w AS n_in_window,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS trailing_avg
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN {TRAILING_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def mode_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag central tendency: deterministic MODE of quantity
+    (most frequent value, ties to the smallest — built explicitly from a
+    count + row_number window because native mode() leaves tie order
+    engine-defined) and interpolated MEDIAN (percentile 0.5, identical
+    continuous-interpolation rule in Spark and DuckDB).
+
+    Two aggregations over one scan: the (flag, qty) count is tiny after
+    partial aggregation, and the median is a built-in exact percentile —
+    no sort of the raw fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("cnt").alias("mode_n"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return mode.join(med, "l_returnflag")
+
+
+MODE_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rk
+  FROM c
+), med AS (
+  SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT m.l_returnflag, m.mode_qty, m.mode_n, med.median_qty, med.n_rows
+FROM m JOIN med USING (l_returnflag)
+WHERE m.rk = 1
+"""
