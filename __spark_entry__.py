@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
         "window_range_frame": analytics.window_range_frame,
         "mode_median_stats": analytics.mode_median_stats,
+        "funnel_steps": events.funnel_steps,
+        "retention_cohorts": events.retention_cohorts,
+        "anomaly_zscore": events.anomaly_zscore,
+        "profile_columns": maintenance.profile_columns,
+        "embedding_quantize": similarity.embedding_quantize,
     }
 
 
@@ -344,4 +349,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join_levenshtein": similarity.FUZZY_LEV_SQL,
         "window_range_frame": analytics.RANGE_FRAME_SQL,
         "mode_median_stats": analytics.MODE_MEDIAN_SQL,
+        "funnel_steps": events.FUNNEL_SQL,
+        "retention_cohorts": events.RETENTION_SQL,
+        "anomaly_zscore": events.ANOMALY_SQL,
+        "profile_columns": maintenance.PROFILE_SQL,
+        "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     }

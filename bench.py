@@ -83,6 +83,11 @@ HEADLINE = [
     "window_range_frame",
     "weighted_sample",
     "fuzzy_join_levenshtein",
+    "funnel_steps",
+    "retention_cohorts",
+    "anomaly_zscore",
+    "profile_columns",
+    "embedding_quantize",
 ]
 
 

@@ -323,6 +323,41 @@ class TestSketches:
         assert top_exact in est
 
 
+class TestEmbeddingQuantize:
+    def test_reconstruction_error_bounded(self, spark, sf_dir):
+        """Dequantized values must sit within one quantization step of the
+        original: |x - (q*scale + mn)| < scale = (mx-mn)/QUANT_LEVELS."""
+        from pyspark.sql import functions as F
+
+        from tinymapreduce_spark.operators.similarity import QUANT_LEVELS
+        from tinymapreduce_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        d = emb.select("vec_id", a.alias("a")).select(
+            "vec_id", "a", F.array_min("a").alias("mn"), F.array_max("a").alias("mx")
+        )
+        rng = F.col("mx") - F.col("mn")
+        scale = rng / QUANT_LEVELS
+        code = F.transform(
+            F.col("a"),
+            lambda x: F.least(
+                F.lit(QUANT_LEVELS),
+                F.greatest(F.lit(0), F.floor((x - F.col("mn")) * QUANT_LEVELS / rng)),
+            ).cast("int"),
+        )
+        err = F.array_max(
+            F.zip_with(F.col("a"), code, lambda x, q: F.abs(x - (q * scale + F.col("mn"))))
+        )
+        bad = (
+            d.where(rng > 0)
+            .select((err <= scale * 1.0000001).alias("ok"))
+            .where(~F.col("ok"))
+            .count()
+        )
+        assert bad == 0
+
+
 class TestSemDeDup:
     def test_recall_and_precision(self, spark, sf_dir):
         from tinymapreduce_spark.functions.vectors import cosine_similarity

@@ -312,3 +312,165 @@ def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, ts_us long, value double, signup_ts_us long",
         )
     )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    reaches stage k only via an event strictly after their entry into
+    stage k-1 — the product-analytics primitive the reference's Map/
+    Reduce surface cannot express (it needs per-key order, not bags).
+
+    Each stage is one column-pruned, predicate-pushed scan of events
+    (event_type filter reaches the parquet reader) plus an equi-join
+    against the previous stage's per-user entry time. The per-user frames
+    are tiny (one row per converted user), so at 100 TB every join after
+    the first aggregation is a broadcast; the scans dominate, as they
+    should. Output: one row per stage with the surviving-user count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def entry(stage: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.where(F.col("event_type") == stage)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts_us") > F.col("prev_ts"))
+        return e.groupBy("user_id").agg(F.min("ts_us").alias("prev_ts"))
+
+    stages, prev = [], None
+    for s in FUNNEL_STAGES:
+        prev = entry(s, prev)
+        stages.append(prev)
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(f"{i + 1}_{name}").alias("stage"), "n_users"
+        )
+        for i, (name, s) in enumerate(zip(FUNNEL_STAGES, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS prev_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS prev_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.prev_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS prev_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.prev_ts
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+COHORT_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted in each subsequent week they return — (cohort_week,
+    weeks_since, n_users). THE growth-analytics query.
+
+    Week ids are pure integer arithmetic on epoch micros (no calendar
+    functions — identical down to the division in both engines). Two
+    aggregations over one scan: per-user first week (150 rows here;
+    at 100 TB a shuffle on user_id) broadcast back onto the per-user-week
+    activity set. distinct user-week pairs collapse BEFORE the join, so
+    the join input is bounded by users x weeks, not events."""
+    # true bigint division on both sides: a double quotient 1 us below a
+    # week boundary rounds UP to the boundary integer (and DuckDB's
+    # double->int cast additionally rounds-to-nearest), mis-bucketing
+    # boundary events — integer `div` has no such edge
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) - {COHORT_ORIGIN_US}L) div {WEEK_US}L").alias("week"),
+    )
+    user_weeks = ev.distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohort, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - {COHORT_ORIGIN_US}) // {WEEK_US} AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+       COUNT(DISTINCT uw.user_id) AS n_users
+FROM uw JOIN cohort c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+Z_THRESHOLD = 3.0
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers: events whose value sits more than 3
+    standard deviations from that user's own mean — the standard
+    first-pass anomaly screen over metric streams.
+
+    Moments fold EXACTLY: sum(value) and sum(value^2) accumulate in
+    DECIMAL (order-insensitive), converted to DOUBLE only inside the
+    final variance formula, which is written identically in the oracle —
+    so the flagged SET matches bit-for-bit. One shuffle for the per-user
+    moments (tiny), broadcast back onto the event scan; nothing holds
+    more than a row per user."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(
+            F.broadcast(stats.select("user_id", mean.alias("mean"), F.sqrt(var).alias("std"))),
+            "user_id",
+        )
+        .where(F.col("std") > 0)
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("z"))
+        .where(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+ANOMALY_SQL = f"""
+WITH stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s,
+         SUM(CAST(value * value AS DECIMAL(38,10))) AS ss
+  FROM events GROUP BY user_id
+), enriched AS (
+  SELECT e.event_id, e.user_id, e.value,
+         CAST(s AS DOUBLE) / n AS mean,
+         SQRT(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+  FROM events e JOIN stats USING (user_id)
+)
+SELECT event_id, user_id, value, ROUND((value - mean) / std, 6) AS z
+FROM enriched
+WHERE std > 0 AND ABS(ROUND((value - mean) / std, 6)) > {Z_THRESHOLD}
+"""

@@ -104,3 +104,61 @@ SELECT o_custkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the fact table — row count, null
+    count, exact distinct count, min and max per column — the first
+    query every ingestion pipeline runs against a new drop and the
+    input to quality gates (null-ratio thresholds, key-uniqueness
+    checks).
+
+    One aggregate per column, each a COLUMN-PRUNED scan (ReadSchema
+    carries exactly one field — at 100 TB profiling N columns costs N
+    single-column scans, not N full-table scans; columnar storage makes
+    that the cheapest possible shape). Temporal columns profile as epoch
+    micros so every cell is numeric and the unioned frame stays one
+    (col_name, stats...) schema. Distinct counts are exact here; the
+    approx_aggregates query is the sketch-based scale alternative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in PROFILE_COLS:
+        # shipdate arrives TIMESTAMP_NTZ; session tz is UTC, so the cast
+        # is the identity reinterpretation the oracle's epoch_us applies
+        v = (
+            F.unix_micros(F.col(c).cast("timestamp"))
+            if c == "l_shipdate"
+            else F.col(c).cast("double")
+        )
+        parts.append(
+            li.select(v.alias("v")).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+                F.count_distinct("v").alias("n_distinct"),
+                F.min("v").cast("double").alias("min_val"),
+                F.max("v").cast("double").alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PROFILE_ONE = """
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {v}) AS n_distinct,
+       CAST(MIN({v}) AS DOUBLE) AS min_val,
+       CAST(MAX({v}) AS DOUBLE) AS max_val
+FROM lineitem
+"""
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    _PROFILE_ONE.format(c=c, v="epoch_us(l_shipdate)" if c == "l_shipdate" else c)
+    for c in PROFILE_COLS
+)
