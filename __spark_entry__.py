@@ -199,6 +199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": events.anomaly_zscore,
         "profile_columns": maintenance.profile_columns,
         "embedding_quantize": similarity.embedding_quantize,
+        "dq_checks": maintenance.dq_checks,
+        "snapshot_diff": maintenance.snapshot_diff,
+        "copurchase_pairs": analytics.copurchase_pairs,
+        "trend_slope": analytics.trend_slope,
+        "bigram_lm": textstats.bigram_lm,
     }
 
 
@@ -354,4 +359,9 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore": events.ANOMALY_SQL,
         "profile_columns": maintenance.PROFILE_SQL,
         "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
+        "dq_checks": maintenance.DQ_CHECKS_SQL,
+        "snapshot_diff": maintenance.SNAPSHOT_DIFF_SQL,
+        "copurchase_pairs": analytics.COPURCHASE_SQL,
+        "trend_slope": analytics.TREND_SLOPE_SQL,
+        "bigram_lm": textstats.BIGRAM_LM_SQL,
     }

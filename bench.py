@@ -88,6 +88,11 @@ HEADLINE = [
     "anomaly_zscore",
     "profile_columns",
     "embedding_quantize",
+    "dq_checks",
+    "snapshot_diff",
+    "copurchase_pairs",
+    "trend_slope",
+    "bigram_lm",
 ]
 
 

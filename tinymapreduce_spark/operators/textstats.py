@@ -369,3 +369,62 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
   FROM scored
 ) WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+BIGRAM_TOPK = 30
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics — the count table behind an n-gram
+    language model: top-30 (w1, w2) pairs with their count and the
+    conditional probability P(w2 | w1) = c(w1,w2) / c(w1).
+
+    Token positions come from posexplode of the tokenized array (the
+    same Catalyst `tokens` expression as every text operator), bigrams
+    from a length-2 slide over (doc_id, pos) — an equi-join on
+    (doc_id, pos+1), which Spark co-partitions with the exploded scan.
+    Probabilities are one exactly-rounded integer division. At 100 TB
+    the (w1, w2) groupBy is the only big shuffle; partial aggregation
+    collapses each partition's pairs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    a = tok.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    bigrams = a.join(b, ["doc_id", "pos"]).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # last token of each doc starts no bigram: condition on bigram starts
+    starts = bigrams.groupBy("w1").agg(F.sum("n").alias("n_starts"))
+    return (
+        bigrams.join(starts, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_starts"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(BIGRAM_TOPK)
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.i AS pos, t.tok AS w
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), bigrams AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), starts AS (
+  SELECT w1, SUM(n) AS n_starts FROM bigrams GROUP BY 1
+)
+SELECT w1, w2, n, ROUND(CAST(n AS DOUBLE) / n_starts, 6) AS p_cond
+FROM bigrams JOIN starts USING (w1)
+ORDER BY n DESC, w1 ASC, w2 ASC
+LIMIT {BIGRAM_TOPK}
+"""

@@ -1684,3 +1684,107 @@ SELECT m.l_returnflag, m.mode_qty, m.mode_n, med.median_qty, med.n_rows
 FROM m JOIN med USING (l_returnflag)
 WHERE m.rk = 1
 """
+
+
+COPURCHASE_TOPK = 20
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    ordered together (both parts on one order), the input to
+    recommendation and bundle analysis. Canonical a < b orientation so
+    each unordered pair counts once.
+
+    The self-join is keyed on l_orderkey, so its cost is sum over orders
+    of |order|^2 — bounded by the (small, bounded) basket size, never by
+    the table size; exactly how pair mining stays feasible at 100 TB.
+    Distinct-ing (orderkey, partkey) first keeps repeated lines of the
+    same part from inflating counts. The final top-k is a
+    TakeOrderedAndProject with full tie-break, not a global sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(COPURCHASE_TOPK)
+    )
+
+
+COPURCHASE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {COPURCHASE_TOPK}
+"""
+
+
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: the OLS slope of monthly order revenue
+    against month index, computed in closed form from exact sums —
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). The grouped-regression
+    primitive behind growth dashboards and drift monitors.
+
+    Two aggregations, both exact: monthly revenue folds in DECIMAL; the
+    moment sums are integer*decimal products (still exact). Floating
+    point appears exactly once — the final division — so the slope is
+    bit-identical in the oracle. One scan of orders, dims broadcast; the
+    month matrix (nations x months) is tiny from the first groupBy on."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("x"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("y").alias("rev"))
+    )
+    moments = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx") * F.col("sy").cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return moments.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        F.round(num / den, 6).alias("slope"),
+    )
+
+
+TREND_SLOPE_SQL = """
+WITH monthly AS (
+  SELECT n_name,
+         (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) - 1 AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), moments AS (
+  SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+         SUM(rev) AS sy, SUM(x * rev) AS sxy
+  FROM monthly GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_months,
+       ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM moments
+"""

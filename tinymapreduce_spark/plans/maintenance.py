@@ -162,3 +162,151 @@ PROFILE_SQL = "\nUNION ALL\n".join(
     _PROFILE_ONE.format(c=c, v="epoch_us(l_shipdate)" if c == "l_shipdate" else c)
     for c in PROFILE_COLS
 )
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate — the checks every ingestion run
+    executes before publishing a drop: primary-key uniqueness,
+    referential integrity (orphan facts), and domain-range assertions,
+    each reported as (check_name, n_violations). A curation pipeline
+    keys its go/no-go on this frame being all zeros.
+
+    Shapes are chosen for scale: PK uniqueness is one aggregate over the
+    key column only (column-pruned scan); orphan checks are LEFT ANTI
+    joins, which Spark executes broadcast against the smaller parent's
+    key set; range checks are pushdown-able predicate counts sharing one
+    scan. Nothing materializes violation ROWS here — counts only; the
+    row-level drill-down is the same predicate as a filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    pk_dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_pk_duplicates").alias("check_name"), "n_violations")
+    )
+    li_orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_fk_orphans").alias("check_name"), "n_violations")
+    )
+    ord_orphans = (
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_fk_orphans").alias("check_name"), "n_violations")
+    )
+    ranges = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("disc"),
+    )
+    range_rows = [
+        ranges.select(F.lit("lineitem_qty_out_of_range").alias("check_name"), F.col("qty").alias("n_violations")),
+        ranges.select(F.lit("lineitem_nonpositive_price").alias("check_name"), F.col("price").alias("n_violations")),
+        ranges.select(F.lit("lineitem_discount_out_of_range").alias("check_name"), F.col("disc").alias("n_violations")),
+    ]
+    out = pk_dup.unionByName(li_orphans).unionByName(ord_orphans)
+    for r in range_rows:
+        out = out.unionByName(r)
+    return out
+
+
+DQ_CHECKS_SQL = """
+SELECT 'orders_pk_duplicates' AS check_name,
+       CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orphans',
+       CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_fk_orphans',
+       CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_out_of_range',
+       CAST((SELECT SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       CAST((SELECT SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST((SELECT SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+"""
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change data capture: given yesterday's and
+    today's version of a keyed table, emit (key, change_type) for every
+    inserted / deleted / updated row — the diff a downstream incremental
+    consumer replays instead of re-reading the full table.
+
+    Both snapshots are modular slices of `customer` (same derivation in
+    the oracle, no side tables): "old" drops custkey % 13 == 0, "new"
+    drops % 11 == 0 and shifts acctbal on % 7 == 0. The diff is ONE
+    full-outer join on the key comparing row fingerprints — at 100 TB
+    both sides shuffle on the key once; with bucketed snapshots (see
+    plans/layout.py) even that shuffle disappears. Fingerprints compare
+    md5 of the canonicalized row, never column-by-column SQL, so widening
+    the table doesn't change the plan."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
+    )
+    old = cust.where(F.col("c_custkey") % 13 != 0)
+    new = (
+        cust.where(F.col("c_custkey") % 11 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100).cast("decimal(18,2)")
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "c_custkey",
+            F.md5(F.concat_ws("|", F.col("c_name"), F.col("c_acctbal").cast("string"))).alias("fp"),
+        )
+
+    o, n = fp(old).alias("o"), fp(new).alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("delete"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    ).where(F.col("change_type") != "unchanged")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal FROM customer
+), old AS (
+  SELECT c_custkey, md5(c_name || '|' || CAST(c_acctbal AS VARCHAR)) AS fp
+  FROM base WHERE c_custkey % 13 <> 0
+), new AS (
+  SELECT c_custkey,
+         md5(c_name || '|' || CAST(CASE WHEN c_custkey % 7 = 0
+                                        THEN c_acctbal + 100 ELSE c_acctbal END AS VARCHAR)) AS fp
+  FROM base WHERE c_custkey % 11 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.fp <> n.fp THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+           WHEN n.c_custkey IS NULL THEN 'delete'
+           WHEN o.fp <> n.fp THEN 'update'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
