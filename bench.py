@@ -93,6 +93,8 @@ HEADLINE = [
     "copurchase_pairs",
     "trend_slope",
     "bigram_lm",
+    "csv_roundtrip_agg",
+    "orc_roundtrip_agg",
 ]
 
 

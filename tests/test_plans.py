@@ -405,3 +405,66 @@ def test_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
     # injection happens on the fact's pre-shuffle filter, not post-join
     fact_filter = [l for l in p.splitlines() if "might_contain" in l]
     assert any("l_orderkey" in l for l in fact_filter)
+
+
+def test_triangle_edges_broadcast_after_distinct(spark, sf_dir):
+    from tinymapreduce_spark.operators import graph
+
+    p = plan_of(graph.triangle_count(spark, sf_dir))
+    # the 3-way self-join runs on the distinct-collapsed edge list, which
+    # must broadcast — a shuffled self-join of the raw fact pairs is the
+    # 100 TB failure mode
+    assert "BroadcastHashJoin" in p
+    # the dims (customer/supplier/nation x2) also broadcast onto the facts
+    assert p.count("BroadcastHashJoin") >= 6
+    # dedup happens BEFORE the self-join: the distinct's two-phase
+    # HashAggregate collapses the relation to edges first
+    assert "HashAggregate" in p
+
+
+def test_copurchase_takeordered_not_global_sort(spark, sf_dir):
+    p = plan_of(analytics.copurchase_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p  # top-k never plans a global sort
+    # basket self-join keyed on the orderkey — co-partitioned equi-join
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_funnel_stage_filters_pushed(spark, sf_dir):
+    p = plan_of(events.funnel_steps(spark, sf_dir))
+    # every stage's event_type filter reaches its scan
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in p, stage
+    # per-user stage frames join broadcast — the fact table never
+    # shuffles for the stage joins
+    assert "BroadcastHashJoin" in p
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    from tinymapreduce_spark.operators import similarity
+
+    p = plan_of(similarity.embedding_quantize(spark, sf_dir))
+    assert "Exchange" not in p  # embarrassingly parallel: no shuffle at all
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
+def test_profile_columns_single_field_scans(spark, sf_dir):
+    from tinymapreduce_spark.plans import maintenance
+
+    p = plan_of(maintenance.profile_columns(spark, sf_dir))
+    # each per-column aggregate reads exactly its one field
+    assert "ReadSchema: struct<l_quantity:double>" in p
+    assert "ReadSchema: struct<l_extendedprice:double>" in p
+    assert "ReadSchema: struct<l_shipdate:timestamp_ntz>" in p
+    # never the full 11-column row
+    assert "l_comment" not in p and "l_orderkey" not in p
+
+
+def test_snapshot_diff_single_full_outer_join(spark, sf_dir):
+    from tinymapreduce_spark.plans import maintenance
+
+    p = plan_of(maintenance.snapshot_diff(spark, sf_dir))
+    # exactly one join, not per-column comparisons via repeated joins
+    # (the formatted plan prints the join type twice per join node)
+    assert p.count("Join type: FullOuter") == 1
