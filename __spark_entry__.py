@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": analytics.copurchase_pairs,
         "trend_slope": analytics.trend_slope,
         "bigram_lm": textstats.bigram_lm,
+        "mix_weights": curation.mix_weights,
+        "sql_interface": analytics.sql_interface,
     }
 
 
@@ -364,4 +366,6 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": analytics.COPURCHASE_SQL,
         "trend_slope": analytics.TREND_SLOPE_SQL,
         "bigram_lm": textstats.BIGRAM_LM_SQL,
+        "mix_weights": curation.MIX_WEIGHTS_SQL,
+        "sql_interface": analytics.SQL_INTERFACE_SQL,
     }

@@ -95,6 +95,8 @@ HEADLINE = [
     "bigram_lm",
     "csv_roundtrip_agg",
     "orc_roundtrip_agg",
+    "mix_weights",
+    "sql_interface",
 ]
 
 

@@ -123,3 +123,42 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path_factory):
     q.processAllAvailable()
     q.stop()
     assert read_all() == [(i, i * 10, i * 20) for i in range(150)]
+
+
+def test_available_now_processes_backlog_then_stops(spark, tmp_path_factory):
+    """Trigger.AvailableNow — the batch-over-stream execution mode every
+    incremental pipeline schedules: process exactly the files present at
+    start (respecting maxFilesPerTrigger batching and the checkpoint),
+    then terminate on its own; a later run picks up only NEW files."""
+    base = str(tmp_path_factory.mktemp("avail_now"))
+    src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    _write_file(spark, src, "f1", range(0, 50))
+    _write_file(spark, src, "f2", range(50, 80))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow query did not self-terminate"
+
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 80
+    assert first.agg(F.count_distinct("id")).collect()[0][0] == 80
+
+    # second incarnation sees only the new file — incremental, not a rescan
+    _write_file(spark, src, "f3", range(80, 100))
+    run_once()
+    final = spark.read.parquet(sink)
+    assert final.count() == 100
+    assert final.agg(F.count_distinct("id")).collect()[0][0] == 100

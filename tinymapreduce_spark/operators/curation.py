@@ -447,3 +447,46 @@ FROM (
 )
 WHERE rk <= {CAP_PER_SOURCE}
 """
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing weights — given a target of a UNIFORM language
+    mix, the per-language sampling weight w = target_share /
+    actual_share that a downstream weighted sampler (see
+    ``weighted_sample``) applies to hit the target. The last step of
+    every corpus-mixing recipe (upweight rare languages / domains,
+    downweight the dominant crawl).
+
+    One column-pruned scan + a count aggregate over a handful of groups;
+    the share divisions are exactly-rounded doubles from integer counts,
+    so weights oracle-check bit-for-bit. At 100 TB the weight table is
+    tiny and broadcasts onto the sampling pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("actual_share"),
+            F.round(
+                (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+MIX_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), totals AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM counts
+)
+SELECT lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS actual_share,
+       ROUND((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
+FROM counts, totals
+"""

@@ -1788,3 +1788,32 @@ SELECT n_name, CAST(n AS BIGINT) AS n_months,
              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
 FROM moments
 """
+
+
+_SQL_INTERFACE_TEXT = """
+SELECT n_name,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point: tables registered as temp views, the
+    query submitted as ANSI SQL text through ``spark.sql`` — the same
+    string (modulo nothing) runs on DuckDB as its own oracle. Proves a
+    user of the engine can stay entirely in SQL; Catalyst plans it
+    identically to the DataFrame forms (dims broadcast, one fact-fact
+    shuffle, decimal folds)."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+SQL_INTERFACE_SQL = _SQL_INTERFACE_TEXT
