@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tinymapreduce_spark.operators import (
+    clustering,
     curation,
     dedup,
     graph,
@@ -206,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": textstats.bigram_lm,
         "mix_weights": curation.mix_weights,
         "sql_interface": analytics.sql_interface,
+        "grouped_correlation": analytics.grouped_correlation,
+        "equidepth_deciles": analytics.equidepth_deciles,
+        "kmeans_clusters": clustering.kmeans_clusters,
     }
 
 
@@ -216,7 +220,9 @@ def oracle_sql() -> dict[str, str]:
     semdedup_drops (approximate by construction — tests assert their
     recall against the exact forms instead), hll_distinct_merge /
     kll_quantile_merge / cms_heavy_hitters (sketch estimates are
-    engine-specific — tests bound their error vs the exact aggregates).
+    engine-specific — tests bound their error vs the exact aggregates) /
+    kmeans_clusters (float-mean centroids are summation-order-specific —
+    tests assert Lloyd's inertia monotonicity + partition invariants).
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -368,4 +374,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": textstats.BIGRAM_LM_SQL,
         "mix_weights": curation.MIX_WEIGHTS_SQL,
         "sql_interface": analytics.SQL_INTERFACE_SQL,
+        "grouped_correlation": analytics.GROUPED_CORR_SQL,
+        "equidepth_deciles": analytics.EQUIDEPTH_SQL,
     }

@@ -97,6 +97,9 @@ HEADLINE = [
     "orc_roundtrip_agg",
     "mix_weights",
     "sql_interface",
+    "grouped_correlation",
+    "equidepth_deciles",
+    "kmeans_clusters",
 ]
 
 

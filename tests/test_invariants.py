@@ -433,3 +433,20 @@ class TestPageRank:
         assert first == sorted(first, key=lambda t: (-t[1], t[0]))
         again = [(r.node, r.rank) for r in pagerank_trade(spark, sf_dir).collect()]
         assert first == again
+
+
+class TestKMeans:
+    def test_inertia_monotone_and_clusters_nonempty(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.clustering import (
+            K_CLUSTERS,
+            kmeans_clusters,
+            kmeans_inertia_per_round,
+        )
+
+        inertias = kmeans_inertia_per_round(spark, sf_dir)
+        for a, b in zip(inertias, inertias[1:]):
+            assert b <= a * (1 + 1e-9), inertias  # Lloyd's never increases inertia
+        rows = kmeans_clusters(spark, sf_dir).collect()
+        assert sum(r.n_vecs for r in rows) == 500
+        assert {r.cluster for r in rows} <= set(range(K_CLUSTERS))
+        assert all(r.n_vecs > 0 for r in rows)

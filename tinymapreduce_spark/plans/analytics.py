@@ -1817,3 +1817,98 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_INTERFACE_SQL = _SQL_INTERFACE_TEXT
+
+
+def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation between quantity and extended
+    price, computed in closed form from EXACT moment sums — the
+    cheap-at-any-scale way to run correlation scans across thousands of
+    column pairs (one aggregate, no per-pair passes).
+
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)); all
+    five moments fold in DECIMAL (order-insensitive, shuffle-safe), the
+    formula evaluates once per group in double, identically in the
+    oracle. Same pattern as trend_slope — the moment-sum trick is the
+    whole family (covariance, variance, slope, r) in one scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("pearson_r"),
+    )
+
+
+GROUPED_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+FROM m
+"""
+
+
+N_DECILES = 10
+
+
+def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: orders split into 10 equal-population
+    deciles of o_totalprice (ntile over a UNIQUE total order — price
+    then orderkey — so bucket membership is deterministic in both
+    engines), each reporting its population and exact [min, max] price
+    span. The complement of value_histogram's fixed-width buckets; this
+    is how you pick split points for range partitioning.
+
+    The plan is the global-sort shape: rangepartitioning by the sampled
+    sort bounds, ntile inside each range — no single-task sort. At
+    100 TB prefer the two-pass variant (sample quantiles -> broadcast
+    cutpoints -> one bucketing scan); the ntile form here is the exact
+    gold standard the sampled one is tested against."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    w = Window.orderBy(F.asc("price"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("decile", F.ntile(N_DECILES).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+        )
+    )
+
+
+EQUIDEPTH_SQL = f"""
+SELECT decile, COUNT(*) AS n_orders,
+       CAST(MIN(price) AS DOUBLE) AS lo, CAST(MAX(price) AS DOUBLE) AS hi
+FROM (
+  SELECT NTILE({N_DECILES}) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS decile,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+GROUP BY decile
+"""
