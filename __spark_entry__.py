@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_correlation": analytics.grouped_correlation,
         "equidepth_deciles": analytics.equidepth_deciles,
         "kmeans_clusters": clustering.kmeans_clusters,
+        "audio_energy_windows": multimodal.audio_energy_windows,
     }
 
 
@@ -376,4 +377,5 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": analytics.SQL_INTERFACE_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
+        "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
     }

@@ -100,6 +100,7 @@ HEADLINE = [
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",
+    "audio_energy_windows",
 ]
 
 

@@ -190,3 +190,76 @@ SELECT doc_id,
          AS sampled_md5
 FROM f
 """
+
+# --- audio energy windows ----------------------------------------------
+# Audio stand-in: the payload is unsigned 8-bit PCM; per 256-sample
+# window compute integer energy (sum of squared samples) and report the
+# loudest window — the frame-level feature extraction (VAD, silence
+# trimming, loudness normalization) every audio pipeline runs before
+# transcription. Integer arithmetic end-to-end, so the oracle matches
+# exactly — no float summation anywhere.
+AUDIO_WINDOW = 256
+
+
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed energy over binary 'audio' payloads via Arrow-batched
+    mapInPandas + numpy (the exact batch shape a real DSP kernel uses:
+    frombuffer -> vectorized ops per batch, no per-sample Python).
+    Emits per doc: window count, total energy, and the argmax window
+    (ties to the earliest), all exact integers."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_payload(docs).select("doc_id", "payload")
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "n_windows": [],
+                "total_energy": [],
+                "peak_window": [],
+                "peak_energy": [],
+            }
+            for p in pdf["payload"]:
+                samples = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n_win = (len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+                sq = samples * samples
+                wins = [
+                    int(sq[AUDIO_WINDOW * i : AUDIO_WINDOW * (i + 1)].sum())
+                    for i in range(n_win)
+                ]
+                peak = max(range(n_win), key=lambda i: (wins[i], -i))
+                rows["n_windows"].append(n_win)
+                rows["total_energy"].append(int(sq.sum()))
+                rows["peak_window"].append(peak)
+                rows["peak_energy"].append(wins[peak])
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        energy,
+        schema="doc_id long, n_windows long, total_energy long, peak_window long, peak_energy long",
+    )
+
+
+AUDIO_ENERGY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, (t.i - 1) // {AUDIO_WINDOW} AS win,
+         ascii(substr(text, t.i, 1)) AS v
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(1, length(text) + 1)) AS i) t
+), wins AS (
+  SELECT doc_id, win, SUM(v * v) AS energy
+  FROM chars GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, win, energy,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, win ASC) AS rk
+  FROM wins
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_windows, CAST(SUM(energy) AS BIGINT) AS total_energy
+  FROM wins GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows, t.total_energy,
+       r.win AS peak_window, CAST(r.energy AS BIGINT) AS peak_energy
+FROM totals t JOIN ranked r ON t.doc_id = r.doc_id AND r.rk = 1
+"""
