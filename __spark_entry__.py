@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_deciles": analytics.equidepth_deciles,
         "kmeans_clusters": clustering.kmeans_clusters,
         "audio_energy_windows": multimodal.audio_energy_windows,
+        "equidepth_sampled": analytics.equidepth_sampled,
+        "sql_python_udf": analytics.sql_python_udf,
     }
 
 
@@ -223,7 +225,9 @@ def oracle_sql() -> dict[str, str]:
     kll_quantile_merge / cms_heavy_hitters (sketch estimates are
     engine-specific — tests bound their error vs the exact aggregates) /
     kmeans_clusters (float-mean centroids are summation-order-specific —
-    tests assert Lloyd's inertia monotonicity + partition invariants).
+    tests assert Lloyd's inertia monotonicity + partition invariants) /
+    equidepth_sampled (percentile_approx sketch cutpoints are
+    engine-specific — tests bound bucket-population error vs exact ntile).
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -378,4 +382,5 @@ def oracle_sql() -> dict[str, str]:
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
+        "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
     }

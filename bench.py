@@ -101,6 +101,8 @@ HEADLINE = [
     "equidepth_deciles",
     "kmeans_clusters",
     "audio_energy_windows",
+    "equidepth_sampled",
+    "sql_python_udf",
 ]
 
 

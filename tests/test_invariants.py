@@ -450,3 +450,22 @@ class TestKMeans:
         assert sum(r.n_vecs for r in rows) == 500
         assert {r.cluster for r in rows} <= set(range(K_CLUSTERS))
         assert all(r.n_vecs > 0 for r in rows)
+
+
+class TestEquidepthSampled:
+    def test_buckets_near_uniform_and_ordered(self, spark, sf_dir):
+        """The sampled two-pass bucketing must approximate the exact
+        ntile populations (within 2% of N/10 at accuracy=10k) and keep
+        bucket value-ranges ordered and non-overlapping."""
+        from tinymapreduce_spark.plans.analytics import N_DECILES, equidepth_sampled
+
+        rows = sorted(
+            equidepth_sampled(spark, sf_dir).collect(), key=lambda r: r.decile
+        )
+        n = sum(r.n_orders for r in rows)
+        target = n / N_DECILES
+        assert len(rows) == N_DECILES
+        for r in rows:
+            assert abs(r.n_orders - target) <= max(2, 0.02 * target), (r.decile, r.n_orders)
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi <= b.lo, (a.decile, a.hi, b.lo)

@@ -127,3 +127,41 @@ def test_global_sort_is_totally_ordered(spark, sf_dir):
     assert all(ok for _, ok, _, _ in per_part)
     for (_, _, _, prev_hi), (_, _, nxt_lo, _) in zip(per_part, per_part[1:]):
         assert tuple(prev_hi) <= tuple(nxt_lo)
+
+
+def test_corrupt_json_permissive_quarantine(spark, tmp_path_factory):
+    """Malformed-record handling at the ingest edge: PERMISSIVE mode must
+    load every well-formed line, route every broken one into the
+    _corrupt_record quarantine column, and never fail the job — the
+    non-negotiable behavior for 100 TB crawl ingest (DROPMALFORMED
+    silently loses data; FAILFAST turns one bad line into a dead
+    pipeline)."""
+    import json
+    import os
+
+    base = str(tmp_path_factory.mktemp("corrupt_json"))
+    path = os.path.join(base, "data.jsonl")
+    with open(path, "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"id": i, "v": i * 10}) + "\n")
+            if i % 10 == 0:
+                f.write('{"id": BROKEN, "v":\n')  # 5 malformed lines
+
+    schema = "id long, v long, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 50
+        assert bad.count() == 5
+        assert good.agg(F.sum("v")).collect()[0][0] == sum(i * 10 for i in range(50))
+        # quarantined rows keep the raw line for replay/debugging
+        assert all("BROKEN" in r["_corrupt_record"] for r in bad.collect())
+    finally:
+        df.unpersist()

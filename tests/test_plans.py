@@ -10,6 +10,7 @@ Python. A regression here is invisible at sf0.001 and fatal at 100 TB.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tinymapreduce_spark.operators import dedup
 from tinymapreduce_spark.plans import analytics, events, layout
@@ -468,3 +469,31 @@ def test_snapshot_diff_single_full_outer_join(spark, sf_dir):
     # exactly one join, not per-column comparisons via repeated joins
     # (the formatted plan prints the join type twice per join node)
     assert p.count("Join type: FullOuter") == 1
+
+
+def test_cached_fact_reused_across_aggregates(spark, sf_dir):
+    """persist() + two downstream aggregates: the second plan must read
+    the InMemoryRelation, not rescan parquet — the iterative-workload
+    pattern (kmeans/pagerank reuse) made explicit."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    cached = li.persist()
+    try:
+        cached.count()  # materialize
+        agg1 = cached.groupBy("l_returnflag").count()
+        agg2 = cached.agg(F.sum("l_quantity"))
+        for df in (agg1, agg2):
+            p = plan_of(df)
+            assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p, p[:500]
+        assert agg1.count() > 0 and agg2.collect()[0][0] is not None
+    finally:
+        cached.unpersist()
+
+
+def test_equidepth_sampled_no_global_sort(spark, sf_dir):
+    """The sampled two-pass bucketing must not plan a global sort —
+    that's the whole point versus the exact ntile form."""
+    p = plan_of(analytics.equidepth_sampled(spark, sf_dir))
+    assert "rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast

@@ -1912,3 +1912,68 @@ FROM (
 )
 GROUP BY decile
 """
+
+
+def equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for equi-depth bucketing: approximate decile
+    cutpoints from ``percentile_approx`` (one pass, mergeable sketch,
+    tiny result) broadcast into a width_bucket-style assignment scan —
+    two passes total, NO global sort, versus ``equidepth_deciles``'s
+    exact ntile (rangepartitioning + full sort), which serves as its
+    gold standard in tests/test_invariants.py.
+
+    This two-pass shape is how Spark itself computes range-partition
+    bounds (sampled), generalized to any bucket count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price")
+    )
+    cuts = orders.agg(
+        F.percentile_approx(
+            "price", [i / N_DECILES for i in range(1, N_DECILES)], 10_000
+        ).alias("cuts")
+    )
+    bucketed = orders.crossJoin(F.broadcast(cuts)).select(
+        "price",
+        (
+            F.aggregate(
+                F.col("cuts"),
+                F.lit(1),
+                lambda acc, c: acc + F.when(F.col("price") > c, 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
+
+
+def sql_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Python UDF surface: ``spark.udf.register`` makes a
+    Python function callable from raw SQL text — the escape hatch for
+    logic SQL can't express. Deliberately used OFF the hot path (25
+    nation rows, not the fact table): the UDF costs a Python round-trip
+    per row, so the engine's rule is built-ins for facts, UDFs for small
+    dims/edges. The same logic is written in pure SQL for the oracle."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+
+    def initials(name: str) -> str:
+        return "".join(w[0] for w in name.split("_") if w)
+
+    spark.udf.register("initials", initials, "string")
+    return spark.sql(
+        "SELECT n_name, initials(n_name) AS initials, n_regionkey FROM nation"
+    )
+
+
+SQL_PYTHON_UDF_SQL = """
+SELECT n_name,
+       array_to_string(list_transform(
+           list_filter(string_split(n_name, '_'), w -> w <> ''),
+           w -> substr(w, 1, 1)), '') AS initials,
+       n_regionkey
+FROM nation
+"""
