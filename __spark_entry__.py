@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_energy_windows": multimodal.audio_energy_windows,
         "equidepth_sampled": analytics.equidepth_sampled,
         "sql_python_udf": analytics.sql_python_udf,
+        "extract_entities": textstats.extract_entities,
     }
 
 
@@ -383,4 +384,5 @@ def oracle_sql() -> dict[str, str]:
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
+        "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
     }

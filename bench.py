@@ -103,6 +103,7 @@ HEADLINE = [
     "audio_energy_windows",
     "equidepth_sampled",
     "sql_python_udf",
+    "extract_entities",
 ]
 
 

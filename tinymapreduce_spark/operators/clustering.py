@@ -66,36 +66,42 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors; returns per-cluster population and mean squared distance.
     See module docstring for the 100 TB shape."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the vectors are loop-invariant: persist once so the K iterations
+    # re-read memory, not parquet (at 100 TB: MEMORY_AND_DISK, or a
+    # pre-materialized decoded table)
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("a")
-    )
+    ).persist()
+    try:
+        init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
+        centroids = [list(r["a"]) for r in init]
 
-    init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    centroids = [list(r["a"]) for r in init]
+        for _ in range(KMEANS_ITERS):
+            assigned = _assign(vecs, centroids)
+            new_rows = (
+                assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
+            centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
 
-    for _ in range(KMEANS_ITERS):
-        assigned = _assign(vecs, centroids)
-        new_rows = (
-            assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
-            .collect()
+        final = _assign(vecs, centroids)
+        return (
+            final.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+            )
+            .orderBy("cluster")
+            .localCheckpoint(eager=True)
         )
-        by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
-        centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
-
-    final = _assign(vecs, centroids)
-    return (
-        final.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
-        )
-        .orderBy("cluster")
-    )
+    finally:
+        vecs.unpersist()
 
 
 def kmeans_inertia_per_round(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -104,22 +110,25 @@ def kmeans_inertia_per_round(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("a")
-    )
-    init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    centroids = [list(r["a"]) for r in init]
-    inertias: list[float] = []
-    for _ in range(KMEANS_ITERS):
-        assigned = _assign(vecs, centroids)
-        inertias.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
-        new_rows = (
-            assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
-            .collect()
-        )
-        by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
-        centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
-    return inertias
+    ).persist()
+    try:
+        init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
+        centroids = [list(r["a"]) for r in init]
+        inertias: list[float] = []
+        for _ in range(KMEANS_ITERS):
+            assigned = _assign(vecs, centroids)
+            inertias.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+            new_rows = (
+                assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
+            centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
+        return inertias
+    finally:
+        vecs.unpersist()

@@ -428,3 +428,66 @@ FROM bigrams JOIN starts USING (w1)
 ORDER BY n DESC, w1 ASC, w2 ASC
 LIMIT {BIGRAM_TOPK}
 """
+
+
+def extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-extraction TABLE — the inverse shape of ``pii_mask``:
+    instead of redacting matches in place, emit one row per (doc_id,
+    entity_type, entity) with its occurrence index. This is the
+    structured side-output an enrichment pipeline joins on (link graphs
+    from URLs, contact resolution from emails).
+
+    Same pinned regexes as pii_mask (syntax common to java.util.regex
+    and RE2), same deterministic footer injection since the corpus holds
+    no real entities. regexp_extract_all -> posexplode stays entirely in
+    codegen; output size is match-proportional, never text-proportional."""
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select("doc_id", footer.alias("t"))
+    parts = []
+    for ent_type, pattern in (("url", URL_RE), ("email", EMAIL_RE)):
+        parts.append(
+            d.select(
+                "doc_id",
+                F.lit(ent_type).alias("entity_type"),
+                F.posexplode(F.regexp_extract_all(F.col("t"), F.lit(pattern), F.lit(0))).alias(
+                    "idx", "entity"
+                ),
+            ).select("doc_id", "entity_type", F.col("idx").cast("long").alias("idx"), "entity")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+EXTRACT_ENTITIES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), u AS (
+  SELECT doc_id, 'url' AS entity_type,
+         generate_subscripts(regexp_extract_all(t, '{URL_RE}'), 1) - 1 AS idx,
+         UNNEST(regexp_extract_all(t, '{URL_RE}')) AS entity
+  FROM t
+), e AS (
+  SELECT doc_id, 'email' AS entity_type,
+         generate_subscripts(regexp_extract_all(t, '{EMAIL_RE}'), 1) - 1 AS idx,
+         UNNEST(regexp_extract_all(t, '{EMAIL_RE}')) AS entity
+  FROM t
+)
+SELECT doc_id, entity_type, CAST(idx AS BIGINT) AS idx, entity FROM u
+UNION ALL
+SELECT doc_id, entity_type, CAST(idx AS BIGINT) AS idx, entity FROM e
+"""
