@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_sampled": analytics.equidepth_sampled,
         "sql_python_udf": analytics.sql_python_udf,
         "extract_entities": textstats.extract_entities,
+        "incremental_agg_merge": maintenance.incremental_agg_merge,
     }
 
 
@@ -385,4 +386,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
+        "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,
     }

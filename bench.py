@@ -104,6 +104,7 @@ HEADLINE = [
     "equidepth_sampled",
     "sql_python_udf",
     "extract_entities",
+    "incremental_agg_merge",
 ]
 
 

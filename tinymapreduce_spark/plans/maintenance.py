@@ -310,3 +310,60 @@ WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
            WHEN o.fp <> n.fp THEN 'update'
            ELSE 'unchanged' END <> 'unchanged'
 """
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a pre-aggregated base (orders with
+    o_orderkey % 5 != 0, standing in for yesterday's rollup) absorbs a
+    delta batch (the % 5 == 0 rows) by MERGING partial aggregate states
+    — counts add, sums add, mins/maxes fold — instead of re-scanning
+    history. The oracle is the full recompute over everything, proving
+    state-merge == recompute.
+
+    This is THE 100 TB aggregation pattern: the base rollup is tiny
+    (groups, not rows), so the daily cost is one scan of the delta plus
+    a groups-sized merge — history is never touched. Works for any
+    algebraic aggregate (sum/count/min/max; avg = sum/count at read
+    time; distinct needs sketches — see hll_distinct_merge)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)")).alias("min_price"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("max_price"),
+        )
+
+    base = rollup(orders.where(F.col("o_orderkey") % 5 != 0))
+    delta = rollup(orders.where(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue").cast("double").alias("revenue"),
+            F.min("min_price").cast("double").alias("min_price"),
+            F.max("max_price").cast("double").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        "min_price",
+        "max_price",
+        (F.col("revenue") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
