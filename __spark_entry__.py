@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_python_udf": analytics.sql_python_udf,
         "extract_entities": textstats.extract_entities,
         "incremental_agg_merge": maintenance.incremental_agg_merge,
+        "distribution_drift": maintenance.distribution_drift,
     }
 
 
@@ -387,4 +388,5 @@ def oracle_sql() -> dict[str, str]:
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
         "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,
+        "distribution_drift": maintenance.DRIFT_SQL,
     }

@@ -105,6 +105,7 @@ HEADLINE = [
     "sql_python_udf",
     "extract_entities",
     "incremental_agg_merge",
+    "distribution_drift",
 ]
 
 

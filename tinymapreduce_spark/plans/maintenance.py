@@ -367,3 +367,99 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+DRIFT_BUCKETS = 20
+DRIFT_LO, DRIFT_HI = 0.0, 600_000.0  # o_totalprice domain
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two data drops (modular slices
+    of orders standing in for last week's vs this week's batch):
+    fixed-width histograms of o_totalprice, compared bucket-by-bucket,
+    plus the total-variation distance TV = sum |p - q| / 2 on every row.
+    The deployment gate that catches a upstream change silently shifting
+    the data. (PSI is the log-weighted variant; TV is used here because
+    it is exactly computable from integer counts — no ln, so the oracle
+    matches bit-for-bit.)
+
+    One scan per slice (same pushed predicate scan, different residual),
+    histograms are DRIFT_BUCKETS-row frames, the compare is a broadcast
+    join of two tiny tables. Drift at 100 TB costs two column-pruned
+    scans, nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (DRIFT_HI - DRIFT_LO) / DRIFT_BUCKETS
+
+    def hist(df: DataFrame, n_col: str) -> DataFrame:
+        b = F.least(
+            F.lit(DRIFT_BUCKETS - 1),
+            F.floor((F.col("o_totalprice") - DRIFT_LO) / width).cast("int"),
+        )
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+    a = hist(orders.where(F.col("o_orderkey") % 2 == 0), "n_a")
+    b = hist(orders.where(F.col("o_orderkey") % 2 == 1), "n_b")
+    j = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    # TV folds as EXACT integers — |n_a*tot_b - n_b*tot_a| summed, one
+    # double division at the end — because a float sum of per-bucket
+    # share diffs is summation-order-specific and would not oracle-check
+    cross = F.abs(F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a"))
+    out = j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "tot_a",
+        "tot_b",
+        cross.alias("cross_diff"),
+    )
+    w = Window.partitionBy()
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("cross_diff").cast("double") / (F.col("tot_a") * F.col("tot_b")), 9
+        ).alias("abs_share_diff"),
+        F.round(
+            F.sum("cross_diff").over(w).cast("double")
+            / (F.lit(2.0) * F.col("tot_a") * F.col("tot_b")),
+            9,
+        ).alias("tv_distance"),
+    )
+
+
+DRIFT_SQL = f"""
+WITH a AS (
+  SELECT LEAST({DRIFT_BUCKETS - 1},
+               CAST(FLOOR((o_totalprice - {DRIFT_LO}) / {(DRIFT_HI - DRIFT_LO) / DRIFT_BUCKETS}) AS INT)) AS bucket,
+         COUNT(*) AS n_a
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+), b AS (
+  SELECT LEAST({DRIFT_BUCKETS - 1},
+               CAST(FLOOR((o_totalprice - {DRIFT_LO}) / {(DRIFT_HI - DRIFT_LO) / DRIFT_BUCKETS}) AS INT)) AS bucket,
+         COUNT(*) AS n_b
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, CAST(SUM(n_b) AS BIGINT) AS tot_b FROM j
+), d AS (
+  SELECT bucket, n_a, n_b, tot_a, tot_b,
+         ABS(n_a * tot_b - n_b * tot_a) AS cross_diff
+  FROM j, t
+)
+SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(cross_diff AS DOUBLE) / (tot_a * tot_b), 9) AS abs_share_diff,
+       ROUND(CAST(SUM(cross_diff) OVER () AS DOUBLE) / (2.0 * tot_a * tot_b), 9) AS tv_distance
+FROM d
+"""
