@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": textstats.extract_entities,
         "incremental_agg_merge": maintenance.incremental_agg_merge,
         "distribution_drift": maintenance.distribution_drift,
+        "time_to_conversion": events.time_to_conversion,
+        "dedup_survivors": dedup.dedup_survivors,
     }
 
 
@@ -389,4 +391,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
         "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,
         "distribution_drift": maintenance.DRIFT_SQL,
+        "time_to_conversion": events.TIME_TO_CONVERSION_SQL,
+        "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
     }

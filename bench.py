@@ -106,6 +106,8 @@ HEADLINE = [
     "extract_entities",
     "incremental_agg_merge",
     "distribution_drift",
+    "time_to_conversion",
+    "dedup_survivors",
 ]
 
 

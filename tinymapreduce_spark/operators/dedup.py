@@ -419,3 +419,57 @@ SELECT doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS cluster_size
 FROM comp
 """
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the last step of entity/document dedup: within
+    each duplicate cluster elect ONE canonical record (longest document,
+    ties to the smallest doc_id) and map every member to its survivor.
+    Downstream consumers keep `is_survivor` rows and use the mapping to
+    re-point references — the detect -> cluster -> elect pipeline every
+    MDM / corpus-dedup system runs.
+
+    The election is a per-component row_number window over the cluster
+    frame joined to the (broadcast-size) doc lengths — one shuffle on
+    component, after connected components has already bounded the frame
+    to docs that appear in some duplicate pair."""
+    from tinymapreduce_spark.operators.graph import connected_components
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    survivors = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"))
+    )
+    return comp.join(survivors, "component").select(
+        "doc_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )
+
+
+# Reuse the recursive-CTE closure from DEDUP_CLUSTERS_SQL; only the final
+# projection changes (survivor election instead of cluster sizes).
+_CLUSTERS_CTE = DEDUP_CLUSTERS_SQL.rsplit("SELECT doc_id, component,", 1)[0]
+
+DEDUP_SURVIVORS_SQL = _CLUSTERS_CTE + """
+SELECT c.doc_id, s.survivor_id, c.doc_id = s.survivor_id AS is_survivor
+FROM comp c JOIN (
+  SELECT component, doc_id AS survivor_id
+  FROM (
+    SELECT c2.component, c2.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c2.component
+                              ORDER BY d.n_chars DESC, c2.doc_id ASC) AS rk
+    FROM comp c2 JOIN documents d ON c2.doc_id = d.doc_id
+  )
+  WHERE rk = 1
+) s ON c.component = s.component
+"""

@@ -474,3 +474,51 @@ SELECT event_id, user_id, value, ROUND((value - mean) / std, 6) AS z
 FROM enriched
 WHERE std > 0 AND ABS(ROUND((value - mean) / std, 6)) > {Z_THRESHOLD}
 """
+
+
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution: per user, days between first signup
+    and first purchase AFTER it, histogrammed by whole days — the
+    survival-analysis input (activation latency, funnel velocity).
+
+    Day deltas are pure bigint division (no calendar functions, no
+    double quotient — see retention_cohorts for why); two tiny per-user
+    aggregates off predicate-pushed scans, then a groups-sized count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_ts"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts_us") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"), F.first("s_ts").alias("s_ts"))
+    )
+    days = purchase.select(
+        "user_id", F.expr(f"(p_ts - s_ts) div {DAY_US}L").alias("days_to_convert")
+    )
+    return days.groupBy("days_to_convert").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+TIME_TO_CONVERSION_SQL = f"""
+WITH signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), purchase AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts, MIN(s.s_ts) AS s_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_ts
+  GROUP BY e.user_id
+)
+SELECT (p_ts - s_ts) // {DAY_US} AS days_to_convert, COUNT(*) AS n_users
+FROM purchase
+GROUP BY 1
+"""
