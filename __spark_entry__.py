@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": maintenance.distribution_drift,
         "time_to_conversion": events.time_to_conversion,
         "dedup_survivors": dedup.dedup_survivors,
+        "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
     }
 
 
@@ -393,4 +394,5 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": maintenance.DRIFT_SQL,
         "time_to_conversion": events.TIME_TO_CONVERSION_SQL,
         "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
+        "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
     }

@@ -108,6 +108,7 @@ HEADLINE = [
     "distribution_drift",
     "time_to_conversion",
     "dedup_survivors",
+    "shuffle_hash_join_control",
 ]
 
 

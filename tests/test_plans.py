@@ -497,3 +497,9 @@ def test_equidepth_sampled_no_global_sort(spark, sf_dir):
     p = plan_of(analytics.equidepth_sampled(spark, sf_dir))
     assert "rangepartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    p = plan_of(analytics.shuffle_hash_join_control(spark, sf_dir))
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p

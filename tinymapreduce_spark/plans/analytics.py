@@ -1977,3 +1977,34 @@ SELECT n_name,
        n_regionkey
 FROM nation
 """
+
+
+def shuffle_hash_join_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: the same fact-fact join forced to a
+    SHUFFLE_HASH plan via hint — no sort on either side, build a hash
+    table per partition — which beats sort-merge when one side is
+    moderately sized and memory allows. This is the knob you reach for
+    at 100 TB when SMJ's double sort dominates and the build side fits
+    the per-task budget; the plan test pins that the hint is honored.
+
+    Result is a revenue roll-up identical to the unhinted join (same
+    oracle shape) — strategy hints must never change semantics."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _dec("l_extendedprice").alias("price")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(
+        orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+SHUFFLE_HASH_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
