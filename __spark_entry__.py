@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conversion": events.time_to_conversion,
         "dedup_survivors": dedup.dedup_survivors,
         "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
+        "winsorize_stats": analytics.winsorize_stats,
     }
 
 
@@ -395,4 +396,5 @@ def oracle_sql() -> dict[str, str]:
         "time_to_conversion": events.TIME_TO_CONVERSION_SQL,
         "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
         "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
+        "winsorize_stats": analytics.WINSORIZE_SQL,
     }

@@ -109,6 +109,7 @@ HEADLINE = [
     "time_to_conversion",
     "dedup_survivors",
     "shuffle_hash_join_control",
+    "winsorize_stats",
 ]
 
 

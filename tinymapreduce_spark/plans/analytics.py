@@ -2008,3 +2008,67 @@ SELECT o_orderpriority, COUNT(*) AS n_lines,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard outlier treatment before model
+    features or averages: clip o_totalprice at its exact p1/p99, report
+    n, the cut points, and the mean before/after. Heavy-tail damage to
+    the mean becomes visible as the before/after gap.
+
+    Exact percentiles (Spark `percentile` and DuckDB `quantile_cont`
+    share the same linear-interpolation definition) are computed once
+    and broadcast; the clip is a LEAST/GREATEST in the scan projection —
+    one extra pass, no sort of the fact table at the clip stage. Means
+    fold in DECIMAL after the cut points are cast to DECIMAL(18,2), so
+    the clipped sum is exact and cross-engine stable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price")
+    )
+    cuts = orders.agg(
+        F.expr(f"percentile(price, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(price, {WINSOR_HI})").alias("p_hi"),
+    ).select(
+        F.col("p_lo").cast("decimal(18,2)").alias("p_lo"),
+        F.col("p_hi").cast("decimal(18,2)").alias("p_hi"),
+    )
+    clipped = orders.crossJoin(F.broadcast(cuts)).select(
+        F.col("price").cast("decimal(18,2)").alias("raw"),
+        F.least(F.greatest(F.col("price").cast("decimal(18,2)"), F.col("p_lo")), F.col("p_hi")).alias("win"),
+        "p_lo",
+        "p_hi",
+    )
+    return clipped.groupBy("p_lo", "p_hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("raw").cast("double") / F.count(F.lit(1))).alias("mean_raw"),
+        (F.sum("win").cast("double") / F.count(F.lit(1))).alias("mean_winsorized"),
+    ).select(
+        F.col("p_lo").cast("double").alias("p_lo"),
+        F.col("p_hi").cast("double").alias("p_hi"),
+        "n",
+        F.round("mean_raw", 6).alias("mean_raw"),
+        F.round("mean_winsorized", 6).alias("mean_winsorized"),
+    )
+
+
+WINSORIZE_SQL = f"""
+WITH cuts AS (
+  SELECT CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), {WINSOR_LO}) AS DECIMAL(18,2)) AS p_lo,
+         CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), {WINSOR_HI}) AS DECIMAL(18,2)) AS p_hi
+  FROM orders
+), clipped AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS raw,
+         LEAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), p_lo), p_hi) AS win,
+         p_lo, p_hi
+  FROM orders, cuts
+)
+SELECT CAST(p_lo AS DOUBLE) AS p_lo, CAST(p_hi AS DOUBLE) AS p_hi,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(raw) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(SUM(win) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+FROM clipped
+GROUP BY p_lo, p_hi
+"""
