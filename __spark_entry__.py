@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": dedup.dedup_survivors,
         "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
         "winsorize_stats": analytics.winsorize_stats,
+        "event_path_trigrams": events.event_path_trigrams,
     }
 
 
@@ -397,4 +398,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
         "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
         "winsorize_stats": analytics.WINSORIZE_SQL,
+        "event_path_trigrams": events.EVENT_PATH_SQL,
     }

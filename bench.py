@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_survivors",
     "shuffle_hash_join_control",
     "winsorize_stats",
+    "event_path_trigrams",
 ]
 
 

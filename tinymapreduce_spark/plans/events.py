@@ -522,3 +522,78 @@ SELECT (p_ts - s_ts) // {DAY_US} AS days_to_convert, COUNT(*) AS n_users
 FROM purchase
 GROUP BY 1
 """
+
+
+PATH_TOPK = 10
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the top-10 most common 3-step event-type
+    sequences within a session (30-min gap sessions, same rule as
+    ``sessionize``) — the navigation-pattern query behind UX funnels and
+    anomaly forensics ("error after purchase").
+
+    One shuffle on user_id serves the session assignment AND the two
+    LEADs (all three window specs share the partition key); the trigram
+    count is a tiny groupBy; top-k is TakeOrderedAndProject. Sequences
+    never materialize as arrays — LEAD keeps it row-shaped, so skewed
+    giant sessions cannot blow up a collect_list."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(ws).alias("step2"),
+        F.lead("event_type", 2).over(ws).alias("step3"),
+    ).where(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("step1"), F.asc("step2"), F.asc("step3"))
+        .limit(PATH_TOPK)
+    )
+
+
+EVENT_PATH_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    CASE WHEN LAG(ts_us) OVER w IS NULL
+           OR ts_us - LAG(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), tri AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER ws AS step2,
+         LEAD(event_type, 2) OVER ws AS step3
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+)
+SELECT step1, step2, step3, COUNT(*) AS n
+FROM tri
+WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT {PATH_TOPK}
+"""
