@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
         "winsorize_stats": analytics.winsorize_stats,
         "event_path_trigrams": events.event_path_trigrams,
+        "rolling_active_users": events.rolling_active_users,
     }
 
 
@@ -399,4 +400,5 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
         "winsorize_stats": analytics.WINSORIZE_SQL,
         "event_path_trigrams": events.EVENT_PATH_SQL,
+        "rolling_active_users": events.ROLLING_WAU_SQL,
     }

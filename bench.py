@@ -111,6 +111,7 @@ HEADLINE = [
     "shuffle_hash_join_control",
     "winsorize_stats",
     "event_path_trigrams",
+    "rolling_active_users",
 ]
 
 

@@ -597,3 +597,55 @@ GROUP BY 1, 2, 3
 ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOPK}
 """
+
+
+WAU_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — THE engagement metric.
+    Sliding-window COUNT DISTINCT cannot ride a window frame (distinct
+    isn't frame-mergeable), so the scalable form is: dedup to
+    (day, user) once, explode each pair into the 7 target days it
+    supports, dedup (target_day, user), count. Shuffle volume is
+    7x the (day, user) pair count — pairs, not events — and every step
+    is a hash aggregate; no per-day re-scan, no quadratic self-join.
+
+    Day ids are bigint division on epoch micros (see retention_cohorts);
+    trailing days beyond the observed range are excluded so every
+    reported day has a full-width window of data availability."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {DAY_US}L").alias("day"),
+    )
+    du = ev.distinct()
+    bounds = du.agg(F.max("day").alias("max_day"))
+    supported = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(WAU_DAYS - 1))
+            ).alias("target_day"),
+        )
+        .distinct()
+        .join(F.broadcast(bounds), F.col("target_day") <= F.col("max_day"))
+    )
+    return supported.groupBy("target_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+
+
+ROLLING_WAU_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+), supported AS (
+  SELECT DISTINCT user_id, day + k.k AS target_day
+  FROM du, (SELECT UNNEST(range(0, {WAU_DAYS})) AS k) k
+), bounds AS (
+  SELECT MAX(day) AS max_day FROM du
+)
+SELECT target_day, COUNT(DISTINCT user_id) AS wau
+FROM supported, bounds
+WHERE target_day <= max_day
+GROUP BY target_day
+"""
