@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_stats": analytics.winsorize_stats,
         "event_path_trigrams": events.event_path_trigrams,
         "rolling_active_users": events.rolling_active_users,
+        "stickiness_ratio": events.stickiness_ratio,
     }
 
 
@@ -401,4 +402,5 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_stats": analytics.WINSORIZE_SQL,
         "event_path_trigrams": events.EVENT_PATH_SQL,
         "rolling_active_users": events.ROLLING_WAU_SQL,
+        "stickiness_ratio": events.STICKINESS_SQL,
     }

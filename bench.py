@@ -112,6 +112,7 @@ HEADLINE = [
     "winsorize_stats",
     "event_path_trigrams",
     "rolling_active_users",
+    "stickiness_ratio",
 ]
 
 

@@ -649,3 +649,56 @@ FROM supported, bounds
 WHERE target_day <= max_day
 GROUP BY target_day
 """
+
+
+def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness = DAU / WAU per day — how much of the weekly audience
+    shows up daily (the engagement-quality companion to
+    ``rolling_active_users``). Both distinct counts come off the SAME
+    deduped (day, user) pair frame — one scan feeds two hash
+    aggregates — and the ratio is one exactly-rounded division of two
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {DAY_US}L").alias("day"),
+    )
+    du = ev.distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    bounds = du.agg(F.max("day").alias("max_day"))
+    wau = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(WAU_DAYS - 1))
+            ).alias("target_day"),
+        )
+        .distinct()
+        .join(F.broadcast(bounds), F.col("target_day") <= F.col("max_day"))
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+STICKINESS_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+), dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+), supported AS (
+  SELECT DISTINCT user_id, day + k.k AS target_day
+  FROM du, (SELECT UNNEST(range(0, {WAU_DAYS})) AS k) k
+), bounds AS (
+  SELECT MAX(day) AS max_day FROM du
+), wau AS (
+  SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
+  FROM supported, bounds WHERE target_day <= max_day GROUP BY 1
+)
+SELECT day, dau, wau, ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
