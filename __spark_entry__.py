@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_path_trigrams": events.event_path_trigrams,
         "rolling_active_users": events.rolling_active_users,
         "stickiness_ratio": events.stickiness_ratio,
+        "negative_sampling": similarity.negative_sampling,
     }
 
 
@@ -403,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
         "event_path_trigrams": events.EVENT_PATH_SQL,
         "rolling_active_users": events.ROLLING_WAU_SQL,
         "stickiness_ratio": events.STICKINESS_SQL,
+        "negative_sampling": similarity.NEGATIVE_SAMPLING_SQL,
     }

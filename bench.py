@@ -113,6 +113,7 @@ HEADLINE = [
     "event_path_trigrams",
     "rolling_active_users",
     "stickiness_ratio",
+    "negative_sampling",
 ]
 
 

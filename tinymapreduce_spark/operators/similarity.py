@@ -523,3 +523,62 @@ SELECT vec_id, ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
        CAST(list_sum(qv) AS BIGINT) AS codes_sum
 FROM q
 """
+
+
+NEG_K = 5
+NEG_QUERIES = 10  # same demo query set as ann_topk_cosine
+
+
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each query vector, pick ``NEG_K`` candidates of a DIFFERENT
+    label (guaranteed negatives), chosen by hash priority
+    md5(query:candidate) — reproducible across runs and engines, no RNG
+    state to ship. The (anchor, negative) table is what a contrastive
+    loss consumes next to the ann_topk_cosine positives.
+
+    The candidate relation is queries x different-label vectors — a
+    broadcast nested-loop on the tiny query side with a theta predicate,
+    then a per-query hash-priority top-k (one shuffle on query_id).
+    At corpus scale you'd pre-bucket candidates by label and sample
+    within buckets; the hash-priority trick is identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    queries = emb.where(F.col("vec_id") < NEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cand = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("n_label"))
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("query_id"), F.col("neg_id"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("pri", "neg_id")
+    return (
+        F.broadcast(queries)
+        .join(cand, F.col("q_label") != F.col("n_label"))
+        .select("query_id", "neg_id", "n_label", pri.alias("pri"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NEG_K)
+        .select("query_id", "neg_id", F.col("n_label").alias("neg_label"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+NEGATIVE_SAMPLING_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id < {NEG_QUERIES}
+), cand AS (
+  SELECT vec_id AS neg_id, label AS n_label FROM embeddings
+), scored AS (
+  SELECT query_id, neg_id, n_label,
+         CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), 1, 6))::BIGINT AS BIGINT) AS pri
+  FROM q JOIN cand ON q_label <> n_label
+), ranked AS (
+  SELECT query_id, neg_id, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pri, neg_id) AS rk
+  FROM scored
+)
+SELECT query_id, neg_id, n_label AS neg_label, rk
+FROM ranked WHERE rk <= {NEG_K}
+"""
