@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": events.rolling_active_users,
         "stickiness_ratio": events.stickiness_ratio,
         "negative_sampling": similarity.negative_sampling,
+        "rfm_segments": analytics.rfm_segments,
     }
 
 
@@ -405,4 +406,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": events.ROLLING_WAU_SQL,
         "stickiness_ratio": events.STICKINESS_SQL,
         "negative_sampling": similarity.NEGATIVE_SAMPLING_SQL,
+        "rfm_segments": analytics.RFM_SQL,
     }

@@ -114,6 +114,7 @@ HEADLINE = [
     "rolling_active_users",
     "stickiness_ratio",
     "negative_sampling",
+    "rfm_segments",
 ]
 
 

@@ -2072,3 +2072,74 @@ SELECT CAST(p_lo AS DOUBLE) AS p_lo, CAST(p_hi AS DOUBLE) AS p_hi,
 FROM clipped
 GROUP BY p_lo, p_hi
 """
+
+
+RFM_TILES = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer scoring: per customer,
+    Recency (days since last order, vs the corpus max date), Frequency
+    (order count), Monetary (exact decimal spend), each cut into
+    quartiles by ntile over a UNIQUE order (metric, then custkey), then
+    counted per (r, f, m) cell with the cell's average spend.
+
+    One scan + one groupBy(custkey) builds the per-customer frame (tiny:
+    one row per customer); the three ntiles share its single sort
+    partition set; the final cell count is a groups-sized aggregate.
+    Deterministic tie-breaks make the segment assignment — not just the
+    counts — oracle-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")).alias(
+            "last_day"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    max_day = per_cust.agg(F.max("last_day").alias("max_day"))
+    base = per_cust.crossJoin(F.broadcast(max_day)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "freq",
+        "spend",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "spend",
+        F.ntile(RFM_TILES).over(r_w).cast("long").alias("r"),
+        F.ntile(RFM_TILES).over(f_w).cast("long").alias("f"),
+        F.ntile(RFM_TILES).over(m_w).cast("long").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("spend").cast("double") / F.count(F.lit(1))).alias("avg_spend"),
+    ).select("r", "f", "m", "n_customers", F.round("avg_spend", 6).alias("avg_spend"))
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT o_custkey, (SELECT MAX(last_day) FROM per_cust) - last_day AS recency_days,
+         freq, spend
+  FROM per_cust
+), scored AS (
+  SELECT o_custkey, spend,
+         NTILE({RFM_TILES}) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+         NTILE({RFM_TILES}) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+         NTILE({RFM_TILES}) OVER (ORDER BY spend DESC, o_custkey ASC) AS m
+  FROM base
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) AS avg_spend
+FROM scored
+GROUP BY r, f, m
+"""
