@@ -64,7 +64,131 @@ def _mr_wordcount_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver verification priority.
+
+    CORRECTNESS_r01 covered only the first 50 entries, so round 2 rotates
+    the 104 previously-unchecked queries to the FRONT (LLM-pipeline
+    dedup/ANN/text/curation/multimodal first, then streaming, then layout
+    / events / remaining relational surface); the 49 already-driver-green
+    entries from round 1 come last.
+    """
     return {
+        # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_incremental": dedup.dedup_incremental,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
+        "ann_topk_cosine": similarity.ann_topk_cosine,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "semdedup_drops": similarity.semdedup_drops,
+        "embedding_quantize": similarity.embedding_quantize,
+        "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
+        "negative_sampling": similarity.negative_sampling,
+        # --- text analysis ---
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_stats": textstats.token_stats,
+        "fingerprint": textstats.fingerprint,
+        "repetition_score": textstats.repetition_score,
+        "pii_mask": textstats.pii_mask,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        "bigram_lm": textstats.bigram_lm,
+        "extract_entities": textstats.extract_entities,
+        # --- curation ---
+        "deterministic_sample": curation.deterministic_sample,
+        "stratified_sample": curation.stratified_sample,
+        "weighted_sample": curation.weighted_sample,
+        "train_val_test_split": curation.train_val_test_split,
+        "contamination_check": curation.contamination_check,
+        "sequence_pack": curation.sequence_pack,
+        "doc_chunk_overlap": curation.doc_chunk_overlap,
+        "per_source_cap": curation.per_source_cap,
+        "mix_weights": curation.mix_weights,
+        "curation_pipeline": curation.curation_pipeline,
+        # --- multimodal ---
+        "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "audio_energy_windows": multimodal.audio_energy_windows,
+        # --- streaming ---
+        "stream_static_join": stream_windows.stream_static_join,
+        "stream_tumbling_window": stream_windows.stream_tumbling_window,
+        "stream_sliding_window": stream_windows.stream_sliding_window,
+        "stream_kv_state": stream_state.stream_kv_state,
+        "stream_tws_counter": stream_state.stream_tws_counter,
+        "stream_session_window": stream_state.stream_session_window,
+        "stream_dedup": stream_state.stream_dedup,
+        "stream_stream_join": stream_windows.stream_stream_join,
+        # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
+        "shard_rebalance": shards.shard_rebalance,
+        "hll_distinct_merge": sketches.hll_distinct_merge,
+        "kll_quantile_merge": sketches.kll_quantile_merge,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        "pagerank_trade": graph.pagerank_trade,
+        "triangle_count": graph.triangle_count,
+        "kmeans_clusters": clustering.kmeans_clusters,
+        # --- physical layout: bucketing / pruning / skew / bloom ---
+        "bucketed_join_revenue": layout.bucketed_join_revenue,
+        "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
+        "salted_skew_join": layout.salted_skew_join,
+        "compact_small_files": layout.compact_small_files,
+        "zorder_pruned_agg": layout.zorder_pruned_agg,
+        "dpp_partitioned_join": layout.dpp_partitioned_join,
+        "bloom_filter_join": layout.bloom_filter_join,
+        # --- event analytics: windows / sessions / as-of ---
+        "tumbling_window_agg": events.tumbling_window_agg,
+        "sliding_window_agg": events.sliding_window_agg,
+        "sessionize": events.sessionize,
+        "asof_join": events.asof_join,
+        "cogrouped_asof": events.cogrouped_asof,
+        "resample_ffill": events.resample_ffill,
+        "value_histogram": events.value_histogram,
+        "funnel_steps": events.funnel_steps,
+        "retention_cohorts": events.retention_cohorts,
+        "anomaly_zscore": events.anomaly_zscore,
+        "time_to_conversion": events.time_to_conversion,
+        "event_path_trigrams": events.event_path_trigrams,
+        "rolling_active_users": events.rolling_active_users,
+        "stickiness_ratio": events.stickiness_ratio,
+        # --- warehouse maintenance ---
+        "merge_upsert": maintenance.merge_upsert,
+        "scd2_history": maintenance.scd2_history,
+        "profile_columns": maintenance.profile_columns,
+        "dq_checks": maintenance.dq_checks,
+        "snapshot_diff": maintenance.snapshot_diff,
+        "incremental_agg_merge": maintenance.incremental_agg_merge,
+        "distribution_drift": maintenance.distribution_drift,
+        # --- remaining relational / UDF / source surface ---
+        "window_rank_funcs": analytics.window_rank_funcs,
+        "window_range_frame": analytics.window_range_frame,
+        "mode_median_stats": analytics.mode_median_stats,
+        "copurchase_pairs": analytics.copurchase_pairs,
+        "trend_slope": analytics.trend_slope,
+        "sql_interface": analytics.sql_interface,
+        "grouped_correlation": analytics.grouped_correlation,
+        "equidepth_deciles": analytics.equidepth_deciles,
+        "equidepth_sampled": analytics.equidepth_sampled,
+        "sql_python_udf": analytics.sql_python_udf,
+        "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
+        "winsorize_stats": analytics.winsorize_stats,
+        "rfm_segments": analytics.rfm_segments,
+        "pivot_counts": subqueries.pivot_counts,
+        "unpivot_stack": subqueries.unpivot_stack,
+        "range_join_bucketed": subqueries.range_join_bucketed,
+        "approx_aggregates": subqueries.approx_aggregates,
+        "grouped_agg_udaf": udaf.grouped_agg_udaf,
+        "python_udtf_split": udaf.python_udtf_split,
+        "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
+        "json_runs_roundtrip": textfiles.json_runs_roundtrip,
+        "custom_source_runs": textfiles.custom_source_runs,
+        "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
+        "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
+        # ================= driver-green in round 1 (CORRECTNESS_r01) =====
         # --- reference MR application surface (SURVEY.md §2.3) ---
         "word_count": reference_queries.word_count,
         "inverted_index": reference_queries.inverted_index,
@@ -74,7 +198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- keyed-state / sharding semantics (SURVEY.md §2.4) ---
         "kv_replay": kv.kv_replay,
         "shard_distribution": kv.shard_distribution,
-        "shard_rebalance": shards.shard_rebalance,
         # --- relational operator coverage (SURVEY.md §2.5) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
@@ -118,119 +241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_scalar_subquery": subqueries.correlated_scalar_subquery,
         "in_subquery": subqueries.in_subquery,
         "exact_percentiles": subqueries.exact_percentiles,
-        "pivot_counts": subqueries.pivot_counts,
-        "unpivot_stack": subqueries.unpivot_stack,
-        "range_join_bucketed": subqueries.range_join_bucketed,
-        "approx_aggregates": subqueries.approx_aggregates,
-        "grouped_agg_udaf": udaf.grouped_agg_udaf,
-        "python_udtf_split": udaf.python_udtf_split,
-        "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
-        "json_runs_roundtrip": textfiles.json_runs_roundtrip,
-        "custom_source_runs": textfiles.custom_source_runs,
-        "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
-        "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
-        # --- physical layout: bucketing / partition pruning / skew salting ---
-        "bucketed_join_revenue": layout.bucketed_join_revenue,
-        "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
-        "salted_skew_join": layout.salted_skew_join,
-        "compact_small_files": layout.compact_small_files,
-        "zorder_pruned_agg": layout.zorder_pruned_agg,
-        "dpp_partitioned_join": layout.dpp_partitioned_join,
-        "bloom_filter_join": layout.bloom_filter_join,
-        # --- event analytics: windows / sessions / as-of (batch + stream) ---
-        "tumbling_window_agg": events.tumbling_window_agg,
-        "sessionize": events.sessionize,
-        "asof_join": events.asof_join,
-        "cogrouped_asof": events.cogrouped_asof,
-        "resample_ffill": events.resample_ffill,
-        "merge_upsert": maintenance.merge_upsert,
-        "scd2_history": maintenance.scd2_history,
-        "value_histogram": events.value_histogram,
-        "window_rank_funcs": analytics.window_rank_funcs,
-        "stream_static_join": stream_windows.stream_static_join,
-        "stream_tumbling_window": stream_windows.stream_tumbling_window,
-        "stream_kv_state": stream_state.stream_kv_state,
-        "stream_tws_counter": stream_state.stream_tws_counter,
-        "stream_session_window": stream_state.stream_session_window,
-        "stream_dedup": stream_state.stream_dedup,
-        "stream_stream_join": stream_windows.stream_stream_join,
-        # --- north-star: dedup / similarity / text / multimodal (§7.4) ---
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_incremental": dedup.dedup_incremental,
-        "dedup_clusters": dedup.dedup_clusters,
-        "ann_topk_cosine": similarity.ann_topk_cosine,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
-        "lang_id": textstats.lang_id,
-        "quality_score": textstats.quality_score,
-        "token_stats": textstats.token_stats,
-        "fingerprint": textstats.fingerprint,
-        "repetition_score": textstats.repetition_score,
-        "pii_mask": textstats.pii_mask,
-        "tfidf_top_terms": textstats.tfidf_top_terms,
-        "multimodal_features": multimodal.multimodal_features,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "frame_sample": multimodal.frame_sample,
-        "sliding_window_agg": events.sliding_window_agg,
-        "stream_sliding_window": stream_windows.stream_sliding_window,
-        "deterministic_sample": curation.deterministic_sample,
-        "stratified_sample": curation.stratified_sample,
-        "train_val_test_split": curation.train_val_test_split,
-        "contamination_check": curation.contamination_check,
-        "sequence_pack": curation.sequence_pack,
-        "doc_chunk_overlap": curation.doc_chunk_overlap,
-        "curation_pipeline": curation.curation_pipeline,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "semdedup_drops": similarity.semdedup_drops,
-        "pagerank_trade": graph.pagerank_trade,
-        "triangle_count": graph.triangle_count,
-        "hll_distinct_merge": sketches.hll_distinct_merge,
-        "kll_quantile_merge": sketches.kll_quantile_merge,
-        "cms_heavy_hitters": sketches.cms_heavy_hitters,
-        "weighted_sample": curation.weighted_sample,
-        "per_source_cap": curation.per_source_cap,
-        "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
-        "window_range_frame": analytics.window_range_frame,
-        "mode_median_stats": analytics.mode_median_stats,
-        "funnel_steps": events.funnel_steps,
-        "retention_cohorts": events.retention_cohorts,
-        "anomaly_zscore": events.anomaly_zscore,
-        "profile_columns": maintenance.profile_columns,
-        "embedding_quantize": similarity.embedding_quantize,
-        "dq_checks": maintenance.dq_checks,
-        "snapshot_diff": maintenance.snapshot_diff,
-        "copurchase_pairs": analytics.copurchase_pairs,
-        "trend_slope": analytics.trend_slope,
-        "bigram_lm": textstats.bigram_lm,
-        "mix_weights": curation.mix_weights,
-        "sql_interface": analytics.sql_interface,
-        "grouped_correlation": analytics.grouped_correlation,
-        "equidepth_deciles": analytics.equidepth_deciles,
-        "kmeans_clusters": clustering.kmeans_clusters,
-        "audio_energy_windows": multimodal.audio_energy_windows,
-        "equidepth_sampled": analytics.equidepth_sampled,
-        "sql_python_udf": analytics.sql_python_udf,
-        "extract_entities": textstats.extract_entities,
-        "incremental_agg_merge": maintenance.incremental_agg_merge,
-        "distribution_drift": maintenance.distribution_drift,
-        "time_to_conversion": events.time_to_conversion,
-        "dedup_survivors": dedup.dedup_survivors,
-        "shuffle_hash_join_control": analytics.shuffle_hash_join_control,
-        "winsorize_stats": analytics.winsorize_stats,
-        "event_path_trigrams": events.event_path_trigrams,
-        "rolling_active_users": events.rolling_active_users,
-        "stickiness_ratio": events.stickiness_ratio,
-        "negative_sampling": similarity.negative_sampling,
-        "rfm_segments": analytics.rfm_segments,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    shard_rebalance / pagerank_trade (iterative algorithms),
+    pagerank_trade (iterative float algorithm),
     dedup_minhash_lsh / dedup_simhash / ann_ivf_topk / ann_lsh_topk /
     semdedup_drops (approximate by construction — tests assert their
     recall against the exact forms instead), hll_distinct_merge /
@@ -267,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
         """,
         "kv_replay": kv.KV_REPLAY_SQL,
+        "shard_rebalance": shards.SHARD_REBALANCE_SQL,
         "shard_distribution": f"""
             WITH ops AS ({kv.OPS_LOG_SQL})
             SELECT CAST(CASE WHEN length(key) > 0 THEN ascii(substr(key, 1, 1)) % 10 ELSE 0 END AS INT) AS shard,

@@ -67,6 +67,55 @@ class TestShardController:
             ctl.join({1: ["z"], 2: ["w"], 3: ["v"]})
         assert a.query().shards == b.query().shards
 
+    def test_sql_oracle_matches_controller_on_random_logs(self):
+        """The DuckDB oracle (driver-side K6 check) must derive the SAME
+        config chain as the Python controller for arbitrary command logs,
+        not just DEMO_COMMANDS — fuzzed over seeded random join/leave/move
+        sequences."""
+        import random
+
+        import duckdb
+
+        from tinymapreduce_spark.operators.shards import (
+            _build_rebalance_oracle_sql,
+        )
+
+        for seed in range(8):
+            rng = random.Random(seed)
+            live: set[int] = set()
+            commands: list[tuple[str, object]] = []
+            next_gid = 1
+            for _ in range(rng.randint(3, 9)):
+                choice = rng.random()
+                if not live or choice < 0.5:
+                    n_new = rng.randint(1, 3)
+                    joining = {next_gid + i: [f"s{next_gid + i}"] for i in range(n_new)}
+                    next_gid += n_new
+                    live |= set(joining)
+                    commands.append(("join", joining))
+                elif choice < 0.8 and len(live) > 1:
+                    leaving = rng.sample(sorted(live), rng.randint(1, len(live) - 1))
+                    live -= set(leaving)
+                    commands.append(("leave", leaving))
+                else:
+                    commands.append(("move", (rng.randrange(NSHARDS), rng.choice(sorted(live)))))
+
+            ctl = ShardController()
+            for cmd, arg in commands:
+                getattr(ctl, cmd)(*(arg if cmd == "move" else (arg,)))
+            py = sorted(
+                (c.num, s, g) for c in ctl.configs for s, g in enumerate(c.shards)
+            )
+            sql = sorted(
+                map(
+                    tuple,
+                    duckdb.connect()
+                    .execute(_build_rebalance_oracle_sql(commands))
+                    .fetchall(),
+                )
+            )
+            assert py == sql, f"seed {seed}: controller vs SQL oracle diverged"
+
 
 class TestApproxRecall:
     def test_minhash_lsh_recall(self, spark, sf_dir):
@@ -107,6 +156,45 @@ class TestApproxRecall:
         # deterministic planes -> deterministic recall; measured 0.8 at
         # this sf, pinned with margin (neighbors here sit at cosine
         # ~0.3, the hard regime for sign-hash LSH — see module docstring)
+        assert len(approx & exact) / len(exact) >= 0.6
+
+    def test_lsh_ann_recall_dim256(self, spark):
+        """The hashed-plane LSH must hold up at real embedding dims: a
+        synthetic dim-256 corpus with planted near-neighbors (cosine
+        ~0.95) per query. Plan size is O(1) in dim (planes derive from
+        xxhash64 inside the zip_with lambda), so this also certifies the
+        codegen-size fix from VERDICT r01."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        dim, n_queries, n_noise = 256, 10, 300
+        vecs: list[np.ndarray] = []
+        for _ in range(n_queries):
+            q = rng.standard_normal(dim)
+            vecs.append(q)
+        planted_owner: list[int] = []
+        for qi in range(n_queries):
+            for _ in range(5):
+                v = vecs[qi] + 0.25 * rng.standard_normal(dim)
+                vecs.append(v)
+                planted_owner.append(qi)
+        vecs.extend(rng.standard_normal(dim) for _ in range(n_noise))
+        mat = np.stack([v / np.linalg.norm(v) for v in vecs])
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ann_lsh_topk_df(df, n_queries=n_queries).collect()
+        }
+
+        sims = mat @ mat[:n_queries].T  # corpus x queries cosine
+        exact = set()
+        for qi in range(n_queries):
+            order = [i for i in np.argsort(-sims[:, qi]) if i != qi][:5]
+            exact |= {(qi, int(i)) for i in order}
         assert len(approx & exact) / len(exact) >= 0.6
 
     def test_simhash_pairs_are_similar(self, spark, sf_dir):
@@ -154,6 +242,39 @@ class TestMrShim:
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_audio_energy_empty_and_nonascii_parity(spark):
+    """ADVICE r01: (a) zero-length payloads must not crash the whole job
+    — both engines emit no row for them; (b) energy is over UTF-8 BYTES,
+    so multi-byte characters must agree between Spark (np.frombuffer of
+    encode()) and the hex-expanded DuckDB oracle."""
+    import duckdb
+
+    from tinymapreduce_spark.operators.multimodal import (
+        AUDIO_ENERGY_SQL,
+        audio_energy_df,
+    )
+
+    rows = [
+        (1, "", "s"),
+        (2, "héllo wörld — ünïcode", "s"),
+        (3, "plain ascii text " * 40, "s"),
+        (4, "日本語テキスト", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_windows, r.total_energy, r.peak_window, r.peak_energy)
+        for r in audio_energy_df(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = {r[0]: tuple(r[1:]) for r in con.execute(AUDIO_ENERGY_SQL).fetchall()}
+
+    assert 1 not in got, "empty payload must emit no row"
+    assert got == want
 
 
 class TestConnectedComponents:

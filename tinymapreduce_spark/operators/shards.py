@@ -110,10 +110,12 @@ DEMO_COMMANDS: list[tuple[str, object]] = [
 
 
 def shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay DEMO_COMMANDS; return (shard, gid) of the final config.
-
-    No SQL oracle (iterative algorithm — rows-only check); the invariants
-    are asserted by tests/test_shards.py instead.
+    """Replay DEMO_COMMANDS; return the full config HISTORY as
+    ``(num, shard, gid)`` rows — one row per shard per config, so the
+    driver's oracle can hash-check every intermediate assignment, not
+    just the final one (VERDICT r01 item 3: K6 was the lone ``no_oracle``
+    row). The matching DuckDB oracle (SHARD_REBALANCE_SQL below)
+    recomputes the greedy rebalance independently in pure SQL.
     """
     ctl = ShardController()
     for cmd, arg in DEMO_COMMANDS:
@@ -123,6 +125,109 @@ def shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ctl.leave(arg)  # type: ignore[arg-type]
         else:
             ctl.move(*arg)  # type: ignore[misc]
-    final = ctl.query()
-    rows = [(i, g) for i, g in enumerate(final.shards)]
-    return spark.createDataFrame(rows, "shard int, gid int")
+    rows = [
+        (cfg.num, shard, gid)
+        for cfg in ctl.configs
+        for shard, gid in enumerate(cfg.shards)
+    ]
+    return spark.createDataFrame(rows, "num int, shard int, gid int")
+
+
+def _rebalance_step_sql(step: int, prev: str, live_gids: list[int]) -> str:
+    """One greedy-rebalance application as chained CTEs, against the
+    previous config CTE ``prev``. Implements, in set-based SQL, exactly
+    the spec the reference tests assert (test_test.go:36-53):
+
+    - targets: sorted live gids; first ``NSHARDS % k`` get ``base+1``;
+    - keep: per live gid, the first ``target`` shards in index order stay
+      (= the scan-with-counter in ``_rebalance``);
+    - free slots (index order) fill remaining deficits in gid order.
+
+    The SQL derives the assignment chain itself — only the live-gid set
+    per step (trivial bookkeeping over the command log) is inlined.
+    """
+    gids_rows = ", ".join(f"({g})" for g in sorted(live_gids))
+    s = step
+    return f"""
+live_{s}(gid) AS (VALUES {gids_rows}),
+targets_{s} AS (
+  SELECT gid,
+         ({NSHARDS} // (SELECT COUNT(*) FROM live_{s}))
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY gid)
+                     <= ({NSHARDS} % (SELECT COUNT(*) FROM live_{s}))
+                THEN 1 ELSE 0 END AS target
+  FROM live_{s}
+),
+ranked_{s} AS (
+  SELECT p.shard, p.gid,
+         ROW_NUMBER() OVER (PARTITION BY p.gid ORDER BY p.shard) AS rk
+  FROM {prev} p JOIN targets_{s} t USING (gid)
+),
+kept_{s} AS (
+  SELECT r.shard, r.gid FROM ranked_{s} r
+  JOIN targets_{s} t USING (gid) WHERE r.rk <= t.target
+),
+free_{s} AS (
+  SELECT shard, ROW_NUMBER() OVER (ORDER BY shard) AS pos
+  FROM {prev} WHERE shard NOT IN (SELECT shard FROM kept_{s})
+),
+deficit_{s} AS (
+  SELECT t.gid,
+         t.target - COALESCE(k.cnt, 0) AS deficit,
+         SUM(t.target - COALESCE(k.cnt, 0))
+           OVER (ORDER BY t.gid ROWS UNBOUNDED PRECEDING) AS cum
+  FROM targets_{s} t
+  LEFT JOIN (SELECT gid, COUNT(*) AS cnt FROM kept_{s} GROUP BY gid) k
+    USING (gid)
+),
+cfg_{s} AS MATERIALIZED (
+  SELECT shard, gid FROM kept_{s}
+  UNION ALL
+  SELECT f.shard, d.gid
+  FROM free_{s} f
+  JOIN deficit_{s} d ON f.pos > d.cum - d.deficit AND f.pos <= d.cum
+)"""
+
+
+def _build_rebalance_oracle_sql(
+    commands: list[tuple[str, object]] = DEMO_COMMANDS,
+) -> str:
+    """Compose a command-log replay as one DuckDB query: a CTE chain
+    cfg_0..cfg_N (one per config), unioned into (num, shard, gid).
+    Parameterized so property tests can fuzz arbitrary logs through both
+    the Python controller and this SQL derivation.
+    """
+    ctes = [
+        "cfg_0(shard, gid) AS (VALUES "
+        + ", ".join(f"({i}, 0)" for i in range(NSHARDS))
+        + ")"
+    ]
+    live: dict[int, bool] = {}
+    for step, (cmd, arg) in enumerate(commands, start=1):
+        prev = f"cfg_{step - 1}"
+        if cmd == "join":
+            for g in arg:  # type: ignore[union-attr]
+                live[g] = True
+            ctes.append(_rebalance_step_sql(step, prev, list(live)))
+        elif cmd == "leave":
+            for g in arg:  # type: ignore[union-attr]
+                live.pop(g, None)
+            ctes.append(_rebalance_step_sql(step, prev, list(live)))
+        else:  # move(shard, gid): direct overwrite, no rebalance
+            shard, gid = arg  # type: ignore[misc]
+            ctes.append(
+                # MATERIALIZED stops DuckDB from inlining the chain
+                # (each step reads its predecessor several times —
+                # un-materialized that expands exponentially in steps).
+                f"cfg_{step} AS MATERIALIZED (SELECT shard, "
+                f"CASE WHEN shard = {shard} THEN {gid} ELSE gid END AS gid "
+                f"FROM {prev})"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {n} AS num, shard, gid FROM cfg_{n}"
+        for n in range(len(commands) + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + union
+
+
+SHARD_REBALANCE_SQL = _build_rebalance_oracle_sql()
