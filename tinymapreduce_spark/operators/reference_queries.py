@@ -19,6 +19,17 @@ from tinymapreduce_spark.functions.text import tokens
 from tinymapreduce_spark.sources.loaders import load_table, text_documents
 
 
+def word_count_df(docs: DataFrame) -> DataFrame:
+    """Q1 plan body over any ``(filename, contents)`` corpus frame —
+    shared by the parquet-backed query and the golden-corpus parity test
+    over the reference's real ``pg-*.txt`` files."""
+    return (
+        docs.select(F.explode(tokens("contents")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 — word count (``/root/reference/src/mrapps/wc.go:21-44``).
 
@@ -26,12 +37,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode happens map-side inside codegen; the shuffle carries
     only (word, partial count) thanks to hash-agg partial/final split.
     """
-    docs = text_documents(spark, sf_dir)
-    return (
-        docs.select(F.explode(tokens("contents")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return word_count_df(text_documents(spark, sf_dir))
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +48,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. ``collect_set`` keeps the doc list dedup'd shuffle-side;
     output format mirrors the reference's ``"N doc1,doc2"`` value.
     """
-    docs = text_documents(spark, sf_dir)
+    return inverted_index_df(text_documents(spark, sf_dir))
+
+
+def inverted_index_df(docs: DataFrame) -> DataFrame:
+    """Q2 plan body over any ``(filename, contents)`` corpus frame."""
     per_doc_words = docs.select(
         F.col("filename"), F.explode(F.array_distinct(tokens("contents"))).alias("word")
     )
