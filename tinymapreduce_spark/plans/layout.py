@@ -394,15 +394,21 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the shuffle-join sibling of dynamic partition pruning and
     the key mitigation when BOTH join sides are fact-sized at 100 TB.
-    Executed eagerly under temporarily-set confs (broadcast disabled to
-    simulate the at-scale regime) so the session's planner behavior is
-    untouched for every other query; the injected filter is asserted in
-    tests/test_plans.py. Results are filter-invariant — plain-SQL
+
+    Conf scoping vs laziness: the bloom-injection rule reads session
+    confs at OPTIMIZATION time (= first action), so the confs (broadcast
+    disabled to simulate the at-scale regime) must be live exactly when
+    the plan first materializes. The operator therefore persists and
+    materializes the frame inside the conf scope — no driver-side
+    ``collect()``; the result stays a distributed frame whose cache
+    holds the bloom-pruned execution, so caller re-execution reads that,
+    never a literal scan. The injected ``might_contain`` is asserted in
+    tests/test_plans.py; results are filter-invariant — plain-SQL
     oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     with _temp_confs(spark, BLOOM_CONFS):
-        rows = (
+        out = (
             li.join(
                 orders.where(F.col("o_orderpriority") == "1-URGENT"),
                 li.l_orderkey == orders.o_orderkey,
@@ -414,11 +420,10 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("total_price"),
             )
-            .collect()
+            .persist()
         )
-    return spark.createDataFrame(
-        rows, "o_orderstatus string, n_lines long, total_price double"
-    )
+        out.count()  # force optimization + execution under the scoped confs
+    return out
 
 
 BLOOM_JOIN_SQL = """
