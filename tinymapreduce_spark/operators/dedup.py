@@ -384,7 +384,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = """
+# Shared recursive-CTE closure (shingle -> pair -> edge -> reachability ->
+# component); DEDUP_CLUSTERS_SQL and DEDUP_SURVIVORS_SQL compose their
+# final projections onto it (named constant instead of string surgery —
+# ADVICE r01: an rsplit on projection text broke silently if reworded).
+_DEDUP_CLUSTERS_CTE = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, t.tok, t.i
   FROM documents,
@@ -415,6 +419,9 @@ WITH RECURSIVE toks AS (
 ), comp AS (
   SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
 )
+"""
+
+DEDUP_CLUSTERS_SQL = _DEDUP_CLUSTERS_CTE + """
 SELECT doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS cluster_size
 FROM comp
@@ -456,11 +463,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Reuse the recursive-CTE closure from DEDUP_CLUSTERS_SQL; only the final
-# projection changes (survivor election instead of cluster sizes).
-_CLUSTERS_CTE = DEDUP_CLUSTERS_SQL.rsplit("SELECT doc_id, component,", 1)[0]
-
-DEDUP_SURVIVORS_SQL = _CLUSTERS_CTE + """
+DEDUP_SURVIVORS_SQL = _DEDUP_CLUSTERS_CTE + """
 SELECT c.doc_id, s.survivor_id, c.doc_id = s.survivor_id AS is_survivor
 FROM comp c JOIN (
   SELECT component, doc_id AS survivor_id

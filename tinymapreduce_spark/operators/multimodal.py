@@ -207,29 +207,40 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     frombuffer -> vectorized ops per batch, no per-sample Python).
     Emits per doc: window count, total energy, and the argmax window
     (ties to the earliest), all exact integers."""
+    return audio_energy_df(load_table(spark, sf_dir, "documents"))
+
+
+def audio_energy_df(docs: DataFrame) -> DataFrame:
+    """Body over any ``(doc_id, text)`` frame — split out so tests can
+    certify the zero-length-payload and non-ASCII parity edges on
+    synthetic docs the generated testdata doesn't contain."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
     payloads = with_payload(docs).select("doc_id", "payload")
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {
-                "doc_id": pdf["doc_id"],
+            rows: dict[str, list] = {
+                "doc_id": [],
                 "n_windows": [],
                 "total_energy": [],
                 "peak_window": [],
                 "peak_energy": [],
             }
-            for p in pdf["payload"]:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 samples = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
                 n_win = (len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+                if n_win == 0:
+                    # zero-length payload: no windows exist; emit no row,
+                    # mirroring the oracle (no chars -> no group row).
+                    continue
                 sq = samples * samples
                 wins = [
                     int(sq[AUDIO_WINDOW * i : AUDIO_WINDOW * (i + 1)].sum())
                     for i in range(n_win)
                 ]
                 peak = max(range(n_win), key=lambda i: (wins[i], -i))
+                rows["doc_id"].append(doc_id)
                 rows["n_windows"].append(n_win)
                 rows["total_energy"].append(int(sq.sum()))
                 rows["peak_window"].append(peak)
@@ -243,11 +254,16 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUDIO_ENERGY_SQL = f"""
-WITH chars AS (
+WITH payloads AS (
+  -- UTF-8 BYTES of the text, hex-expanded: matches np.frombuffer over
+  -- encode(text,'UTF-8') for ANY text, not just ASCII (a per-character
+  -- ascii() oracle diverges on multi-byte code points).
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), chars AS (
   SELECT doc_id, (t.i - 1) // {AUDIO_WINDOW} AS win,
-         ascii(substr(text, t.i, 1)) AS v
-  FROM documents,
-       LATERAL (SELECT UNNEST(range(1, length(text) + 1)) AS i) t
+         CAST('0x' || substr(h, 2 * t.i - 1, 2) AS INT) AS v
+  FROM payloads,
+       LATERAL (SELECT UNNEST(range(1, length(h) // 2 + 1)) AS i) t
 ), wins AS (
   SELECT doc_id, win, SUM(v * v) AS energy
   FROM chars GROUP BY 1, 2
