@@ -514,6 +514,16 @@ def test_equidepth_sampled_no_global_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast
 
 
+def test_equidepth_exact_is_single_partition_sort(spark, sf_dir):
+    """Pin the REAL shape of the exact ntile form: an unpartitioned
+    window plans Exchange SinglePartition (whole-table one-task sort).
+    Documented in the docstring as the gold standard only — if Spark
+    ever range-partitions this, the docstring and the scale guidance
+    should be revisited."""
+    p = plan_of(analytics.equidepth_deciles(spark, sf_dir))
+    assert "SinglePartition" in p
+
+
 def test_shuffle_hash_hint_honored(spark, sf_dir):
     p = plan_of(analytics.shuffle_hash_join_control(spark, sf_dir))
     assert "ShuffledHashJoin" in p

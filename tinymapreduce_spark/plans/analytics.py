@@ -1882,11 +1882,12 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     span. The complement of value_histogram's fixed-width buckets; this
     is how you pick split points for range partitioning.
 
-    The plan is the global-sort shape: rangepartitioning by the sampled
-    sort bounds, ntile inside each range — no single-task sort. At
-    100 TB prefer the two-pass variant (sample quantiles -> broadcast
-    cutpoints -> one bucketing scan); the ntile form here is the exact
-    gold standard the sampled one is tested against."""
+    Scale honesty (ADVICE r01): an UNPARTITIONED ntile window plans as
+    Exchange SinglePartition — the whole table sorts in ONE task (plan
+    shape pinned in tests/test_plans.py). That is acceptable only as the
+    small-data gold standard; at 100 TB use ``equidepth_sampled`` (one
+    sketch pass -> broadcast cutpoints -> bucketing scan), which this
+    exact form exists to validate against."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
@@ -2085,10 +2086,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted per (r, f, m) cell with the cell's average spend.
 
     One scan + one groupBy(custkey) builds the per-customer frame (tiny:
-    one row per customer); the three ntiles share its single sort
-    partition set; the final cell count is a groups-sized aggregate.
-    Deterministic tie-breaks make the segment assignment — not just the
-    counts — oracle-exact."""
+    one row per customer); the final cell count is a groups-sized
+    aggregate. Deterministic tie-breaks make the segment assignment —
+    not just the counts — oracle-exact. Note the three global ntiles
+    each plan as Exchange SinglePartition over the per-customer frame —
+    fine because that frame is customer-sized (orders of magnitude
+    smaller than the fact table), but at billions of customers cut
+    quartiles from percentile_approx cutpoints instead (the
+    equidepth_sampled pattern)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")).alias(

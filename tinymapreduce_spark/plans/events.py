@@ -612,14 +612,20 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a hash aggregate; no per-day re-scan, no quadratic self-join.
 
     Day ids are bigint division on epoch micros (see retention_cohorts);
-    trailing days beyond the observed range are excluded so every
-    reported day has a full-width window of data availability."""
+    BOTH edges of the observed range are trimmed — trailing days beyond
+    max(day), and the first WAU_DAYS-1 leading days whose window would
+    extend before the first observed day — so every reported day has a
+    full-width window of data availability (ADVICE r01: leading days
+    used to report partial-window WAU)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr(f"unix_micros(ts) div {DAY_US}L").alias("day"),
     )
     du = ev.distinct()
-    bounds = du.agg(F.max("day").alias("max_day"))
+    bounds = du.agg(
+        F.max("day").alias("max_day"),
+        (F.min("day") + F.lit(WAU_DAYS - 1)).alias("first_full_day"),
+    )
     supported = (
         du.select(
             "user_id",
@@ -628,7 +634,11 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target_day"),
         )
         .distinct()
-        .join(F.broadcast(bounds), F.col("target_day") <= F.col("max_day"))
+        .join(
+            F.broadcast(bounds),
+            (F.col("target_day") <= F.col("max_day"))
+            & (F.col("target_day") >= F.col("first_full_day")),
+        )
     )
     return supported.groupBy("target_day").agg(
         F.count_distinct("user_id").alias("wau")
@@ -642,11 +652,11 @@ WITH du AS (
   SELECT DISTINCT user_id, day + k.k AS target_day
   FROM du, (SELECT UNNEST(range(0, {WAU_DAYS})) AS k) k
 ), bounds AS (
-  SELECT MAX(day) AS max_day FROM du
+  SELECT MAX(day) AS max_day, MIN(day) + {WAU_DAYS - 1} AS first_full_day FROM du
 )
 SELECT target_day, COUNT(DISTINCT user_id) AS wau
 FROM supported, bounds
-WHERE target_day <= max_day
+WHERE target_day BETWEEN first_full_day AND max_day
 GROUP BY target_day
 """
 
@@ -657,14 +667,20 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rolling_active_users``). Both distinct counts come off the SAME
     deduped (day, user) pair frame — one scan feeds two hash
     aggregates — and the ratio is one exactly-rounded division of two
-    exact integers."""
+    exact integers. Reported days inherit rolling_active_users'
+    full-window trim (leading and trailing partial-window days are
+    excluded), so early-range stickiness is not biased high by a
+    too-small WAU denominator."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr(f"unix_micros(ts) div {DAY_US}L").alias("day"),
     )
     du = ev.distinct()
     dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
-    bounds = du.agg(F.max("day").alias("max_day"))
+    bounds = du.agg(
+        F.max("day").alias("max_day"),
+        (F.min("day") + F.lit(WAU_DAYS - 1)).alias("first_full_day"),
+    )
     wau = (
         du.select(
             "user_id",
@@ -673,7 +689,11 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target_day"),
         )
         .distinct()
-        .join(F.broadcast(bounds), F.col("target_day") <= F.col("max_day"))
+        .join(
+            F.broadcast(bounds),
+            (F.col("target_day") <= F.col("max_day"))
+            & (F.col("target_day") >= F.col("first_full_day")),
+        )
         .groupBy(F.col("target_day").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
@@ -694,10 +714,11 @@ WITH du AS (
   SELECT DISTINCT user_id, day + k.k AS target_day
   FROM du, (SELECT UNNEST(range(0, {WAU_DAYS})) AS k) k
 ), bounds AS (
-  SELECT MAX(day) AS max_day FROM du
+  SELECT MAX(day) AS max_day, MIN(day) + {WAU_DAYS - 1} AS first_full_day FROM du
 ), wau AS (
   SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
-  FROM supported, bounds WHERE target_day <= max_day GROUP BY 1
+  FROM supported, bounds
+  WHERE target_day BETWEEN first_full_day AND max_day GROUP BY 1
 )
 SELECT day, dau, wau, ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
 FROM dau JOIN wau USING (day)
