@@ -28,7 +28,12 @@ from tinymapreduce_spark.operators import (
     textstats,
     udaf,
 )
-from tinymapreduce_spark.operators.mapreduce import run_mapreduce, wc_map, wc_reduce
+from tinymapreduce_spark.operators.mapreduce import (
+    run_mapreduce,
+    wc_map,
+    wc_merge,
+    wc_reduce,
+)
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
 from tinymapreduce_spark.sources import textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
@@ -61,6 +66,13 @@ def _mr_wordcount_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-MR surface (D1/D5) running the reference wc app verbatim:
     Python mapf/reducef through mapInPandas + applyInPandas."""
     return run_mapreduce(text_documents(spark, sf_dir), wc_map, wc_reduce)
+
+
+def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shim's skew-safe path: wc as an associative merge fold with
+    map-side combining (one partial per Arrow batch reaches the
+    shuffle). Same oracle as the plain shim — results must be equal."""
+    return run_mapreduce(text_documents(spark, sf_dir), wc_map, merge=wc_merge)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -125,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
         # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
+        "mr_wordcount_combiner": _mr_wordcount_combiner,
         "shard_rebalance": shards.shard_rebalance,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
@@ -277,6 +290,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "mr_wordcount_shim": f"""
+            {_DOCS_CTE}
+            SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+            FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
+            GROUP BY word
+        """,
+        "mr_wordcount_combiner": f"""
             {_DOCS_CTE}
             SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
             FROM (SELECT UNNEST({_TOK}) AS word FROM docs)

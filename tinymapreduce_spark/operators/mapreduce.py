@@ -39,6 +39,10 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 MapF = Callable[[str, str], Iterable[tuple[str, str]]]
 ReduceF = Callable[[str, list[str]], str]
+# An associative+commutative fold on the VALUE domain: merge(k, vs) must
+# equal merge(k, [merge(k, any_partition_of(vs))...]) — the contract that
+# makes map-side combining legal (Hadoop's Combiner, Spark's partial agg).
+MergeF = Callable[[str, list[str]], str]
 
 KV_SCHEMA = "key string, value string"
 
@@ -46,10 +50,11 @@ KV_SCHEMA = "key string, value string"
 def run_mapreduce(
     df: DataFrame,
     mapf: MapF,
-    reducef: ReduceF,
+    reducef: ReduceF | None = None,
     num_partitions: int | None = None,
     key_col: str = "filename",
     value_col: str = "contents",
+    merge: MergeF | None = None,
 ) -> DataFrame:
     """Run a classic (mapf, reducef) job over a 2-column DataFrame.
 
@@ -57,7 +62,19 @@ def run_mapreduce(
     called once per row and may emit any number of (key, value) pairs,
     exactly like ``Map(filename, contents)``
     (``/root/reference/src/mrapps/wc.go:21``).
+
+    Skew posture: with plain ``reducef`` every value of one key
+    materializes in one Arrow batch (the reference has the same shape —
+    one reduce call sees all values). When the reduce is an associative
+    fold, pass ``merge`` instead: each map-side Arrow batch pre-folds
+    its keys to ONE partial before the shuffle, so a hot key ships
+    ~one value per map batch rather than one per occurrence, and the
+    final fold sees a bounded list. ``merge`` replaces ``reducef`` at
+    both levels (a combiner must be merge-compatible with itself, which
+    the raw reference signature — e.g. wc's len(values) — is not).
     """
+    if (reducef is None) == (merge is None):
+        raise ValueError("exactly one of reducef / merge is required")
 
     def map_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,10 +88,33 @@ def run_mapreduce(
 
     kv = df.select(key_col, value_col).mapInPandas(map_stage, schema=KV_SCHEMA)
 
+    if merge is not None:
+        # Map-side combine: fold each batch's keys to one partial each.
+        # Chains in the SAME stage as map_stage (narrow mapInPandas), so
+        # the shuffle input shrinks from one row per emit to one row per
+        # (batch, distinct key) — the partial-aggregation shape Catalyst
+        # gives built-in aggregates, reproduced for arbitrary Python
+        # folds. Memory is bounded by one Arrow batch.
+        def combine_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    yield pdf
+                    continue
+                folded = (
+                    pdf.groupby("key", sort=False)["value"]
+                    .apply(lambda s: merge(s.name, sorted(s.tolist())))
+                    .reset_index()
+                )
+                yield folded
+
+        kv = kv.mapInPandas(combine_stage, schema=KV_SCHEMA)
+
     if num_partitions:
         # Explicit R, mirroring nReduce (/root/reference/src/main/mrcoordinator.go:23).
         # Left unset, AQE sizes the shuffle — the right default at scale.
         kv = kv.repartition(num_partitions, "key")
+
+    final = merge if merge is not None else reducef
 
     def reduce_stage(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["key"].iloc[0]
@@ -82,7 +122,7 @@ def run_mapreduce(
         # (worker.go:158-183); sorting values here gives reducef the same
         # deterministic value order the sequential oracle sees.
         values = sorted(pdf["value"].tolist())
-        return pd.DataFrame({"key": [key], "value": [reducef(key, values)]})
+        return pd.DataFrame({"key": [key], "value": [final(key, values)]})
 
     return kv.groupBy("key").applyInPandas(reduce_stage, schema=KV_SCHEMA)
 
@@ -102,3 +142,11 @@ def wc_map(_filename: str, contents: str) -> Iterable[tuple[str, str]]:
 def wc_reduce(_key: str, values: list[str]) -> str:
     """Count occurrences (``/root/reference/src/mrapps/wc.go:41-44``)."""
     return str(len(values))
+
+
+def wc_merge(_key: str, values: list[str]) -> str:
+    """wc as an associative fold: values are decimal partial counts
+    (map emits "1"s), merging = integer sum. Unlike ``wc_reduce``
+    (len(values)), this is merge-compatible with itself, so it can run
+    as a map-side combiner AND the final fold."""
+    return str(sum(int(v) for v in values))
