@@ -35,7 +35,7 @@ from tinymapreduce_spark.operators.mapreduce import (
     wc_reduce,
 )
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
-from tinymapreduce_spark.sources import textfiles
+from tinymapreduce_spark.sources import manifest_sink, textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import state as stream_state
 from tinymapreduce_spark.streaming import windows as stream_windows
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": stream_windows.stream_stream_join,
         # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
+        "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
         "shard_rebalance": shards.shard_rebalance,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_source_runs": _WORD_COUNT_SQL,
         "csv_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
+        "manifest_wap_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,
         "partitioned_sink_pruned_scan": layout.PARTITIONED_SINK_SQL,

@@ -1,0 +1,65 @@
+"""Write-audit-publish manifest sink: commit atomicity, idempotent
+re-runs, audit aborts, time travel, and orphan-file invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tinymapreduce_spark.sources.manifest_sink import AuditError, ManifestTable
+
+
+@pytest.fixture
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_publish_and_read(spark, table):
+    v = table.publish(_df(spark, 0, 100), snapshot_id="s1")
+    assert v == 1 and table.current_version() == 1
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == list(range(100))
+
+
+def test_idempotent_rerun_same_snapshot_id(spark, table):
+    v1 = table.publish(_df(spark, 0, 50), snapshot_id="job-2026-08-14")
+    v2 = table.publish(_df(spark, 0, 50), snapshot_id="job-2026-08-14")
+    assert v1 == v2 == 1
+    assert len(table.history()) == 1
+    assert table.read(spark).count() == 50
+
+
+def test_audit_failure_leaves_readers_untouched(spark, table):
+    table.publish(_df(spark, 0, 10), snapshot_id="good")
+    with pytest.raises(AuditError):
+        table.publish(
+            _df(spark, 0, 10),
+            snapshot_id="bad",
+            audit=lambda d: "too many nulls" if d.count() else "too many nulls",
+        )
+    # pointer still on v1; staged files for the failed snapshot removed
+    assert table.current_version() == 1
+    assert not [d for d in os.listdir(table.data_dir) if "snap-bad" in d]
+    assert table.read(spark).count() == 10
+
+
+def test_versioning_and_time_travel(spark, table):
+    table.publish(_df(spark, 0, 10), snapshot_id="a")
+    table.publish(_df(spark, 0, 25), snapshot_id="b")
+    assert table.current_version() == 2
+    assert table.read(spark).count() == 25
+    assert table.read(spark, version=1).count() == 10
+    assert [s.snapshot_id for s in table.history()] == ["a", "b"]
+
+
+def test_orphan_files_invisible(spark, table):
+    table.publish(_df(spark, 0, 10), snapshot_id="a")
+    # a crashed writer's leftovers: data files with no manifest
+    orphan = os.path.join(table.data_dir, "snap-crashed-deadbeef")
+    _df(spark, 100, 200).write.parquet(orphan)
+    assert table.read(spark).count() == 10  # manifest list, not dir glob

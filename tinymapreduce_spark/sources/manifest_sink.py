@@ -1,0 +1,205 @@
+"""Write-audit-publish (WAP) manifest sink — an ACID-ish table commit
+protocol on plain parquet, standing in for a Delta/Iceberg-style table
+format (neither is in this container; the reference has only the
+rename-committed text sink, ``/root/reference/src/mr/worker.go:160-184``
+— this generalizes the same temp+rename idempotency trick to versioned
+multi-file tables).
+
+Protocol per snapshot:
+
+1. WRITE   — data files land in ``data/snap-<id>/`` (a staging prefix no
+             reader ever lists; executors write these via a normal
+             distributed parquet job).
+2. AUDIT   — the staged files are re-read and checked (row count,
+             schema, caller-supplied predicates). Failure deletes the
+             staging prefix; readers never saw it.
+3. PUBLISH — a manifest JSON (file list + stats) is written, then the
+             ``_current`` pointer is flipped with ``os.replace`` — the
+             ONE atomic operation in the protocol. Readers resolve
+             ``_current`` -> manifest -> exactly those files, so
+             half-written snapshots and orphaned files are invisible.
+
+Cluster posture: data-file writes scale out (plain parquet job); only
+the pointer flip is centralized, and it's O(1) — the same shape
+Iceberg's metadata pointer swap or a Hive-metastore location update
+takes at any scale. Re-publishing an identical ``snapshot_id`` is a
+no-op (idempotent pipeline re-runs); every historical version stays
+readable until expired.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class AuditError(RuntimeError):
+    """Raised when a staged snapshot fails its audit; nothing published."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: str
+    files: list[str]
+    n_rows: int
+    schema_ddl: str
+
+
+class ManifestTable:
+    """A directory-backed versioned parquet table with WAP commits."""
+
+    def __init__(self, table_dir: str) -> None:
+        self.table_dir = table_dir
+        self.manifest_dir = os.path.join(table_dir, "_manifests")
+        self.data_dir = os.path.join(table_dir, "data")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_current")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._current_path(), encoding="utf-8") as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(self._manifest_path(version), encoding="utf-8") as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            snapshot_id=m["snapshot_id"],
+            files=m["files"],
+            n_rows=m["n_rows"],
+            schema_ddl=m["schema_ddl"],
+        )
+
+    def history(self) -> list[Snapshot]:
+        cur = self.current_version()
+        if cur is None:
+            return []
+        return [self.snapshot(v) for v in range(1, cur + 1)]
+
+    def _find_snapshot_id(self, snapshot_id: str) -> int | None:
+        for snap in self.history():
+            if snap.snapshot_id == snapshot_id:
+                return snap.version
+        return None
+
+    # -- the WAP commit ----------------------------------------------
+
+    def publish(
+        self,
+        df: DataFrame,
+        snapshot_id: str,
+        audit: Callable[[DataFrame], str | None] | None = None,
+    ) -> int:
+        """Write ``df`` as the table's next version. Returns the version
+        serving ``snapshot_id`` — the existing one if this id already
+        published (idempotent re-run), else the freshly committed one.
+
+        ``audit`` receives the RE-READ staged frame and returns an error
+        string to abort (or None to pass) — checks run against what was
+        actually written, not what was intended.
+        """
+        existing = self._find_snapshot_id(snapshot_id)
+        if existing is not None:
+            return existing
+
+        spark = df.sparkSession
+        staging = os.path.join(self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(staging)
+
+        try:
+            staged = spark.read.parquet(staging)
+            n_rows = staged.count()
+            problems = audit(staged) if audit else None
+            if problems:
+                raise AuditError(problems)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+        files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        version = (self.current_version() or 0) + 1
+        manifest = {
+            "version": version,
+            "snapshot_id": snapshot_id,
+            "files": files,
+            "n_rows": n_rows,
+            "schema_ddl": staged.schema.simpleString(),
+        }
+        with open(self._manifest_path(version), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        # THE atomic publish: readers either see the old pointer or the
+        # new one, never a torn state.
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path())
+        return version
+
+    # -- reads -------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a published version (default: current) by its manifest's
+        exact file list — stray/orphaned files in data/ are ignored."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(v)
+        return spark.read.parquet(*snap.files)
+
+
+def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query exercising the whole WAP protocol in one pass:
+    publish the slim lineitem projection, abort an audit-failing empty
+    snapshot (readers must stay on v1), re-publish the same snapshot_id
+    (idempotent no-op), then aggregate the CURRENT version. Must equal
+    the same aggregate over the original parquet (shared oracle with the
+    csv/orc round-trips)."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"wap_lineitem_{tag}"))
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    v1 = table.publish(li, snapshot_id="base", audit=lambda d: None if d.count() > 0 else "empty")
+    try:
+        table.publish(
+            li.limit(0), snapshot_id="broken", audit=lambda d: None if d.count() > 0 else "empty"
+        )
+    except AuditError:
+        pass
+    assert table.publish(li, snapshot_id="base") == v1  # idempotent re-run
+
+    back = table.read(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
