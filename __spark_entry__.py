@@ -37,6 +37,7 @@ from tinymapreduce_spark.operators.mapreduce import (
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
 from tinymapreduce_spark.sources import manifest_sink, textfiles
 from tinymapreduce_spark.sources.loaders import text_documents
+from tinymapreduce_spark.streaming import sinks as stream_sinks
 from tinymapreduce_spark.streaming import state as stream_state
 from tinymapreduce_spark.streaming import windows as stream_windows
 
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": stream_state.stream_session_window,
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
+        "stream_wap_sink": stream_sinks.stream_wap_sink,
         # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
         "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
@@ -378,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_window": stream_state.STREAM_SESSION_SQL,
         "stream_dedup": stream_state.STREAM_DEDUP_SQL,
         "stream_stream_join": stream_windows.STREAM_STREAM_JOIN_SQL,
+        "stream_wap_sink": stream_sinks.STREAM_WAP_SQL,
         "correlated_scalar_subquery": subqueries.CORRELATED_SQL,
         "in_subquery": subqueries.IN_SUBQUERY_SQL,
         "exact_percentiles": subqueries.PERCENTILES_SQL,

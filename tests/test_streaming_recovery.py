@@ -125,6 +125,52 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path_factory):
     assert read_all() == [(i, i * 10, i * 20) for i in range(150)]
 
 
+def test_wap_stream_sink_replay_is_exactly_once(spark, tmp_path_factory):
+    """The WAP manifest table as a streaming sink: micro-batches publish
+    snapshots keyed by batch id, so a replayed batch (at-least-once
+    foreachBatch delivery after a crash) hits the idempotent no-op path
+    — version count and readable data are unchanged."""
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+    base = str(tmp_path_factory.mktemp("wap_stream"))
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _write_file(spark, src, "f1", range(0, 40))
+    _write_file(spark, src, "f2", range(40, 90))
+
+    table = ManifestTable(os.path.join(base, "table"))
+    seen: list[tuple[int, int]] = []
+
+    def publish_batch(bdf, batch_id):
+        seen.append((batch_id, bdf.count()))
+        table.publish(bdf, snapshot_id=f"batch-{batch_id}")
+
+    q = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(publish_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    versions_before = table.current_version()
+    data_before = sorted((r.bucket, r.n) for r in table.read(spark).collect())
+    assert data_before == [(b, 9) for b in range(10)]  # 90 ids over 10 buckets
+
+    # crash-replay the last delivered batch verbatim: no new version
+    last_id, _ = seen[-1]
+    replay = table.read(spark, version=versions_before)
+    table.publish(replay, snapshot_id=f"batch-{last_id}")
+    assert table.current_version() == versions_before
+    assert sorted((r.bucket, r.n) for r in table.read(spark).collect()) == data_before
+
+
 def test_available_now_processes_backlog_then_stops(spark, tmp_path_factory):
     """Trigger.AvailableNow — the batch-over-stream execution mode every
     incremental pipeline schedules: process exactly the files present at

@@ -274,13 +274,18 @@ GROUP BY 1
 
 
 def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same AS-OF semantics as `asof_join`, through the cogrouped
-    pandas API: both sides shuffle ONCE on user_id, arrive per key as
-    Arrow batches, and pd.merge_asof does the O(n) two-pointer match —
-    the canonical distributed as-of when both sides are fact-sized and
-    the matching logic outgrows window tricks. Shares asof_join's
-    oracle (DuckDB's native ASOF JOIN), so window-emulation, cogrouped
-    pandas, and a native implementation are checked against each other."""
+    """The same AS-OF semantics as ``asof_join``, through the cogrouped
+    pandas API. NOT the default as-of path: ``asof_join`` (pure-JVM
+    window emulation) is ~25x faster at bench scale (0.33 s vs 8 s,
+    BENCH_r01) because this form pays the Python/Arrow cogroup tax on
+    every row — reach for it only when the per-key matching logic
+    outgrows what window functions can express (custom tolerance rules,
+    multi-column nearest, stateful per-key logic). Kept registered as
+    deliberate API-surface coverage: both sides shuffle ONCE on
+    user_id, arrive per key as Arrow batches, and pd.merge_asof does
+    the O(n) two-pointer match. Shares asof_join's oracle (DuckDB's
+    native ASOF JOIN), so window-emulation, cogrouped pandas, and a
+    native implementation are checked against each other."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
