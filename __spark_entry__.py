@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
         "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
+        "recursive_cte_hierarchy": subqueries.recursive_cte_hierarchy,
+        "lateral_topn_per_group": subqueries.lateral_topn_per_group,
         "shard_rebalance": shards.shard_rebalance,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
@@ -387,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": subqueries.PIVOT_SQL,
         "unpivot_stack": subqueries.UNPIVOT_SQL,
         "range_join_bucketed": subqueries.RANGE_JOIN_SQL,
+        "recursive_cte_hierarchy": subqueries.RECURSIVE_CTE_SQL,
+        "lateral_topn_per_group": subqueries.LATERAL_TOPN_SQL,
         "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
         "python_udtf_split": udaf.PYTHON_UDTF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -222,6 +222,96 @@ GROUP BY 1, 2
 """
 
 
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (native in Spark 4): every supplier walks a
+    deterministic heap-parent chain (parent(k) = k div 2, root = 1) to
+    its root; output is the per-depth census with ancestor-sum fold —
+    the BOM-explosion / org-chart shape. Catalyst executes the recursion
+    as an iterative union with per-step reuse; the iterative-DataFrame
+    twin of this pattern (driver-side loop + localCheckpoint) is
+    operators/graph.py::connected_components — having both covers the
+    declarative AND imperative recursion surfaces.
+
+    Scale: each recursion step is one narrow self-join on the previous
+    step's frontier (heap depth ~ log2(max key) steps, bounded)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, ancestor, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM supplier
+          UNION ALL
+          SELECT suppkey, ancestor div 2, depth + 1 FROM chain WHERE ancestor > 1
+        ),
+        rooted AS (
+          SELECT suppkey,
+                 MAX(depth) AS root_depth,
+                 SUM(ancestor) AS ancestor_sum
+          FROM chain GROUP BY suppkey
+        )
+        SELECT root_depth, COUNT(*) AS n_suppliers,
+               MIN(suppkey) AS min_suppkey,
+               SUM(ancestor_sum) AS total_ancestor_sum
+        FROM rooted GROUP BY root_depth
+        """
+    )
+
+
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain(suppkey, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+  UNION ALL
+  SELECT suppkey, ancestor // 2, depth + 1 FROM chain WHERE ancestor > 1
+),
+rooted AS (
+  SELECT suppkey,
+         MAX(depth) AS root_depth,
+         CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
+  FROM chain GROUP BY suppkey
+)
+SELECT root_depth, COUNT(*) AS n_suppliers,
+       MIN(suppkey) AS min_suppkey,
+       CAST(SUM(ancestor_sum) AS BIGINT) AS total_ancestor_sum
+FROM rooted GROUP BY root_depth
+"""
+
+
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: for each nation, its top-3 customers
+    by account balance (ties to the smaller custkey) — the SQL-standard
+    spelling of top-N-per-group. Catalyst plans the correlated LIMIT as
+    a rank-window under the hood (DSL twin: analytics.topk_per_group),
+    so declaring it laterally costs nothing vs hand-writing the window —
+    exactly the declarative-first posture this engine wants."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.bal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 3
+        ) l
+        """
+    )
+
+
+LATERAL_TOPN_SQL = """
+SELECT n.n_name, l.c_custkey, l.bal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 3
+) l
+"""
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation surface: HLL++ approx_count_distinct and
     t-digest-style approx percentile. No SQL oracle (sketch results are
