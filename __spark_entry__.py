@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
+        "boilerplate_spans": dedup.boilerplate_spans,
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -102,32 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
         "negative_sampling": similarity.negative_sampling,
-        # --- text analysis ---
-        "lang_id": textstats.lang_id,
-        "quality_score": textstats.quality_score,
-        "token_stats": textstats.token_stats,
-        "fingerprint": textstats.fingerprint,
-        "repetition_score": textstats.repetition_score,
-        "pii_mask": textstats.pii_mask,
-        "tfidf_top_terms": textstats.tfidf_top_terms,
-        "bigram_lm": textstats.bigram_lm,
-        "extract_entities": textstats.extract_entities,
-        # --- curation ---
-        "deterministic_sample": curation.deterministic_sample,
-        "stratified_sample": curation.stratified_sample,
-        "weighted_sample": curation.weighted_sample,
-        "train_val_test_split": curation.train_val_test_split,
-        "contamination_check": curation.contamination_check,
-        "sequence_pack": curation.sequence_pack,
-        "doc_chunk_overlap": curation.doc_chunk_overlap,
-        "per_source_cap": curation.per_source_cap,
-        "mix_weights": curation.mix_weights,
-        "curation_pipeline": curation.curation_pipeline,
-        # --- multimodal ---
-        "multimodal_features": multimodal.multimodal_features,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "frame_sample": multimodal.frame_sample,
-        "audio_energy_windows": multimodal.audio_energy_windows,
+        # --- round-2 additions + K6 (oracle added this round) ---
+        "mr_wordcount_combiner": _mr_wordcount_combiner,
+        "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
+        "recursive_cte_hierarchy": subqueries.recursive_cte_hierarchy,
+        "lateral_topn_per_group": subqueries.lateral_topn_per_group,
+        "shard_rebalance": shards.shard_rebalance,
         # --- streaming ---
         "stream_static_join": stream_windows.stream_static_join,
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
@@ -138,12 +119,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
         "stream_wap_sink": stream_sinks.stream_wap_sink,
-        # --- K6 (oracle added in round 2) + sketches / graph / clustering ---
-        "mr_wordcount_combiner": _mr_wordcount_combiner,
-        "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
-        "recursive_cte_hierarchy": subqueries.recursive_cte_hierarchy,
-        "lateral_topn_per_group": subqueries.lateral_topn_per_group,
-        "shard_rebalance": shards.shard_rebalance,
+        # --- text analysis ---
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_stats": textstats.token_stats,
+        "fingerprint": textstats.fingerprint,
+        "repetition_score": textstats.repetition_score,
+        "pii_mask": textstats.pii_mask,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        "bigram_lm": textstats.bigram_lm,
+        # --- multimodal ---
+        "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "audio_energy_windows": multimodal.audio_energy_windows,
+        # --- curation (first 50 ends inside this block) ---
+        "deterministic_sample": curation.deterministic_sample,
+        "stratified_sample": curation.stratified_sample,
+        "train_val_test_split": curation.train_val_test_split,
+        "contamination_check": curation.contamination_check,
+        "sequence_pack": curation.sequence_pack,
+        "doc_chunk_overlap": curation.doc_chunk_overlap,
+        "training_shuffle": curation.training_shuffle,
+        "curation_pipeline": curation.curation_pipeline,
+        "weighted_sample": curation.weighted_sample,
+        "per_source_cap": curation.per_source_cap,
+        "mix_weights": curation.mix_weights,
+        "extract_entities": textstats.extract_entities,
+        # --- sketches / graph / clustering ---
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
@@ -445,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": maintenance.DRIFT_SQL,
         "time_to_conversion": events.TIME_TO_CONVERSION_SQL,
         "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
+        "boilerplate_spans": dedup.BOILERPLATE_SQL,
+        "training_shuffle": curation.TRAINING_SHUFFLE_SQL,
         "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
         "winsorize_stats": analytics.WINSORIZE_SQL,
         "event_path_trigrams": events.EVENT_PATH_SQL,

@@ -490,3 +490,44 @@ SELECT lang, n_docs,
        ROUND((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
 FROM counts, totals
 """
+
+
+TRAIN_SHUFFLE_EPOCH = 1
+TRAIN_SHUFFLE_SHARDS = 8
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data loading: every doc
+    routes to one of TRAIN_SHUFFLE_SHARDS worker shards by a stable hash
+    and gets a pseudo-random position WITHIN its shard (order by
+    md5(epoch, doc_id)) — exactly how distributed loaders consume a
+    corpus (each worker streams its own shard in shuffled order; a new
+    epoch constant reshuffles everything, reproducibly).
+
+    Scale shape: one shuffle on shard, then a PER-SHARD row_number
+    (partitioned window — NOT the single-task global-ntile shape; each
+    shard sorts in parallel). No global total order is ever computed,
+    because loaders don't need one."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(
+        F.concat_ws("-", F.lit(f"epoch{TRAIN_SHUFFLE_EPOCH}"), F.col("doc_id").cast("string"))
+    )
+    shard = F.pmod(_hash_byte(F.col("doc_id")), F.lit(TRAIN_SHUFFLE_SHARDS))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", shard.cast("int").alias("shard"), key.alias("shuffle_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+TRAINING_SHUFFLE_SQL = f"""
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) % {TRAIN_SHUFFLE_SHARDS} AS INT) AS shard,
+         md5('epoch{TRAIN_SHUFFLE_EPOCH}-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+"""

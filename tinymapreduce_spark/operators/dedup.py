@@ -173,6 +173,75 @@ NGRAM_THRESHOLD = 0.5
 DEDUP_NGRAM_SQL = DEDUP_NGRAM_SQL_TMPL.format(threshold=NGRAM_THRESHOLD)
 
 
+BOILERPLATE_DF = 5  # a span in >= this many docs is boilerplate
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-span detection (the RefinedWeb/Dolma-style
+    companion to whole-doc dedup): a token 3-gram span occurring in >=
+    BOILERPLATE_DF distinct documents is template boilerplate (headers,
+    footers, navigation); per document, report its span count, the
+    boilerplate span count, and the boilerplate fraction — the signal a
+    curation pipeline thresholds on or uses to excise spans.
+
+    Scale shape: spans travel as xxhash64 longs; document frequency is
+    one hash-groupBy on the span hash; the hot-span set then semi-joins
+    back on the same key (no broadcast assumption — at 100 TB the
+    boilerplate set itself can be huge). Two shuffles total, both on
+    8-byte keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= BOILERPLATE_DF)
+        .select("h")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    boiler = (
+        sh.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), span_df AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+), per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh JOIN span_df USING (shingle)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_spans,
+       CAST(n_boiler AS BIGINT) AS n_boilerplate,
+       ROUND(CAST(n_boiler AS DOUBLE) / n_spans, 6) AS boilerplate_frac
+FROM per
+"""
+
+
 def _ensure_pair_graph(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the exact Jaccard pair graph ONCE per (session, sf)
     as parquet; downstream consumers (clusters, survivors — and any real
