@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": textstats.pii_mask,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm": textstats.bigram_lm,
+        "char_entropy": textstats.char_entropy,
+        "sentiment_lexicon": textstats.sentiment_lexicon,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -437,6 +439,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": analytics.COPURCHASE_SQL,
         "trend_slope": analytics.TREND_SLOPE_SQL,
         "bigram_lm": textstats.BIGRAM_LM_SQL,
+        "char_entropy": textstats.CHAR_ENTROPY_SQL,
+        "sentiment_lexicon": textstats.SENTIMENT_SQL,
         "mix_weights": curation.MIX_WEIGHTS_SQL,
         "sql_interface": analytics.SQL_INTERFACE_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,

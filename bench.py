@@ -115,6 +115,14 @@ HEADLINE = [
     "stickiness_ratio",
     "negative_sampling",
     "rfm_segments",
+    "mr_wordcount_combiner",
+    "manifest_wap_roundtrip",
+    "recursive_cte_hierarchy",
+    "lateral_topn_per_group",
+    "boilerplate_spans",
+    "training_shuffle",
+    "char_entropy",
+    "sentiment_lexicon",
 ]
 
 

@@ -514,6 +514,16 @@ def test_equidepth_sampled_no_global_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast
 
 
+def test_training_shuffle_no_global_sort(spark, sf_dir):
+    """The epoch shuffle must sort per shard (parallel partitioned
+    window), never as one global total order."""
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.training_shuffle(spark, sf_dir))
+    assert "SinglePartition" not in p
+    assert "row_number" in p
+
+
 def test_equidepth_exact_is_single_partition_sort(spark, sf_dir):
     """Pin the REAL shape of the exact ntile form: an unpartitioned
     window plans Exchange SinglePartition (whole-table one-task sort).

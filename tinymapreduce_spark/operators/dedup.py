@@ -190,7 +190,10 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate set itself can be huge). Two shuffles total, both on
     8-byte keys."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # Both the df-count branch and the semi-join branch consume the
+    # shingle relation — cache it so the corpus scans + explode run once
+    # (same convention as dedup_ngram_jaccard).
+    sh = _shingles(docs).cache()
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -491,3 +491,123 @@ SELECT doc_id, entity_type, CAST(idx AS BIGINT) AS idx, entity FROM u
 UNION ALL
 SELECT doc_id, entity_type, CAST(idx AS BIGINT) AS idx, entity FROM e
 """
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the classic
+    gibberish/low-diversity curation signal (near-0 = one repeated char,
+    ~4.1 = typical English prose; threshold both tails when filtering).
+
+    Computed as H = log2(n) - (1/n) * sum(c * log2(c)) over per-char
+    counts c, so only one float fold happens per doc; everything before
+    it is exact integer counting. One explode + two hash aggregates, all
+    codegen — no Python. Shares the two-step shuffle shape of word
+    count (char keys instead of words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).where(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars"),
+            F.sum(F.col("cnt") * F.log2("cnt")).alias("clog"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.round(F.log2("n_chars") - F.col("clog") / F.col("n_chars"), 6).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+), counts AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM chars WHERE c <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       ROUND(log2(CAST(SUM(cnt) AS DOUBLE)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS entropy_bits
+FROM counts
+GROUP BY doc_id
+"""
+
+
+# Tiny sentiment lexicon over the synthetic corpus vocabulary (the
+# SURVEY §7.4 "sentiment-lexicon join" pattern: lexicon = broadcast dim,
+# tokens = fact). Real pipelines swap in VADER/AFINN rows — same plan.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 1,
+    "big": 1,
+    "value": 1,
+    "fresh": 1,
+    "slow": -1,
+    "small": -1,
+    "dup": -1,
+    "stale": -1,
+}
+
+
+def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment per document: tokens equi-join a broadcast
+    polarity lexicon; score = (sum of matched polarities) / token count.
+
+    Scale shape: the lexicon (thousands of rows at most, here 8) is a
+    broadcast dim, so the token fact never shuffles for the join — one
+    scan, one broadcast-hash join, one doc_id hash aggregate. Docs with
+    zero lexicon hits still report a row (left join, zero score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(
+            sorted(SENTIMENT_LEXICON.items()), "tok string, polarity int"
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    return (
+        toks.join(lex, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum(F.coalesce("polarity", F.lit(0))).alias("polarity_sum"),
+            F.count("polarity").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hits",
+            "polarity_sum",
+            F.round(F.col("polarity_sum") / F.col("n_tokens"), 6).alias("sentiment"),
+        )
+    )
+
+
+_LEX_VALUES = ", ".join(f"('{t}', {p})" for t, p in sorted(SENTIMENT_LEXICON.items()))
+
+SENTIMENT_SQL = f"""
+WITH lex(tok, polarity) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS n_tokens,
+         UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       MAX(n_tokens) AS n_tokens,
+       COUNT(l.polarity) AS n_hits,
+       CAST(COALESCE(SUM(l.polarity), 0) AS BIGINT) AS polarity_sum,
+       ROUND(CAST(COALESCE(SUM(l.polarity), 0) AS DOUBLE) / MAX(n_tokens), 6) AS sentiment
+FROM toks LEFT JOIN lex l USING (tok)
+GROUP BY doc_id
+"""

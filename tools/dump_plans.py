@@ -52,6 +52,11 @@ SELECTED = {
     "shuffle_hash_join_control": "SHUFFLE_HASH hint honored: hash join without per-side sorts",
     "rolling_active_users": "sliding exact distinct as pair-explode + hash agg — no per-day rescan",
     "winsorize_stats": "exact percentile cut points broadcast into a clip-in-scan projection",
+    "boilerplate_spans": "two shuffles, both on 8-byte span hashes; hot-span set never broadcast",
+    "training_shuffle": "per-shard row_number (parallel partitioned sort), no global total order",
+    "recursive_cte_hierarchy": "native recursion: per-step narrow self-union, log-depth bounded",
+    "lateral_topn_per_group": "correlated LATERAL LIMIT decorrelated to a rank window",
+    "mr_wordcount_combiner": "map-side pre-fold: shuffle carries one partial per (batch, key)",
 }
 
 
