@@ -591,3 +591,156 @@ WITH q AS (
 SELECT query_id, neg_id, n_label AS neg_label, rk
 FROM ranked WHERE rk <= {NEG_K}
 """
+
+
+# --- Product Quantization ANN (Jegou/Douze/Schmid, TPAMI 2011) --------
+# The memory-scale path: vectors compress to PQ_M one-byte codes (here
+# 16 one-byte codes vs 64 float64s = 32x smaller), and query scoring becomes
+# table lookups (ADC) instead of full-dim arithmetic. IVF prunes WHICH
+# vectors to score; PQ shrinks WHAT is stored and scored — at 100 TB
+# they compose (IVF-PQ).
+PQ_M = 16  # subspaces (dim 64 -> 4-dim subvectors)
+PQ_K = 32  # centroids per subspace codebook
+PQ_ITERS = 6
+PQ_RERANK_POOL = 8 * TOP_K  # ADC candidates per query that get exact re-rank
+
+
+def _subvectors(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, m, sub) — each vector split into PQ_M contiguous subvectors.
+    Slice bounds are Column arithmetic over size(), so the plan is O(1)
+    in dim."""
+    e = F.col(emb_col)
+    sub_len = (F.size(e) / PQ_M).cast("int")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(e, F.lit(m) * sub_len + 1, sub_len).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("s")).select(
+        "id", "s.m", "s.sub"
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(id, m, cid): nearest centroid per subvector. One broadcast join
+    + one hash aggregate — the deterministic argmin rides a struct MIN
+    (lexicographic (dist, cid)), no window, no shuffle beyond the agg."""
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "id", "m", F.struct(_sqdist("sub", "centroid").alias("d"), F.col("cid")).alias("dc")
+    )
+    return scored.groupBy("id", "m").agg(F.min("dc").getField("cid").alias("cid"))
+
+
+def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Lloyd's per subspace, all PQ_M subspaces trained in ONE dataflow
+    per iteration. Only PQ_M x PQ_K x sub_len floats reach the driver
+    per round (~1k values). Deterministic init: subvectors of the first
+    PQ_K vectors by vec_id."""
+    subs = _subvectors(emb, "vec_id", "embedding").persist()
+    codebook = [
+        (int(r["m"]), int(r["id"]), [float(x) for x in r["sub"]])
+        for r in subs.where(F.col("id") < PQ_K).collect()
+    ]
+    for _ in range(PQ_ITERS):
+        cb = spark.createDataFrame(codebook, "m int, cid int, centroid array<double>")
+        assigned = _pq_assign(subs, cb)
+        means = (
+            subs.join(assigned, ["id", "m"])
+            .select("m", "cid", F.posexplode("sub").alias("p", "x"))
+            .groupBy("m", "cid", "p")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["m"], r["cid"]), {})[r["p"]] = r["mx"]
+        # empty cells keep their previous centroid (standard Lloyd's)
+        codebook = [
+            (
+                m,
+                cid,
+                [new[(m, cid)][p] for p in sorted(new[(m, cid)])]
+                if (m, cid) in new
+                else cent,
+            )
+            for m, cid, cent in codebook
+        ]
+    subs.unpersist()
+    return spark.createDataFrame(codebook, "m int, cid int, centroid array<double>")
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization approximate top-k via asymmetric distance
+    computation (ADC): the corpus lives as PQ_M one-byte codes; each
+    query builds a (m, cid) -> squared-distance table against the
+    codebook, and an approximate distance is the SUM of PQ_M table
+    lookups — no full-dim arithmetic per candidate.
+
+    Scale shape: the codes index is a narrow (vec_id, m, code) relation
+    (PQ_M bytes/vector of payload); the per-query distance table
+    (queries x PQ_M x PQ_K rows) broadcasts; scoring is one equi-join on
+    (m, code) + one hash aggregate. Compose with IVF cells for the full
+    IVF-PQ at 100 TB. Rows-only driver check (approximate by
+    construction); recall >= vs the exact baseline asserted in
+    tests/test_invariants.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _train_pq_codebooks(spark, emb)
+
+    codes = _pq_assign(_subvectors(emb, "vec_id", "embedding"), cb).select(
+        F.col("id").alias("vec_id"), "m", F.col("cid").alias("code")
+    )
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dt = (
+        _subvectors(queries, "query_id", "embedding")
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            _sqdist("sub", "centroid").alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    # Retrieve-then-rerank (the standard PQ deployment): ADC selects a
+    # candidate pool, exact cosine re-ranks it. Only POOL vectors per
+    # query ever see full-dim arithmetic.
+    pool = PQ_RERANK_POOL
+    wa = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("prank", F.row_number().over(wa))
+        .where(F.col("prank") <= pool)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", F.col("embedding").alias("q_emb"))),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(exact)
