@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": textstats.bigram_lm,
         "char_entropy": textstats.char_entropy,
         "sentiment_lexicon": textstats.sentiment_lexicon,
+        "winnow_fingerprints": textstats.winnow_fingerprints,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": textstats.BIGRAM_LM_SQL,
         "char_entropy": textstats.CHAR_ENTROPY_SQL,
         "sentiment_lexicon": textstats.SENTIMENT_SQL,
+        "winnow_fingerprints": textstats.WINNOW_SQL,
         "mix_weights": curation.MIX_WEIGHTS_SQL,
         "sql_interface": analytics.SQL_INTERFACE_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,

@@ -123,6 +123,8 @@ HEADLINE = [
     "training_shuffle",
     "char_entropy",
     "sentiment_lexicon",
+    "winnow_fingerprints",
+    "ann_pq_topk",
 ]
 
 

@@ -9,7 +9,7 @@ sides).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.functions.text import normalized_text, tokens
@@ -610,4 +610,82 @@ SELECT doc_id,
        ROUND(CAST(COALESCE(SUM(l.polarity), 0) AS DOUBLE) / MAX(n_tokens), 6) AS sentiment
 FROM toks LEFT JOIN lex l USING (tok)
 GROUP BY doc_id
+"""
+
+
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): k-gram rolling hashes, one fingerprint per w-window minimum.
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+WINNOW_B = 257  # polynomial base
+WINNOW_M = (1 << 31) - 1  # modulus
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the rolling-hash selection
+    scheme behind MOSS-style near-copy detection: hash every char
+    8-gram with a polynomial rolling hash, keep the minimum of each
+    4-hash window, and summarize the per-doc fingerprint set (count +
+    exact integer checksum + extrema). Guarantees every shared
+    substring of >= k+w-1 chars contributes a shared fingerprint.
+
+    All integer math (fold (acc*B + code) % M per k-gram), so both
+    engines agree exactly. Scale shape: the k-gram hash array builds in
+    one codegen projection; the only shuffle is the per-doc explode's
+    window (partitioned by doc_id — parallel across docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    positions = F.when(
+        n >= WINNOW_K, F.sequence(F.lit(1), n - WINNOW_K + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kgram_hash = lambda p: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(WINNOW_K - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * WINNOW_B + F.ascii(F.substr(t, p + j, F.lit(1)))) % WINNOW_M,
+    )
+    hashed = docs.select(
+        "doc_id", F.posexplode(F.transform(positions, kgram_hash)).alias("p", "h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    wn = Window.partitionBy("doc_id")
+    fps = (
+        hashed.withColumn("win_min", F.min("h").over(w))
+        .withColumn("max_p", F.max("p").over(wn))
+        .where(F.col("p") <= F.col("max_p") - (WINNOW_W - 1))
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp").alias("fp_checksum"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+WINNOW_SQL = f"""
+WITH h AS (
+  SELECT doc_id, t.p,
+         list_reduce(
+           list_transform(range(0, {WINNOW_K}), j -> CAST(ascii(substr(text, t.p + j, 1)) AS BIGINT)),
+           (acc, x) -> (acc * {WINNOW_B} + x) % {WINNOW_M}
+         ) AS hash
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(1, length(text) - {WINNOW_K} + 2)) AS p) t
+  WHERE length(text) >= {WINNOW_K}
+), wins AS (
+  SELECT doc_id, p,
+         MIN(hash) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS win_min,
+         MAX(p) OVER (PARTITION BY doc_id) AS max_p
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, win_min AS fp
+  FROM wins WHERE p <= max_p - {WINNOW_W - 1}
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       CAST(SUM(fp) AS BIGINT) AS fp_checksum,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fps GROUP BY doc_id
 """
