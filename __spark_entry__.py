@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "semdedup_drops": similarity.semdedup_drops,
         "embedding_quantize": similarity.embedding_quantize,
@@ -273,8 +274,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
     pagerank_trade (iterative float algorithm),
     dedup_minhash_lsh / dedup_simhash / ann_ivf_topk / ann_lsh_topk /
-    ann_pq_topk / semdedup_drops (approximate by construction — tests
-    assert their recall against the exact forms instead), hll_distinct_merge /
+    ann_pq_topk / ann_ivfpq_topk / semdedup_drops (approximate by
+    construction — tests assert their recall against the exact forms
+    instead), hll_distinct_merge /
     kll_quantile_merge / cms_heavy_hitters (sketch estimates are
     engine-specific — tests bound their error vs the exact aggregates) /
     kmeans_clusters (float-mean centroids are summation-order-specific —

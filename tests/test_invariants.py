@@ -174,6 +174,21 @@ class TestApproxRecall:
         }
         assert len(approx & exact) / len(exact) >= 0.7
 
+    def test_ivfpq_ann_recall(self, spark, sf_dir):
+        """The composed IVF-PQ path: probing NPROBE/NLIST cells AND
+        scoring through quantized codes must still surface most true
+        neighbors (0.88 measured at sf0.01; bounded below by the IVF
+        probe recall since PQ+rerank is near-lossless on the pool)."""
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ann_topk_cosine(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ann_ivfpq_topk(spark, sf_dir).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.6
+
     def test_lsh_ann_recall_dim256(self, spark):
         """The hashed-plane LSH must hold up at real embedding dims: a
         synthetic dim-256 corpus with planted near-neighbors (cosine

@@ -744,3 +744,99 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(exact)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition that actually runs at 100 TB: IVF cells
+    decide WHICH vectors to consider (probe NPROBE of NLIST cells per
+    query), PQ codes decide HOW they are scored (ADC table lookups on a
+    16-byte-per-vector index), and a final exact re-rank polishes the
+    top pool. Per-query cost: (NPROBE/NLIST) of the corpus, scored with
+    no full-dim arithmetic until the last POOL candidates.
+
+    Both structures train distributed with only O(K x dim) driver
+    traffic (see _train_centroids / _train_pq_codebooks). Rows-only
+    driver check; recall vs the exact baseline asserted in
+    tests/test_invariants.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # IVF: cell assignment + query probes (same construction as ann_ivf_topk)
+    centroids = _train_centroids(spark, emb)
+    cdf = F.broadcast(
+        spark.createDataFrame(list(enumerate(centroids)), "cid int, centroid array<double>")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(cdf)
+        .select(
+            "vec_id",
+            "cid",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(cdf)
+        .select(
+            "query_id",
+            "cid",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "cid")
+    )
+
+    # PQ: codes index + per-query ADC distance tables
+    cb = _train_pq_codebooks(spark, emb)
+    codes = _pq_assign(_subvectors(emb, "vec_id", "embedding"), cb).select(
+        F.col("id").alias("vec_id"), "m", F.col("cid").alias("code")
+    )
+    dt = (
+        _subvectors(queries, "query_id", "embedding")
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            _sqdist("sub", "centroid").alias("d"),
+        )
+    )
+
+    # candidates = members of probed cells; scored by ADC lookups only
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("prank", F.row_number().over(wa))
+        .where(F.col("prank") <= PQ_RERANK_POOL)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        pool.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", F.col("embedding").alias("q_emb"))),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(exact)
