@@ -57,6 +57,30 @@ def test_versioning_and_time_travel(spark, table):
     assert [s.snapshot_id for s in table.history()] == ["a", "b"]
 
 
+def test_expire_and_vacuum(spark, table):
+    """Lifecycle: expiring old snapshots removes their manifests (reads
+    fail), vacuum reclaims only directories no kept manifest references,
+    and the kept versions stay byte-identical readable."""
+    for i, sid in enumerate(["a", "b", "c"], start=1):
+        table.publish(_df(spark, 0, i * 10), snapshot_id=sid)
+    # an orphan from a crashed writer, never published
+    orphan = os.path.join(table.data_dir, "snap-crash-ffff")
+    _df(spark, 0, 5).write.parquet(orphan)
+
+    expired = table.expire_snapshots(keep_last=2)
+    assert expired == [1]
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, version=1)
+    assert [s.snapshot_id for s in table.history()] == ["b", "c"]
+
+    removed = table.vacuum()
+    # v1's directory AND the orphan are gone; kept dirs remain
+    assert len(removed) == 2
+    assert not os.path.exists(orphan)
+    assert table.read(spark, version=2).count() == 20
+    assert table.read(spark).count() == 30
+
+
 def test_orphan_files_invisible(spark, table):
     table.publish(_df(spark, 0, 10), snapshot_id="a")
     # a crashed writer's leftovers: data files with no manifest

@@ -463,3 +463,50 @@ SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(CAST(SUM(cross_diff) OVER () AS DOUBLE) / (2.0 * tot_a * tot_b), 9) AS tv_distance
 FROM d
 """
+
+
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via the Observation API: named metrics
+    (row count, exact sum, value extrema) ride the SAME execution as
+    the action — harvested from the observe node after one pass, with
+    no second scan to compute the counters. This is how a production
+    job emits DQ/volume telemetry at 100 TB without doubling its I/O.
+
+    The query's RESULT is the harvested metrics row, so the driver
+    oracle (plain aggregates over the table) independently checks what
+    the observation measured."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation(f"li_metrics_{uuid.uuid4().hex[:8]}")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        F.min(F.col("l_extendedprice")).alias("min_price"),
+        F.max(F.col("l_extendedprice")).alias("max_price"),
+    )
+    observed.count()  # one action drives the scan; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["total_qty"]),
+                float(m["min_price"]),
+                float(m["max_price"]),
+            )
+        ],
+        "n_rows long, total_qty double, min_price double, max_price double",
+    )
+
+
+OBSERVED_METRICS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+"""

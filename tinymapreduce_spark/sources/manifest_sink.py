@@ -89,10 +89,18 @@ class ManifestTable:
         )
 
     def history(self) -> list[Snapshot]:
+        """All still-readable snapshots, oldest first (expired versions
+        are skipped)."""
         cur = self.current_version()
         if cur is None:
             return []
-        return [self.snapshot(v) for v in range(1, cur + 1)]
+        out = []
+        for v in range(1, cur + 1):
+            try:
+                out.append(self.snapshot(v))
+            except FileNotFoundError:
+                continue  # expired
+        return out
 
     def _find_snapshot_id(self, snapshot_id: str) -> int | None:
         for snap in self.history():
@@ -168,6 +176,48 @@ class ManifestTable:
         snap = self.snapshot(v)
         return spark.read.parquet(*snap.files)
 
+
+    # -- lifecycle maintenance ---------------------------------------
+
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Expire all but the newest ``keep_last`` versions: their
+        manifests are deleted so the versions stop being readable
+        (the current pointer is untouched — it is always among the
+        kept). Returns the expired version numbers. Data files are NOT
+        touched here; ``vacuum`` reclaims files no kept manifest
+        references — the Iceberg expire-snapshots / remove-orphan-files
+        split, so a reader mid-query on a kept version never loses
+        files."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        expired = [v for v in range(1, cur + 1) if v <= cur - keep_last]
+        for v in expired:
+            try:
+                os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories no surviving manifest references
+        (expired snapshots' files + crashed writers' orphans). Returns
+        the removed directories."""
+        live: set[str] = set()
+        cur = self.current_version()
+        for v in range(1, (cur or 0) + 1):
+            try:
+                for f in self.snapshot(v).files:
+                    live.add(os.path.dirname(f))
+            except FileNotFoundError:
+                continue
+        removed = []
+        for d in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, d)
+            if full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
 
 def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query exercising the whole WAP protocol in one pass:
