@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": textstats.char_entropy,
         "sentiment_lexicon": textstats.sentiment_lexicon,
         "winnow_fingerprints": textstats.winnow_fingerprints,
+        "compressibility": textstats.compressibility,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -283,7 +284,9 @@ def oracle_sql() -> dict[str, str]:
     kmeans_clusters (float-mean centroids are summation-order-specific —
     tests assert Lloyd's inertia monotonicity + partition invariants) /
     equidepth_sampled (percentile_approx sketch cutpoints are
-    engine-specific — tests bound bucket-population error vs exact ntile).
+    engine-specific — tests bound bucket-population error vs exact ntile) /
+    compressibility (deflate output is zlib-version specific — invariant
+    tests pin the signal direction on constructed docs instead).
     """
     return {
         "word_count": _WORD_COUNT_SQL,

@@ -336,6 +336,32 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def test_compressibility_signal_direction(spark, sf_dir):
+    """The deflate ratio must separate template redundancy from natural
+    text: a doc made of one token repeated compresses far better than
+    the corpus median, ratios stay in a sane band, and the distributed
+    kernel agrees with local zlib on the same bytes."""
+    import zlib
+
+    from tinymapreduce_spark.operators.textstats import (
+        compressibility,
+        compressibility_df,
+    )
+
+    rows = compressibility(spark, sf_dir).collect()
+    ratios = sorted(r.compress_ratio for r in rows)
+    assert all(0.0 < r <= 1.5 for r in ratios)
+    median = ratios[len(ratios) // 2]
+
+    spam_text = "spam " * 2000
+    spam = spark.createDataFrame([(0, spam_text)], "doc_id long, text string")
+    [got] = compressibility_df(spam).collect()
+    raw = spam_text.encode("utf-8")
+    expected = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got.compress_ratio == expected
+    assert got.compress_ratio < 0.05 < median
+
+
 def test_audio_energy_empty_and_nonascii_parity(spark):
     """ADVICE r01: (a) zero-length payloads must not crash the whole job
     — both engines emit no row for them; (b) energy is over UTF-8 BYTES,

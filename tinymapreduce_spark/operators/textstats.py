@@ -689,3 +689,50 @@ SELECT doc_id, COUNT(*) AS n_fingerprints,
        MIN(fp) AS min_fp, MAX(fp) AS max_fp
 FROM fps GROUP BY doc_id
 """
+
+
+def compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deflate compressibility — the quality heuristic that
+    catches both template spam (ratio near 0: huge redundancy) and
+    random noise (ratio near/above 1): ratio = deflate_size / raw_size
+    at level 6.
+
+    Python is unavoidable (no JVM-side zlib expression), so this runs
+    as an Arrow-batched mapInPandas kernel — bytes in, two ints + one
+    rounded ratio out, no per-row Python round trips beyond the batch
+    loop. Rows-only driver check (deflate output is library-version
+    specific); invariant tests pin the signal's direction on
+    constructed redundant vs natural docs."""
+    return compressibility_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def compressibility_df(docs: DataFrame) -> DataFrame:
+    """Kernel body over any ``(doc_id, text)`` frame — split out so
+    tests can certify the signal direction on constructed docs."""
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "deflate_bytes": comp,
+                    "compress_ratio": (comp / raw).round(6),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id long, raw_bytes long, deflate_bytes long, compress_ratio double",
+    )
