@@ -336,6 +336,52 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS guarantee (Schleimer et al., SIGMOD'03 Thm.): any match
+    of length >= k + w - 1 chars (= 11 here) between two documents
+    contributes at least one SHARED selected fingerprint. Checked on
+    constructed doc pairs embedding a common substring at different
+    offsets inside different surrounding text; and a negative control
+    with fully disjoint alphabets shares nothing."""
+    from tinymapreduce_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fps_df,
+    )
+
+    shared = "xylophonequartz"  # 15 chars >= WINNOW_K + WINNOW_W - 1
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc " + shared + " ddd eee fff"),
+            (2, "zzz " + shared + " yyy www vvv uuu ttt"),
+            (3, "qqq rrr sss qqq rrr sss qqq rrr sss"),  # disjoint control
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fps_df(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing an 11+ char substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+
+
+def test_training_shuffle_positions_are_contiguous(spark, sf_dir):
+    """Within every shard, positions must be exactly 1..n (a permutation
+    a loader can stream without gaps), and the assignment must be
+    reproducible across runs."""
+    from tinymapreduce_spark.operators.curation import training_shuffle
+
+    rows = training_shuffle(spark, sf_dir).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), f"shard {shard} has gaps"
+    again = {(r.doc_id, r.shard, r.pos) for r in training_shuffle(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
 def test_compressibility_signal_direction(spark, sf_dir):
     """The deflate ratio must separate template redundancy from natural
     text: a doc made of one token repeated compresses far better than

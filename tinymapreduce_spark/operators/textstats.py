@@ -633,7 +633,20 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree exactly. Scale shape: the k-gram hash array builds in
     one codegen projection; the only shuffle is the per-doc explode's
     window (partitioned by doc_id — parallel across docs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fps_df(load_table(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp").alias("fp_checksum"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+def winnow_fps_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — the selected fingerprint set per document, split
+    out so tests can assert the winnowing guarantee directly (any two
+    docs sharing a substring of >= WINNOW_K + WINNOW_W - 1 chars share
+    at least one fingerprint)."""
     t = F.col("text")
     n = F.length(t)
     positions = F.when(
@@ -656,12 +669,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("win_min").alias("fp"))
         .distinct()
     )
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.sum("fp").alias("fp_checksum"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
-    )
+    return fps
 
 
 WINNOW_SQL = f"""
