@@ -57,6 +57,34 @@ def test_versioning_and_time_travel(spark, table):
     assert [s.snapshot_id for s in table.history()] == ["a", "b"]
 
 
+def test_concurrent_publishes_serialize(spark, table):
+    """Concurrent writers must serialize through the commit lock:
+    N threads publishing distinct snapshots produce versions 1..N with
+    no version collisions, every snapshot readable; and two threads
+    racing the SAME snapshot_id commit it exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = {f"s{i}": _df(spark, i * 100, i * 100 + 10) for i in range(4)}
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(
+            ex.map(lambda kv: table.publish(kv[1], snapshot_id=kv[0]), dfs.items())
+        )
+    assert sorted(versions) == [1, 2, 3, 4]
+    assert {s.snapshot_id for s in table.history()} == set(dfs)
+    for v in versions:
+        assert table.read(spark, version=v).count() == 10
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        same = list(
+            ex.map(
+                lambda _: table.publish(_df(spark, 0, 7), snapshot_id="dup-race"),
+                range(2),
+            )
+        )
+    assert same[0] == same[1]
+    assert [s.snapshot_id for s in table.history()].count("dup-race") == 1
+
+
 def test_expire_and_vacuum(spark, table):
     """Lifecycle: expiring old snapshots removes their manifests (reads
     fail), vacuum reclaims only directories no kept manifest references,

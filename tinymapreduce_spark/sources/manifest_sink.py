@@ -32,8 +32,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,23 +149,55 @@ class ManifestTable:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         )
-        version = (self.current_version() or 0) + 1
-        manifest = {
-            "version": version,
-            "snapshot_id": snapshot_id,
-            "files": files,
-            "n_rows": n_rows,
-            "schema_ddl": staged.schema.simpleString(),
-        }
-        with open(self._manifest_path(version), "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=1)
-        # THE atomic publish: readers either see the old pointer or the
-        # new one, never a torn state.
-        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(version))
-        os.replace(tmp, self._current_path())
-        return version
+        # Version assignment + pointer flip run under the commit lock:
+        # concurrent writers serialize here (the table-format CAS — in
+        # Iceberg this is the atomic metadata swap; on a filesystem,
+        # O_EXCL lock-file acquisition). Everything expensive (the data
+        # write, the audit) already happened outside the lock.
+        with self._commit_lock():
+            # re-check under the lock: another writer may have published
+            # this snapshot_id while we were staging
+            existing = self._find_snapshot_id(snapshot_id)
+            if existing is not None:
+                shutil.rmtree(staging, ignore_errors=True)
+                return existing
+            version = (self.current_version() or 0) + 1
+            manifest = {
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "files": files,
+                "n_rows": n_rows,
+                "schema_ddl": staged.schema.simpleString(),
+            }
+            with open(self._manifest_path(version), "w", encoding="utf-8") as f:
+                json.dump(manifest, f, indent=1)
+            # THE atomic publish: readers either see the old pointer or
+            # the new one, never a torn state.
+            tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(version))
+            os.replace(tmp, self._current_path())
+            return version
+
+    @contextmanager
+    def _commit_lock(self, timeout_s: float = 30.0):
+        """O_EXCL lock file — the poor-filesystem's CAS. Held only for
+        the (tiny) manifest write + pointer flip."""
+        lock = os.path.join(self.manifest_dir, "_commit.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     # -- reads -------------------------------------------------------
 
