@@ -125,6 +125,9 @@ HEADLINE = [
     "sentiment_lexicon",
     "winnow_fingerprints",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "compressibility",
+    "observed_metrics",
 ]
 
 

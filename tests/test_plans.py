@@ -514,6 +514,28 @@ def test_equidepth_sampled_no_global_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast
 
 
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL LIMIT must decorrelate into a rank window
+    + equi-join — NOT a per-outer-row re-execution (nested loop /
+    cartesian), which is what a naive planner does with LATERAL."""
+    from tinymapreduce_spark.plans import subqueries
+
+    p = plan_of(subqueries.lateral_topn_per_group(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_recursive_cte_plans_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan as Catalyst's iterative UnionLoop (each
+    step a narrow self-union on the frontier), not an unrolled or
+    materialized-to-driver form."""
+    from tinymapreduce_spark.plans import subqueries
+
+    p = plan_of(subqueries.recursive_cte_hierarchy(spark, sf_dir))
+    assert "UnionLoop" in p
+
+
 def test_training_shuffle_no_global_sort(spark, sf_dir):
     """The epoch shuffle must sort per shard (parallel partitioned
     window), never as one global total order."""
