@@ -29,6 +29,11 @@ N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 # bench cost for the PQ family). Driver memory: O(K x dim) floats each.
 _CENTROID_CACHE: dict[str, list[list[float]]] = {}
 _PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+
+# Codebooks/centroids train on a bounded deterministic sample (vec_id
+# cap) — at 100 TB you never train k-means on the full corpus; the
+# sample bounds iteration cost while assignment still covers everything.
+TRAIN_SAMPLE_CAP = 2048
 TOP_K = 5
 
 
@@ -98,6 +103,9 @@ def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters:
     """
     init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
+    # single-file corpora scan as ONE partition — spread the per-iter
+    # assignment work across the cluster and keep it resident
+    emb = emb.repartition(32, "vec_id").persist()
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
     for _ in range(iters):
         cdf = spark.createDataFrame(
@@ -127,12 +135,14 @@ def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters:
             vec = [comps[p] for p in sorted(comps)]
             norm = sum(x * x for x in vec) ** 0.5 or 1.0
             centroids[cid] = [x / norm for x in vec]
+    emb.unpersist()
     return centroids
 
 
 def _cached_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[float]]:
     if sf_dir not in _CENTROID_CACHE:
-        _CENTROID_CACHE[sf_dir] = _train_centroids(spark, emb)
+        sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_CAP)
+        _CENTROID_CACHE[sf_dir] = _train_centroids(spark, sample)
     return _CENTROID_CACHE[sf_dir]
 
 
@@ -614,7 +624,7 @@ FROM ranked WHERE rk <= {NEG_K}
 # they compose (IVF-PQ).
 PQ_M = 16  # subspaces (dim 64 -> 4-dim subvectors)
 PQ_K = 32  # centroids per subspace codebook
-PQ_ITERS = 6
+PQ_ITERS = 3  # pool re-rank masks codebook residual error; 3 Lloyd rounds suffice
 PQ_RERANK_POOL = 8 * TOP_K  # ADC candidates per query that get exact re-rank
 
 
@@ -661,7 +671,7 @@ def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
     per iteration. Only PQ_M x PQ_K x sub_len floats reach the driver
     per round (~1k values). Deterministic init: subvectors of the first
     PQ_K vectors by vec_id."""
-    subs = _subvectors(emb, "vec_id", "embedding").persist()
+    subs = _subvectors(emb, "vec_id", "embedding").repartition(32, "id").persist()
     codebook = [
         (int(r["m"]), int(r["id"]), [float(x) for x in r["sub"]])
         for r in subs.where(F.col("id") < PQ_K).collect()
@@ -696,7 +706,7 @@ def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
 def _cached_pq_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     if sf_dir not in _PQ_CODEBOOK_CACHE:
-        cb = _train_pq_codebooks(spark, emb)
+        cb = _train_pq_codebooks(spark, emb.where(F.col("vec_id") < TRAIN_SAMPLE_CAP))
         _PQ_CODEBOOK_CACHE[sf_dir] = [
             (int(r["m"]), int(r["cid"]), [float(x) for x in r["centroid"]])
             for r in cb.collect()
@@ -720,7 +730,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-PQ at 100 TB. Rows-only driver check (approximate by
     construction); recall >= vs the exact baseline asserted in
     tests/test_invariants.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     cb = _cached_pq_codebook(spark, sf_dir, emb)
 
     codes = _pq_assign(_subvectors(emb, "vec_id", "embedding"), cb).select(
@@ -783,7 +793,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic (see _train_centroids / _train_pq_codebooks). Rows-only
     driver check; recall vs the exact baseline asserted in
     tests/test_invariants.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
 
     # IVF: cell assignment + query probes (same construction as ann_ivf_topk)
     centroids = _cached_centroids(spark, sf_dir, emb)
