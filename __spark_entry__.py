@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": textstats.char_entropy,
         "sentiment_lexicon": textstats.sentiment_lexicon,
         "winnow_fingerprints": textstats.winnow_fingerprints,
+        "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         "compressibility": textstats.compressibility,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": textstats.CHAR_ENTROPY_SQL,
         "sentiment_lexicon": textstats.SENTIMENT_SQL,
         "winnow_fingerprints": textstats.WINNOW_SQL,
+        "winnow_neardup_pairs": textstats.WINNOW_NEARDUP_SQL,
         "mix_weights": curation.MIX_WEIGHTS_SQL,
         "sql_interface": analytics.SQL_INTERFACE_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,

@@ -683,7 +683,10 @@ def winnow_fps_df(docs: DataFrame) -> DataFrame:
     return fps
 
 
-WINNOW_SQL = f"""
+# Shared winnowing closure (k-gram rolling hashes -> window minima ->
+# selected fingerprint set) — WINNOW_SQL and WINNOW_NEARDUP_SQL compose
+# their final projections onto it (named constant, not string surgery).
+_WINNOW_CTE_SQL = f"""
 WITH h AS (
   SELECT doc_id, t.p,
          list_reduce(
@@ -703,6 +706,9 @@ WITH h AS (
   SELECT DISTINCT doc_id, win_min AS fp
   FROM wins WHERE p <= max_p - {WINNOW_W - 1}
 )
+"""
+
+WINNOW_SQL = _WINNOW_CTE_SQL + """
 SELECT doc_id, COUNT(*) AS n_fingerprints,
        CAST(SUM(fp) AS BIGINT) AS fp_checksum,
        MIN(fp) AS min_fp, MAX(fp) AS max_fp
@@ -755,3 +761,44 @@ def compressibility_df(docs: DataFrame) -> DataFrame:
         kernel,
         schema="doc_id long, raw_bytes long, deflate_bytes long, compress_ratio double",
     )
+
+
+# Pair threshold: on this small-vocab corpus background pairs share a
+# median of ~7 selected fingerprints by chance while true near-dups
+# score 16-182, so >= 40 keeps strong partial-copy overlap only (at
+# real-corpus vocab sizes chance collisions vanish and the threshold
+# can drop toward the MOSS-style 2-5).
+WINNOW_SHARED_MIN = 40
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy pairs via shared winnowing fingerprints — the MOSS
+    use case proper: two documents that share >= WINNOW_SHARED_MIN
+    selected fingerprints contain common substrings of >= k+w-1 chars,
+    catching quotation/template overlap that whole-document Jaccard
+    misses when the rest of the docs differ.
+
+    Scale shape: identical to the other pair generators — a narrow
+    (doc_id, fp) index self-joined on the 8-byte fingerprint, so only
+    docs colliding on a selected hash ever pair; no all-pairs stage."""
+    fps = winnow_fps_df(load_table(spark, sf_dir, "documents"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= WINNOW_SHARED_MIN)
+    )
+
+
+WINNOW_NEARDUP_SQL = (
+    _WINNOW_CTE_SQL
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
+"""
+)
