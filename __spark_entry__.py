@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal.multimodal_resize,
         "frame_sample": multimodal.frame_sample,
         "audio_energy_windows": multimodal.audio_energy_windows,
+        "image_header_parse": multimodal.image_header_parse,
         # --- curation (first 50 ends inside this block) ---
         "deterministic_sample": curation.deterministic_sample,
         "stratified_sample": curation.stratified_sample,
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
+        "image_header_parse": multimodal.IMAGE_HEADER_SQL,
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
         "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,

@@ -279,3 +279,63 @@ SELECT t.doc_id, t.n_windows, t.total_energy,
        r.win AS peak_window, CAST(r.energy AS BIGINT) AS peak_energy
 FROM totals t JOIN ranked r ON t.doc_id = r.doc_id AND r.rk = 1
 """
+
+
+def image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary METADATA parsing entirely JVM-side — the step that needs
+    no codec and so needs no stub: a deterministic PNG-layout header
+    (magic + IHDR length + 'IHDR' + big-endian u32 width/height derived
+    from doc_id) is constructed as a real BinaryType column, then parsed
+    back by offset arithmetic (substring on binary -> hex -> base-16
+    conv). This is how a 100 TB image pipeline reads dimensions for
+    filtering/bucketing WITHOUT decoding pixels: a few header bytes per
+    blob, pure codegen, no Python.
+
+    Width/height are synthesized (the corpus has no real images); the
+    PARSING path — big-endian u32 extraction at PNG IHDR offsets 16/20 —
+    is byte-for-byte the real one, and the oracle re-derives both the
+    construction and the parse independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(100) + F.col("doc_id") % 512).cast("int")
+    height = (F.lit(100) + (F.col("doc_id") * 7) % 512).cast("int")
+    be_u32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG magic
+        F.unhex(F.lit("0000000D")),  # IHDR chunk length (13)
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be_u32(width),
+        be_u32(height),
+        F.unhex(F.lit("0806000000")),  # bit depth/color/etc
+    )
+    blobs = docs.select("doc_id", payload.alias("payload"))
+    parse_u32 = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.expr(f"substring(payload, {pos}, 4)")), 16, 10
+    ).cast("long")
+    return blobs.select(
+        "doc_id",
+        (F.hex(F.expr("substring(payload, 1, 8)")) == "89504E470D0A1A0A").alias(
+            "magic_ok"
+        ),
+        parse_u32(17).alias("width"),
+        parse_u32(21).alias("height"),
+        F.length("payload").cast("long").alias("header_bytes"),
+    )
+
+
+IMAGE_HEADER_SQL = """
+WITH blobs AS (
+  SELECT doc_id,
+         unhex('89504E470D0A1A0A') || unhex('0000000D') || encode('IHDR')
+         || unhex(lpad(to_hex(CAST(100 + doc_id % 512 AS INT)), 8, '0'))
+         || unhex(lpad(to_hex(CAST(100 + (doc_id * 7) % 512 AS INT)), 8, '0'))
+         || unhex('0806000000') AS payload
+  FROM documents
+)
+SELECT doc_id,
+       -- DuckDB has no blob substr: byte offset k maps to hex chars 2k-1..
+       substr(hex(payload), 1, 16) = '89504E470D0A1A0A' AS magic_ok,
+       CAST('0x' || substr(hex(payload), 33, 8) AS BIGINT) AS width,
+       CAST('0x' || substr(hex(payload), 41, 8) AS BIGINT) AS height,
+       CAST(octet_length(payload) AS BIGINT) AS header_bytes
+FROM blobs
+"""
