@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte_hierarchy": subqueries.recursive_cte_hierarchy,
         "lateral_topn_per_group": subqueries.lateral_topn_per_group,
         "observed_metrics": maintenance.observed_metrics,
+        "map_functions": analytics.map_functions,
         "shard_rebalance": shards.shard_rebalance,
         # --- streaming ---
         "stream_static_join": stream_windows.stream_static_join,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "recursive_cte_hierarchy": subqueries.RECURSIVE_CTE_SQL,
         "lateral_topn_per_group": subqueries.LATERAL_TOPN_SQL,
         "observed_metrics": maintenance.OBSERVED_METRICS_SQL,
+        "map_functions": analytics.MAP_FUNCTIONS_SQL,
         "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
         "python_udtf_split": udaf.PYTHON_UDTF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -2148,3 +2148,71 @@ SELECT r, f, m, COUNT(*) AS n_customers,
 FROM scored
 GROUP BY r, f, m
 """
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType higher-order-function coverage — the nested-type surface
+    array_functions doesn't reach: build a per-user event_type -> count
+    map (map_from_entries over a SORTED entry array, so map order is
+    deterministic), then transform_values (double the counts),
+    map_filter (keep doubled counts >= 4), map_zip_with (pair each kept
+    count with its share of the user total), and flatten via
+    map_entries to a canonical string. All Catalyst; one shuffle per
+    aggregation level.
+
+    The oracle derives identical strings without MAP machinery (DuckDB
+    list/string aggregation) — parity checks the SEMANTICS of the map
+    pipeline, not the storage type."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    doubled = F.transform_values(F.col("m"), lambda _k, v: v * 2)
+    kept = F.map_filter(doubled, lambda _k, v: v >= 4)
+    with_share = F.map_zip_with(
+        kept,
+        kept,
+        lambda _k, v, _v2: F.round(v / (F.lit(2.0) * F.col("total")), 6),
+    )
+    entry_str = F.transform(
+        F.map_entries(with_share),
+        lambda e: F.concat_ws("=", e.getField("key"), e.getField("value").cast("string")),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(entry_str, ",").alias("shares"),
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT user_id, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS total
+  FROM per_type GROUP BY user_id
+), kept AS (
+  SELECT p.user_id,
+         COUNT(*) AS n_kept,
+         string_agg(
+           p.event_type || '=' ||
+           CAST(ROUND(CAST(p.n * 2 AS DOUBLE) / (2.0 * t.total), 6) AS VARCHAR),
+           ',' ORDER BY p.event_type) AS shares
+  FROM per_type p JOIN totals t USING (user_id)
+  WHERE p.n * 2 >= 4
+  GROUP BY p.user_id
+)
+SELECT t.user_id,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.shares, '') AS shares
+FROM totals t LEFT JOIN kept k USING (user_id)
+"""
