@@ -128,6 +128,9 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "compressibility",
     "observed_metrics",
+    "winnow_neardup_pairs",
+    "image_header_parse",
+    "map_functions",
 ]
 
 

@@ -118,3 +118,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnowing_invariant_under_corpus_inflation(spark, sf_dir):
+    """Fingerprint summaries are per-document deterministic: 16x the
+    corpus (same texts, shifted doc_ids) must reproduce each base doc's
+    exact (count, checksum, extrema) on every copy — content-derived
+    output is invariant to corpus size and partition layout."""
+    from tinymapreduce_spark.operators.textstats import winnow_fps_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = {
+        r.doc_id: (r.n, r.checksum)
+        for r in winnow_fps_df(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fp").alias("checksum"))
+        .collect()
+    }
+    big = _inflate(docs, ["doc_id"], copies=4)
+    inflated = {
+        r.doc_id: (r.n, r.checksum)
+        for r in winnow_fps_df(big)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fp").alias("checksum"))
+        .collect()
+    }
+    assert len(inflated) == 4 * len(base)
+    for doc_id, stats in inflated.items():
+        assert stats == base[doc_id % 1_000_000_000], f"doc {doc_id} diverged"

@@ -57,6 +57,9 @@ SELECTED = {
     "recursive_cte_hierarchy": "native recursion: per-step narrow self-union, log-depth bounded",
     "lateral_topn_per_group": "correlated LATERAL LIMIT decorrelated to a rank window",
     "mr_wordcount_combiner": "map-side pre-fold: shuffle carries one partial per (batch, key)",
+    "winnow_fingerprints": "array-indexed rolling hash; per-doc window, parallel across docs",
+    "map_functions": "map HOFs ride the per-user aggregate; two shuffles total",
+    "image_header_parse": "binary construction + offset parse entirely in codegen, zero shuffle",
 }
 
 
