@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
         "boilerplate_spans": dedup.boilerplate_spans,
+        "tf_cosine_pairs": dedup.tf_cosine_pairs,
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -469,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "time_to_conversion": events.TIME_TO_CONVERSION_SQL,
         "dedup_survivors": dedup.DEDUP_SURVIVORS_SQL,
         "boilerplate_spans": dedup.BOILERPLATE_SQL,
+        "tf_cosine_pairs": dedup.TF_COSINE_SQL,
         "training_shuffle": curation.TRAINING_SHUFFLE_SQL,
         "shuffle_hash_join_control": analytics.SHUFFLE_HASH_SQL,
         "winsorize_stats": analytics.WINSORIZE_SQL,

@@ -568,3 +568,82 @@ FROM comp c JOIN (
   WHERE rk = 1
 ) s ON c.component = s.component
 """
+
+
+TF_COSINE_THRESHOLD = 0.8
+TF_COSINE_DF_CAP = 50  # terms in more docs than this are too common to discriminate
+
+
+def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine pairs — the term-vector sibling of the
+    embedding tier: documents as integer term-frequency vectors, paired
+    when cosine >= threshold over a df-capped vocabulary (terms in >
+    TF_COSINE_DF_CAP docs carry no signal and would also be the hot
+    keys of the term join — the same discriminativeness-equals-
+    join-safety coincidence PPJoin exploits).
+
+    Determinism: numerator and both norms are EXACT integer sums
+    (tf_a*tf_b and tf^2); the single final division+sqrt is the only
+    float op, rounded at the edge — so unlike a float TF-IDF fold,
+    engines agree bit-for-bit. Scale shape: narrow (doc, term-hash, tf)
+    relation self-joined on the 8-byte term hash, df-capped."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", F.xxhash64("tok").alias("h"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= TF_COSINE_DF_CAP
+    )
+    tf = tf.join(rare.select("h"), "h", "left_semi")
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "h", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "h", F.col("tf").alias("tf_b"))
+    num = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("num") / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= TF_COSINE_THRESHOLD)
+    )
+
+
+TF_COSINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), rare AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+  WHERE df <= {TF_COSINE_DF_CAP}
+), tfr AS (
+  SELECT tf.* FROM tf JOIN rare USING (tok)
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2 FROM tfr GROUP BY doc_id
+), num AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS num
+  FROM tfr a JOIN tfr b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(num / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)), 6) AS cosine
+FROM num
+JOIN norms na ON num.doc_a = na.doc_id
+JOIN norms nb ON num.doc_b = nb.doc_id
+WHERE ROUND(num / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)), 6) >= {TF_COSINE_THRESHOLD}
+"""
