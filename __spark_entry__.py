@@ -124,6 +124,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
         "stream_wap_sink": stream_sinks.stream_wap_sink,
+        # --- curation ---
+        "deterministic_sample": curation.deterministic_sample,
+        "stratified_sample": curation.stratified_sample,
+        "train_val_test_split": curation.train_val_test_split,
+        "contamination_check": curation.contamination_check,
+        "sequence_pack": curation.sequence_pack,
+        "doc_chunk_overlap": curation.doc_chunk_overlap,
+        "training_shuffle": curation.training_shuffle,
+        "curation_pipeline": curation.curation_pipeline,
+        "weighted_sample": curation.weighted_sample,
+        "per_source_cap": curation.per_source_cap,
+        "mix_weights": curation.mix_weights,
+        "extract_entities": textstats.extract_entities,
+        # --- multimodal (first 50 ends inside this block) ---
+        "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "audio_energy_windows": multimodal.audio_energy_windows,
+        "image_header_parse": multimodal.image_header_parse,
         # --- text analysis ---
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -138,25 +157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": textstats.winnow_fingerprints,
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         "compressibility": textstats.compressibility,
-        # --- multimodal ---
-        "multimodal_features": multimodal.multimodal_features,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "frame_sample": multimodal.frame_sample,
-        "audio_energy_windows": multimodal.audio_energy_windows,
-        "image_header_parse": multimodal.image_header_parse,
-        # --- curation (first 50 ends inside this block) ---
-        "deterministic_sample": curation.deterministic_sample,
-        "stratified_sample": curation.stratified_sample,
-        "train_val_test_split": curation.train_val_test_split,
-        "contamination_check": curation.contamination_check,
-        "sequence_pack": curation.sequence_pack,
-        "doc_chunk_overlap": curation.doc_chunk_overlap,
-        "training_shuffle": curation.training_shuffle,
-        "curation_pipeline": curation.curation_pipeline,
-        "weighted_sample": curation.weighted_sample,
-        "per_source_cap": curation.per_source_cap,
-        "mix_weights": curation.mix_weights,
-        "extract_entities": textstats.extract_entities,
         # --- sketches / graph / clustering ---
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
