@@ -26,13 +26,27 @@ from __future__ import annotations
 import json
 import os
 import sys
+import uuid
+from dataclasses import dataclass
 
 from pyspark import cloudpickle
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class MrRunsDataSource(DataSource):
-    """``format("mr_runs")``: directory of JSON-lines run files."""
+    """``format("mr_runs")``: directory of JSON-lines run files.
+
+    Both directions of the extension API: the reader (one InputPartition
+    per run file) and the writer (task-attempt temp files promoted by a
+    driver-side commit — the SAME temp+rename exactly-once trick the
+    reference's reduce output uses, ``worker.go:160-184``, expressed
+    through ``DataSourceWriter.write/commit/abort``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -43,6 +57,9 @@ class MrRunsDataSource(DataSource):
 
     def reader(self, schema) -> "MrRunsReader":
         return MrRunsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "MrRunsWriter":
+        return MrRunsWriter(self.options, overwrite)
 
 
 class MrRunsReader(DataSourceReader):
@@ -69,6 +86,56 @@ class MrRunsReader(DataSourceReader):
                 if line:
                     rec = json.loads(line)
                     yield (rec.get("key"), rec.get("value"), fname)
+
+
+@dataclass
+class RunCommit(WriterCommitMessage):
+    tmp_file: str
+    n_rows: int
+
+
+class MrRunsWriter(DataSourceWriter):
+    """Per-task JSON-lines runs with a two-phase commit: executors write
+    task-attempt temp files (crash-safe: an uncommitted attempt leaves
+    only a dot-prefixed temp the reader ignores); the driver's commit()
+    promotes every attempt with one rename each and drops the previous
+    generation on overwrite. abort() removes the orphans."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_runs sink requires option 'path'")
+        self.overwrite = overwrite
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows) -> RunCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".tmp-run-{pid}-{uuid.uuid4().hex[:8]}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps({"key": row[0], "value": row[1]}) + "\n")
+                n += 1
+        return RunCommit(tmp_file=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("mr-run-"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                m.tmp_file, os.path.join(self.path, f"mr-run-{i:05d}.json")
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_file)
+            except (FileNotFoundError, TypeError):
+                pass
 
 
 # The datasource class is shipped to executors by value — the repo is on

@@ -194,3 +194,30 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 through the MODERN extension API in both directions: word
+    count KV pairs go out through the custom Python DataSource WRITER
+    (task-attempt temp files + driver commit rename — the reference's
+    exactly-once output protocol expressed via write/commit/abort), come
+    back through the custom reader, and the finished count must equal
+    the straight word count (same oracle). Overwrite mode re-runs
+    idempotently: commit drops the previous generation atomically."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources import mr_runs_source
+    from tinymapreduce_spark.sources.loaders import text_documents
+
+    mr_runs_source.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"custom_sink_{tag}")
+
+    kv = text_documents(spark, sf_dir).select(
+        F.explode(tokens("contents")).alias("key"), F.lit("1").alias("value")
+    )
+    kv.write.format("mr_runs").mode("overwrite").option("path", out).save()
+
+    back = spark.read.format("mr_runs").option("path", out).load()
+    return back.groupBy(F.col("key").alias("word")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
