@@ -79,11 +79,14 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver verification priority.
 
-    CORRECTNESS_r01 covered only the first 50 entries, so round 2 rotates
-    the 104 previously-unchecked queries to the FRONT (LLM-pipeline
-    dedup/ANN/text/curation/multimodal first, then streaming, then layout
-    / events / remaining relational surface); the 49 already-driver-green
-    entries from round 1 come last.
+    CORRECTNESS_r01 covered only the first 50 entries, so never-driver-
+    checked queries come FIRST: the LLM-pipeline families the round-1
+    review called out (dedup/similarity/ANN, round-2 additions, K6,
+    streaming, curation, multimodal) fill the first 50; text analysis,
+    sketches/graph, layout, events, maintenance and the remaining
+    relational surface follow; the 49 already-driver-green entries from
+    round 1 come last. Rotate again next round based on
+    CORRECTNESS_r02.
     """
     return {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---

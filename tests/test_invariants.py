@@ -336,6 +336,24 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def test_tf_cosine_identity_and_disjointness(spark):
+    """Constructed guarantees for the sparse-cosine pair op: exact
+    duplicate docs score cosine 1.0; docs with disjoint (rare)
+    vocabularies never pair."""
+    from tinymapreduce_spark.operators.dedup import tf_cosine_pairs_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),
+            (2, "alpha beta gamma delta alpha beta"),  # identical to 1
+            (3, "epsilon zeta eta theta iota kappa"),  # disjoint vocab
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r.cosine for r in tf_cosine_pairs_df(docs).collect()}
+    assert rows == {(1, 2): 1.0}
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """The MOSS guarantee (Schleimer et al., SIGMOD'03 Thm.): any match
     of length >= k + w - 1 chars (= 11 here) between two documents

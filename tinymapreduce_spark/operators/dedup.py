@@ -587,7 +587,13 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op, rounded at the edge — so unlike a float TF-IDF fold,
     engines agree bit-for-bit. Scale shape: narrow (doc, term-hash, tf)
     relation self-joined on the 8-byte term hash, df-capped."""
-    docs = load_table(spark, sf_dir, "documents")
+    return tf_cosine_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def tf_cosine_pairs_df(docs: DataFrame) -> DataFrame:
+    """Body over any ``(doc_id, text)`` frame — split out so tests can
+    certify identity (duplicates -> cosine 1.0) and disjoint-vocabulary
+    guarantees on constructed docs."""
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", F.xxhash64("tok").alias("h"))
