@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_metrics": maintenance.observed_metrics,
         "map_functions": analytics.map_functions,
         "custom_sink_roundtrip": textfiles.custom_sink_roundtrip,
+        "text_normalize": textstats.text_normalize,
         "shard_rebalance": shards.shard_rebalance,
         # --- streaming ---
         "stream_static_join": stream_windows.stream_static_join,
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
         "custom_sink_roundtrip": _WORD_COUNT_SQL,
+        "text_normalize": textstats.TEXT_NORMALIZE_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,
         "csv_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,

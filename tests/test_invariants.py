@@ -772,3 +772,40 @@ class TestEquidepthSampled:
             assert abs(r.n_orders - target) <= max(2, 0.02 * target), (r.decile, r.n_orders)
         for a, b in zip(rows, rows[1:]):
             assert a.hi <= b.lo, (a.decile, a.hi, b.lo)
+
+
+def test_text_normalize_nfc_and_control_strip(spark):
+    """The Unicode path the ASCII corpus can't exercise: combining
+    sequences fold to precomposed forms (decomposed 'e'+U+0301 hashes
+    identically to precomposed U+00E9), control chars are stripped
+    (tab/newline kept), and the two independent NFC implementations
+    (Python unicodedata vs DuckDB nfc_normalize) agree on the md5."""
+    import duckdb
+
+    from tinymapreduce_spark.operators.textstats import (
+        TEXT_NORMALIZE_SQL,
+        text_normalize_df,
+    )
+
+    rows = [
+        (1, "café résumé", "s"),          # precomposed
+        (2, "café résumé", "s"),        # decomposed, same rendering
+        (3, "tab\there\nline\x07bell\x00nul\x9f", "s"),   # controls
+        (4, "plain ascii", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.clean_md5, r.changed, r.n_control_stripped)
+        for r in text_normalize_df(df.select("doc_id", "text")).collect()
+    }
+    # NFC folds 2 onto 1: identical clean hashes, doc 2 flagged changed
+    assert got[1][0] == got[2][0]
+    assert got[1][1] is False and got[2][1] is True
+    assert got[3][2] == 3  # bell, nul, U+009F stripped; tab/newline kept
+    assert got[4] == (got[4][0], False, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(TEXT_NORMALIZE_SQL).fetchall()}
+    assert got == want

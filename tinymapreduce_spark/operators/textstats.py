@@ -802,3 +802,75 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
 """
 )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene — the first stage of every multilingual corpus
+    pipeline: NFC-normalize (fold combining sequences into precomposed
+    code points so visually-identical strings hash identically) and
+    strip C0/C1 control characters (except tab/newline). Emits the md5
+    of the cleaned text plus change counters, so dedup keys computed
+    downstream are representation-independent.
+
+    No JVM NFC expression exists, so this is an Arrow-batched
+    mapInPandas kernel (unicodedata is C-accelerated); the oracle uses
+    DuckDB's native nfc_normalize — two INDEPENDENT NFC
+    implementations agreeing on the md5 is the point of the parity
+    check (certified on combining-character docs in tests; the ASCII
+    corpus passes through unchanged)."""
+    return text_normalize_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def text_normalize_df(docs: DataFrame) -> DataFrame:
+    """Kernel body over any ``(doc_id, text)`` frame."""
+    import hashlib
+    import unicodedata
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    _CONTROL = {c: None for c in range(32) if c not in (9, 10)}
+    _CONTROL.update({c: None for c in range(127, 160)})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "clean_md5": [],
+                "changed": [],
+                "n_control_stripped": [],
+            }
+            # strip BEFORE normalizing: controls never join combining
+            # sequences, and DuckDB's nfc_normalize truncates at NUL —
+            # stripping first keeps the two oracles on the same input.
+            for t in pdf["text"]:
+                stripped = t.translate(_CONTROL)
+                clean = unicodedata.normalize("NFC", stripped)
+                out["clean_md5"].append(hashlib.md5(clean.encode("utf-8")).hexdigest())
+                out["changed"].append(clean != t)
+                out["n_control_stripped"].append(len(t) - len(stripped))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id long, clean_md5 string, changed boolean, n_control_stripped long",
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') AS stripped
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text, stripped, nfc_normalize(stripped) AS clean FROM s
+)
+SELECT doc_id,
+       md5(clean) AS clean_md5,
+       clean <> text AS changed,
+       CAST(length(text) - length(stripped) AS BIGINT) AS n_control_stripped
+FROM cleaned
+"""
