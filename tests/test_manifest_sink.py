@@ -115,3 +115,23 @@ def test_orphan_files_invisible(spark, table):
     orphan = os.path.join(table.data_dir, "snap-crashed-deadbeef")
     _df(spark, 100, 200).write.parquet(orphan)
     assert table.read(spark).count() == 10  # manifest list, not dir glob
+
+
+def test_schema_evolution_harmonized_read(spark, table):
+    """Snapshots may evolve schemas: a column added in v2 reads as NULL
+    for v1 rows in the harmonized union; each version alone still reads
+    with exactly its own schema; manifests record the per-version DDL."""
+    v1 = spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+    v2 = spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'b' AS batch_tag")
+    table.publish(v1, snapshot_id="old-schema")
+    table.publish(v2, snapshot_id="new-schema")
+
+    assert "batch_tag" not in table.read(spark, version=1).columns
+    assert "batch_tag" in table.read(spark, version=2).columns
+    assert "batch_tag" in table.snapshot(2).schema_ddl
+
+    h = table.read_history_harmonized(spark)
+    rows = {(r.id): (r.batch_tag, r._version) for r in h.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] == (None, 1) for i in range(5))
+    assert all(rows[i] == ("b", 2) for i in range(5, 8))

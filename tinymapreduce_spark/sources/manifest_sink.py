@@ -210,6 +210,25 @@ class ManifestTable:
         snap = self.snapshot(v)
         return spark.read.parquet(*snap.files)
 
+    def read_history_harmonized(self, spark: SparkSession) -> DataFrame:
+        """Every surviving version unioned under schema evolution:
+        columns added in later snapshots read as NULL for earlier ones
+        (unionByName with allowMissingColumns — the add-column-with-
+        null-default read semantics of evolving table formats). A
+        ``_version`` column tags provenance. Each snapshot's own schema
+        stays recorded verbatim in its manifest (``schema_ddl``)."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for snap in self.history():
+            df = self.read(spark, snap.version).withColumn(
+                "_version", F.lit(snap.version)
+            )
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        return out
+
 
     # -- lifecycle maintenance ---------------------------------------
 
