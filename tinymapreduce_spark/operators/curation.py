@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.functions.text import tokens
-from tinymapreduce_spark.sources.loaders import load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 SAMPLE_NUM = 32  # keep 32/256 ≈ 12.5% of documents
 
@@ -32,7 +32,7 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~12.5% document sample, stable across runs/retries/engines:
     keep doc iff first md5 byte < 32. Per-source sampled counts prove
     the sample is unbiased w.r.t. source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     return (
         docs.where(_hash_byte(F.col("doc_id")) < SAMPLE_NUM)
         .groupBy("source")
@@ -59,7 +59,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 split by hash bucket: bucket = first md5 byte mod 10;
     0-7 train, 8 val, 9 test. Adding documents later never moves an
     existing one between splits (no leakage across re-runs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     bucket = F.pmod(_hash_byte(F.col("doc_id")), F.lit(10))
     split = (
         F.when(bucket <= 7, F.lit("train")).when(bucket == 8, F.lit("val")).otherwise(F.lit("test"))
@@ -95,7 +95,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same md5-byte routing as deterministic_sample, so the selected
     SET (not just its size) is reproducible across runs and engines.
     One scan, no shuffle until the final tiny per-lang aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     thr = F.lit(DEFAULT_NUM)
     for lang, n in STRATA_NUM.items():
         thr = F.when(F.col("lang") == lang, F.lit(n)).otherwise(thr)
@@ -141,7 +141,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     then left-semi join against it with NO shuffle of the training side,
     and only contaminated doc_ids (a tiny set) reach the final
     aggregate. The 100 TB cost is one scan + one broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     d = docs.select("doc_id", "source", tokens("text").alias("toks"))
     grams = _grams(d)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -209,7 +209,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window sum inside each partition, and the final per-sequence
     aggregate reuses the same partitioning — no second exchange of the
     full data."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     d = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_tok"),
@@ -276,7 +276,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window from the in-row array; no shuffle at all, chunks stream
     straight to the sink. Chunk content is certified by md5 so the
     oracle compares text, not just counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     toked = docs.select("doc_id", tokens("text").alias("t")).withColumn(
         "n", F.size("t")
     )
@@ -333,7 +333,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     to be counted. One job, two stages, at any corpus size."""
     from tinymapreduce_spark.functions.text import normalized_text, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     gated = (
         docs.where(F.col("lang").isin("en", "de"))
         .withColumn("n_tok", F.size(tokens("text")))
@@ -395,7 +395,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded, so Spark and DuckDB compute bit-identical priorities and
     the selected SET — not just its size — oracle-checks. At scale this
     is one scan + one top-k (TakeOrderedAndProject), no full sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
     pri = u / F.col("n_chars")
     return (
@@ -430,7 +430,7 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast-filtered second scan — same result, no giant
     partition. The direct form here is right while every source fits an
     executor."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
@@ -461,7 +461,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the share divisions are exactly-rounded doubles from integer counts,
     so weights oracle-check bit-for-bit. At 100 TB the weight table is
     tiny and broadcasts onto the sampling pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     totals = counts.agg(
         F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")

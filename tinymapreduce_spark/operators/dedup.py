@@ -16,10 +16,17 @@ Four tiers, cheapest first:
 - simhash:      64-bit simhash + 16-bit band join for hamming<=3 pairs.
 
 All shuffles key on small fixed-width values (hashes/bands), never on
-document text: shingles travel as xxhash64 longs from the moment they
-are formed (8 bytes vs ~20-byte strings; collision probability over a
-100 TB corpus of ~2^40 distinct shingles is ~2^-44 per pair — far below
-any oracle-observable rate).
+document text: shingles travel as 8-byte longs from the moment they are
+formed (vs ~20-byte strings). Two hash families are used: xxhash64
+(fastest, Spark-only) for the exact tiers whose OUTPUT doesn't depend
+on hash values (ngram-jaccard verifies exactly, so the family is
+invisible), and the portable md5-60-bit family
+(functions.hashing.h60) for the approximate tiers (minhash, simhash)
+whose output IS a function of the hashes — portability makes even the
+approximate answers exactly replayable by the DuckDB oracles.
+Collision probability over a 100 TB corpus of ~2^40 distinct shingles
+is ~2^-44 (xxhash64) / ~2^-41 (h60) per pair — far below any
+oracle-observable rate.
 """
 
 from __future__ import annotations
@@ -27,8 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tinymapreduce_spark.functions.hashing import h60 as _h60
 from tinymapreduce_spark.functions.text import normalized_text, tokens
-from tinymapreduce_spark.sources.loaders import load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 SHINGLE_K = 3  # token 3-gram shingles
 
@@ -87,7 +95,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: per content group, the kept
     (minimum) doc_id and the copy count. Only the 16-byte md5 travels
     through the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     return (
         docs.select(F.md5(normalized_text("text")).alias("content_key"), "doc_id")
         .groupBy("content_key")
@@ -117,7 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     fan-out + candidates), with no recall loss — output is identical to
     the naive form and to the SQL oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     sh = _shingles(docs).cache()
     sets = _doc_sets(sh)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -189,7 +197,7 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the same key (no broadcast assumption — at 100 TB the
     boilerplate set itself can be huge). Two shuffles total, both on
     8-byte keys."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     # Both the df-count branch and the semi-join branch consume the
     # shingle relation — cache it so the corpus scans + explode run once
     # (same convention as dedup_ngram_jaccard).
@@ -268,16 +276,48 @@ NUM_MINHASH = 32  # k permutations
 LSH_BANDS = 8  # 8 bands x 4 rows: catches j>=0.5 pairs w.p. ~0.97
 
 
+
+
+def _shingles_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, h) — distinct token 3-grams per doc under the PORTABLE
+    md5-60-bit family (shingle string 'tok1 tok2 tok3' -> _h60). Same
+    shape as _shingles but cross-engine deterministic; the shingle
+    string exists only inside the codegen projection — only the 8-byte
+    hash ever shuffles."""
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    idx = F.when(n >= SHINGLE_K, F.sequence(F.lit(1), n - (SHINGLE_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: _h60(
+            F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(SHINGLE_K)])
+        ),
+    )
+    return base.select("doc_id", F.explode(F.array_distinct(sh)).alias("h"))
+
+
+_MH_PRIME = 2**31 - 1  # Mersenne prime: affine family modulus
+
+
 def _minhash_signature(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>) — k min-hashes per doc.
 
-    Permutation i = xxhash64(i, shingle) (seeded 64-bit hash family);
-    one groupBy computes all k mins as k aggregates — a single shuffle
-    whose rows are (doc_id, k x 8 bytes), independent of doc size.
+    Permutation i is the affine family h_i = (ha + (i+1)*hb) mod
+    (2^31-1) over the two 30-bit halves of the portable shingle hash —
+    ONE md5 per shingle total (the permutations are pure integer
+    arithmetic, exactly replayed by the DuckDB oracle; (i+1)*hb <=
+    32*2^30 never overflows a long). One groupBy computes all k mins as
+    k aggregates — a single shuffle whose rows are (doc_id, k x 8
+    bytes), independent of doc size.
     """
+    ha = F.shiftright("h", 30)
+    hb = F.col("h").bitwiseAND(F.lit((1 << 30) - 1).cast("long"))
     hashed = sh.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}") for i in range(NUM_MINHASH)],
+        *[((ha + F.lit(i + 1) * hb) % F.lit(_MH_PRIME)).alias(f"h{i}") for i in range(NUM_MINHASH)],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_MINHASH)]
@@ -290,23 +330,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
 
     shingle -> 32 minhashes -> 8 bands of 4 -> band-bucket equi-join for
     candidates -> exact Jaccard verify on the candidates only. Output
-    schema matches dedup_ngram_jaccard (it's the high-recall approximation
-    of it; rows-only driver check since LSH recall <1 is inherent).
+    schema matches dedup_ngram_jaccard (it's the high-recall
+    approximation of it: same verify, LSH-pruned candidates).
+
+    The whole chain runs on the portable md5-60-bit hash family (_h60),
+    so although LSH recall < 1 is inherent, WHICH pairs surface is a
+    pure function of the data — DEDUP_MINHASH_SQL replays the identical
+    signatures/bands/buckets in DuckDB and the driver hash-compares the
+    output exactly. (Recall vs the exact ngram tier is separately pinned
+    in tests/test_invariants.py.) Swap _h60 for xxhash64 when oracle
+    portability is not needed and hashing throughput matters more.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    docs = documents_for_cpu(spark, sf_dir)
+    sh = _shingles_portable(docs).cache()
     sig = _minhash_signature(sh)
     rows_per_band = NUM_MINHASH // LSH_BANDS
+
+    def _band_key(b: int):
+        # base-31 fold of the band's 4 mins (each < 2^31, so the fold
+        # stays < 2^46): a portable 8-byte bucket key. Fold collisions
+        # can only ADD candidates, and the exact verify removes them —
+        # output is still a pure function of the data.
+        k = F.col("sig")[b * rows_per_band].cast("long")
+        for r in range(1, rows_per_band):
+            k = k * F.lit(31) + F.col("sig")[b * rows_per_band + r]
+        return k
+
     bands = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[_band_key(b) for b in range(LSH_BANDS)])).alias(
+            "band", "band_hash"
+        ),
     )
     cand = (
         bands.alias("a")
@@ -319,45 +373,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
     return _verify_pairs(cand, _doc_sets(sh), threshold)
 
 
-SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 4 x 16-bit bands -> finds all pairs with hamming <= 3
+# Portable-hash shingle relation, shared by the minhash and simhash
+# oracles. h = first 15 md5 hex chars of the shingle string as BIGINT —
+# the exact DuckDB spelling of _h60/_shingles_portable.
+_SH60_CTE = """
+toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), sh AS (
+  SELECT DISTINCT a.doc_id,
+         ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::BIGINT AS h
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SH60_CTE},
+mh AS (
+  SELECT doc_id, i,
+         MIN(((h >> 30) + (i + 1) * (h & {(1 << 30) - 1})) % {_MH_PRIME}) AS m
+  FROM sh CROSS JOIN range({NUM_MINHASH}) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, band,
+         ((l[1] * 31 + l[2]) * 31 + l[3]) * 31 + l[4] AS band_hash
+  FROM (
+    SELECT doc_id, CAST(i // {NUM_MINHASH // LSH_BANDS} AS INT) AS band,
+           list(m ORDER BY i) AS l
+    FROM mh GROUP BY doc_id, i // {NUM_MINHASH // LSH_BANDS}
+  )
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {NGRAM_THRESHOLD}
+"""
+
+
+SIMHASH_BITS = 60  # width of the portable md5-derived hash (_h60)
+SIMHASH_BANDS = 4  # 4 x 15-bit bands -> finds all pairs with hamming <= 3
+_SIMHASH_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def _simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint) — classic Charikar simhash, pure codegen:
-    explode tokens -> xxhash64 -> per bit position sum(±1) -> sign bits.
+    explode tokens -> portable 60-bit hash -> per bit position sum(±1)
+    -> sign bits.
 
-    The per-bit tally uses one groupBy with 64 conditional-sum aggregates
-    (not a 64x row explode) — constant shuffle width per doc.
+    The per-bit tally uses one groupBy with 60 conditional-sum aggregates
+    (not a 60x row explode) — constant shuffle width per doc. On the
+    _h60 family the whole fingerprint is integer-exact and
+    engine-portable, so DEDUP_SIMHASH_SQL recomputes identical values.
     """
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
-
-    def _mask(b: int) -> int:
-        # bit 63 as a signed-long literal (1<<63 overflows JVM long)
-        return (1 << b) if b < 63 else -(1 << 63)
-
+    h = tok.select("doc_id", _h60(F.col("tok")).alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(_mask(b)).cast("long")) != 0, 1).otherwise(-1)
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(SIMHASH_BITS)
         ]
     )
     sim = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(_mask(b)).cast("long")).otherwise(
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band join on 16-bit quarters (any pair
+    """SimHash near-dup pairs: band join on 15-bit quarters (any pair
     within hamming<=3 shares at least one of 4 bands, pigeonhole), then
-    exact hamming verify via bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents")
+    exact hamming verify via bit_count(xor). Deterministic end-to-end on
+    the portable hash family — the driver hash-compares against
+    DEDUP_SIMHASH_SQL exactly."""
+    docs = documents_for_cpu(spark, sf_dir)
     sim = _simhash(docs).cache()
     bands = sim.select(
         "doc_id",
@@ -365,7 +472,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    F.shiftright("simhash", b * _SIMHASH_BAND_W).bitwiseAND(
+                        F.lit((1 << _SIMHASH_BAND_W) - 1).cast("long")
+                    )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
@@ -390,6 +499,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     )
 
 
+def _simhash_sql() -> str:
+    """DuckDB replay of dedup_simhash, generated over the 60 bit
+    positions (the SQL text is built by the same loops that build the
+    Spark aggregates, so the two can't drift)."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), simh AS (
+  SELECT doc_id, {sim_terms} AS simhash FROM bit_sums
+), bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (CAST(band AS INT) * {_SIMHASH_BAND_W})) & {(1 << _SIMHASH_BAND_W) - 1} AS band_val
+  FROM simh CROSS JOIN range({SIMHASH_BANDS}) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the steady-state form at 100 TB: a NEW batch
     arrives and must be deduplicated against the existing BASE corpus
@@ -402,7 +554,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely novel docs; the returned summary counts both classes per
     source.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     batch_byte = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
     keyed = docs.select(
         "doc_id", "source", F.md5(normalized_text("text")).alias("content_key"),
@@ -587,7 +739,7 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op, rounded at the edge — so unlike a float TF-IDF fold,
     engines agree bit-for-bit. Scale shape: narrow (doc, term-hash, tf)
     relation self-joined on the 8-byte term hash, df-capped."""
-    return tf_cosine_pairs_df(load_table(spark, sf_dir, "documents"))
+    return tf_cosine_pairs_df(documents_for_cpu(spark, sf_dir))
 
 
 def tf_cosine_pairs_df(docs: DataFrame) -> DataFrame:
@@ -652,4 +804,138 @@ FROM num
 JOIN norms na ON num.doc_a = na.doc_id
 JOIN norms nb ON num.doc_b = nb.doc_id
 WHERE ROUND(num / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)), 6) >= {TF_COSINE_THRESHOLD}
+"""
+
+
+PASSAGE_K = 8  # token window width for substring-level dup detection
+
+
+def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (the window-hash approximation
+    of suffix-array substring dedup, Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22): for each document, the
+    fraction of its TOKEN POSITIONS covered by some PASSAGE_K-token
+    window that also occurs verbatim in another document. Whole-doc
+    tiers (exact/minhash) miss a unique page with one long quoted
+    passage — this is the operator that catches it, and the coverage
+    fraction is what a curation pipeline thresholds on (or uses to cut
+    the duplicated spans).
+
+    Shape: windows travel as portable 60-bit hashes (one md5 per
+    window); cross-doc document frequency is one groupBy on the hash;
+    duplicated window STARTS come back via a semi join on the same key;
+    per-doc coverage is an interval-union (windows overlap!) computed
+    with two window functions over the starts — O(dup windows), never
+    O(n_tokens), and exactly replayed by DUP_PASSAGE_SQL.
+    """
+    docs = documents_for_cpu(spark, sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    idx = F.when(n >= PASSAGE_K, F.sequence(F.lit(1), n - (PASSAGE_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("s"),
+            _h60(
+                F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(PASSAGE_K)])
+            ).alias("h"),
+        ),
+    )
+    wins = base.select(
+        "doc_id", n.alias("n_tokens"), F.explode(win).alias("w")
+    ).select("doc_id", "n_tokens", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    # document frequency per window hash (distinct docs — a window
+    # repeated inside ONE doc is self-repetition, not duplication)
+    dfreq = (
+        wins.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dfreq, "h", "left_semi")
+    # interval union of [s, s+K-1] per doc: an island starts where s
+    # exceeds every previous window's end; covered = sum of island spans
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    islands = (
+        dup.select("doc_id", "s", (F.col("s") + PASSAGE_K - 1).alias("e"))
+        .withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_ord))
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.sum("span").alias("n_covered"))
+    )
+    # a letterless doc yields zero tokens: no rows in the oracle's
+    # UNNEST-based token CTE, and 0/0 here — drop it on both sides
+    per_doc = base.select("doc_id", n.alias("n_tokens")).where(F.col("n_tokens") > 0)
+    return per_doc.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+        F.round(F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens"), 6).alias(
+            "dup_coverage"
+        ),
+    )
+
+
+DUP_PASSAGE_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
+), nt AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+), wins AS MATERIALIZED (
+  SELECT w0.doc_id, w0.i AS s,
+         ('0x' || substr(md5(string_agg(w.tok, ' ' ORDER BY w.i)), 1, 15))::BIGINT AS h
+  FROM toks w0 JOIN toks w
+    ON w.doc_id = w0.doc_id AND w.i BETWEEN w0.i AND w0.i + {PASSAGE_K - 1}
+  GROUP BY w0.doc_id, w0.i
+  HAVING COUNT(*) = {PASSAGE_K}
+), dup AS (
+  SELECT wins.* FROM wins
+  JOIN (
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+    GROUP BY h HAVING COUNT(*) >= 2
+  ) hot USING (h)
+), islands AS (
+  SELECT doc_id, s, s + {PASSAGE_K - 1} AS e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM (
+    SELECT doc_id, s, s + {PASSAGE_K - 1} AS e2,
+           MAX(s + {PASSAGE_K - 1}) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+    FROM dup
+  )
+), covered AS (
+  SELECT doc_id, CAST(SUM(span) AS BIGINT) AS n_covered
+  FROM (
+    SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span
+    FROM islands GROUP BY doc_id, island
+  )
+  GROUP BY doc_id
+)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(c.n_covered, 0) AS n_covered,
+       ROUND(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / nt.n_tokens, 6) AS dup_coverage
+FROM nt LEFT JOIN covered c ON nt.doc_id = c.doc_id
 """

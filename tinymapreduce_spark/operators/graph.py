@@ -96,16 +96,29 @@ def cluster_stats(components: DataFrame) -> DataFrame:
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
+# Fixed-point scale: ranks are integers in units of 1/PR_SCALE. 10^17
+# leaves headroom for the 17x damping multiply inside a signed 64-bit
+# long (17 * 10^17 < 2^63) while keeping per-floor error at 1e-17 —
+# ~1e-15 accumulated over 10 rounds, far under the 1e-9 output rounding.
+PR_SCALE = 10**17
+_PR_NUM = 17  # damping = _PR_NUM / _PR_DEN = 0.85, exact in integers
+_PR_DEN = 20
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
-             damping: float = PR_DAMPING) -> DataFrame:
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Standard PageRank by power iteration over an edge DataFrame.
 
     ``nodes``: one column ``node``; ``edges``: ``(src, dst)`` directed,
-    pre-deduplicated. Returns (node, rank) with sum(rank) = 1; dangling
-    mass (nodes with no out-edges) is redistributed uniformly each
-    round, so the distribution stays a distribution.
+    pre-deduplicated. Returns (node, rank_i, rank) with sum(rank) ~= 1;
+    dangling mass (nodes with no out-edges) is redistributed uniformly
+    each round, so the distribution stays a distribution.
+
+    Arithmetic is FIXED-POINT: ranks are longs in units of 1/PR_SCALE
+    and every division is an integer floor (``DIV``), so the result is
+    a pure function of the graph — no float-summation-order variance —
+    and the DuckDB oracle (PAGERANK_TRADE_SQL) replays the identical
+    integers. The float ``rank`` column is derived once at the edge
+    (one IEEE division by PR_SCALE — also engine-identical).
 
     Iterative shape mirrors connected_components: per round one shuffle
     for the contribution aggregation (the edges-join-ranks is an
@@ -118,37 +131,38 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
     plan.
     """
     n_nodes = nodes.count()
+    base = PR_SCALE // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: materialize once.
     fanout = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
-        eager=True
-    )
+    ranks = nodes.select(
+        "node", F.lit(base).cast("long").alias("rank_i")
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         contribs = (
             fanout.join(ranks, fanout["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .select("dst", F.expr("rank_i DIV outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(F.sum("rank_i"), F.lit(0).cast("long")).alias("dmass"))
+        )
+        new_rank = (
+            f"({(_PR_DEN - _PR_NUM) * base}L"
+            f" + {_PR_NUM}L * (COALESCE(in_mass, 0L) + dmass DIV {n_nodes}L))"
+            f" DIV {_PR_DEN}L"
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dmass") / n_nodes)
-                ).alias("rank"),
-            )
+            .select("node", F.expr(new_rank).alias("rank_i"))
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select(
+        "node", "rank_i", (F.col("rank_i") / F.lit(float(PR_SCALE))).alias("rank")
+    )
 
 
 def pagerank_trade(spark, sf_dir: str) -> DataFrame:
@@ -160,10 +174,12 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
     The edge build is itself the scale-relevant part: the orders-lineitem
     join is an equi-join on orderkey and the distinct() collapses the
     multi-line orders BEFORE the iteration, so the loop runs on the
-    (much smaller) relation graph, not raw line items. Iterative, so no
-    SQL oracle (rows-only driver check); tests assert mass conservation,
-    determinism across runs, and the handwritten power-iteration oracle
-    on a toy graph.
+    (much smaller) relation graph, not raw line items. The fixed-point
+    iteration is a pure function of the graph, so despite being
+    iterative it carries an exact DuckDB oracle (PAGERANK_TRADE_SQL —
+    the 10 rounds unrolled as materialized CTE stages); tests also
+    assert determinism across runs and the handwritten power-iteration
+    oracle on a toy graph.
     """
     from tinymapreduce_spark.sources.loaders import load_table
 
@@ -184,11 +200,69 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("node"))
     ).distinct()
     ranks = pagerank(nodes, edges)
+    # order on the exact integer rank (pre-rounding) so the top-20 cut
+    # is deterministic and byte-identical to the SQL oracle's
     return (
-        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        ranks.orderBy(F.desc("rank_i"), F.asc("node"))
         .limit(20)
         .select("node", F.round("rank", 9).alias("rank"))
     )
+
+
+def _pagerank_trade_sql() -> str:
+    """DuckDB replay of pagerank_trade: the same fixed-point integers,
+    the 10 power-iteration rounds unrolled into chained MATERIALIZED
+    CTE stages (each referenced twice — without MATERIALIZED DuckDB
+    would inline the chain exponentially)."""
+    stages = []
+    nn = "(SELECT n FROM nn)"
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        stages.append(f"""m{k} AS MATERIALIZED (
+  SELECT f.dst, CAST(SUM(r.rank_i // f.outdeg) AS BIGINT) AS in_mass
+  FROM fanout f JOIN r{p} r ON f.src = r.node
+  GROUP BY f.dst
+), d{k} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(rank_i), 0) AS BIGINT) AS dmass
+  FROM r{p} WHERE node NOT IN (SELECT src FROM outdeg)
+), r{k} AS MATERIALIZED (
+  SELECT n.node,
+         ({(_PR_DEN - _PR_NUM)} * ({PR_SCALE} // {nn})
+          + {_PR_NUM} * (COALESCE(m.in_mass, 0) + d.dmass // {nn})) // {_PR_DEN} AS rank_i
+  FROM nodes n LEFT JOIN m{k} m ON n.node = m.dst CROSS JOIN d{k} d
+)""")
+    chain = ",\n".join(stages)
+    return f"""
+WITH rel AS MATERIALIZED (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS cust,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM rel
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), nn AS MATERIALIZED (
+  SELECT COUNT(*) AS n FROM nodes
+), outdeg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), fanout AS MATERIALIZED (
+  SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o ON e.src = o.src
+), r0 AS MATERIALIZED (
+  SELECT node, {PR_SCALE} // {nn} AS rank_i FROM nodes
+),
+{chain}
+SELECT node, ROUND(rank_i / {float(PR_SCALE)}, 9) AS rank
+FROM r{PR_ITERS}
+ORDER BY rank_i DESC, node ASC
+LIMIT 20
+"""
+
+
+PAGERANK_TRADE_SQL = _pagerank_trade_sql()
 
 
 def triangle_count(spark, sf_dir: str) -> DataFrame:

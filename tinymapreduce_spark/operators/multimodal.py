@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 # (driver may load us via sys.path only) — pickle this module by value.
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
-from tinymapreduce_spark.sources.loaders import load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 
 def decode_image(payload: bytes) -> "object":
@@ -66,7 +66,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas receives pandas batches whose 'payload' cells are Python
     bytes — exactly how a real decoder (PIL/ffmpeg) would consume them.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     payloads = with_payload(docs).select("doc_id", "payload")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +104,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked, so the byte-level transform itself is verified."""
     import hashlib
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     payloads = with_payload(docs).select("doc_id", "payload")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,7 +151,7 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated sampled frames so the exact sampled bytes are verified."""
     import hashlib
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     payloads = with_payload(docs).select("doc_id", "payload")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,7 +207,7 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     frombuffer -> vectorized ops per batch, no per-sample Python).
     Emits per doc: window count, total energy, and the argmax window
     (ties to the earliest), all exact integers."""
-    return audio_energy_df(load_table(spark, sf_dir, "documents"))
+    return audio_energy_df(documents_for_cpu(spark, sf_dir))
 
 
 def audio_energy_df(docs: DataFrame) -> DataFrame:
@@ -295,7 +295,7 @@ def image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARSING path — big-endian u32 extraction at PNG IHDR offsets 16/20 —
     is byte-for-byte the real one, and the oracle re-derives both the
     construction and the parse independently."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     width = (F.lit(100) + F.col("doc_id") % 512).cast("int")
     height = (F.lit(100) + (F.col("doc_id") * 7) % 512).cast("int")
     be_u32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinymapreduce_spark.sources.loaders import load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 HLL_LG_K = 12  # 2^12 registers: ~1.6% relative standard error, 4 KB sketch
 KLL_K = 200  # datasketches default: ~1.3% one-sided rank error
@@ -104,14 +104,16 @@ CMS_TOPK = 20
 
 def _cms_cells(token_col):
     """The d (row, bucket) coordinates of one token — seed folded into
-    the hashed value so the rows are independent."""
-    from tinymapreduce_spark.sources.loaders import load_table  # noqa: F401 (doc parity)
+    the hashed value so the rows are independent. Built on the portable
+    md5-60-bit family (functions.hashing.h60) so the DuckDB oracle can
+    rebuild the identical cell table."""
+    from tinymapreduce_spark.functions.hashing import h60
 
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("r"),
-                F.pmod(F.xxhash64(F.concat(F.lit(f"{i}:"), token_col)), F.lit(CMS_WIDTH)).alias(
+                F.pmod(h60(F.concat(F.lit(f"{i}:"), token_col)), F.lit(CMS_WIDTH)).alias(
                     "b"
                 ),
             )
@@ -137,13 +139,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct tokens, which the same scan yields for free) instead of
     keeping exact per-token counters.
 
-    No SQL oracle (cell layout is hash-seed-specific);
-    tests/test_invariants.py asserts the CMS guarantees against exact
-    counts: est >= exact always, and est - exact <= eps * N."""
+    The cell layout rides the portable md5-60-bit hash family, so the
+    estimates — approximate vs TRUE counts, but a pure function of the
+    data — are replayed exactly by CMS_SQL in DuckDB (driver
+    hash-compare). tests/test_invariants.py separately asserts the CMS
+    guarantees against exact counts: est >= exact always, and
+    est - exact <= eps * N."""
     from tinymapreduce_spark.functions.text import tokens
     from tinymapreduce_spark.sources.loaders import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     cells = (
         tok.select(F.explode(_cms_cells(F.col("token"))).alias("c"))
@@ -159,3 +164,32 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell_n").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)
+
+
+_CMS_CELL_SQL = (
+    "('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT"
+    f" % {CMS_WIDTH}"
+)
+
+CMS_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS token
+  FROM documents
+), cells AS (
+  SELECT i AS r, {_CMS_CELL_SQL} AS b, COUNT(*) AS cell_n
+  FROM tok CROSS JOIN range({CMS_DEPTH}) t(i)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT token FROM tok
+), coords AS (
+  SELECT token, i AS r, {_CMS_CELL_SQL} AS b
+  FROM cand CROSS JOIN range({CMS_DEPTH}) t(i)
+), est AS (
+  SELECT token, MIN(cell_n) AS est_count
+  FROM coords JOIN cells USING (r, b)
+  GROUP BY token
+)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token ASC
+LIMIT {CMS_TOPK}
+"""

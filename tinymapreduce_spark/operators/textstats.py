@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.functions.text import normalized_text, tokens
-from tinymapreduce_spark.sources.loaders import load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 # n-gram-heuristic language markers: deterministic marker-token votes.
 # (The synthetic corpus is English-ish for every lang label; the point is
@@ -37,7 +37,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vote language ID: count marker hits per language, argmax
     with deterministic tie-break (marker count desc, language name asc,
     'und' when zero hits everywhere)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     scored = docs.select(
         "doc_id",
@@ -91,7 +91,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features + composite score per document:
     token count, mean token length, stopword ratio, non-alpha char ratio.
     Score = clamped linear blend, rounded at the edge."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     toks = tokens("text")
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -149,7 +149,7 @@ FROM m
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document: whitespace tokens, letter-run tokens
     (the BPE-ish regex form), distinct tokens, longest token."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     ws_toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
     toks = tokens("text")
     return docs.select(
@@ -181,7 +181,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact-dup key) and
     md5 of the sorted distinct token set (bag-of-words key — catches
     reorderings). Both algorithms exist verbatim in DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     toks = tokens("text")
     return docs.select(
         "doc_id",
@@ -206,7 +206,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whole computation is one Catalyst expression per row — bigrams are
     built with transform-over-slice (no explode), so nothing shuffles
     and a 100 TB scan stays embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     d = docs.select("doc_id", tokens("text").alias("toks"))
     bigrams = F.expr(
         "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
@@ -260,7 +260,7 @@ def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic per-doc footer (email + URL + numeric ref derived from
     doc_id) — the masking operator itself is generic. Pure regexp
     expressions: JVM-side, no UDF, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     footer = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -327,7 +327,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     n_docs = docs.count()  # scalar corpus constant (one tiny job)
     terms = docs.select(
         "doc_id",
@@ -386,7 +386,7 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilities are one exactly-rounded integer division. At 100 TB
     the (w1, w2) groupBy is the only big shuffle; partial aggregation
     collapses each partition's pairs first."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     )
@@ -441,7 +441,7 @@ def extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     and RE2), same deterministic footer injection since the corpus holds
     no real entities. regexp_extract_all -> posexplode stays entirely in
     codegen; output size is match-proportional, never text-proportional."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     footer = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -503,7 +503,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is exact integer counting. One explode + two hash aggregates, all
     codegen — no Python. Shares the two-step shuffle shape of word
     count (char keys instead of words)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
     ).where(F.col("c") != "")
@@ -564,7 +564,7 @@ def sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim, so the token fact never shuffles for the join — one
     scan, one broadcast-hash join, one doc_id hash aggregate. Docs with
     zero lexicon hits still report a row (left join, zero score)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = documents_for_cpu(spark, sf_dir)
     lex = F.broadcast(
         spark.createDataFrame(
             sorted(SENTIMENT_LEXICON.items()), "tok string, polarity int"
@@ -633,7 +633,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree exactly. Scale shape: the k-gram hash array builds in
     one codegen projection; the only shuffle is the per-doc explode's
     window (partitioned by doc_id — parallel across docs)."""
-    fps = winnow_fps_df(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fps_df(documents_for_cpu(spark, sf_dir))
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.sum("fp").alias("fp_checksum"),
@@ -729,7 +729,7 @@ def compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific); invariant tests pin the signal's direction on
     constructed redundant vs natural docs."""
     return compressibility_df(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        documents_for_cpu(spark, sf_dir).select("doc_id", "text")
     )
 
 
@@ -781,7 +781,7 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the other pair generators — a narrow
     (doc_id, fp) index self-joined on the 8-byte fingerprint, so only
     docs colliding on a selected hash ever pair; no all-pairs stage."""
-    fps = winnow_fps_df(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fps_df(documents_for_cpu(spark, sf_dir))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -819,7 +819,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (certified on combining-character docs in tests; the ASCII
     corpus passes through unchanged)."""
     return text_normalize_df(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        documents_for_cpu(spark, sf_dir).select("doc_id", "text")
     )
 
 

@@ -73,14 +73,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def spread_for_cpu(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a narrowly-partitioned scan out to the session's parallelism
+    before CPU-heavy per-row work (shingling, per-token hashing, Python
+    UDF batches).
+
+    The driver testdata ships each table as ONE parquet file with ONE
+    row group, so however Spark splits the byte range, exactly one task
+    ever decodes rows — and any expression-heavy stage fused onto the
+    scan runs single-threaded. When the downstream cost is dozens of
+    hash/regex evaluations per row, a one-time shuffle of the (tiny)
+    source relation is orders of magnitude cheaper than serializing the
+    CPU work.
+
+    Scale posture: gated on the FILE COUNT (metadata only, no job). On
+    a real 100 TB table the scan has thousands of files/row groups and
+    yields >= cores natural splits, so this is a no-op there — the gate
+    exists precisely so the small-file fix cannot turn into a
+    full-corpus shuffle at scale.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
+def documents_for_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``documents`` table, fanned out for CPU-heavy per-doc work."""
+    return spread_for_cpu(spark, load_table(spark, sf_dir, "documents"))
+
+
 def text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped corpus view: ``(filename, contents)``.
 
     Mirrors the map-task input contract ``Map(filename, contents)``
     (``/root/reference/src/mrapps/wc.go:21``): one row per whole document.
-    doc_id stands in for the filename (stable, unique).
+    doc_id stands in for the filename (stable, unique). Spread for CPU:
+    the consumers of this view run arbitrary Python map functions per
+    document (the MR shim), the textbook case for fan-out.
     """
-    return load_table(spark, sf_dir, "documents").select(
+    return documents_for_cpu(spark, sf_dir).select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("filename"),
         F.col("text").alias("contents"),
     )
