@@ -80,14 +80,17 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver verification priority.
 
-    CORRECTNESS_r01 covered only the first 50 entries, so never-driver-
-    checked queries come FIRST: the LLM-pipeline families the round-1
-    review called out (dedup/similarity/ANN, round-2 additions, K6,
-    streaming, curation, multimodal) fill the first 50; text analysis,
-    sketches/graph, layout, events, maintenance and the remaining
-    relational surface follow; the 49 already-driver-green entries from
-    round 1 come last. Rotate again next round based on
-    CORRECTNESS_r02.
+    The driver records CORRECTNESS rows for roughly the FIRST 50
+    entries only (r01 stopped at #50), so the window is curated each
+    round: every entry in it is ORACLE-BACKED (the approximate ANN tier
+    sits just past it — a rows-only row spends a slot a hash-checked
+    row could use), covers one key per family the round-1 review called
+    out as never-driver-checked (dedup/similarity, K6, streaming,
+    curation, multimodal, S1-S5 source/sink roundtrips), and includes
+    the operators whose exact oracles are NEW this round (minhash,
+    simhash, kmeans, pagerank, CMS, BM25, passage coverage). Everything
+    else follows, with the 49 already-driver-green round-1 entries
+    last. Rotate again next round based on CORRECTNESS_r02.
     """
     return {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
@@ -106,7 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "bm25_topk": retrieval.bm25_topk,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
-        "negative_sampling": similarity.negative_sampling,
         # --- round-2 additions + K6 (oracle added this round) ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
         "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
@@ -127,27 +129,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
         "stream_wap_sink": stream_sinks.stream_wap_sink,
-        # --- curation ---
+        # --- curation (one key per sub-family; the rest follow the window) ---
         "deterministic_sample": curation.deterministic_sample,
-        "stratified_sample": curation.stratified_sample,
         "train_val_test_split": curation.train_val_test_split,
         "contamination_check": curation.contamination_check,
         "sequence_pack": curation.sequence_pack,
         "doc_chunk_overlap": curation.doc_chunk_overlap,
         "training_shuffle": curation.training_shuffle,
         "curation_pipeline": curation.curation_pipeline,
+        "extract_entities": textstats.extract_entities,
+        # --- multimodal ---
+        "multimodal_features": multimodal.multimodal_features,
+        "audio_energy_windows": multimodal.audio_energy_windows,
+        "image_header_parse": multimodal.image_header_parse,
+        # --- S1-S5 source/sink surface (VERDICT r01: never driver-checked) ---
+        "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
+        "json_runs_roundtrip": textfiles.json_runs_roundtrip,
+        "custom_source_runs": textfiles.custom_source_runs,
+        # --- iterative/sketch ops whose oracles landed this round ---
+        "kmeans_clusters": clustering.kmeans_clusters,
+        "pagerank_trade": graph.pagerank_trade,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        # === the driver's ~50-entry window ends here ===
+        "lang_id": textstats.lang_id,
+        "negative_sampling": similarity.negative_sampling,
+        "stratified_sample": curation.stratified_sample,
         "weighted_sample": curation.weighted_sample,
         "per_source_cap": curation.per_source_cap,
         "mix_weights": curation.mix_weights,
-        "extract_entities": textstats.extract_entities,
-        # --- multimodal (first 50 ends inside this block) ---
-        "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
         "frame_sample": multimodal.frame_sample,
-        "audio_energy_windows": multimodal.audio_energy_windows,
-        "image_header_parse": multimodal.image_header_parse,
-        # --- text analysis (the driver's ~50-entry window ends here) ---
-        "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "token_stats": textstats.token_stats,
         "fingerprint": textstats.fingerprint,
@@ -169,13 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": textstats.winnow_fingerprints,
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         "compressibility": textstats.compressibility,
-        # --- sketches / graph / clustering ---
+        # --- sketches / graph ---
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
-        "cms_heavy_hitters": sketches.cms_heavy_hitters,
-        "pagerank_trade": graph.pagerank_trade,
         "triangle_count": graph.triangle_count,
-        "kmeans_clusters": clustering.kmeans_clusters,
         # --- physical layout: bucketing / pruning / skew / bloom ---
         "bucketed_join_revenue": layout.bucketed_join_revenue,
         "partitioned_sink_pruned_scan": layout.partitioned_sink_pruned_scan,
@@ -227,9 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggregates": subqueries.approx_aggregates,
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "python_udtf_split": udaf.python_udtf_split,
-        "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
-        "json_runs_roundtrip": textfiles.json_runs_roundtrip,
-        "custom_source_runs": textfiles.custom_source_runs,
         "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
         "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
         # ================= driver-green in round 1 (CORRECTNESS_r01) =====
@@ -299,9 +304,9 @@ def oracle_sql() -> dict[str, str]:
     signatures/bands, as does cms_heavy_hitters whose cell table uses
     the same family), hll_distinct_merge /
     kll_quantile_merge (DataSketches binary sketch internals are
-    engine-specific — tests bound their error vs the exact aggregates) /
-    kmeans_clusters (float-mean centroids are summation-order-specific —
-    tests assert Lloyd's inertia monotonicity + partition invariants) /
+    engine-specific — tests bound their error vs the exact aggregates;
+    kmeans_clusters, by contrast, runs Lloyd's on integer-quantized
+    coordinates and DOES carry an exact oracle of all 5 rounds) /
     equidepth_sampled (percentile_approx sketch cutpoints are
     engine-specific — tests bound bucket-population error vs exact ntile) /
     compressibility (deflate output is zlib-version specific — invariant
@@ -502,4 +507,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade": graph.PAGERANK_TRADE_SQL,
         "bm25_topk": retrieval.BM25_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
+        "kmeans_clusters": clustering.KMEANS_SQL,
     }

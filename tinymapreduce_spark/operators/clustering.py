@@ -19,11 +19,19 @@ Scale shape per iteration:
   does not grow with iterations (no checkpoint needed, unlike the
   edge-relabeling loops in graph.py).
 
-Determinism: init = the K lowest vec_ids; ties in assignment break to
-the lowest cluster id. Float means make exact cross-engine SQL parity
-impractical -> rows-only driver check + invariant tests (inertia
-monotonically non-increasing, all clusters nonempty, assignment
-idempotent at convergence).
+Determinism: the float coordinates are quantized ONCE at ingest to
+integers — q = floor(x * 10^6) + 2^20 (floor of an IEEE multiply is
+engine-identical; the offset keeps q positive so integer division
+floors the same way in Spark ``DIV`` and DuckDB ``//``) — and every
+subsequent step (squared distances, argmin with ties to the lowest
+cluster id, floor-mean centroid updates) is exact integer arithmetic.
+Lloyd's on the quantized vectors is therefore a pure function of the
+data, and KMEANS_SQL replays the identical 5 rounds in DuckDB (the
+driver hash-compares the output exactly). Init = the K lowest vec_ids.
+
+The only semantic cost: centroid updates floor to the 1e-6 grid, so
+inertia is "monotone up to quantization slack" rather than exactly
+monotone — tests/test_invariants.py bounds the slack explicitly.
 """
 
 from __future__ import annotations
@@ -35,22 +43,39 @@ from tinymapreduce_spark.sources.loaders import load_table
 
 K_CLUSTERS = 8
 KMEANS_ITERS = 5
+QUANT_SCALE = 10**6  # 1e-6 grid: far below embedding noise, exact in ints
+QUANT_OFFSET = 1 << 20  # shifts all coords positive (|x| < 1 in the data)
 
 
-def _sq_dist_to(centroid: list[float]):
-    """Squared L2 distance from the row's ``a`` (array<double>) to a
-    centroid literal — a zip_with/aggregate fold, JVM-side."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, a array<long>) — coordinates on the integer grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long")
+            + F.lit(QUANT_OFFSET),
+        ).alias("a"),
+    )
+
+
+def _sq_dist_to(centroid: list[int]):
+    """Squared L2 distance from the row's ``a`` (array<long>) to a
+    centroid literal — a zip_with/aggregate fold, JVM-side, exact
+    integers (diff^2 <= ~2^40, 64 dims -> < 2^47, no overflow)."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
     return F.aggregate(
         F.zip_with(F.col("a"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _assign(vecs: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Add (cluster, sq_dist): argmin over the K broadcast centroid
-    literals via one least() expression — no join, no shuffle."""
+    literals via one least() expression — no join, no shuffle. Integer
+    distances make the tie-break (lowest cluster id) exact."""
     dists = [_sq_dist_to(c).alias(f"d{i}") for i, c in enumerate(centroids)]
     with_d = vecs.select("vec_id", "a", *dists)
     best = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
@@ -61,41 +86,47 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return with_d.select("vec_id", "a", cluster.alias("cluster"), best.alias("sq_dist"))
 
 
+def _update_centroids(
+    assigned: DataFrame, centroids: list[list[int]]
+) -> list[list[int]]:
+    """Floor-mean per (cluster, dim) — one bounded shuffle; empty
+    clusters keep their previous centroid. Only K*D ints reach the
+    driver."""
+    new_rows = (
+        assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.expr("SUM(v) DIV COUNT(1)").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+        .collect()
+    )
+    by_id = {r["cluster"]: [int(v) for v in r["c"]] for r in new_rows}
+    return [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=8 Lloyd's iterations (fixed 5 rounds) over the embedding
-    vectors; returns per-cluster population and mean squared distance.
-    See module docstring for the 100 TB shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # the vectors are loop-invariant: persist once so the K iterations
-    # re-read memory, not parquet (at 100 TB: MEMORY_AND_DISK, or a
-    # pre-materialized decoded table)
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("a")
-    ).persist()
+    """K=8 Lloyd's iterations (fixed 5 rounds) over the quantized
+    embedding vectors; returns per-cluster population and mean squared
+    distance (reported back in ORIGINAL units: quantized distances
+    divided by QUANT_SCALE^2 once, at the edge). See module docstring
+    for the 100 TB shape and the exact-integer determinism contract."""
+    vecs = _quantized_vecs(spark, sf_dir).persist()
     try:
         init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
-        centroids = [list(r["a"]) for r in init]
-
+        centroids = [[int(v) for v in r["a"]] for r in init]
         for _ in range(KMEANS_ITERS):
-            assigned = _assign(vecs, centroids)
-            new_rows = (
-                assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
-                .groupBy("cluster", "dim")
-                .agg(F.avg("v").alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-                .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
-                .collect()
-            )
-            by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
-            centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
-
+            centroids = _update_centroids(_assign(vecs, centroids), centroids)
         final = _assign(vecs, centroids)
         return (
             final.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n_vecs"),
-                F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+                F.round(
+                    F.sum("sq_dist")
+                    / (F.count(F.lit(1)) * F.lit(float(QUANT_SCALE) ** 2)),
+                    6,
+                ).alias("mean_sq_dist"),
             )
             .orderBy("cluster")
             .localCheckpoint(eager=True)
@@ -104,31 +135,71 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()
 
 
-def kmeans_inertia_per_round(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Total inertia after each update round — test hook for the
-    monotonicity invariant (Lloyd's never increases inertia)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("a")
-    ).persist()
+def kmeans_inertia_per_round(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Total (quantized-unit) inertia after each update round — test
+    hook for the monotone-up-to-quantization-slack invariant."""
+    vecs = _quantized_vecs(spark, sf_dir).persist()
     try:
         init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
-        centroids = [list(r["a"]) for r in init]
-        inertias: list[float] = []
+        centroids = [[int(v) for v in r["a"]] for r in init]
+        inertias: list[int] = []
         for _ in range(KMEANS_ITERS):
             assigned = _assign(vecs, centroids)
-            inertias.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
-            new_rows = (
-                assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
-                .groupBy("cluster", "dim")
-                .agg(F.avg("v").alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-                .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
-                .collect()
-            )
-            by_id = {r["cluster"]: list(r["c"]) for r in new_rows}
-            centroids = [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
+            inertias.append(int(assigned.agg(F.sum("sq_dist")).collect()[0][0]))
+            centroids = _update_centroids(assigned, centroids)
         return inertias
     finally:
         vecs.unpersist()
+
+
+def _kmeans_sql() -> str:
+    """DuckDB replay of kmeans_clusters: quantize, init from the K
+    lowest vec_ids, 5 unrolled assignment/update rounds (MATERIALIZED —
+    each stage is referenced twice), identical integer arithmetic."""
+    def assign_stage(k: int) -> str:
+        # exact mirror of _assign against centroid set c{k}
+        return f"""a{k} AS MATERIALIZED (
+  SELECT vec_id, cluster, d AS sq_dist FROM (
+    SELECT v.vec_id, c.cluster,
+           CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) ASC,
+                                       c.cluster ASC) AS rk
+    FROM v JOIN c{k} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rk = 1
+)"""
+
+    stages = []
+    for k in range(KMEANS_ITERS):
+        stages.append(f"""{assign_stage(k)}, c{k + 1} AS MATERIALIZED (
+  SELECT p.cluster, p.dim, COALESCE(m.c, p.c) AS c
+  FROM c{k} p LEFT JOIN (
+    SELECT a.cluster, v.dim, CAST(SUM(v.q) AS BIGINT) // COUNT(*) AS c
+    FROM a{k} a JOIN v ON a.vec_id = v.vec_id
+    GROUP BY a.cluster, v.dim
+  ) m ON p.cluster = m.cluster AND p.dim = m.dim
+)""")
+    # the FINAL assignment runs against the post-loop centroids c{ITERS}
+    stages.append(assign_stage(KMEANS_ITERS))
+    chain = ",\n".join(stages)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT e.vec_id, g.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) + {QUANT_OFFSET} AS q
+  FROM embeddings e,
+       LATERAL (SELECT UNNEST(generate_series(1, len(e.embedding))) AS i) g
+), c0 AS MATERIALIZED (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, dim, q AS c
+  FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS})
+),
+{chain}
+SELECT cluster,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(sq_dist) AS DOUBLE) / (COUNT(*) * {float(QUANT_SCALE) ** 2}), 6) AS mean_sq_dist
+FROM a{KMEANS_ITERS}
+GROUP BY cluster
+"""
+
+
+KMEANS_SQL = _kmeans_sql()

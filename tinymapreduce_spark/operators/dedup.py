@@ -828,7 +828,12 @@ def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with two window functions over the starts — O(dup windows), never
     O(n_tokens), and exactly replayed by DUP_PASSAGE_SQL.
     """
-    docs = documents_for_cpu(spark, sf_dir)
+    return dup_passage_coverage_df(documents_for_cpu(spark, sf_dir))
+
+
+def dup_passage_coverage_df(docs: DataFrame) -> DataFrame:
+    """Body over any ``(doc_id, text)`` frame — split out so tests can
+    assert hand-computed coverage on constructed shared-passage docs."""
     base = docs.select("doc_id", tokens("text").alias("toks"))
     t = F.col("toks")
     n = F.size(t)
