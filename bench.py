@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dup_passage_coverage",
+    "bm25_topk",
+    "pagerank_trade",
     "ann_topk_cosine",
     "fingerprint",
     "token_stats",

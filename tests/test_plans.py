@@ -560,3 +560,69 @@ def test_shuffle_hash_hint_honored(spark, sf_dir):
     p = plan_of(analytics.shuffle_hash_join_control(spark, sf_dir))
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bm25_single_corpus_scan_all_joins_broadcast(spark, sf_dir):
+    """BM25: the corpus is tokenized exactly ONCE (one documents scan;
+    per-doc stats/tf come out of a single groupBy and are reused via the
+    persisted per_doc relation); every join after that is broadcast (the
+    query terms, idf table, and corpus stats are all tiny) — the posting
+    rows never sort-merge."""
+    from tinymapreduce_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(spark, sf_dir)
+    p = plan_of(df)
+    try:
+        assert p.count("documents.parquet") <= 1 or p.count("Scan parquet") <= 1
+        assert "SortMergeJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    finally:
+        df.sparkSession.catalog.clearCache()
+
+
+def test_dup_passage_no_cartesian_and_narrow_keys(spark, sf_dir):
+    """Passage coverage: candidate generation is a semi join on the
+    8-byte window hash — no nested-loop/cartesian anywhere, no Python,
+    and window text never survives past the hash projection."""
+    from tinymapreduce_spark.operators.dedup import dup_passage_coverage
+
+    p = plan_of(dup_passage_coverage(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "LeftSemi" in p
+
+
+def test_minhash_band_join_is_equi(spark, sf_dir):
+    """MinHash-LSH: the candidate join is an equi-join on
+    (band, band_hash) — never a theta/NL join — and the verify joins
+    stay equi on doc ids."""
+    from tinymapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, sf_dir)
+    p = plan_of(df)
+    try:
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    finally:
+        df.sparkSession.catalog.clearCache()
+
+
+def test_kmeans_assignment_joinless(spark, sf_dir):
+    """The k-means assignment stage scores K broadcast centroid
+    LITERALS inside one projection — the N-vector scan must contain no
+    join and no exchange (the only shuffle in a round is the centroid
+    UPDATE aggregation)."""
+    from tinymapreduce_spark.operators.clustering import (
+        K_CLUSTERS,
+        _assign,
+        _quantized_vecs,
+    )
+
+    vecs = _quantized_vecs(spark, sf_dir)
+    init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    centroids = [[int(v) for v in r["a"]] for r in init]
+    p = plan_of(_assign(vecs, centroids))
+    assert "Join" not in p
+    # no grouping shuffle in assignment (the vec-spread round-robin
+    # exchange from spread-for-cpu is not a hash repartition)
+    assert p.count("Arguments: hashpartitioning") == 0

@@ -57,8 +57,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = documents_for_cpu(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE corpus pass: per-doc length AND the tf of every query term (a
+    # handful of literal conditional sums) come out of a single groupBy —
+    # the plan tokenizes the corpus exactly once, and everything after
+    # runs on n_docs-sized rows.
+    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).persist()
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
 
@@ -67,11 +78,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
     tf = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(all_terms)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.term", "e.tf")
+        .where(F.col("tf") > 0)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = per_doc.select("doc_id", "dl")
 
     # idf = ln(1 + (N - df + 1/2)/(df + 1/2)) = ln(1 + (2N-2df+1)/(2df+1)),
     # rounded at once — the only transcendental in the whole score

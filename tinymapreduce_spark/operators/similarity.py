@@ -91,52 +91,42 @@ NPROBE = 4  # cells probed per query (~25% of corpus scanned, ~0.9 recall)
 KMEANS_ITERS = 5
 
 
-def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters: int = KMEANS_ITERS) -> list[list[float]]:
-    """Spherical k-means codebook, trained distributed (assignment +
-    mean entirely in DataFrame ops; only the k x dim centroid matrix ever
-    reaches the driver). Deterministic: init = first k vectors by vec_id,
-    ties broken by cid.
+TRAIN_COLLECT_CAP = 8192  # hard ceiling on rows a trainer may collect
 
-    100 TB posture: train on a bounded sample (emb here IS the sample at
-    test sf); per-iteration cost is one broadcast-join pass + one
-    (cid, pos) aggregation — no all-pairs anything.
+
+def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters: int = KMEANS_ITERS) -> list[list[float]]:
+    """Spherical k-means codebook over a BOUNDED sample, trained in
+    numpy on the driver — the standard quantizer-training shape (faiss
+    trains IVF/PQ codebooks on a ~100k reservoir regardless of corpus
+    size): the sample is capped (TRAIN_COLLECT_CAP rows, ~4 MB), so
+    this is never a data-sized collect, and the driver loop avoids
+    paying per-iteration plan/codegen overhead for a dataflow whose
+    input is a few thousand rows. Assignment and scoring of the FULL
+    corpus stay distributed (see ann_ivf_topk / ann_pq_topk).
+
+    Deterministic: init = first k sample vectors by vec_id; assignment
+    = highest cosine, ties to the lowest cid (argmax-first); empty
+    cells keep their previous centroid; means renormalized to the
+    sphere — the exact update rule the previous distributed form used.
     """
-    init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
-    centroids = [[float(x) for x in r.embedding] for r in init]
-    # single-file corpora scan as ONE partition — spread the per-iter
-    # assignment work across the cluster and keep it resident
-    emb = emb.repartition(32, "vec_id").persist()
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
+    )
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    c = x[:k].copy()
+    xn = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            list(enumerate(centroids)), "cid int, centroid array<double>"
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cdf))
-            .select(
-                "vec_id",
-                "embedding",
-                "cid",
-                cosine_similarity(F.col("embedding"), F.col("centroid")).alias("score"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-        )
-        sums = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("mv"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.mv
-        for cid, comps in by_cid.items():
-            vec = [comps[p] for p in sorted(comps)]
-            norm = sum(x * x for x in vec) ** 0.5 or 1.0
-            centroids[cid] = [x / norm for x in vec]
-    emb.unpersist()
-    return centroids
+        cn = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
+        sims = (x @ c.T) / (xn[:, None] * cn[None, :])
+        a = np.argmax(sims, axis=1)  # first max == lowest cid on ties
+        for cid in range(k):
+            members = x[a == cid]
+            if len(members):
+                m = members.mean(axis=0)
+                c[cid] = m / (np.linalg.norm(m) or 1.0)
+    return [[float(v) for v in row] for row in c]
 
 
 def _cached_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[float]]:
@@ -667,40 +657,36 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Lloyd's per subspace, all PQ_M subspaces trained in ONE dataflow
-    per iteration. Only PQ_M x PQ_K x sub_len floats reach the driver
-    per round (~1k values). Deterministic init: subvectors of the first
-    PQ_K vectors by vec_id."""
-    subs = _subvectors(emb, "vec_id", "embedding").repartition(32, "id").persist()
-    codebook = [
-        (int(r["m"]), int(r["id"]), [float(x) for x in r["sub"]])
-        for r in subs.where(F.col("id") < PQ_K).collect()
-    ]
-    for _ in range(PQ_ITERS):
-        cb = spark.createDataFrame(codebook, "m int, cid int, centroid array<double>")
-        assigned = _pq_assign(subs, cb)
-        means = (
-            subs.join(assigned, ["id", "m"])
-            .select("m", "cid", F.posexplode("sub").alias("p", "x"))
-            .groupBy("m", "cid", "p")
-            .agg(F.avg("x").alias("mx"))
-            .collect()
+    """Per-subspace Lloyd's over a BOUNDED sample, in numpy on the
+    driver (same justification as _train_centroids: quantizer training
+    is sample-bounded by design — faiss-style — so the collect is
+    O(TRAIN_COLLECT_CAP), never data-sized; corpus ENCODING stays
+    distributed via _pq_assign). Deterministic: init = subvectors of
+    the first PQ_K sample vectors by vec_id; assignment = nearest
+    centroid, ties to the lowest cid (argmin-first); empty cells keep
+    their previous centroid — the exact update rule the previous
+    distributed form used."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
+    )
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    sub_len = x.shape[1] // PQ_M
+    codebook: list[tuple[int, int, list[float]]] = []
+    for m in range(PQ_M):
+        s = x[:, m * sub_len : (m + 1) * sub_len]
+        c = s[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = ((s[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d, axis=1)  # first min == lowest cid on ties
+            for cid in range(PQ_K):
+                members = s[a == cid]
+                if len(members):
+                    c[cid] = members.mean(axis=0)
+        codebook.extend(
+            (m, cid, [float(v) for v in c[cid]]) for cid in range(PQ_K)
         )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            new.setdefault((r["m"], r["cid"]), {})[r["p"]] = r["mx"]
-        # empty cells keep their previous centroid (standard Lloyd's)
-        codebook = [
-            (
-                m,
-                cid,
-                [new[(m, cid)][p] for p in sorted(new[(m, cid)])]
-                if (m, cid) in new
-                else cent,
-            )
-            for m, cid, cent in codebook
-        ]
-    subs.unpersist()
     return spark.createDataFrame(codebook, "m int, cid int, centroid array<double>")
 
 

@@ -60,6 +60,9 @@ SELECTED = {
     "winnow_fingerprints": "array-indexed rolling hash; per-doc window, parallel across docs",
     "map_functions": "map HOFs ride the per-user aggregate; two shuffles total",
     "image_header_parse": "binary construction + offset parse entirely in codegen, zero shuffle",
+    "bm25_topk": "query terms + idf + corpus stats all broadcast; only matching postings shuffle",
+    "dup_passage_coverage": "window hashes as 8-byte keys; coverage via interval-union windows, O(dup windows)",
+    "dedup_minhash_lsh": "banded signatures: one (doc, k*8B) shuffle; candidates from band-bucket equi-join",
 }
 
 
