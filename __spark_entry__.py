@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
         "lang_id": textstats.lang_id,
+        "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "negative_sampling": similarity.negative_sampling,
         "stratified_sample": curation.stratified_sample,
         "weighted_sample": curation.weighted_sample,
@@ -508,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": retrieval.BM25_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,
+        "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
     }

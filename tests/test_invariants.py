@@ -906,3 +906,41 @@ class TestBm25:
             assert [d for d, _ in g] == [d for d, _ in expected[qid]], (qid, g, expected[qid])
             for (gd, gs), (ed, es) in zip(g, expected[qid]):
                 assert abs(gs - es) < 2e-6, (qid, gd, gs, es)
+
+
+def test_incremental_minhash_subset_of_exact_cross_pairs(spark, sf_dir):
+    """The incremental near-dup output must be exactly the cross-split
+    (new x base) slice of what the full minhash tier finds — no
+    base x base or new x new leakage — and a subset of the exact ngram
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_ngram_jaccard,
+    )
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = {
+        r.doc_id: r.flag
+        for r in docs.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+                .cast("int") < 64
+            ).alias("flag"),
+        ).collect()
+    }
+    inc = [(r.new_doc, r.base_doc) for r in dedup_incremental_minhash(spark, sf_dir).collect()]
+    for new_doc, base_doc in inc:
+        assert is_new[new_doc] and not is_new[base_doc], (new_doc, base_doc)
+    exact = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert all(frozenset(p) in exact for p in inc)
+    # recall on the cross-split slice of the exact graph
+    cross = [p for p in exact if len({is_new[d] for d in p}) == 2]
+    if cross:
+        assert len(inc) / len(cross) >= 0.8

@@ -146,3 +146,21 @@ def test_winnowing_invariant_under_corpus_inflation(spark, sf_dir):
     assert len(inflated) == 4 * len(base)
     for doc_id, stats in inflated.items():
         assert stats == base[doc_id % 1_000_000_000], f"doc {doc_id} diverged"
+
+
+def test_dup_passage_coverage_saturates_under_duplication(spark, sf_dir):
+    """Inflating the corpus with exact copies (shifted doc_ids) makes
+    EVERY window cross-doc duplicated, so coverage must saturate at
+    exactly 1.0 for every doc with >= PASSAGE_K tokens (and stay 0 for
+    shorter docs) — the interval union must tile the whole doc with no
+    off-by-one at either edge, at any corpus size."""
+    from tinymapreduce_spark.operators.dedup import PASSAGE_K, dup_passage_coverage_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    big = _inflate(docs, ["doc_id"], copies=2)
+    for r in dup_passage_coverage_df(big).collect():
+        if r.n_tokens >= PASSAGE_K:
+            assert r.n_covered == r.n_tokens, (r.doc_id, r.n_covered, r.n_tokens)
+            assert r.dup_coverage == 1.0
+        else:
+            assert r.n_covered == 0

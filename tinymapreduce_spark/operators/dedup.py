@@ -343,25 +343,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
     """
     docs = documents_for_cpu(spark, sf_dir)
     sh = _shingles_portable(docs).cache()
-    sig = _minhash_signature(sh)
-    rows_per_band = NUM_MINHASH // LSH_BANDS
-
-    def _band_key(b: int):
-        # base-31 fold of the band's 4 mins (each < 2^31, so the fold
-        # stays < 2^46): a portable 8-byte bucket key. Fold collisions
-        # can only ADD candidates, and the exact verify removes them —
-        # output is still a pure function of the data.
-        k = F.col("sig")[b * rows_per_band].cast("long")
-        for r in range(1, rows_per_band):
-            k = k * F.lit(31) + F.col("sig")[b * rows_per_band + r]
-        return k
-
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[_band_key(b) for b in range(LSH_BANDS)])).alias(
-            "band", "band_hash"
-        ),
-    )
+    bands = _lsh_bands(_minhash_signature(sh))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_hash"])
@@ -371,6 +353,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
     )
     # Exact verify on the candidates only (shared with the ngram tier).
     return _verify_pairs(cand, _doc_sets(sh), threshold)
+
+
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — the signature split into LSH_BANDS
+    bucket keys. Each key is a base-31 fold of the band's mins (each <
+    2^31, so the fold stays < 2^46): a portable 8-byte bucket key. Fold
+    collisions can only ADD candidates, and the exact verify removes
+    them — output is still a pure function of the data."""
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+
+    def _band_key(b: int):
+        k = F.col("sig")[b * rows_per_band].cast("long")
+        for r in range(1, rows_per_band):
+            k = k * F.lit(31) + F.col("sig")[b * rows_per_band + r]
+        return k
+
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_key(b) for b in range(LSH_BANDS)])).alias(
+            "band", "band_hash"
+        ),
+    )
 
 
 # Portable-hash shingle relation, shared by the minhash and simhash
@@ -943,4 +947,88 @@ SELECT nt.doc_id, nt.n_tokens,
        COALESCE(c.n_covered, 0) AS n_covered,
        ROUND(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / nt.n_tokens, 6) AS dup_coverage
 FROM nt LEFT JOIN covered c ON nt.doc_id = c.doc_id
+"""
+
+
+def dedup_incremental_minhash(
+    spark: SparkSession, sf_dir: str, threshold: float = NGRAM_THRESHOLD
+) -> DataFrame:
+    """Incremental NEAR-dup detection — the fuzzy sibling of
+    dedup_incremental and the true steady-state shape at 100 TB: a NEW
+    batch arrives and must be checked for near-duplicates against the
+    existing BASE corpus. The base side participates ONLY through its
+    banded minhash signature index ((doc, band, band_hash) rows — a few
+    bytes per base doc, persisted by a real pipeline and appended per
+    batch) plus the shingle sets of the handful of candidate-hit docs;
+    base x base pairs are never formed, so per-batch cost is
+    O(|new| + bucket collisions), independent of |base|^2.
+
+    Same base/new split convention as dedup_incremental (first md5 byte
+    of doc_id < 64 => ~25% "new"). Output: (new_doc, base_doc,
+    n_shared, jaccard) for exact-verified J >= threshold. Portable hash
+    family end-to-end => exact DuckDB oracle
+    (DEDUP_INCREMENTAL_MINHASH_SQL)."""
+    docs = documents_for_cpu(spark, sf_dir)
+    batch_byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    flagged = docs.withColumn("is_new", batch_byte < 64)
+    sh = _shingles_portable(flagged).cache()
+    flags = flagged.select("doc_id", "is_new")
+    bands = _lsh_bands(_minhash_signature(sh)).join(flags, "doc_id")
+    new_b = bands.where(F.col("is_new")).select("doc_id", "band", "band_hash")
+    base_b = bands.where(~F.col("is_new")).select("doc_id", "band", "band_hash")
+    cand = (
+        new_b.alias("n")
+        .join(base_b.alias("b"), ["band", "band_hash"])
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cand, _doc_sets(sh), threshold).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("base_doc"),
+        "n_shared",
+        "jaccard",
+    )
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = f"""
+WITH {_SH60_CTE},
+flags AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) < 64 AS is_new
+  FROM documents
+), mh AS (
+  SELECT doc_id, i,
+         MIN(((h >> 30) + (i + 1) * (h & {(1 << 30) - 1})) % {_MH_PRIME}) AS m
+  FROM sh CROSS JOIN range({NUM_MINHASH}) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, band,
+         ((l[1] * 31 + l[2]) * 31 + l[3]) * 31 + l[4] AS band_hash
+  FROM (
+    SELECT doc_id, CAST(i // {NUM_MINHASH // LSH_BANDS} AS INT) AS band,
+           list(m ORDER BY i) AS l
+    FROM mh GROUP BY doc_id, i // {NUM_MINHASH // LSH_BANDS}
+  )
+), cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT bands.* FROM bands JOIN flags USING (doc_id) WHERE is_new) n
+  JOIN (SELECT bands.* FROM bands JOIN flags USING (doc_id) WHERE NOT is_new) b
+    ON n.band = b.band AND n.band_hash = b.band_hash
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT doc_a AS new_doc, doc_b AS base_doc, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {NGRAM_THRESHOLD}
 """
