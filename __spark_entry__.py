@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         "compressibility": textstats.compressibility,
         # --- sketches / graph ---
+        "hll_portable_distinct": sketches.hll_portable_distinct,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
         "triangle_count": graph.triangle_count,
@@ -510,4 +511,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,
         "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
+        "hll_portable_distinct": sketches.HLL_PORTABLE_SQL,
     }

@@ -944,3 +944,25 @@ def test_incremental_minhash_subset_of_exact_cross_pairs(spark, sf_dir):
     cross = [p for p in exact if len({is_new[d] for d in p}) == 2]
     if cross:
         assert len(inc) / len(cross) >= 0.8
+
+
+def test_hll_portable_estimate_within_bound(spark, sf_dir):
+    """The from-scratch portable HLL (512 registers, rel. std. error
+    ~4.6%) must land within 15% (>3 sigma) of the exact distinct count
+    for every group AND for the merged ALL row — and the ALL row must
+    come out of the register-MAX union, i.e. equal the estimate of the
+    union of the groups, not the sum of their estimates."""
+    from tinymapreduce_spark.operators.sketches import hll_portable_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.grp: r.n
+        for r in orders.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    got = {r.grp: r.approx_custkeys for r in hll_portable_distinct(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for grp, n in exact.items():
+        assert abs(got[grp] - n) / n <= 0.15, (grp, got[grp], n)

@@ -16,10 +16,13 @@ O(1)-size partial state even for DISTINCT and quantiles.
   measure, quantiles extracted from the sketch; the ``ALL`` row merges
   the per-group sketches (``kll_sketch_merge_double``).
 
-No SQL oracle (sketch internals are engine-specific by construction);
-``tests/test_invariants.py`` bounds the error against the exact forms
-(HLL lgConfigK=12 -> ~1.6% rel. std error; KLL k=200 -> ~1.3% rank
-error).
+The DataSketches-built-in forms carry no SQL oracle (binary sketch
+internals are engine-specific by construction); ``tests/test_invariants.
+py`` bounds their error against the exact forms (HLL lgConfigK=12 ->
+~1.6% rel. std error; KLL k=200 -> ~1.3% rank error). The CMS cell
+table and the from-scratch ``hll_portable_distinct`` register table,
+by contrast, ride the portable hash family and ARE exactly
+oracle-checked.
 """
 
 from __future__ import annotations
@@ -192,4 +195,109 @@ WITH tok AS (
 SELECT token, est_count FROM est
 ORDER BY est_count DESC, token ASC
 LIMIT {CMS_TOPK}
+"""
+
+
+# --- portable HLL: the sketch MATH as first-class DataFrame ops -------------
+HLLP_P = 9  # 2^9 = 512 registers; rel. std. error ~ 1.04/sqrt(512) ~ 4.6%
+HLLP_M = 1 << HLLP_P
+HLLP_W = 60 - HLLP_P  # 51-bit rank window left of the register index
+# alpha_m * m^2 * 2^52 folded into one literal so both engines parse the
+# identical double (repr round-trips exactly)
+HLLP_NUMER = (0.7213 / (1 + 1.079 / HLLP_M)) * HLLP_M * HLLP_M * float(1 << 52)
+
+
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from Catalyst primitives on the portable hash
+    family — the from-scratch sibling of ``hll_distinct_merge`` (which
+    exercises the DataSketches built-ins whose binary internals no
+    other engine can replay). Here the SKETCH IS A DATAFRAME — a
+    (group, register) -> max-rank table — so: (a) the ``ALL`` rollup is
+    a register-wise MAX union of the per-group tables, never a rescan
+    (the same mergeability story as the CMS cell table); (b) every
+    number is a pure function of the data, and HLL_PORTABLE_SQL replays
+    it exactly — an approximate-DISTINCT estimator whose estimates the
+    driver hash-verifies.
+
+    Exactness trick: the harmonic mean's 2^-M_j sum is kept as EXACT
+    integers (sum of 2^(52-M_j), with absent registers contributing
+    2^52), so the only floats are one literal multiply + one division,
+    plus the standard linear-counting ln() branch for the small range
+    — all order-independent, hence engine-identical. Registers derive
+    from h60: low 9 bits index, rank = leading zeros of the upper 51
+    bits + 1 via ``52 - length(bin(w))`` (bin() is unpadded in both
+    engines)."""
+    from tinymapreduce_spark.functions.hashing import h60
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        h60(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        base.select(
+            "grp",
+            F.col("h").bitwiseAND(F.lit(HLLP_M - 1).cast("long")).alias("reg"),
+            F.shiftright("h", HLLP_P).alias("w"),
+        )
+        .select("grp", "reg", rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    regs = regs.persist()
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("ALL").alias("grp"), "reg", "mj")
+    )
+    est_in = regs.unionByName(merged)
+    agg = est_in.groupBy("grp").agg(
+        F.sum(F.expr("shiftleft(1L, 52 - mj)")).alias("ps"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    s = F.col("ps") + (F.lit(HLLP_M) - F.col("np")) * F.lit(1 << 52).cast("long")
+    v = F.lit(HLLP_M) - F.col("np")  # registers never touched
+    raw = F.lit(HLLP_NUMER) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLLP_M)) & (v > 0),
+        F.lit(float(HLLP_M)) * F.log(F.lit(float(HLLP_M)) / v),
+    ).otherwise(raw)
+    return agg.select("grp", F.round(est, 4).alias("approx_custkeys")).orderBy("grp")
+
+
+HLL_PORTABLE_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), regs AS (
+  SELECT grp, reg, MAX(rho) AS mj
+  FROM (
+    SELECT grp, h & {HLLP_M - 1} AS reg,
+           CASE WHEN (h >> {HLLP_P}) = 0 THEN 52
+                ELSE 52 - length(bin(h >> {HLLP_P})) END AS rho
+    FROM base
+  )
+  GROUP BY grp, reg
+), unioned AS (
+  SELECT grp, reg, mj FROM regs
+  UNION ALL
+  SELECT 'ALL' AS grp, reg, MAX(mj) AS mj FROM regs GROUP BY reg
+), agg AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << (52 - mj)) AS BIGINT) AS ps,
+         COUNT(*) AS np
+  FROM unioned GROUP BY grp
+)
+SELECT grp,
+       ROUND(
+         CASE WHEN {HLLP_NUMER!r} / CAST(ps + ({HLLP_M} - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) <= {2.5 * HLLP_M}
+                   AND ({HLLP_M} - np) > 0
+              THEN {float(HLLP_M)} * ln({float(HLLP_M)} / ({HLLP_M} - np))
+              ELSE {HLLP_NUMER!r} / CAST(ps + ({HLLP_M} - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
+         END, 4) AS approx_custkeys
+FROM agg
 """
