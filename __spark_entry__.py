@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressibility": textstats.compressibility,
         # --- sketches / graph ---
         "hll_portable_distinct": sketches.hll_portable_distinct,
+        "digit_bucket_quantiles": sketches.digit_bucket_quantiles,
         "hll_distinct_merge": sketches.hll_distinct_merge,
         "kll_quantile_merge": sketches.kll_quantile_merge,
         "triangle_count": graph.triangle_count,
@@ -512,4 +513,5 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": clustering.KMEANS_SQL,
         "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
         "hll_portable_distinct": sketches.HLL_PORTABLE_SQL,
+        "digit_bucket_quantiles": sketches.DIGIT_BUCKET_SQL,
     }

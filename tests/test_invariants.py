@@ -966,3 +966,27 @@ def test_hll_portable_estimate_within_bound(spark, sf_dir):
     assert set(got) == set(exact)
     for grp, n in exact.items():
         assert abs(got[grp] - n) / n <= 0.15, (grp, got[grp], n)
+
+
+def test_digit_bucket_quantiles_error_bounded(spark, sf_dir):
+    """The two-significant-digit bucket quantiles must sit within one
+    bucket width BELOW the exact percentile (floor convention): exact *
+    0.9 <= est <= exact, for every group and the merged ALL row."""
+    from tinymapreduce_spark.operators.sketches import Q_PCTS, digit_bucket_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    pct = [float(q) for q in Q_PCTS]
+    exact = {
+        r.grp: r.ps
+        for r in li.groupBy("grp").agg(F.percentile("price", F.lit(pct)).alias("ps")).collect()
+    }
+    exact["ALL"] = li.agg(F.percentile("price", F.lit(pct)).alias("ps")).collect()[0].ps
+    got = {r.grp: r for r in digit_bucket_quantiles(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for grp, ps in exact.items():
+        for q, ex in zip(Q_PCTS, ps):
+            est = got[grp][f"p{int(q * 100)}"]
+            assert ex * 0.9 - 0.01 <= est <= ex + 0.01, (grp, q, est, ex)

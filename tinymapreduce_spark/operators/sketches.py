@@ -27,7 +27,7 @@ oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
@@ -300,4 +300,101 @@ SELECT grp,
               ELSE {HLLP_NUMER!r} / CAST(ps + ({HLLP_M} - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
          END, 4) AS approx_custkeys
 FROM agg
+"""
+
+
+# --- portable quantile sketch: two-significant-digit log buckets ------------
+Q_PCTS = [0.5, 0.95, 0.99]
+
+
+def digit_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles with an EXACT oracle — the
+    portable sibling of ``kll_quantile_merge`` (whose DataSketches
+    binary no other engine can replay). Values collapse to their two
+    most significant decimal digits (relative bucket width <= 10%), so
+    the sketch is a (group, bucket_floor) -> exact-count table:
+    mergeable by count addition (the ``ALL`` row is a bucket-wise SUM
+    of the per-group tables, never a rescan), O(#buckets) state per
+    group (a few hundred rows across the whole double range), and —
+    because every count and bucket floor is an exact integer — the
+    p50/p95/p99 estimates are a pure function of the data, replayed
+    exactly by DIGIT_BUCKET_SQL.
+
+    Estimate convention: quantile q reports the FLOOR of the first
+    bucket whose cumulative count reaches ceil(q*n) — a <= 10%
+    underestimate by construction, bounded in tests against the exact
+    percentiles. Prices quantize to cents first (round(price*100) —
+    deterministic: IEEE multiply then half-up, identical per engine)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    s = F.col("cents").cast("string")
+    d = F.length(s)
+    # bucket floor: keep two leading digits, zero the rest — built as a
+    # string so the power of ten is exact at any magnitude
+    lb = F.when(d <= 2, F.col("cents")).otherwise(
+        F.concat(F.substring(s, 1, 2), F.repeat(F.lit("0"), d - 2)).cast("long")
+    )
+    buckets = li.select("grp", lb.alias("lb")).groupBy("grp", "lb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    buckets = buckets.persist()
+    merged = (
+        buckets.groupBy("lb")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("grp"), "lb", "cnt")
+    )
+    allb = buckets.unionByName(merged)
+    w_all = Window.partitionBy("grp")
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b2 = allb.withColumn("n", F.sum("cnt").over(w_all)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+    cols = [
+        F.round(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("lb"))
+            )
+            / 100,
+            2,
+        ).alias(f"p{int(q * 100)}")
+        for q in Q_PCTS
+    ]
+    return b2.groupBy("grp").agg(*cols).orderBy("grp")
+
+
+DIGIT_BUCKET_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), bk AS (
+  SELECT grp,
+         CASE WHEN length(CAST(cents AS VARCHAR)) <= 2 THEN cents
+              ELSE CAST(substr(CAST(cents AS VARCHAR), 1, 2)
+                        || repeat('0', length(CAST(cents AS VARCHAR)) - 2) AS BIGINT)
+         END AS lb
+  FROM li
+), buckets AS (
+  SELECT grp, lb, COUNT(*) AS cnt FROM bk GROUP BY grp, lb
+), unioned AS (
+  SELECT grp, lb, cnt FROM buckets
+  UNION ALL
+  SELECT 'ALL' AS grp, lb, CAST(SUM(cnt) AS BIGINT) AS cnt FROM buckets GROUP BY lb
+), b2 AS (
+  SELECT grp, lb, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY lb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM unioned
+)
+SELECT grp,
+{",".join(f'''       ROUND(MIN(CASE WHEN cum >= CEIL({q} * n) THEN lb END) / 100.0, 2) AS p{int(q * 100)}''' for q in Q_PCTS)}
+FROM b2
+GROUP BY grp
 """
