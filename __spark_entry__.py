@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": stream_state.stream_dedup,
         "stream_stream_join": stream_windows.stream_stream_join,
         "stream_wap_sink": stream_sinks.stream_wap_sink,
+        "stream_cms_sink": stream_sinks.stream_cms_sink,
         # --- curation (one key per sub-family; the rest follow the window) ---
         "deterministic_sample": curation.deterministic_sample,
         "train_val_test_split": curation.train_val_test_split,
@@ -514,4 +515,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,
         "hll_portable_distinct": sketches.HLL_PORTABLE_SQL,
         "digit_bucket_quantiles": sketches.DIGIT_BUCKET_SQL,
+        "stream_cms_sink": sketches.CMS_SQL,
     }

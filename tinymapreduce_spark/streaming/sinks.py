@@ -68,3 +68,78 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+def stream_cms_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance — the incremental form of
+    ``operators/sketches.cms_heavy_hitters``: the corpus arrives as
+    micro-batches (the single-file testdata is pre-split into 8 parquet
+    files, streamed 2 per trigger, so the merge path really runs), each
+    batch's (row, bucket) cell counts are ADDED into the versioned
+    sketch table (read current + union + re-sum + publish), and the
+    final table is queried batch-side for the top-k heavy hitters.
+
+    Exactly-once: the read-modify-write publishes under snapshot_id =
+    batch id — a replayed batch recomputes the merge against whatever
+    is current, then hits the idempotent no-op publish, so counts can
+    never double-add. Because cell addition is exact and associative,
+    the final cell table equals the one-shot batch sketch bit-for-bit —
+    the query output shares CMS_SQL with the batch operator, and the
+    driver hash-checks it.
+
+    At 100 TB this is the production sketch story: per-batch partial
+    cell tables are a few KB regardless of batch size; history gives
+    time-travel over sketch states; rollups union cell tables.
+    """
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.operators.sketches import (
+        CMS_TOPK,
+        _cms_cells,
+    )
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"cms_stream_src_{run}")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"cms_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cells = (
+            batch_df.select(F.explode(tokens("text")).alias("token"))
+            .select(F.explode(_cms_cells(F.col("token"))).alias("c"))
+            .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cell_n"))
+        )
+        if table.current_version() is not None:
+            cells = (
+                table.read(s)
+                .unionByName(cells)
+                .groupBy("r", "b")
+                .agg(F.sum("cell_n").alias("cell_n"))
+            )
+        table.publish(cells, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cells = table.read(spark)
+    cand = docs.select(F.explode(tokens("text")).alias("token")).distinct()
+    est = (
+        cand.select("token", F.explode(_cms_cells(F.col("token"))).alias("c"))
+        .select("token", F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("token")
+        .agg(F.min("cell_n").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)
