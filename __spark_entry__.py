@@ -100,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
-        "dedup_survivors": dedup.dedup_survivors,
         "boilerplate_spans": dedup.boilerplate_spans,
         "dup_passage_coverage": dedup.dup_passage_coverage,
         "tf_cosine_pairs": dedup.tf_cosine_pairs,
@@ -147,12 +146,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
         "custom_source_runs": textfiles.custom_source_runs,
+        "custom_stream_source": textfiles.custom_stream_source,
         # --- iterative/sketch ops whose oracles landed this round ---
         "kmeans_clusters": clustering.kmeans_clusters,
         "pagerank_trade": graph.pagerank_trade,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
         "lang_id": textstats.lang_id,
+        "dedup_survivors": dedup.dedup_survivors,
         "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "negative_sampling": similarity.negative_sampling,
         "stratified_sample": curation.stratified_sample,
@@ -516,4 +517,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_portable_distinct": sketches.HLL_PORTABLE_SQL,
         "digit_bucket_quantiles": sketches.DIGIT_BUCKET_SQL,
         "stream_cms_sink": sketches.CMS_SQL,
+        "custom_stream_source": _WORD_COUNT_SQL,
     }

@@ -33,6 +33,7 @@ from pyspark import cloudpickle
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -60,6 +61,9 @@ class MrRunsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "MrRunsWriter":
         return MrRunsWriter(self.options, overwrite)
+
+    def streamReader(self, schema) -> "MrRunsStreamReader":
+        return MrRunsStreamReader(self.options)
 
 
 class MrRunsReader(DataSourceReader):
@@ -145,3 +149,54 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 def register(spark) -> None:
     spark.dataSource.register(MrRunsDataSource)
+
+
+class MrRunsStreamReader(DataSourceStreamReader):
+    """Streaming side of the connector (DataSourceStreamReader): the
+    runs directory is treated as an append-only log of run files;
+    offsets are indexes into the sorted file list, and ``latestOffset``
+    ratchets forward by at most MAX_FILES_PER_BATCH per trigger — the
+    connector-level form of maxFilesPerTrigger rate limiting, so a
+    bounded directory still exercises multi-micro-batch progress.
+    Replay semantics: partitions(start, end) is a pure function of the
+    two offsets (same sorted listing), so a recovered query re-reads
+    exactly the files of the uncommitted range."""
+
+    MAX_FILES_PER_BATCH = 3
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_runs stream source requires option 'path'")
+        self._acked = 0
+
+    def _all_files(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        n = len(self._all_files())
+        self._acked = min(n, self._acked + self.MAX_FILES_PER_BATCH)
+        return {"idx": self._acked}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._all_files()[start["idx"] : end["idx"]]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        fname = partition.value
+        with open(os.path.join(self.path, fname)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    yield (rec.get("key"), rec.get("value"), fname)
+
+    def commit(self, end: dict) -> None:
+        pass

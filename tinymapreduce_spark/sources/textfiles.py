@@ -221,3 +221,34 @@ def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("key").alias("word")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runs directory consumed through the connector's STREAMING
+    reader (DataSourceStreamReader, the Python-DataSource streaming API):
+    offsets index the sorted file list, each trigger admits at most 3
+    files, and the running complete-mode word count lands in a memory
+    sink. For bounded input the final table must equal the straight word
+    count (same oracle as the batch connector read)."""
+    import uuid
+
+    from tinymapreduce_spark.sources import mr_runs_source
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    mr_runs_source.register(spark)
+    stream = spark.readStream.format("mr_runs").option("path", runs_dir).load()
+    agg = stream.groupBy(F.col("key").alias("word")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    name = f"custom_stream_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
