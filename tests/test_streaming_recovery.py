@@ -208,3 +208,40 @@ def test_available_now_processes_backlog_then_stops(spark, tmp_path_factory):
     final = spark.read.parquet(sink)
     assert final.count() == 100
     assert final.agg(F.count_distinct("id")).collect()[0][0] == 100
+
+
+def test_custom_stream_reader_offsets_cover_exactly_once(spark, sf_dir):
+    """The connector's DataSourceStreamReader contract, unit-level:
+    ratcheted latestOffset() walks the sorted file list to the end in
+    <=MAX_FILES_PER_BATCH steps; partitions(start, end) is a pure
+    function of the offsets (same call -> same files); and the batch
+    ranges tile the directory exactly once with no overlap."""
+    from tinymapreduce_spark.sources.mr_runs_source import MrRunsStreamReader
+    from tinymapreduce_spark.sources.textfiles import _ensure_json_runs
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    rdr = MrRunsStreamReader({"path": runs_dir})
+    all_files = rdr._all_files()
+    assert all_files, "runs dir unexpectedly empty"
+
+    offsets = [rdr.initialOffset()]
+    while True:
+        nxt = rdr.latestOffset()
+        if nxt == offsets[-1]:
+            break
+        offsets.append(nxt)
+    assert offsets[-1]["idx"] == len(all_files)
+
+    seen: list[str] = []
+    for start, end in zip(offsets, offsets[1:]):
+        batch = [p.value for p in rdr.partitions(start, end)]
+        assert 0 < len(batch) <= MrRunsStreamReader.MAX_FILES_PER_BATCH
+        # purity: re-resolving the same offset range yields the same files
+        assert batch == [p.value for p in rdr.partitions(start, end)]
+        seen.extend(batch)
+    assert seen == all_files  # exactly-once tiling, in order
+
+    # rows from a replayed partition equal the first read (no state)
+    first = list(rdr.read(rdr.partitions(offsets[0], offsets[1])[0]))
+    again = list(rdr.read(rdr.partitions(offsets[0], offsets[1])[0]))
+    assert first == again and first
