@@ -84,6 +84,9 @@ HEADLINE = [
     "cogrouped_asof",
     "triangle_count",
     "cms_heavy_hitters",
+    "hll_portable_distinct",
+    "digit_bucket_quantiles",
+    "dedup_incremental_minhash",
     "window_range_frame",
     "weighted_sample",
     "fuzzy_join_levenshtein",

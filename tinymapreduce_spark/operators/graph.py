@@ -135,6 +135,15 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: materialize once.
     fanout = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    # Dangling NODE SET is also loop-invariant — only its MASS changes
+    # per round. Materialize it once; when it is empty (every node has
+    # an out-edge — true of any symmetrized graph, e.g. the trade
+    # graph), skip the per-round mass aggregation entirely: dmass is
+    # identically 0 and the oracle's per-round dangling term agrees.
+    dangling_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.head(1))
     ranks = nodes.select(
         "node", F.lit(base).cast("long").alias("rank_i")
     ).localCheckpoint(eager=True)
@@ -145,20 +154,23 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_i"), F.lit(0).cast("long")).alias("dmass"))
-        )
+        new_ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank_i"), F.lit(0).cast("long")).alias("dmass"))
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dmass_term = f" + dmass DIV {n_nodes}L"
+        else:
+            dmass_term = ""
         new_rank = (
             f"({(_PR_DEN - _PR_NUM) * base}L"
-            f" + {_PR_NUM}L * (COALESCE(in_mass, 0L) + dmass DIV {n_nodes}L))"
+            f" + {_PR_NUM}L * (COALESCE(in_mass, 0L){dmass_term}))"
             f" DIV {_PR_DEN}L"
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("node", F.expr(new_rank).alias("rank_i"))
-            .localCheckpoint(eager=True)
+        ranks = new_ranks.select("node", F.expr(new_rank).alias("rank_i")).localCheckpoint(
+            eager=True
         )
     return ranks.select(
         "node", "rank_i", (F.col("rank_i") / F.lit(float(PR_SCALE))).alias("rank")
@@ -185,11 +197,17 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Nodes travel as LONGS through the whole iteration (customer 2k,
+    # supplier 2k+1 — disjoint, bijective with the labels): 8-byte join
+    # and shuffle keys instead of strings. The 'c:'/'s:' labels are
+    # rebuilt only for the final 20 rows, so the SQL oracle (which works
+    # in the label domain throughout) sees identical output — per-node
+    # masses are preserved under any bijective node renaming.
     rel = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("supp"),
+            (F.col("o_custkey").cast("long") * 2).alias("cust"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("supp"),
         )
         .distinct()
     )
@@ -200,10 +218,17 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("node"))
     ).distinct()
     ranks = pagerank(nodes, edges)
-    # order on the exact integer rank (pre-rounding) so the top-20 cut
-    # is deterministic and byte-identical to the SQL oracle's
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    # order on the exact integer rank (pre-rounding), tie-broken on the
+    # rebuilt LABEL so the top-20 cut is byte-identical to the oracle's
     return (
-        ranks.orderBy(F.desc("rank_i"), F.asc("node"))
+        ranks.select(label.alias("node"), "rank_i", "rank")
+        .orderBy(F.desc("rank_i"), F.asc("node"))
         .limit(20)
         .select("node", F.round("rank", 9).alias("rank"))
     )
