@@ -607,11 +607,12 @@ def test_minhash_band_join_is_equi(spark, sf_dir):
         df.sparkSession.catalog.clearCache()
 
 
-def test_kmeans_assignment_joinless(spark, sf_dir):
-    """The k-means assignment stage scores K broadcast centroid
-    LITERALS inside one projection — the N-vector scan must contain no
-    join and no exchange (the only shuffle in a round is the centroid
-    UPDATE aggregation)."""
+def test_kmeans_assignment_shuffle_free(spark, sf_dir):
+    """The k-means assignment stage scores the K centroids from ONE
+    broadcast row (array-of-arrays — so the compiled plan is identical
+    every round and at any K x D): the N-vector side must see no
+    shuffle, and the only join is that single-row broadcast (the only
+    shuffle in a round is the centroid UPDATE aggregation)."""
     from tinymapreduce_spark.operators.clustering import (
         K_CLUSTERS,
         _assign,
@@ -622,7 +623,9 @@ def test_kmeans_assignment_joinless(spark, sf_dir):
     init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [[int(v) for v in r["a"]] for r in init]
     p = plan_of(_assign(vecs, centroids))
-    assert "Join" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row centroid ship...
+    assert p.count("Join type:") == 1  # ...and no other join
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     # no grouping shuffle in assignment (the vec-spread round-robin
     # exchange from spread-for-cpu is not a hash repartition)
     assert p.count("Arguments: hashpartitioning") == 0

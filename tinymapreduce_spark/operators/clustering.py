@@ -48,8 +48,12 @@ QUANT_OFFSET = 1 << 20  # shifts all coords positive (|x| < 1 in the data)
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, a array<long>) — coordinates on the integer grid."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(vec_id, a array<long>) — coordinates on the integer grid,
+    fanned out to the session's parallelism (the single-file testdata
+    otherwise leaves every per-round distance pass on ONE task)."""
+    from tinymapreduce_spark.sources.loaders import spread_for_cpu
+
+    emb = spread_for_cpu(spark, load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         F.transform(
@@ -60,30 +64,37 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq_dist_to(centroid: list[int]):
-    """Squared L2 distance from the row's ``a`` (array<long>) to a
-    centroid literal — a zip_with/aggregate fold, JVM-side, exact
-    integers (diff^2 <= ~2^40, 64 dims -> < 2^47, no overflow)."""
-    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(F.col("a"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
 def _assign(vecs: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Add (cluster, sq_dist): argmin over the K broadcast centroid
-    literals via one least() expression — no join, no shuffle. Integer
-    distances make the tie-break (lowest cluster id) exact."""
-    dists = [_sq_dist_to(c).alias(f"d{i}") for i, c in enumerate(centroids)]
-    with_d = vecs.select("vec_id", "a", *dists)
-    best = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
-    cluster = None
-    for i in reversed(range(len(centroids))):
-        cond = F.col(f"d{i}") == best
-        cluster = F.when(cond, i) if cluster is None else F.when(cond, i).otherwise(cluster)
-    return with_d.select("vec_id", "a", cluster.alias("cluster"), best.alias("sq_dist"))
+    """Add (cluster, sq_dist): argmin over the K centroids, shipped as
+    ONE broadcast row holding an array-of-arrays — no shuffle, and the
+    plan (hence the generated code) is IDENTICAL every round and at any
+    K x D, so iteration 2..N reuse iteration 1's compiled codegen
+    instead of recompiling a K*D-literal expression tree. Distances are
+    exact integers (diff^2 <= ~2^42, 64 dims -> < 2^48, no overflow);
+    argmin ties break to the lowest cluster id via array_position's
+    first-match semantics."""
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [([[int(v) for v in c] for c in centroids],)], "cs array<array<bigint>>"
+    )
+    dists = F.transform(
+        "cs",
+        lambda c: F.aggregate(
+            F.zip_with(F.col("a"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        vecs.join(F.broadcast(cdf))
+        .select("vec_id", "a", dists.alias("ds"))
+        .select(
+            "vec_id",
+            "a",
+            (F.array_position("ds", F.array_min("ds")) - 1).cast("int").alias("cluster"),
+            F.array_min("ds").alias("sq_dist"),
+        )
+    )
 
 
 def _update_centroids(
