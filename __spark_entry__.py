@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
         "lang_id": textstats.lang_id,
+        "doc_hash_embedding": similarity.doc_hash_embedding,
+        "doc_ann_topk": similarity.doc_ann_topk,
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "negative_sampling": similarity.negative_sampling,
@@ -518,4 +520,6 @@ def oracle_sql() -> dict[str, str]:
         "digit_bucket_quantiles": sketches.DIGIT_BUCKET_SQL,
         "stream_cms_sink": sketches.CMS_SQL,
         "custom_stream_source": _WORD_COUNT_SQL,
+        "doc_hash_embedding": similarity.DOC_HASH_EMBEDDING_SQL,
+        "doc_ann_topk": similarity.DOC_ANN_TOPK_SQL,
     }

@@ -861,3 +861,140 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(exact)
+
+
+# --- doc -> dense vector without a model: signed feature hashing ------------
+FH_DIMS = 60  # one dim per bit of the portable 60-bit hash
+FH_QUERIES = 10
+FH_TOP_K = 5
+
+
+def _doc_hash_embedding_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, e array<bigint>) — signed feature-hashing projection
+    (the hash kernel of Weinberger et al., ICML'09): dimension d of a
+    document is the sum over token OCCURRENCES of +/-1 by bit d of the
+    token's portable 60-bit hash. One groupBy with FH_DIMS conditional
+    sums — a single corpus pass, constant shuffle width per doc."""
+    from tinymapreduce_spark.functions.hashing import h60
+    from tinymapreduce_spark.functions.text import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = tok.select("doc_id", h60(F.col("tok")).alias("h"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", d).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
+            ).alias(f"e{d}")
+            for d in range(FH_DIMS)
+        ]
+    )
+    return sums.select(
+        "doc_id", F.array(*[f"e{d}" for d in range(FH_DIMS)]).alias("e")
+    )
+
+
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection as a queryable table: (doc_id, dim, val), exact
+    integers — the deterministic stand-in for a neural embedder that
+    completes the doc -> vector -> ANN pipeline INSIDE the engine (the
+    ``embeddings`` testdata table has no doc linkage). Exploded rows
+    rather than arrays so the driver's value-hash sees scalars."""
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    wide = _doc_hash_embedding_wide(documents_for_cpu(spark, sf_dir))
+    return wide.select("doc_id", F.posexplode("e").alias("dim", "val"))
+
+
+def doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per query DOCUMENT over the hashed
+    embeddings — the composed pipeline stage. Because the vectors are
+    exact integers, the dot product and both norms are exact longs
+    (|e_d| <= n_tokens, so norm products stay << 2^53 and the one
+    float division + sqrt is engine-identical) — unlike the float
+    ``embeddings`` table, the ANN answer itself carries an exact
+    oracle. Query side broadcast; corpus scanned once."""
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    wide = _doc_hash_embedding_wide(documents_for_cpu(spark, sf_dir))
+    norms = wide.select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    emb = wide.join(norms, "doc_id").where(F.col("n2") > 0)
+    queries = emb.where(F.col("doc_id") < FH_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qe", "e", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= FH_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+_FH_SUMS_CTE = f"""
+tok AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), sums AS (
+  SELECT doc_id, CAST(d AS INT) AS dim,
+         CAST(SUM(CASE WHEN (h >> CAST(d AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM h CROSS JOIN range({FH_DIMS}) t(d)
+  GROUP BY doc_id, d
+)
+"""
+
+DOC_HASH_EMBEDDING_SQL = f"""
+WITH {_FH_SUMS_CTE}
+SELECT doc_id, dim, val FROM sums
+"""
+
+DOC_ANN_TOPK_SQL = f"""
+WITH {_FH_SUMS_CTE},
+norms AS (
+  SELECT doc_id, CAST(SUM(val * val) AS BIGINT) AS n2 FROM sums GROUP BY doc_id
+), q AS (
+  SELECT s.doc_id AS query_id, s.dim, s.val, n.n2 AS qn2
+  FROM sums s JOIN norms n ON s.doc_id = n.doc_id
+  WHERE s.doc_id < {FH_QUERIES} AND n.n2 > 0
+), dots AS (
+  SELECT q.query_id, s.doc_id, CAST(SUM(q.val * s.val) AS BIGINT) AS dot,
+         ANY_VALUE(q.qn2) AS qn2
+  FROM q JOIN sums s ON q.dim = s.dim AND s.doc_id <> q.query_id
+  GROUP BY q.query_id, s.doc_id
+), scored AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / sqrt(CAST(d.qn2 * n.n2 AS DOUBLE)), 6) AS score
+  FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+  WHERE n.n2 > 0
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {FH_TOP_K}
+"""
