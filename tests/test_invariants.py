@@ -990,3 +990,28 @@ def test_digit_bucket_quantiles_error_bounded(spark, sf_dir):
         for q, ex in zip(Q_PCTS, ps):
             est = got[grp][f"p{int(q * 100)}"]
             assert ex * 0.9 - 0.01 <= est <= ex + 0.01, (grp, q, est, ex)
+
+
+def test_h60_cross_engine_fuzz(spark):
+    """The portable hash PRIMITIVE everything round-2 rests on: for a
+    pile of adversarial strings (unicode, quotes, long runs, digits),
+    Spark's h60 and the DuckDB spelling must agree exactly."""
+    import random
+
+    import duckdb
+
+    from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL, h60
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ0189 \t'\"|,;:!@#$%^&*()_+=-éüñ中文🎲"
+    cases = ["", "a", " ", "0:x"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r.s: r.h for r in df.select("s", h60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    expr = H60_SQL_TMPL.format(expr="s")
+    for s in cases:
+        want = con.execute(f"SELECT {expr} FROM (VALUES (?)) t(s)", [s]).fetchone()[0]
+        assert got[s] == want, repr(s)

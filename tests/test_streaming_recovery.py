@@ -245,3 +245,21 @@ def test_custom_stream_reader_offsets_cover_exactly_once(spark, sf_dir):
     first = list(rdr.read(rdr.partitions(offsets[0], offsets[1])[0]))
     again = list(rdr.read(rdr.partitions(offsets[0], offsets[1])[0]))
     assert first == again and first
+
+
+def test_stream_cms_merge_equals_batch_sketch(spark, sf_dir):
+    """The incremental cell-table merges across micro-batches must
+    reconstruct the one-shot batch sketch EXACTLY (cell addition is
+    exact and associative), so the streamed heavy-hitter estimates
+    equal cms_heavy_hitters' bit-for-bit. (Idempotent replay of a
+    committed batch is covered by the manifest no-op publish tests —
+    the merge recomputes against current state and its publish is
+    discarded.)"""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.sketches import cms_heavy_hitters
+    from tinymapreduce_spark.streaming.sinks import stream_cms_sink
+
+    streamed = {(r.token, r.est_count) for r in stream_cms_sink(spark, sf_dir).collect()}
+    batch = {(r.token, r.est_count) for r in cms_heavy_hitters(spark, sf_dir).collect()}
+    assert streamed == batch
