@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggregates": subqueries.approx_aggregates,
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "python_udtf_split": udaf.python_udtf_split,
+        "python_udtf_table_arg": udaf.python_udtf_table_arg,
         "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
         "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
         # ================= driver-green in round 1 (CORRECTNESS_r01) =====
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "map_functions": analytics.MAP_FUNCTIONS_SQL,
         "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
         "python_udtf_split": udaf.PYTHON_UDTF_SQL,
+        "python_udtf_table_arg": udaf.PYTHON_UDTF_TABLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,

@@ -109,3 +109,59 @@ FROM documents,
                      generate_subscripts(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''), 1) AS i) t
 WHERE t.i <= {UDTF_MAX_POS}
 """
+
+
+def python_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument (Spark 4 polymorphic table function):
+    the function consumes whole partitions — ``PARTITION BY source
+    ORDER BY doc_id`` hands each source's rows to one UDTF instance in
+    doc_id order, and ``terminate()`` emits the per-partition summary.
+    This is the API for per-group streaming-style logic that outgrows
+    aggregate expressions (sessionization with carry-over rules, order-
+    sensitive folds) while still letting Spark own the partitioning
+    shuffle. Here the logic is deliberately aggregate-expressible so
+    the DuckDB oracle checks the machinery exactly."""
+    from pyspark.sql.functions import udtf
+
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    @udtf(returnType="source string, n_docs bigint, total_chars bigint, first_doc bigint, last_doc bigint")
+    class SourceStats:
+        def __init__(self) -> None:
+            self._src = None
+            self._n = 0
+            self._chars = 0
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._src = row["source"]
+            self._n += 1
+            self._chars += row["n_chars"]
+            if self._first is None:
+                self._first = row["doc_id"]
+            self._last = row["doc_id"]
+
+        def terminate(self):
+            if self._src is not None:
+                yield (self._src, self._n, self._chars, self._first, self._last)
+
+    spark.udtf.register("source_stats", SourceStats)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_t")
+    return spark.sql(
+        """
+        SELECT * FROM source_stats(
+          TABLE(SELECT doc_id, source, n_chars FROM docs_udtf_t)
+          PARTITION BY source ORDER BY doc_id
+        )
+        """
+    )
+
+
+PYTHON_UDTF_TABLE_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM documents
+GROUP BY source
+"""
