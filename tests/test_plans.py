@@ -629,3 +629,37 @@ def test_kmeans_assignment_shuffle_free(spark, sf_dir):
     # no grouping shuffle in assignment (the vec-spread round-robin
     # exchange from spread-for-cpu is not a hash repartition)
     assert p.count("Arguments: hashpartitioning") == 0
+
+
+def test_doc_ann_broadcast_query_side(spark, sf_dir):
+    """doc_ann_topk: the query documents broadcast; the corpus-side
+    embedding scan never sort-merges, and the whole scoring pass is
+    JVM-side (no Python)."""
+    from tinymapreduce_spark.operators.similarity import doc_ann_topk
+
+    p = plan_of(doc_ann_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_sketch_tables_partial_aggregate(spark, sf_dir):
+    """The portable HLL register table and the digit-bucket table must
+    build with map-side partial aggregation (partial_max / partial
+    counts before the exchange) — the mergeable-sketch shape."""
+    from tinymapreduce_spark.operators.sketches import (
+        digit_bucket_quantiles,
+        hll_portable_distinct,
+    )
+
+    p = plan_of(hll_portable_distinct(spark, sf_dir))
+    try:
+        assert "partial_max" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    finally:
+        spark.catalog.clearCache()
+    p2 = plan_of(digit_bucket_quantiles(spark, sf_dir))
+    try:
+        assert "partial_count" in p2
+    finally:
+        spark.catalog.clearCache()
