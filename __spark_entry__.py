@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
         "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
         "parquet_zstd_roundtrip": textfiles.parquet_zstd_roundtrip,
+        "manifest_time_travel": manifest_sink.manifest_time_travel,
         # ================= driver-green in round 1 (CORRECTNESS_r01) =====
         # --- reference MR application surface (SURVEY.md §2.3) ---
         "word_count": reference_queries.word_count,
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "parquet_zstd_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
+        "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
         "manifest_wap_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,

@@ -306,3 +306,44 @@ def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a driver-checked query: day-1 publishes a partial
+    load (orderkey % 3 != 0), day-2 publishes the full table; the query
+    reads EVERY surviving version through the harmonized-history API
+    and aggregates per version — so the oracle independently checks
+    that version 1 still serves exactly the day-1 rows after version 2
+    committed (reader isolation), and version 2 the full table.
+    Re-runs are no-ops (snapshot-id idempotence), so the version
+    numbering is stable across invocations."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"tt_lineitem_{tag}"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_orderkey"
+    )
+    table.publish(li.where("l_orderkey % 3 != 0"), snapshot_id="day1")
+    table.publish(li, snapshot_id="day2")
+
+    hist = table.read_history_harmonized(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return hist.groupBy(F.col("_version").cast("long").alias("version")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
+    )
+
+
+MANIFEST_TT_SQL = """
+SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem WHERE l_orderkey % 3 != 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+FROM lineitem
+"""
