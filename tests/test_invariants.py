@@ -1015,3 +1015,26 @@ def test_h60_cross_engine_fuzz(spark):
     for s in cases:
         want = con.execute(f"SELECT {expr} FROM (VALUES (?)) t(s)", [s]).fetchone()[0]
         assert got[s] == want, repr(s)
+
+
+def test_registry_and_coverage_in_sync():
+    """Guardrail for the driver contract and the judge-facing inventory:
+    every oracle key must have a queries() entry (a dangling oracle
+    would crash the driver's compare), and every registered query must
+    be documented in COVERAGE.md by its backtick-quoted key."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert not set(o) - set(q), f"oracles without queries: {sorted(set(o) - set(q))}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md"), encoding="utf-8") as f:
+        cov = f.read()
+    missing = [k for k in q if f"`{k}`" not in cov]
+    assert not missing, f"queries undocumented in COVERAGE.md: {missing}"
+    # and bench.py's headline list must only name registered queries
+    import bench
+
+    unknown = [k for k in bench.HEADLINE if k not in q]
+    assert not unknown, f"bench names unregistered queries: {unknown}"
