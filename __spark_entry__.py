@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": analytics.copurchase_pairs,
         "trend_slope": analytics.trend_slope,
         "sql_interface": analytics.sql_interface,
+        "sql_pipe_syntax": analytics.sql_pipe_syntax,
+        "sql_group_by_all": analytics.sql_group_by_all,
         "grouped_correlation": analytics.grouped_correlation,
         "equidepth_deciles": analytics.equidepth_deciles,
         "equidepth_sampled": analytics.equidepth_sampled,
@@ -496,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_neardup_pairs": textstats.WINNOW_NEARDUP_SQL,
         "mix_weights": curation.MIX_WEIGHTS_SQL,
         "sql_interface": analytics.SQL_INTERFACE_SQL,
+        "sql_pipe_syntax": analytics.SQL_PIPE_SYNTAX_SQL,
+        "sql_group_by_all": analytics.SQL_GROUP_BY_ALL_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,

@@ -1819,6 +1819,72 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INTERFACE_SQL = _SQL_INTERFACE_TEXT
 
 
+_SQL_PIPE_TEXT = """
+FROM orders
+|> JOIN customer ON o_custkey = c_custkey
+|> WHERE o_orderstatus = 'F'
+|> EXTEND CAST(YEAR(o_orderdate) AS BIGINT) AS o_year
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+   GROUP BY c_mktsegment, o_year
+|> WHERE n_orders > 5
+|> ORDER BY c_mktsegment, o_year
+"""
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe operators (SPARK-49555): the same logical query
+    a user would write FROM-first — JOIN, WHERE, EXTEND, AGGREGATE with
+    GROUP BY, a post-aggregate WHERE (HAVING), ORDER BY — each as a
+    ``|>`` stage. Catalyst resolves the pipe form to the identical plan
+    as the ANSI form (dims broadcast, decimal fold, year pushed into the
+    scan's projection), so this is pure surface coverage: the oracle is
+    the ANSI translation (SQL_PIPE_SYNTAX_SQL) since DuckDB has no pipe
+    dialect. Determinism: total order on (c_mktsegment, o_year), sums
+    folded in DECIMAL before the one double cast."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE_TEXT)
+
+
+SQL_PIPE_SYNTAX_SQL = """
+SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment, CAST(YEAR(o_orderdate) AS BIGINT)
+HAVING COUNT(*) > 5
+ORDER BY c_mktsegment, o_year
+"""
+
+
+_SQL_GROUP_BY_ALL_TEXT = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL resolution (Spark 3.4+ / DuckDB
+    shared dialect): the engine infers the grouping set as every
+    non-aggregate select item and the sort as the full output column
+    list. The IDENTICAL text runs on DuckDB as the oracle — parity here
+    pins that both engines infer the same grouping columns and the same
+    all-columns sort order."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP_BY_ALL_TEXT)
+
+
+SQL_GROUP_BY_ALL_SQL = _SQL_GROUP_BY_ALL_TEXT
+
+
 def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag Pearson correlation between quantity and extended
     price, computed in closed form from EXACT moment sums — the
