@@ -144,17 +144,37 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
         outdeg, nodes["node"] == outdeg["src"], "left_anti"
     ).localCheckpoint(eager=True)
     has_dangling = bool(dangling_nodes.head(1))
+    # IN-coverage is also loop-invariant: when every node has at least
+    # one in-edge (true of any symmetrized graph, e.g. the trade graph),
+    # the contribution aggregate already emits a row per node and the
+    # per-round nodes-left-join — one extra O(|V|) shuffle per round —
+    # is dropped entirely.
+    full_in_coverage = not bool(
+        nodes.join(
+            edges.select(F.col("dst").alias("node")), "node", "left_anti"
+        ).head(1)
+    )
+    # Lineage is truncated by localCheckpoint; when ranks is consumed
+    # once per round (no dangling aggregate reading it a second time),
+    # a 3-round cadence amortizes the materialization barrier without
+    # re-execution risk. With dangling nodes, ranks feeds BOTH the
+    # contribution join and the mass aggregate each round — checkpoint
+    # every round so the second consumer never recomputes the chain.
+    ckpt_every = 1 if has_dangling else 3
     ranks = nodes.select(
         "node", F.lit(base).cast("long").alias("rank_i")
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             fanout.join(ranks, fanout["src"] == ranks["node"])
             .select("dst", F.expr("rank_i DIV outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        new_ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        if full_in_coverage:
+            new_ranks = contribs.select(F.col("dst").alias("node"), "in_mass")
+        else:
+            new_ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
         if has_dangling:
             dangling = (
                 ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
@@ -169,9 +189,9 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
             f" + {_PR_NUM}L * (COALESCE(in_mass, 0L){dmass_term}))"
             f" DIV {_PR_DEN}L"
         )
-        ranks = new_ranks.select("node", F.expr(new_rank).alias("rank_i")).localCheckpoint(
-            eager=True
-        )
+        ranks = new_ranks.select("node", F.expr(new_rank).alias("rank_i"))
+        if it % ckpt_every == ckpt_every - 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node", "rank_i", (F.col("rank_i") / F.lit(float(PR_SCALE))).alias("rank")
     )
