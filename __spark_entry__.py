@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- iterative/sketch ops whose oracles landed this round ---
         "kmeans_clusters": clustering.kmeans_clusters,
         "pagerank_trade": graph.pagerank_trade,
+        "bfs_hops": graph.bfs_hops,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
         "lang_id": textstats.lang_id,
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": analytics.RFM_SQL,
         "cms_heavy_hitters": sketches.CMS_SQL,
         "pagerank_trade": graph.PAGERANK_TRADE_SQL,
+        "bfs_hops": graph.BFS_HOPS_SQL,
         "bm25_topk": retrieval.BM25_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,

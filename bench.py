@@ -65,6 +65,7 @@ HEADLINE = [
     "dup_passage_coverage",
     "bm25_topk",
     "pagerank_trade",
+    "bfs_hops",
     "ann_topk_cosine",
     "fingerprint",
     "token_stats",
@@ -104,6 +105,8 @@ HEADLINE = [
     "orc_roundtrip_agg",
     "mix_weights",
     "sql_interface",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",

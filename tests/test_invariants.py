@@ -727,6 +727,34 @@ class TestPageRank:
         for n in "abcd":
             assert got[n] == pytest.approx(ranks[n], abs=1e-12), n
 
+    def test_partial_in_coverage_source_node(self, spark):
+        """A graph with a pure SOURCE node (no in-edges) exercises the
+        nodes-left-join branch that full-in-coverage graphs (the toy
+        above, any symmetrized graph) skip: the source's rank must decay
+        toward the teleport floor, not vanish from the output."""
+        from pyspark.sql import functions as F
+
+        from tinymapreduce_spark.operators.graph import PR_DAMPING, PR_ITERS, pagerank
+
+        edges = spark.createDataFrame(
+            [("s", "a"), ("a", "b"), ("b", "a")], "src string, dst string"
+        )
+        nodes = spark.createDataFrame([("s",), ("a",), ("b",)], "node string")
+        got = {r.node: r.rank for r in pagerank(nodes, edges).collect()}
+        assert set(got) == {"s", "a", "b"}
+        adj = {"s": ["a"], "a": ["b"], "b": ["a"]}
+        ranks = {n: 1 / 3 for n in "sab"}
+        for _ in range(PR_ITERS):
+            mass = {n: 0.0 for n in "sab"}
+            for n, outs in adj.items():
+                for o in outs:
+                    mass[o] += ranks[n] / len(outs)
+            ranks = {
+                n: (1 - PR_DAMPING) / 3 + PR_DAMPING * mass[n] for n in "sab"
+            }
+        for n in "sab":
+            assert got[n] == pytest.approx(ranks[n], abs=1e-12), n
+
     def test_mass_conserved_and_deterministic(self, spark, sf_dir):
         from tinymapreduce_spark.operators.graph import pagerank_trade
 

@@ -131,6 +131,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     plan.
     """
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph -> empty ranking (schema-stable)
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_i"),
+            F.lit(0.0).alias("rank"),
+        )
     base = PR_SCALE // n_nodes
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: materialize once.
@@ -197,6 +203,44 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     )
 
 
+def _trade_edges(spark, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier relation graph (one edge pair per
+    distinct trading relation via orders x lineitem). Nodes travel as
+    LONGS (customer 2k, supplier 2k+1 — disjoint, bijective with the
+    'c:'/'s:' labels): 8-byte join and shuffle keys instead of strings;
+    labels are rebuilt only for final output rows, and SQL oracles that
+    work in the label domain see identical results because per-node
+    quantities are preserved under any bijective node renaming. The
+    distinct() collapses multi-line orders BEFORE any iteration, so
+    iterative consumers (pagerank_trade, bfs_hops) loop over the much
+    smaller relation graph, not raw line items."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    rel = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("cust"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    return rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+def _trade_label():
+    """'c:<custkey>' / 's:<suppkey>' label column for a long `node` id."""
+    return F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+
+
 def pagerank_trade(spark, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer<->supplier trade graph: one
     edge pair per distinct (customer, supplier) trading relation (via
@@ -213,37 +257,12 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
     assert determinism across runs and the handwritten power-iteration
     oracle on a toy graph.
     """
-    from tinymapreduce_spark.sources.loaders import load_table
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Nodes travel as LONGS through the whole iteration (customer 2k,
-    # supplier 2k+1 — disjoint, bijective with the labels): 8-byte join
-    # and shuffle keys instead of strings. The 'c:'/'s:' labels are
-    # rebuilt only for the final 20 rows, so the SQL oracle (which works
-    # in the label domain throughout) sees identical output — per-node
-    # masses are preserved under any bijective node renaming.
-    rel = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("cust"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
-        rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
     ranks = pagerank(nodes, edges)
-    label = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
-    ).otherwise(
-        F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
-    )
+    label = _trade_label()
     # order on the exact integer rank (pre-rounding), tie-broken on the
     # rebuilt LABEL so the top-20 cut is byte-identical to the oracle's
     return (
@@ -379,4 +398,83 @@ SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
 FROM edges e1
 JOIN edges e2 ON e1.v = e2.u
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+BFS_MAX_HOPS = 4
+BFS_SEED_NATION = "GERMANY"
+
+
+def bfs_hops(spark, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the trade graph: seed every
+    customer of one nation, expand the frontier Pregel-style up to
+    BFS_MAX_HOPS, report each reached party's first-visit hop. The
+    reachability question behind supply-chain blast-radius / influence
+    queries (reference parity: the iterative keyed-dataflow family,
+    SURVEY.md §2; no direct reference analog — graph extension tier).
+
+    Scale shape: per round ONE equi-join shuffle bounded by the edges
+    touched by the frontier plus one anti-join against the visited set
+    (16 B/node), the textbook distributed-BFS bound. The visited set is
+    ``localCheckpoint``ed each round so lineage stays flat and the next
+    frontier is a free scan of materialized rows (``hop == h``), never a
+    re-execution of the anti-join. Rounds are FIXED (no data-dependent
+    early exit), so the result is a pure function of the graph and the
+    DuckDB recursive-CTE oracle (BFS_HOPS_SQL) replays it exactly:
+    BFS first-visit hop == MIN over all (node, hop<=H) walk pairs.
+    Seeds with no trading relations still report hop 0 (documented —
+    the oracle agrees by construction)."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == BFS_SEED_NATION
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
+    )
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("hop")
+    ).localCheckpoint(eager=True)
+    for h in range(1, BFS_MAX_HOPS + 1):
+        frontier = dist.where(F.col("hop") == h - 1).select("node")
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+    return dist.select(_trade_label().alias("node"), "hop").orderBy("hop", "node")
+
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE rel AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS cust,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM rel
+), seeds AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name = '{BFS_SEED_NATION}'
+), walk(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk
+GROUP BY 1
+ORDER BY 2, 1
 """
