@@ -125,6 +125,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir).persist()
     try:
         init = vecs.orderBy("vec_id").limit(K_CLUSTERS).collect()
+        if not init:  # empty corpus -> no clusters (schema-stable)
+            return spark.createDataFrame(
+                [], "cluster int, n_vecs bigint, mean_sq_dist double"
+            )
         centroids = [[int(v) for v in r["a"]] for r in init]
         for _ in range(KMEANS_ITERS):
             centroids = _update_centroids(_assign(vecs, centroids), centroids)

@@ -114,6 +114,8 @@ def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters:
     rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
     )
+    if not rows:  # empty corpus -> empty codebook (callers emit 0 rows)
+        return []
     x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
     c = x[:k].copy()
     xn = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
@@ -671,6 +673,8 @@ def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
     rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
     )
+    if not rows:  # empty corpus -> empty codebook (callers emit 0 rows)
+        return spark.createDataFrame([], "m int, cid int, centroid array<double>")
     x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
     sub_len = x.shape[1] // PQ_M
     codebook: list[tuple[int, int, list[float]]] = []

@@ -91,7 +91,9 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.aggregate(
                 F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
-                F.element_at("sks", 1),
+                # try_: zero groups (empty input) folds NULL -> NULL
+                # quantiles on the ALL row instead of crashing
+                F.try_element_at("sks", F.lit(1)),
                 lambda acc, x: F.kll_sketch_merge_double(acc, x),
             ).alias("sk")
         )

@@ -117,8 +117,11 @@ def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py).
     """
     path = _ensure_partitioned_docs(spark, sf_dir)
+    # explicit schema: no inference job, and an all-empty write (zero
+    # partition dirs) still reads as a valid 0-row frame
     return (
-        spark.read.parquet(path)
+        spark.read.schema(load_table(spark, sf_dir, "documents").schema)
+        .parquet(path)
         .where(F.col("lang") == "en")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg(F.length("text")).alias("avg_len"))
@@ -247,6 +250,8 @@ def _zorder_dir(spark: SparkSession, sf_dir: str) -> str:
             F.min("l_partkey").alias("plo"), F.max("l_partkey").alias("phi"),
             F.min("l_suppkey").alias("slo"), F.max("l_suppkey").alias("shi"),
         ).collect()[0]
+        if b.plo is None:  # empty table: degenerate bounds, empty rewrite
+            b = type(b)(plo=0, phi=0, slo=0, shi=0)
 
         def q16(col, lo, hi):
             span = max(1, hi - lo)
@@ -280,7 +285,8 @@ def zorder_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     never changes results: same filter+agg oracle runs on the original
     table."""
     zdir = _zorder_dir(spark, sf_dir)
-    li = spark.read.parquet(zdir)
+    # explicit schema: an empty rewrite leaves no part files to infer from
+    li = spark.read.schema(load_table(spark, sf_dir, "lineitem").schema).parquet(zdir)
     return (
         li.where(
             F.col("l_partkey").between(100, 299) & F.col("l_suppkey").between(10, 29)
@@ -314,7 +320,8 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scanning all of them whenever the selective predicate lives on
     the dimension, which is the normal star-schema case."""
     path = _ensure_partitioned_docs(spark, sf_dir)
-    fact = spark.read.parquet(path)
+    # explicit schema: see partitioned_sink_pruned_scan
+    fact = spark.read.schema(load_table(spark, sf_dir, "documents").schema).parquet(path)
     # external literal mapping (NOT derived from the fact's lang column:
     # a CASE over lang would let Catalyst fold the family predicate into
     # a static `lang IN (...)` filter, and the demo would no longer

@@ -490,13 +490,19 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.count()  # one action drives the scan; metrics ride along
     m = obs.get
+
+    # empty scan: sum/min/max observe as NULL — keep them NULL, exactly
+    # like the oracle's aggregates over zero rows
+    def _f(v):
+        return None if v is None else float(v)
+
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
-                float(m["total_qty"]),
-                float(m["min_price"]),
-                float(m["max_price"]),
+                _f(m["total_qty"]),
+                _f(m["min_price"]),
+                _f(m["max_price"]),
             )
         ],
         "n_rows long, total_qty double, min_price double, max_price double",

@@ -26,6 +26,12 @@ def read_whole_text_files(spark: SparkSession, path_glob: str, min_partitions: i
     """(filename, contents) DataFrame over a file glob — the Map-task
     input contract. RDD ingest edge only; everything downstream is
     DataFrame (SURVEY.md §7.0)."""
+    import glob as _pyglob
+
+    # Hadoop raises on a glob matching zero files; an empty corpus is a
+    # valid input (local-FS check — this reader is the local ingest edge)
+    if not _pyglob.glob(path_glob):
+        return spark.createDataFrame([], "filename string, contents string")
     rdd = spark.sparkContext.wholeTextFiles(path_glob, min_partitions)
     return spark.createDataFrame(rdd, "filename string, contents string").select(
         F.element_at(F.split("filename", "/"), -1).alias("filename"), "contents"
