@@ -64,6 +64,8 @@ SELECTED = {
     "dup_passage_coverage": "window hashes as 8-byte keys; coverage via interval-union windows, O(dup windows)",
     "dedup_minhash_lsh": "banded signatures: one (doc, k*8B) shuffle; candidates from band-bucket equi-join",
     "doc_ann_topk": "hashed-embedding ANN: query docs broadcast, integer dot products in codegen",
+    "sql_pipe_syntax": "pipe dialect resolves to the same broadcast-dim + decimal-fold plan as ANSI",
+    "bfs_hops": "frontier BFS final state: checkpointed visited-set scan + label projection only",
     "hll_portable_distinct": "register table via partial_max groupBy; ALL row = register-MAX union",
     "digit_bucket_quantiles": "exact-count bucket table (partial agg); ALL row = bucket-SUM union",
 }
