@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": analytics.sql_interface,
         "sql_pipe_syntax": analytics.sql_pipe_syntax,
         "sql_group_by_all": analytics.sql_group_by_all,
+        "sql_scripting": analytics.sql_scripting,
         "grouped_correlation": analytics.grouped_correlation,
         "equidepth_deciles": analytics.equidepth_deciles,
         "equidepth_sampled": analytics.equidepth_sampled,
@@ -501,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": analytics.SQL_INTERFACE_SQL,
         "sql_pipe_syntax": analytics.SQL_PIPE_SYNTAX_SQL,
         "sql_group_by_all": analytics.SQL_GROUP_BY_ALL_SQL,
+        "sql_scripting": analytics.SQL_SCRIPTING_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,

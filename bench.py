@@ -107,6 +107,7 @@ HEADLINE = [
     "sql_interface",
     "sql_pipe_syntax",
     "sql_group_by_all",
+    "sql_scripting",
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",

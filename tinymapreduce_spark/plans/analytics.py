@@ -1885,6 +1885,51 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_GROUP_BY_ALL_SQL = _SQL_GROUP_BY_ALL_TEXT
 
 
+_SQL_SCRIPT_TEXT = """
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 1.0;
+  WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > cutoff) >= 1000 DO
+    SET cutoff = cutoff * 2;
+  END WHILE;
+  SELECT cutoff,
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice > cutoff) AS n_above,
+         (SELECT COUNT(*) FROM orders) AS n_total;
+END
+"""
+
+
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (SPARK-48338): a BEGIN..END block with a
+    DECLAREd session variable and a data-dependent WHILE loop — doubling
+    a price cutoff until fewer than 1000 orders exceed it — submitted as
+    ONE spark.sql() call. This is the procedural surface (migration path
+    for stored-procedure workloads); each loop iteration is a full scan
+    driven from the script interpreter, so it is deliberately NOT a
+    scale pattern — the single-pass equivalent is a quantile
+    (exact_percentiles / kll_quantile_merge). Deterministic: repeated
+    IEEE doubling of 1.0 is exact (powers of two), counts are exact, so
+    the loop's fixed point is engine-independent; the DuckDB oracle
+    computes the same fixed point in closed form (smallest i with
+    count(> 2^i) < 1000 over a generated exponent grid)."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SCRIPT_TEXT)
+
+
+SQL_SCRIPTING_SQL = """
+WITH n AS (SELECT UNNEST(range(0, 64)) AS i),
+c AS (SELECT i, COUNT(*) FILTER (WHERE o_totalprice > POWER(2.0, CAST(i AS DOUBLE))) AS cnt
+      FROM n CROSS JOIN orders GROUP BY i),
+stop AS (SELECT MIN(i) AS i FROM c WHERE cnt < 1000)
+SELECT POWER(2.0, CAST(stop.i AS DOUBLE)) AS cutoff,
+       (SELECT cnt FROM c WHERE c.i = stop.i) AS n_above,
+       (SELECT COUNT(*) FROM orders) AS n_total
+FROM stop
+"""
+
+
 def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag Pearson correlation between quantity and extended
     price, computed in closed form from EXACT moment sums — the
