@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": clustering.kmeans_clusters,
         "pagerank_trade": graph.pagerank_trade,
         "bfs_hops": graph.bfs_hops,
+        "label_propagation": graph.label_propagation,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
         "lang_id": textstats.lang_id,
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": sketches.CMS_SQL,
         "pagerank_trade": graph.PAGERANK_TRADE_SQL,
         "bfs_hops": graph.BFS_HOPS_SQL,
+        "label_propagation": graph.LABEL_PROPAGATION_SQL,
         "bm25_topk": retrieval.BM25_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,

@@ -66,6 +66,7 @@ HEADLINE = [
     "bm25_topk",
     "pagerank_trade",
     "bfs_hops",
+    "label_propagation",
     "ann_topk_cosine",
     "fingerprint",
     "token_stats",

@@ -478,3 +478,97 @@ FROM walk
 GROUP BY 1
 ORDER BY 2, 1
 """
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(spark, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    trade graph: every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbors, ties to
+    the smallest label — the deterministic synchronous LPA variant
+    (Raghavan et al. 2007 made reproducible: fixed LPA_ROUNDS, no
+    random order, total tie order). Output: the 20 largest communities
+    after the final round.
+
+    Scale shape: per round one edge-sized equi-join (against the
+    checkpointed loop-invariant edge list) and one (node,label) count
+    aggregate whose argmax folds as a MAX over (count, -label) structs —
+    partial-aggregatable, so the hot reduce is map-side combined and no
+    per-node sort/window is ever planned. Lineage truncates per round.
+    Fixed rounds keep the result a pure function of the graph; the
+    DuckDB oracle (LABEL_PROPAGATION_SQL) unrolls the same rounds as
+    chained MATERIALIZED CTEs with a ROW_NUMBER argmax — different
+    surface syntax, identical (count DESC, label ASC) selection."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("node"), "n_members")
+        .select(_trade_label().alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )
+
+
+def _label_propagation_sql() -> str:
+    stages = []
+    for k in range(1, LPA_ROUNDS + 1):
+        stages.append(f"""l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l{k - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)""")
+    return (
+        """
+WITH rel AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS cust,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM rel
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+), """
+        + ",\n".join(stages)
+        + f"""
+SELECT CASE WHEN label % 2 = 0 THEN 'c:' || CAST(label // 2 AS VARCHAR)
+            ELSE 's:' || CAST((label - 1) // 2 AS VARCHAR) END AS community,
+       COUNT(*) AS n_members
+FROM l{LPA_ROUNDS}
+GROUP BY 1
+ORDER BY n_members DESC, community ASC
+LIMIT 20
+"""
+    )
+
+
+LABEL_PROPAGATION_SQL = _label_propagation_sql()
