@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
         "custom_source_runs": textfiles.custom_source_runs,
+        "custom_source_pushdown": textfiles.custom_source_pushdown,
         "custom_stream_source": textfiles.custom_stream_source,
         # --- iterative/sketch ops whose oracles landed this round ---
         "kmeans_clusters": clustering.kmeans_clusters,
@@ -409,6 +410,13 @@ def oracle_sql() -> dict[str, str]:
         "custom_sink_roundtrip": _WORD_COUNT_SQL,
         "text_normalize": textstats.TEXT_NORMALIZE_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,
+        "custom_source_pushdown": f"""
+{_DOCS_CTE}
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT UNNEST({_TOK}) AS word FROM docs)
+WHERE word > 'm'
+GROUP BY word
+""",
         "csv_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "parquet_zstd_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,

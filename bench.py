@@ -109,6 +109,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "sql_group_by_all",
     "sql_scripting",
+    "custom_source_pushdown",
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",

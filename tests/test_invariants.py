@@ -559,6 +559,56 @@ def test_custom_source_partition_per_file(spark, sf_dir):
     assert df.select("run_file").distinct().count() == n_files
 
 
+def test_custom_source_filter_pushdown_prunes_partitions(spark, sf_dir):
+    """pushFilters contract (Spark 4.1 Python DataSource): a run_file
+    equality prunes the partition list to the one matching file and is
+    consumed by the source (not re-yielded); unknown-column filters are
+    yielded back for Spark. End-to-end, a run_file-filtered read plans
+    exactly ONE task and a key-filtered read equals the Spark-side
+    filter on the unfiltered read."""
+    import os
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from tinymapreduce_spark.sources import mr_runs_source
+    from tinymapreduce_spark.sources.mr_runs_source import MrRunsReader
+    from tinymapreduce_spark.sources.textfiles import _ensure_json_runs
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    files = sorted(
+        f
+        for f in os.listdir(runs_dir)
+        if not f.startswith((".", "_")) and not f.endswith(".crc")
+    )
+    assert len(files) > 1
+
+    # unit: partition pruning + leftover-filter contract
+    reader = MrRunsReader({"path": runs_dir})
+    f_file = EqualTo(("run_file",), files[0])
+    f_other = GreaterThan(("value",), "0")  # value predicates not handled
+    leftover = list(reader.pushFilters([f_file, f_other]))
+    assert leftover == [f_other]
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].value == files[0]
+
+    # end-to-end: one task for the pruned read; key pushdown = same rows.
+    # NOTE each sub-case gets its OWN load(): Spark 4.1 memoizes the
+    # planned scan per relation, so a filtered child's pushdown plan
+    # REPLACES the cached plan of a shared parent frame (upstream
+    # behavior, measured; see mr_runs_source.py docstring) — fresh
+    # loads per query are the contract.
+    mr_runs_source.register(spark)
+    load = lambda: spark.read.format("mr_runs").option("path", runs_dir).load()  # noqa: E731
+    expect_all = sorted((r.key, r.value, r.run_file) for r in load().collect())
+    pruned = load().where(F.col("run_file") == files[0])
+    assert pruned.rdd.getNumPartitions() == 1
+    n0 = pruned.count()
+    assert 0 < n0 < len(expect_all)
+    pushed = load().where(F.col("key") > "m")
+    expect = [t for t in expect_all if t[0] > "m"]
+    assert sorted((r.key, r.value, r.run_file) for r in pushed.collect()) == expect
+
+
 class TestSketches:
     """Mergeable DataSketches aggregates: estimates must stay within the
     configured error envelopes of the exact forms, and the merged ALL row

@@ -35,6 +35,9 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    In,
     InputPartition,
     WriterCommitMessage,
 )
@@ -67,19 +70,77 @@ class MrRunsDataSource(DataSource):
 
 
 class MrRunsReader(DataSourceReader):
+    """Reader with Spark 4.1 filter pushdown (``pushFilters``):
+
+    - predicates on ``run_file`` prune PARTITIONS — non-matching run
+      files are never opened (the Python-source form of partition
+      pruning; at scale this is the difference between listing metadata
+      and reading every run);
+    - predicates on ``key`` filter ROWS inside ``read()`` before they
+      cross the Arrow boundary into Spark.
+
+    Both kinds are fully handled here, so they are NOT re-yielded and
+    Catalyst drops the post-scan Filter. Python ``str`` comparison is
+    code-point order == UTF-8 byte order, matching Spark's binary
+    string comparison. Anything else (other columns, other operators,
+    the implicit IsNotNull Spark adds next to a comparison) is yielded
+    back for Spark to evaluate.
+
+    CALLER CONTRACT — one ``load()`` per query: Spark 4.1 memoizes the
+    planned scan inside the relation, so planning a FILTERED child of a
+    shared frame replaces the cached plan and later actions on the
+    parent silently reuse the pruned scan (measured:
+    ``df.count(); df.where(file==f).count(); df.count()`` returns the
+    pruned count the second time — upstream behavior for any Python
+    source implementing pushFilters). Every registry query builds its
+    frame from a fresh ``load()``."""
+
     def __init__(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_runs source requires option 'path'")
+        self.file_filters: list = []
+        self.key_filters: list = []
+
+    def pushFilters(self, filters):
+        # Spark 4.1 caches THIS reader instance inside the
+        # DataSourceV2Relation, so a second query planned over the same
+        # load() frame re-enters pushFilters on the same object: reset
+        # accumulated state or filters from the previous plan would
+        # keep pruning every later query (measured: df.count() after a
+        # filtered child's plan returned the pruned count).
+        self.file_filters = []
+        self.key_filters = []
+        for f in filters:
+            if isinstance(f, (EqualTo, GreaterThan, In)) and f.attribute == ("run_file",):
+                self.file_filters.append(f)
+            elif isinstance(f, (EqualTo, GreaterThan, In)) and f.attribute == ("key",):
+                self.key_filters.append(f)
+            else:
+                yield f  # unsupported -> Spark evaluates post-scan
+
+    @staticmethod
+    def _match(f, v) -> bool:
+        if v is None:
+            return False
+        if isinstance(f, EqualTo):
+            return v == f.value
+        if isinstance(f, GreaterThan):
+            return v > f.value
+        return v in f.value  # In
 
     def partitions(self):
         # one partition per run file = the reference's per-bucket reduce
-        # fan-out; listing is driver-side metadata only
+        # fan-out; listing is driver-side metadata only. run_file
+        # predicates prune here: a file that can't match is not a task.
         files = sorted(
             f
             for f in os.listdir(self.path)
             if not f.startswith((".", "_")) and not f.endswith(".crc")
         )
+        files = [
+            f for f in files if all(self._match(ff, f) for ff in self.file_filters)
+        ]
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
@@ -89,7 +150,9 @@ class MrRunsReader(DataSourceReader):
                 line = line.strip()
                 if line:
                     rec = json.loads(line)
-                    yield (rec.get("key"), rec.get("value"), fname)
+                    key = rec.get("key")
+                    if all(self._match(kf, key) for kf in self.key_filters):
+                        yield (key, rec.get("value"), fname)
 
 
 @dataclass
@@ -148,6 +211,9 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def register(spark) -> None:
+    # a reader that implements pushFilters REQUIRES the conf (Spark
+    # refuses to silently ignore an implemented pushdown)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MrRunsDataSource)
 
 

@@ -134,6 +134,28 @@ def custom_source_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def custom_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the custom connector (Spark 4.1 Python
+    DataSource ``pushFilters``): the ``key > 'm'`` predicate is handed
+    to the source, which filters rows BEFORE they cross the Arrow
+    boundary — Catalyst drops its post-scan Filter entirely. Partition
+    pruning via ``run_file`` predicates is certified separately in
+    tests/test_partitioning.py (run-file names are committer-generated,
+    so a name-pinned query would not be deterministic). Result equals
+    the word count restricted to words after 'm' (same-oracle family as
+    custom_source_runs)."""
+    from tinymapreduce_spark.sources import mr_runs_source
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    mr_runs_source.register(spark)
+    runs = spark.read.format("mr_runs").option("path", runs_dir).load()
+    return (
+        runs.where(F.col("key") > "m")
+        .groupBy(F.col("key").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 LINEITEM_SLIM_SCHEMA = (
     "l_returnflag string, l_linestatus string, l_quantity double, "
     "l_extendedprice double, l_discount double"
