@@ -1,0 +1,53 @@
+"""Results must be invariant to the shuffle fan-out.
+
+At 100 TB the partition count is a tuning knob (AQE changes it at
+runtime, operators coalesce it, clusters differ) — any query whose
+RESULT depends on it is silently nondeterministic at scale. The repo's
+determinism conventions (decimal folds for float-order independence,
+md5 tie-breaks, total output orders) exist exactly to guarantee this;
+this test certifies the property end-to-end for a representative slice
+of the risk surface: float-ish aggregation, tie-broken top-k,
+order-sensitive concat, hash-routed sampling/packing, banded minhash,
+fixed-point iteration, single-partition ntile windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+REPRESENTATIVES = [
+    "word_count",
+    "q1_pricing_summary",
+    "sorted_group_concat",
+    "topk_per_group",
+    "deterministic_sample",
+    "training_shuffle",
+    "sequence_pack",
+    "dedup_minhash_lsh",
+    "pagerank_trade",
+    "equidepth_deciles",
+    "winsorize_stats",
+    "mr_wordcount_combiner",
+]
+
+
+def _rows(spark, name):
+    return sorted(
+        tuple(r) for r in entrymod.queries()[name](spark, SF_DIR).collect()
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert low == high, f"{name} result depends on shuffle fan-out"
