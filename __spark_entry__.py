@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": analytics.map_functions,
         "custom_sink_roundtrip": textfiles.custom_sink_roundtrip,
         "text_normalize": textstats.text_normalize,
+        "arrow_text_stats": textstats.arrow_text_stats,
         "shard_rebalance": shards.shard_rebalance,
         # --- streaming ---
         "stream_static_join": stream_windows.stream_static_join,
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "json_runs_roundtrip": _WORD_COUNT_SQL,
         "custom_sink_roundtrip": _WORD_COUNT_SQL,
         "text_normalize": textstats.TEXT_NORMALIZE_SQL,
+        "arrow_text_stats": textstats.ARROW_TEXT_STATS_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,
         "custom_source_pushdown": f"""
 {_DOCS_CTE}

@@ -110,6 +110,7 @@ HEADLINE = [
     "sql_group_by_all",
     "sql_scripting",
     "custom_source_pushdown",
+    "arrow_text_stats",
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",

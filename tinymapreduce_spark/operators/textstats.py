@@ -874,3 +874,47 @@ SELECT doc_id,
        CAST(length(text) - length(stripped) AS BIGINT) AS n_control_stripped
 FROM cleaned
 """
+
+
+def arrow_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE batch UDF surface (``mapInArrow``): per-document
+    byte/space/uppercase counts computed with vectorized
+    ``pyarrow.compute`` kernels directly on the RecordBatch buffers —
+    no pandas materialization, no per-row Python. This is the third and
+    lowest-overhead rung of the Python UDF ladder the repo covers
+    (row UDF < pandas UDF < Arrow batch), the shape to use when the
+    transformation is expressible as Arrow kernels over a decoded
+    column but not as Catalyst expressions. Counts are byte-exact on
+    any UTF-8 input (binary_length counts BYTES; the DuckDB oracle's
+    STRLEN is also byte length), so parity does not rest on the
+    fixtures' ASCII-ness."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            t = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.cast(pc.binary_length(t), pa.int64()),
+                    pc.cast(pc.count_substring(t, " "), pa.int64()),
+                    pc.cast(pc.count_substring_regex(t, "[A-Z]"), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_spaces", "n_upper"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id long, n_bytes long, n_spaces long, n_upper long"
+    ).orderBy("doc_id")
+
+
+ARROW_TEXT_STATS_SQL = """
+SELECT doc_id, STRLEN(text) AS n_bytes,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+FROM documents
+ORDER BY doc_id
+"""
