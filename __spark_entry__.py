@@ -27,6 +27,7 @@ from tinymapreduce_spark.operators import (
     similarity,
     sketches,
     textstats,
+    tokenizer,
     udaf,
 )
 from tinymapreduce_spark.operators.mapreduce import (
@@ -108,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "bm25_topk": retrieval.bm25_topk,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
+        "bpe_train_merges": tokenizer.bpe_train_merges,
+        "bigram_novelty": textstats.bigram_novelty,
         # --- round-2 additions + K6 (oracle added this round) ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
         "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
@@ -468,6 +471,8 @@ GROUP BY word
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "bpe_train_merges": tokenizer.BPE_TRAIN_SQL,
+        "bigram_novelty": textstats.BIGRAM_NOVELTY_SQL,
         "ann_topk_cosine": similarity.ANN_TOPK_SQL,
         "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
         "lang_id": textstats.LANG_ID_SQL,

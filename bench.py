@@ -76,6 +76,8 @@ HEADLINE = [
     "dpp_partitioned_join",
     "bloom_filter_join",
     "tfidf_top_terms",
+    "bpe_train_merges",
+    "bigram_novelty",
     "dedup_incremental",
     "dedup_clusters",
     "repetition_score",

@@ -1116,3 +1116,36 @@ def test_registry_and_coverage_in_sync():
 
     unknown = [k for k in bench.HEADLINE if k not in q]
     assert not unknown, f"bench names unregistered queries: {unknown}"
+
+
+def test_bpe_toy_corpus_hand_verified(spark, tmp_path):
+    """BPE merge learning on a corpus small enough to verify by hand
+    (cat x4, mat x2, sat x1). Exercises the full semantics: corpus-
+    weighted pair counts, the (n DESC, x, y) tie-break ((a,t) beats
+    (t,</w>) at n=7), fully-merged single-symbol words dropping out of
+    pair extraction, and rounds 6-8 finding no pairs left (the argmax
+    is empty -> no rule row, vocabulary unchanged)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tinymapreduce_spark.operators import tokenizer
+
+    texts = ["cat cat cat sat", "mat mat cat"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["toy", "toy"], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = [tuple(r) for r in tokenizer.bpe_train_merges(spark, str(tmp_path)).collect()]
+    assert rows == [
+        (1, "a", "t", "at", 7),
+        (2, "at", "</w>", "at</w>", 7),
+        (3, "c", "at</w>", "cat</w>", 4),
+        (4, "m", "at</w>", "mat</w>", 2),
+        (5, "s", "at</w>", "sat</w>", 1),
+    ]

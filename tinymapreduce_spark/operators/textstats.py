@@ -430,6 +430,115 @@ LIMIT {BIGRAM_TOPK}
 """
 
 
+# The synthetic corpus draws from a small template vocabulary (~900
+# distinct bigrams at every SF), so the "common" list is capped well
+# below that to keep the score discriminative; production corpora
+# would run 10^5-10^6 here — same broadcast shape either way.
+NOVELTY_TOPK = 300
+
+
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NOVELTY — the integer-exact surprisal proxy a
+    quality filter runs instead of a float perplexity: the fraction of a
+    document's bigram occurrences that fall outside the corpus's
+    top-``NOVELTY_TOPK`` bigram list. High novelty = text whose local
+    word transitions the corpus LM has barely seen (gibberish, boiler-
+    plate mutations, OCR noise); the float-free formulation keeps the
+    score a pure function of the data (SURVEY.md §8 — a perplexity's
+    ``sum(ln ...)`` is summation-order-specific, a count ratio is not).
+
+    Scale shape: doc bigrams come from a ``transform(sequence(...))``
+    zip inside codegen — no posexplode self-join — into ONE
+    (doc_id, w1, w2) hash aggregate; the corpus top-K reduces via
+    TakeOrderedAndProject (never a global sort) and returns as a
+    BROADCAST anti-join probe, so the second corpus pass streams.
+    Only rounded-at-the-edge division reaches the output."""
+    docs = documents_for_cpu(spark, sf_dir)
+    toks = docs.select("doc_id", tokens("text").alias("l")).where(
+        F.size("l") >= 2
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(l[i-1] AS w1, l[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    corpus_top = (
+        bg.groupBy("w1", "w2")
+        .agg(F.sum("n").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("w1"), F.asc("w2"))
+        .limit(NOVELTY_TOPK)
+        .select("w1", "w2")
+    )
+    novel = (
+        bg.join(F.broadcast(corpus_top), ["w1", "w2"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_novel"))
+    )
+    totals = bg.groupBy("doc_id").agg(F.sum("n").alias("n_bigrams"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(
+                    F.coalesce("n_novel", F.lit(0).cast("bigint")).cast("double")
+                    / F.col("n_bigrams"),
+                    6,
+                ),
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+BIGRAM_NOVELTY_SQL = f"""
+WITH toklists AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS l
+  FROM documents
+), bg AS MATERIALIZED (
+  SELECT doc_id, w1, w2, COUNT(*) AS n
+  FROM (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    FROM (SELECT doc_id, l, UNNEST(range(1, len(l))) AS i
+          FROM toklists WHERE len(l) >= 2)
+  )
+  GROUP BY 1, 2, 3
+), corpus_top AS MATERIALIZED (
+  SELECT w1, w2
+  FROM (SELECT w1, w2, SUM(n) AS cn FROM bg GROUP BY 1, 2)
+  ORDER BY cn DESC, w1 ASC, w2 ASC
+  LIMIT {NOVELTY_TOPK}
+), novel AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_novel
+  FROM bg ANTI JOIN corpus_top USING (w1, w2)
+  GROUP BY 1
+), totals AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams FROM bg GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(t.n_bigrams, 0) AS n_bigrams,
+       COALESCE(v.n_novel, 0) AS n_novel,
+       CASE WHEN t.n_bigrams IS NOT NULL
+            THEN ROUND(COALESCE(v.n_novel, 0)::DOUBLE / t.n_bigrams, 6)
+       END AS novelty_rate
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN novel v USING (doc_id)
+"""
+
+
 def extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-extraction TABLE — the inverse shape of ``pii_mask``:
     instead of redacting matches in place, emit one row per (doc_id,

@@ -1,0 +1,213 @@
+"""Distributed tokenizer-vocabulary training (BPE merge learning).
+
+The one tokenizer workload the LLM-pipeline tier was still missing:
+*training* the subword vocabulary itself (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") —
+iteratively merging the corpus-wide most frequent adjacent symbol
+pair.  Tokenizer training is a canonical 100 TB batch job: the pair
+count is a full-corpus aggregation per round, while the learned state
+(the merge table) is O(#merges).
+
+Determinism contract (SURVEY.md §8): every step is integer counts,
+binary-collation string ordering, and literal leftmost
+non-overlapping string replacement — semantics Spark (Java
+``String.replace`` via ``F.replace``) and DuckDB (``REPLACE``) share
+exactly, so the DuckDB oracle replays the whole training run
+bit-identically via unrolled ``AS MATERIALIZED`` CTE rounds.
+
+Merge-application semantics, pinned identically in both engines: a
+word is a single-space-delimited symbol string wrapped in sentinel
+spaces; one merge round applies ``replace(' x y ' -> ' xy ')``
+``_FIX_PASSES`` times.  One literal replace pass is leftmost
+non-overlapping, so boundary-space consumption can leave a chained
+occurrence for the next pass; replacement can never *create* a new
+(x, y) adjacency (the merged token equals neither x nor y), so
+occurrences only shrink and ``_FIX_PASSES`` >= ceil(log2(max
+occurrences per word)) + 1 reaches the fixpoint.  Both engines apply
+the same pass count, so parity holds even off-fixpoint.
+
+Tokens are the reference word definition (letter runs,
+``/root/reference/src/mrapps/wc.go:23``), lowercased — the standard
+tokenizer-training normalization.
+
+Scale shape: per round, ONE corpus-wide pair aggregation (partial
+agg collapses each partition's pairs before the (x, y) shuffle), the
+argmax via TakeOrderedAndProject (never a global sort), and the merge
+applied through a broadcast of the 1-row winner — no driver-side data
+beyond O(1).  ``localCheckpoint`` truncates lineage per round (same
+convention as operators/graph.py).  The working vocabulary is capped
+at the top ``BPE_VOCAB`` word types — at 100 TB the word-type table
+is Zipf-bounded and the cap is the standard training practice
+(frequency-floor pruning), keeping per-round cost independent of
+corpus row count after the first aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.functions.text import tokens
+from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+BPE_MERGES = 8
+BPE_VOCAB = 1500
+WORD_END = "</w>"
+# >= ceil(log2(max pair occurrences per word)) + 1; words here are
+# <= ~30 symbols, so 6 literal-replace passes reach the fixpoint.
+_FIX_PASSES = 6
+
+_RULE_SCHEMA = (
+    "merge_rank bigint, x string, y string, merged string, pair_n bigint"
+)
+
+
+def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BPE_VOCAB`` word types with frequency and the initial
+    character-level symbol sequence ``'c a t </w>'``."""
+    docs = documents_for_cpu(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .select(F.lower("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_VOCAB)
+    )
+    # one space between adjacent characters, then the word-end marker
+    seq = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(WORD_END)
+    )
+    return freq.select("word", "freq", seq.alias("seq"))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair counts, zero-join: the pair list
+    is built per word by a ``transform(sequence(...))`` zip inside
+    codegen, then exploded straight into the (x, y) hash aggregate.
+    Fully-merged single-symbol words are filtered FIRST — without the
+    guard, ``sequence(1, 0)`` is a *descending* [1, 0] in Spark and
+    ``s[i]`` indexes out of bounds."""
+    return (
+        vocab.select("freq", F.split("seq", " ").alias("s"))
+        .where(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(s[i-1] AS x, s[i] AS y))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every seq under the winning pair via the pinned
+    sentinel-space replace, ``_FIX_PASSES`` times.  LEFT join on the
+    broadcast 1-row winner keeps the operator total: an empty winner
+    (no pairs left / empty corpus) leaves the vocabulary unchanged."""
+    s = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    pat = F.concat(F.lit(" "), F.col("x"), F.lit(" "), F.col("y"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+    for _ in range(_FIX_PASSES):
+        s = F.replace(s, pat, rep)
+    return vocab.join(F.broadcast(best), F.lit(True), "left").select(
+        "word",
+        "freq",
+        F.when(F.col("x").isNull(), F.col("seq"))
+        .otherwise(F.trim(s))
+        .alias("seq"),
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGES`` BPE merge rules over the
+    ``documents`` corpus; returns one row per learned rule:
+    ``(merge_rank, x, y, merged, pair_n)`` in training order.
+
+    Ties in pair frequency break on (x ASC, y ASC) — a total order,
+    so the entire training trajectory is a pure function of the data
+    and the DuckDB oracle (``BPE_TRAIN_SQL``) replays it exactly."""
+    vocab = _initial_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    rules: list[DataFrame] = []
+    for r in range(1, BPE_MERGES + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rules.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                "x",
+                "y",
+                F.concat("x", "y").alias("merged"),
+                F.col("n").alias("pair_n"),
+            )
+        )
+        vocab = _apply_merge(vocab, best).localCheckpoint(eager=True)
+    out = rules[0]
+    for extra in rules[1:]:
+        out = out.unionAll(extra)
+    return out.orderBy("merge_rank")
+
+
+def _sql_replace_fixpoint() -> str:
+    s = "' ' || w.seq || ' '"
+    for _ in range(_FIX_PASSES):
+        s = (
+            f"REPLACE({s}, ' ' || b.x || ' ' || b.y || ' ', "
+            "' ' || b.x || b.y || ' ')"
+        )
+    return f"trim({s})"
+
+
+def _bpe_sql() -> str:
+    tok = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT word, freq, regexp_replace(word, '(.)', '\\1 ', 'g') || '{WORD_END}' AS seq
+  FROM (
+    SELECT lower(t) AS word, COUNT(*) AS freq
+    FROM (SELECT UNNEST({tok}) AS t FROM documents)
+    GROUP BY 1
+    ORDER BY freq DESC, word ASC
+    LIMIT {BPE_VOCAB}
+  )
+)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT x, y, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (
+    SELECT freq, l[i] AS x, l[i + 1] AS y
+    FROM (SELECT freq, l, UNNEST(range(1, len(l))) AS i
+          FROM (SELECT freq, string_split(seq, ' ') AS l FROM {prev}))
+  )
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT x, y, n FROM p{r} ORDER BY n DESC, x ASC, y ASC LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         CASE WHEN b.x IS NULL THEN w.seq ELSE {_sql_replace_fixpoint()} END AS seq
+  FROM {prev} w LEFT JOIN b{r} b ON TRUE
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, x, y, x || y AS merged, "
+        f"n AS pair_n FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return ",\n".join(parts) + "\n" + unions + "\nORDER BY merge_rank"
+
+
+BPE_TRAIN_SQL = _bpe_sql()
