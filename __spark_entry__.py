@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tinymapreduce_spark.operators import (
+    classifier,
     clustering,
     curation,
     dedup,
@@ -110,7 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": retrieval.bm25_topk,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
         "bpe_train_merges": tokenizer.bpe_train_merges,
+        "bpe_encode_vocab": tokenizer.bpe_encode_vocab,
         "bigram_novelty": textstats.bigram_novelty,
+        "perceptron_quality": classifier.perceptron_quality,
         # --- round-2 additions + K6 (oracle added this round) ---
         "mr_wordcount_combiner": _mr_wordcount_combiner,
         "manifest_wap_roundtrip": manifest_sink.manifest_wap_roundtrip,
@@ -472,7 +475,9 @@ GROUP BY word
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "bpe_train_merges": tokenizer.BPE_TRAIN_SQL,
+        "bpe_encode_vocab": tokenizer.BPE_ENCODE_SQL,
         "bigram_novelty": textstats.BIGRAM_NOVELTY_SQL,
+        "perceptron_quality": classifier.PERCEPTRON_SQL,
         "ann_topk_cosine": similarity.ANN_TOPK_SQL,
         "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -116,6 +116,7 @@ HEADLINE = [
     "grouped_correlation",
     "equidepth_deciles",
     "kmeans_clusters",
+    "perceptron_quality",
     "audio_energy_windows",
     "equidepth_sampled",
     "sql_python_udf",

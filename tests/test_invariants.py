@@ -840,6 +840,23 @@ class TestKMeans:
         assert all(r.n_vecs > 0 for r in rows)
 
 
+class TestPerceptron:
+    def test_training_learns_the_label(self, spark, sf_dir):
+        """4 rounds of centered batch perceptron must actually learn the
+        separable target (accuracy >= 0.95 observed 0.99 at both SFs) —
+        guards against a future feature/offset change silently breaking
+        convergence while parity still passes (the oracle replays
+        whatever the constants are, right or wrong)."""
+        from tinymapreduce_spark.operators.classifier import perceptron_quality
+
+        rows = perceptron_quality(spark, sf_dir).collect()
+        assert len(rows) > 0
+        acc = sum(1 for r in rows if r.pred == r.label) / len(rows)
+        assert acc >= 0.95, acc
+        # both classes must be present in predictions (not a constant model)
+        assert {r.pred for r in rows} == {0, 1}
+
+
 class TestEquidepthSampled:
     def test_buckets_near_uniform_and_ordered(self, spark, sf_dir):
         """The sampled two-pass bucketing must approximate the exact

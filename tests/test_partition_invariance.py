@@ -31,6 +31,7 @@ REPRESENTATIVES = [
     "equidepth_deciles",
     "winsorize_stats",
     "mr_wordcount_combiner",
+    "perceptron_quality",
 ]
 
 

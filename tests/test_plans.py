@@ -631,6 +631,29 @@ def test_kmeans_assignment_shuffle_free(spark, sf_dir):
     assert p.count("Arguments: hashpartitioning") == 0
 
 
+def test_perceptron_scoring_shuffle_free(spark, sf_dir):
+    """The perceptron scoring pass (identical plan for every training
+    round AND the final inference pass) ships the weights as ONE
+    broadcast row; the N-document feature scan must see no hash
+    shuffle, no other join, and no Python stage — the only per-round
+    shuffle is the D-sum gradient all-reduce."""
+    from tinymapreduce_spark.operators.classifier import (
+        N_FEATS,
+        _features,
+        _scored,
+    )
+
+    p = plan_of(_scored(_features(spark, sf_dir), [0] * N_FEATS))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row weight ship...
+    assert p.count("Join type:") == 1  # ...and no other join
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Arguments: hashpartitioning") == 0
+    # margins entirely in codegen (the only "Python" in the plan is the
+    # 1-row weight literal's applySchemaToPythonRDD source, not an eval)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in p
+
+
 def test_doc_ann_broadcast_query_side(spark, sf_dir):
     """doc_ann_topk: the query documents broadcast; the corpus-side
     embedding scan never sort-merges, and the whole scoring pass is

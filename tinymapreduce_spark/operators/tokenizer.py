@@ -62,18 +62,21 @@ _RULE_SCHEMA = (
 )
 
 
-def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``BPE_VOCAB`` word types with frequency and the initial
-    character-level symbol sequence ``'c a t </w>'``."""
+def _initial_vocab(
+    spark: SparkSession, sf_dir: str, limit: int | None = BPE_VOCAB
+) -> DataFrame:
+    """Word types with frequency and the initial character-level symbol
+    sequence ``'c a t </w>'`` — top-``limit`` for training, the full
+    (Zipf-bounded) table for encode when ``limit`` is None."""
     docs = documents_for_cpu(spark, sf_dir)
     freq = (
         docs.select(F.explode(tokens("text")).alias("t"))
         .select(F.lower("t").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(BPE_VOCAB)
     )
+    if limit is not None:
+        freq = freq.orderBy(F.desc("freq"), F.asc("word")).limit(limit)
     # one space between adjacent characters, then the word-end marker
     seq = F.concat(
         F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(WORD_END)
@@ -157,6 +160,36 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_rank")
 
 
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED vocabulary — the encode half
+    of the tokenizer lifecycle: learn the ``BPE_MERGES`` rules, then
+    apply them in rank order to EVERY word type (the full Zipf-bounded
+    word-type table, not just the training cap) and return the subword
+    frequency table ``(token, n)``.
+
+    Scale shape: the merge table is O(#merges) — collected (8 rows) and
+    inlined as literal chained ``replace`` expressions, so the whole
+    encode pass is ONE word-count aggregation plus a zero-join,
+    zero-shuffle codegen projection over the word-type table.  Same
+    sentinel-space leftmost-replace fixpoint semantics as training
+    (module docstring), so ``BPE_ENCODE_SQL`` replays it exactly."""
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    words = _initial_vocab(spark, sf_dir, limit=None)
+    s = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    for x, y in merges:
+        pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+        for _ in range(_FIX_PASSES):
+            s = F.replace(s, pat, rep)
+    return (
+        words.select("freq", F.explode(F.split(F.trim(s), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
 def _sql_replace_fixpoint() -> str:
     s = "' ' || w.seq || ' '"
     for _ in range(_FIX_PASSES):
@@ -167,19 +200,29 @@ def _sql_replace_fixpoint() -> str:
     return f"trim({s})"
 
 
-def _bpe_sql() -> str:
-    tok = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
-    parts = [
-        f"""WITH w0 AS MATERIALIZED (
+_TOK_SQL = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
+
+
+def _word_seq_sql(limit: str) -> str:
+    """The (word, freq, seq) init used by both training (capped) and
+    encode (uncapped) — one definition, composed not string-spliced."""
+    return f"""(
   SELECT word, freq, regexp_replace(word, '(.)', '\\1 ', 'g') || '{WORD_END}' AS seq
   FROM (
     SELECT lower(t) AS word, COUNT(*) AS freq
-    FROM (SELECT UNNEST({tok}) AS t FROM documents)
+    FROM (SELECT UNNEST({_TOK_SQL}) AS t FROM documents)
     GROUP BY 1
     ORDER BY freq DESC, word ASC
-    LIMIT {BPE_VOCAB}
+    {limit}
   )
 )"""
+
+
+def _training_cte_parts() -> list[str]:
+    """The shared unrolled training chain w0..w{N}, p{r}, b{r} — used by
+    BOTH the training oracle and the encode oracle."""
+    parts = [
+        f"WITH w0 AS MATERIALIZED (SELECT * FROM {_word_seq_sql(f'LIMIT {BPE_VOCAB}')})"
     ]
     for r in range(1, BPE_MERGES + 1):
         prev = f"w{r - 1}"
@@ -202,12 +245,41 @@ w{r} AS MATERIALIZED (
   FROM {prev} w LEFT JOIN b{r} b ON TRUE
 )"""
         )
+    return parts
+
+
+def _bpe_sql() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, x, y, x || y AS merged, "
         f"n AS pair_n FROM b{r}"
         for r in range(1, BPE_MERGES + 1)
     )
-    return ",\n".join(parts) + "\n" + unions + "\nORDER BY merge_rank"
+    return ",\n".join(_training_cte_parts()) + "\n" + unions + "\nORDER BY merge_rank"
+
+
+def _bpe_encode_sql() -> str:
+    """Replay of ``bpe_encode_vocab``: the full training chain, then the
+    rank-ordered merges applied to the UNCAPPED word-type table
+    (av0..av{N}) and folded into the subword frequency table."""
+    parts = _training_cte_parts()
+    parts.append(f"av0 AS MATERIALIZED (SELECT * FROM {_word_seq_sql('')})")
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""av{r} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         CASE WHEN b.x IS NULL THEN w.seq ELSE {_sql_replace_fixpoint()} END AS seq
+  FROM av{r - 1} w LEFT JOIN b{r} b ON TRUE
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+FROM (SELECT freq, UNNEST(string_split(seq, ' ')) AS token FROM av{BPE_MERGES})
+GROUP BY token
+"""
+    )
 
 
 BPE_TRAIN_SQL = _bpe_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()

@@ -64,6 +64,7 @@ SELECTED = {
     "dup_passage_coverage": "window hashes as 8-byte keys; coverage via interval-union windows, O(dup windows)",
     "dedup_minhash_lsh": "banded signatures: one (doc, k*8B) shuffle; candidates from band-bucket equi-join",
     "doc_ann_topk": "hashed-embedding ANN: query docs broadcast, integer dot products in codegen",
+    "perceptron_quality": "trained scoring pass: ONE broadcast weight row, margins in codegen, zero data shuffle",
     "sql_pipe_syntax": "pipe dialect resolves to the same broadcast-dim + decimal-fold plan as ANSI",
     "bfs_hops": "frontier BFS final state: checkpointed visited-set scan + label projection only",
     "hll_portable_distinct": "register table via partial_max groupBy; ALL row = register-MAX union",
