@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pipe_syntax": analytics.sql_pipe_syntax,
         "sql_group_by_all": analytics.sql_group_by_all,
         "sql_scripting": analytics.sql_scripting,
+        "sql_udf_function": analytics.sql_udf_function,
+        "sql_parameterized": analytics.sql_parameterized,
         "grouped_correlation": analytics.grouped_correlation,
         "equidepth_deciles": analytics.equidepth_deciles,
         "equidepth_sampled": analytics.equidepth_sampled,
@@ -524,6 +526,8 @@ GROUP BY word
         "sql_pipe_syntax": analytics.SQL_PIPE_SYNTAX_SQL,
         "sql_group_by_all": analytics.SQL_GROUP_BY_ALL_SQL,
         "sql_scripting": analytics.SQL_SCRIPTING_SQL,
+        "sql_udf_function": analytics.SQL_UDF_FUNCTION_SQL,
+        "sql_parameterized": analytics.SQL_PARAMETERIZED_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,

@@ -1930,6 +1930,82 @@ FROM stop
 """
 
 
+_SQL_UDF_QUERY_TEXT = """
+SELECT l_returnflag,
+       CAST(SUM(line_rev(l_extendedprice, l_discount)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sql_udf_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL-language UDF (SPARK-46908, CREATE FUNCTION ... RETURN
+    <expr>): the discounted-revenue expression defined ONCE as a named
+    catalog function and reused from plain SQL text. Unlike a Python
+    UDF, the body is pure SQL — Catalyst inlines it into the plan, so
+    it costs NOTHING at 100 TB (same pushdown/codegen as writing the
+    expression inline; the plan is identical to q6's). Determinism: the
+    body follows the repo decimal-fold convention (inputs cast to
+    DECIMAL(18,2), exact product, one double cast at the edge); the
+    oracle inlines the same body textually (DuckDB macros are a
+    different DDL surface, and inlining IS the semantics being
+    pinned)."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38,4) RETURN "
+        "CAST(p AS DECIMAL(18,2)) * CAST(d AS DECIMAL(18,2))"
+    )
+    return spark.sql(_SQL_UDF_QUERY_TEXT)
+
+
+SQL_UDF_FUNCTION_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+_SQL_PARAM_TEXT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (SPARK-41271/44680): the query text carries
+    ``:name`` placeholders and the values arrive out-of-band via
+    ``spark.sql(text, args={...})`` — the injection-safe template path a
+    production query service uses (one parsed/cached text, many
+    bindings). Parameters are bound as literals BEFORE analysis, so
+    pushdown still sees a constant predicate (same scan filters as the
+    inlined form). The oracle is the same text with the bindings
+    inlined."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PARAM_TEXT, args={"status": "F", "min_price": 1000.0})
+
+
+SQL_PARAMETERIZED_SQL = _SQL_PARAM_TEXT.replace(":status", "'F'").replace(
+    ":min_price", "1000.0"
+)
+
+
 def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag Pearson correlation between quantity and extended
     price, computed in closed form from EXACT moment sums — the
