@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.label_propagation,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
+        "gopher_rules": textstats.gopher_rules,
+        "interval_overlap_join": events.interval_overlap_join,
         "lang_id": textstats.lang_id,
         "doc_hash_embedding": similarity.doc_hash_embedding,
         "doc_ann_topk": similarity.doc_ann_topk,
@@ -482,6 +484,8 @@ GROUP BY word
         "perceptron_quality": classifier.PERCEPTRON_SQL,
         "ann_topk_cosine": similarity.ANN_TOPK_SQL,
         "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
+        "gopher_rules": textstats.GOPHER_RULES_SQL,
+        "interval_overlap_join": events.INTERVAL_OVERLAP_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,

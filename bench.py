@@ -161,6 +161,13 @@ def main() -> None:
     # measure the queries, not first-touch JIT and class loading.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Warm the Python worker daemons + Arrow serde path too (one tiny
+    # mapInPandas spanning every core): without this the first
+    # pandas/Arrow query in the list absorbs the ~32-worker spawn cost
+    # and reads 5-10x slower than its steady state.
+    spark.range(256, numPartitions=int(str(cpus).split(",")[0])).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1027,3 +1027,124 @@ SELECT doc_id, STRLEN(text) AS n_bytes,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models", App. A:
+# the document-level quality heuristics of the MassiveText pipeline).
+# Thresholds are the paper's; the stopword list is the paper's required-word
+# list (distinct from the generic STOPWORDS scoring list above).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-filter rule battery as one codegen
+    pass: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#' / '...'), fraction of words containing a letter, and the
+    >=2-distinct-required-stopwords rule. Emits every intermediate
+    signal plus per-rule verdicts plus the conjunction, so downstream
+    curation can re-weigh rules without a second scan. Pure Catalyst
+    expressions over whitespace tokens — no UDFs, scan-local at 100 TB
+    (one projection, zero shuffles).
+
+    Ratio determinism: integer-count divisions rounded to 6 dp, the
+    repo-wide convention; rule compares happen on the UNrounded exact
+    ratios in both engines.
+    """
+    docs = documents_for_cpu(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", ws.alias("ws"))
+    n_words = F.size("ws")
+    sum_len = F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t))
+    alpha_words = F.size(F.filter("ws", lambda t: t.rlike("[A-Za-z]")))
+    symbol_words = F.size(
+        F.filter("ws", lambda t: t.contains("#") | t.contains("..."))
+    )
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(F.transform("ws", lambda t: F.lower(t)), lambda t: t.isin(GOPHER_STOPS))
+        )
+    )
+    d = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        alpha_words.alias("alpha_words"),
+        symbol_words.alias("symbol_words"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    nz = F.col("n_words") > 0
+    mean_len = F.when(nz, F.col("sum_len").cast("double") / F.col("n_words")).otherwise(F.lit(0.0))
+    alpha_frac = F.when(nz, F.col("alpha_words").cast("double") / F.col("n_words")).otherwise(
+        F.lit(0.0)
+    )
+    sym_ratio = F.when(nz, F.col("symbol_words").cast("double") / F.col("n_words")).otherwise(
+        F.lit(0.0)
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    ok_stops = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("frac_alpha_words"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        "n_stop_hits",
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stops).alias("passes"),
+    )
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS sum_len,
+         len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(ws, t -> contains(t, '#') OR contains(t, '...'))) AS symbol_words,
+         len(list_distinct(list_filter(list_transform(ws, t -> lower(t)),
+                                       t -> t IN ({_GOPHER_STOPS_SQL})))) AS n_stop_hits
+  FROM t
+), r AS (
+  SELECT doc_id, n_words, n_stop_hits,
+         CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_len,
+         CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+         CASE WHEN n_words > 0 THEN CAST(symbol_words AS DOUBLE) / n_words ELSE 0.0 END AS sym_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(alpha_frac, 6) AS frac_alpha_words,
+       ROUND(sym_ratio, 6) AS symbol_ratio,
+       CAST(n_stop_hits AS INT) AS n_stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+       (mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}) AS ok_mean_len,
+       (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+       (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha_words,
+       (n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+        AND sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
+FROM r
+"""

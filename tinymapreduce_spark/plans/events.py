@@ -728,3 +728,59 @@ WITH du AS (
 SELECT day, dau, wau, ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
 FROM dau JOIN wau USING (day)
 """
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals — the sibling of
+    the point-in-interval ``range_join_bucketed``): per-(user, day)
+    activity spans [first event, last event], paired with every other
+    user's same-day span that overlaps it, with the exact overlap width
+    in micros.
+
+    Scale shape: the join key is the TILE (here the calendar day each
+    span lives in), so candidates are bounded per tile instead of the
+    O(n^2) all-pairs a raw inequality join plans. Spans never cross a
+    tile here by construction (they are built per day); for spans that
+    could, the same plan generalizes by exploding each span onto the
+    tiles it touches and deduplicating pairs — candidate count stays
+    O(sum per-tile^2), the standard distributed interval-join layout.
+    Overlap math is integer epoch-micros end to end.
+    """
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    ov = F.least(F.col("a.end_us"), F.col("b.end_us")) - F.greatest(
+        F.col("a.start_us"), F.col("b.start_us")
+    )
+    return (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .where(ov > 0)
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            ov.alias("overlap_us"),
+        )
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+  FROM events GROUP BY 1, 2
+)
+SELECT a.day AS day, a.user_id AS user_a, b.user_id AS user_b,
+       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+WHERE least(a.end_us, b.end_us) > greatest(a.start_us, b.start_us)
+"""
