@@ -84,7 +84,9 @@ def test_asof_join_no_cartesian(spark, sf_dir):
 
 
 def test_ngram_dedup_candidate_join_on_hashes(spark, sf_dir):
-    p = plan_of(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    # the COMPUTE form (the registry query reads its once-per-session
+    # materialization; this pins the plan that produces it)
+    p = plan_of(dedup.ngram_jaccard_pairs(spark, sf_dir))
     # shingles travel as xxhash64 longs — no shingle strings in any
     # exchange; every hashpartitioning key is doc_id/hash/band typed
     assert "xxhash64" in p

@@ -402,7 +402,10 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 
 
 BFS_MAX_HOPS = 4
-BFS_SEED_NATION = "GERMANY"
+# Schema-adapted: the synthetic warehouse names nations NATION_0..24
+# (no TPC-H country names) — seeding on a real member keeps the BFS
+# non-vacuous at every scale factor.
+BFS_SEED_NATION = "NATION_7"
 
 
 def bfs_hops(spark, sf_dir: str) -> DataFrame:

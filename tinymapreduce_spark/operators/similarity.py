@@ -314,7 +314,16 @@ def ann_lsh_topk_df(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     return _ranked_topk(scored)
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
+# The synthetic embeddings top out near cosine ~0.47 within a label, so a
+# classic 0.95 bar would be VACUOUS on this corpus (always-empty output
+# proves nothing); the bar sits where real neighbor structure exists,
+# same rationale as SEMDEDUP_THRESHOLD below.
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_NEARDUP_THRESHOLD
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the embedding tier of the
     dedup ladder): bucket by label (IVF cell), compare only within a
     bucket — the blocked all-pairs pattern that keeps 100 TB dedup from
@@ -335,7 +344,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     )
 
 
-EMB_NEARDUP_SQL = """
+EMB_NEARDUP_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(
          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -347,7 +356,7 @@ WHERE ROUND(
         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-        6) >= 0.95
+        6) >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
