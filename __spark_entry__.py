@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.label_propagation,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
+        "manifest_skipping_scan": manifest_sink.manifest_skipping_scan,
+        "manifest_delete_rewrite": manifest_sink.manifest_delete_rewrite,
         "gopher_rules": textstats.gopher_rules,
         "interval_overlap_join": events.interval_overlap_join,
         "lang_id": textstats.lang_id,
@@ -433,6 +435,8 @@ GROUP BY word
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "parquet_zstd_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
+        "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
+        "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
         "manifest_wap_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,

@@ -148,6 +148,8 @@ HEADLINE = [
     "winnow_neardup_pairs",
     "image_header_parse",
     "map_functions",
+    "manifest_skipping_scan",
+    "manifest_delete_rewrite",
 ]
 
 

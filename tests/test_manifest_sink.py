@@ -135,3 +135,69 @@ def test_schema_evolution_harmonized_read(spark, table):
     assert len(rows) == 8
     assert all(rows[i] == (None, 1) for i in range(5))
     assert all(rows[i] == ("b", 2) for i in range(5, 8))
+
+
+def test_file_stats_skipping_prunes_and_stays_correct(spark, table):
+    """read_pruned must consult per-file min/max: a range-clustered
+    publish yields disjoint per-file id ranges, a narrow slice reads a
+    strict subset of files, and the pruned-scan + residual-filter answer
+    equals the plain filtered scan."""
+    table.publish(
+        _df(spark, 0, 1000).repartitionByRange(8, "id"),
+        snapshot_id="s1",
+        stats_cols=["id"],
+    )
+    snap = table.snapshot(1)
+    assert snap.stats and len(snap.stats) == len(snap.files) == 8
+    assert sum(s["rows"] for s in snap.stats.values()) == snap.n_rows == 1000
+
+    pruned = table.read_pruned(spark, "id", 100, 220)
+    n_files_read = pruned.select("_metadata.file_path").distinct().count()
+    assert 0 < n_files_read < len(snap.files)
+    got = sorted(
+        r.id for r in pruned.where("id BETWEEN 100 AND 220").collect()
+    )
+    assert got == list(range(100, 221))
+
+
+def test_delete_matching_rewrites_only_intersecting_files(spark, table):
+    """Copy-on-write delete: files whose key range misses every delete
+    key carry over by PATH (no rewrite); deleted keys are gone; stats
+    stay consistent for further pruning; re-runs are no-ops."""
+    table.publish(
+        _df(spark, 0, 1000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    v1_files = set(table.snapshot(1).files)
+    v2 = table.delete_matching(spark, "id", [5, 7, 130], snapshot_id="erase-1")
+    assert v2 == 2
+    v2_snap = table.snapshot(2)
+    reused = set(v2_snap.files) & v1_files
+    assert reused, "non-intersecting files must be reused verbatim"
+    assert set(v2_snap.files) - v1_files, "intersecting files must be rewritten"
+    assert v2_snap.n_rows == 997
+    got = set(r.id for r in table.read(spark).collect())
+    assert got == set(range(1000)) - {5, 7, 130}
+    # stats carried + recomputed -> pruning still works on v2
+    assert set(v2_snap.stats) == set(v2_snap.files)
+    # idempotent re-run
+    assert table.delete_matching(spark, "id", [5, 7, 130], snapshot_id="erase-1") == 2
+    assert table.current_version() == 2
+
+
+def test_delete_matching_empty_keys_and_full_wipe(spark, table):
+    table.publish(
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    # empty key list: no new version
+    assert table.delete_matching(spark, "id", [], snapshot_id="noop") == 1
+    assert table.current_version() == 1
+    # wipe everything: manifest with zero files still reads (empty, schema kept)
+    v = table.delete_matching(spark, "id", list(range(100)), snapshot_id="wipe")
+    assert v == 2
+    df = table.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "v"]

@@ -531,3 +531,93 @@ FROM (
   FROM documents
 )
 """
+
+
+TOKEN_BUDGET_DEN = 5  # global budget = 1/5 of corpus whitespace tokens
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET mixture construction — the pretraining recipe's
+    final sizing step. ``mix_weights`` computes per-group rates and
+    ``weighted_sample`` thins rows, but a real data mix is specified in
+    TOKENS: "300B tokens total, temperature-weighted across sources".
+    Here: global budget = corpus_tokens/5, allocated across sources
+    ∝ floor(sqrt(source_tokens)) (temperature-0.5 allocation — rare
+    sources get super-proportional share, the dominant crawl is
+    capped), then each source fills its budget greedily in md5-priority
+    order (retry/engine-stable), keeping a doc iff the tokens BEFORE it
+    are under budget — so every source overshoots by at most one doc.
+
+    Everything is integer arithmetic (floor-sqrt, DIV allocation,
+    windowed running sums), so the chosen set — not just its size —
+    replays exactly in the oracle. One scan + one per-source window
+    shuffle; the allocation table is O(#sources) and broadcasts."""
+    docs = documents_for_cpu(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tok"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("pri"),
+    )
+    src = toks.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    src = src.withColumn(
+        "w", F.floor(F.sqrt(F.col("src_tok").cast("double"))).cast("long")
+    )
+    tot = src.agg(
+        F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w")
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tok",
+        F.expr(f"(total_tok DIV {TOKEN_BUDGET_DEN}) * w DIV sum_w").alias("budget_tok"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(win), F.lit(0).cast("long"))
+    ranked = toks.join(F.broadcast(alloc), "source").withColumn(
+        "cum_before", cum_before
+    )
+    keep = F.col("cum_before") < F.col("budget_tok")
+    return ranked.groupBy("source").agg(
+        F.max("src_tok").alias("src_tokens"),
+        F.max("budget_tok").alias("budget_tokens"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_kept"),
+    )
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pri
+  FROM documents
+), src AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+         CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+  FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok, CAST(SUM(w) AS BIGINT) AS sum_w FROM src
+), alloc AS MATERIALIZED (
+  SELECT source, src_tok, (total_tok // {TOKEN_BUDGET_DEN}) * w // sum_w AS budget_tok
+  FROM src, tot
+), ranked AS (
+  SELECT t.source, t.n_tok, a.src_tok, a.budget_tok,
+         COALESCE(SUM(t.n_tok) OVER (
+           PARTITION BY t.source ORDER BY t.pri, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks t JOIN alloc a USING (source)
+)
+SELECT source,
+       MAX(src_tok) AS src_tokens,
+       MAX(budget_tok) AS budget_tokens,
+       CAST(SUM(CASE WHEN cum_before < budget_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN cum_before < budget_tok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM ranked GROUP BY source
+"""

@@ -256,7 +256,19 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("grp"), "reg", "mj")
     )
     est_in = regs.unionByName(merged)
-    agg = est_in.groupBy("grp").agg(
+    return (
+        _hllp_estimate(est_in, ["grp"])
+        .select("grp", F.col("est").alias("approx_custkeys"))
+        .orderBy("grp")
+    )
+
+
+def _hllp_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., reg, mj) register table -> (keys..., est): the HLL
+    estimator with the integer-exact power sum and linear-counting
+    small-range branch (see ``hll_portable_distinct``), rounded to 4
+    decimals so it replays bit-identically in SQL."""
+    agg = regs.groupBy(*keys).agg(
         F.sum(F.expr("shiftleft(1L, 52 - mj)")).alias("ps"),
         F.count(F.lit(1)).alias("np"),
     )
@@ -267,7 +279,7 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLLP_M)) & (v > 0),
         F.lit(float(HLLP_M)) * F.log(F.lit(float(HLLP_M)) / v),
     ).otherwise(raw)
-    return agg.select("grp", F.round(est, 4).alias("approx_custkeys")).orderBy("grp")
+    return agg.select(*keys, F.round(est, 4).alias("est"))
 
 
 HLL_PORTABLE_SQL = f"""
@@ -302,6 +314,122 @@ SELECT grp,
               ELSE {HLLP_NUMER!r} / CAST(ps + ({HLLP_M} - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
          END, 4) AS approx_custkeys
 FROM agg
+"""
+
+
+def _hllp_est_sql(keys: str, src: str) -> str:
+    """SQL twin of ``_hllp_estimate`` over a (keys..., reg, mj) CTE."""
+    raw = (
+        f"{HLLP_NUMER!r} / CAST(ps + ({HLLP_M} - np) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)"
+    )
+    return f"""
+  SELECT {keys},
+         ROUND(CASE WHEN {raw} <= {2.5 * HLLP_M} AND ({HLLP_M} - np) > 0
+                    THEN {float(HLLP_M)} * ln({float(HLLP_M)} / ({HLLP_M} - np))
+                    ELSE {raw}
+               END, 4) AS est
+  FROM (SELECT {keys},
+               CAST(SUM(CAST(1 AS BIGINT) << (52 - mj)) AS BIGINT) AS ps,
+               COUNT(*) AS np
+        FROM {src} GROUP BY {keys})
+"""
+
+
+def hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: year-over-year customer-base overlap without
+    any exact distinct. Per-year HLL register tables are built once;
+    |A ∪ B| is a register-wise MAX of two tables and |A ∩ B| falls out
+    of inclusion-exclusion (est(A) + est(B) − est(A∪B)) — the audience-
+    overlap query every analytics warehouse runs, at O(#groups × 512)
+    sketch state instead of a distinct-union rescan per pair. At 100 TB
+    the fact table is scanned ONCE; every pairwise overlap after that
+    is arithmetic over kilobyte register tables. All register math
+    rides the portable md5-60-bit hash family, so the estimates —
+    including the subtraction — replay bit-identically in the oracle."""
+    from tinymapreduce_spark.functions.hashing import h60
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        h60(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        base.select(
+            "yr",
+            F.col("h").bitwiseAND(F.lit(HLLP_M - 1).cast("long")).alias("reg"),
+            F.shiftright("h", HLLP_P).alias("w"),
+        )
+        .select("yr", "reg", rho.alias("rho"))
+        .groupBy("yr", "reg")
+        .agg(F.max("rho").alias("mj"))
+        .persist()
+    )
+    years = regs.select("yr").distinct()
+    pairs = (
+        years.alias("a")
+        .join(years.alias("b"), F.col("b.yr") == F.col("a.yr") + 1)
+        .select(F.col("a.yr").alias("ya"), F.col("b.yr").alias("yb"))
+    )
+    ra = pairs.join(regs, F.col("yr") == F.col("ya")).select("ya", "yb", "reg", "mj")
+    rb = pairs.join(regs, F.col("yr") == F.col("yb")).select("ya", "yb", "reg", "mj")
+    union_regs = (
+        ra.unionByName(rb).groupBy("ya", "yb", "reg").agg(F.max("mj").alias("mj"))
+    )
+    e_yr = _hllp_estimate(regs, ["yr"])
+    e_un = _hllp_estimate(union_regs, ["ya", "yb"]).withColumnRenamed(
+        "est", "approx_union"
+    )
+    ea = e_yr.select(F.col("yr").alias("ya"), F.col("est").alias("approx_a"))
+    eb = e_yr.select(F.col("yr").alias("yb"), F.col("est").alias("approx_b"))
+    return (
+        pairs.join(ea, "ya")
+        .join(eb, "yb")
+        .join(e_un, ["ya", "yb"])
+        .select(
+            "ya",
+            "yb",
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            F.round(
+                F.col("approx_a") + F.col("approx_b") - F.col("approx_union"), 4
+            ).alias("approx_overlap"),
+        )
+    )
+
+
+HLL_OVERLAP_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), regs AS MATERIALIZED (
+  SELECT yr, h & {HLLP_M - 1} AS reg,
+         MAX(CASE WHEN (h >> {HLLP_P}) = 0 THEN 52
+                  ELSE 52 - length(bin(h >> {HLLP_P})) END) AS mj
+  FROM base GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT a.yr AS ya, b.yr AS yb
+  FROM (SELECT DISTINCT yr FROM regs) a
+  JOIN (SELECT DISTINCT yr FROM regs) b ON b.yr = a.yr + 1
+), union_regs AS MATERIALIZED (
+  SELECT ya, yb, reg, MAX(mj) AS mj FROM (
+    SELECT p.ya, p.yb, r.reg, r.mj FROM pairs p JOIN regs r ON r.yr = p.ya
+    UNION ALL
+    SELECT p.ya, p.yb, r.reg, r.mj FROM pairs p JOIN regs r ON r.yr = p.yb
+  ) GROUP BY 1, 2, 3
+), e_yr AS MATERIALIZED ({_hllp_est_sql("yr", "regs")}
+), e_un AS MATERIALIZED ({_hllp_est_sql("ya, yb", "union_regs")}
+)
+SELECT p.ya, p.yb, a.est AS approx_a, b.est AS approx_b, u.est AS approx_union,
+       ROUND(a.est + b.est - u.est, 4) AS approx_overlap
+FROM pairs p
+JOIN e_yr a ON a.yr = p.ya
+JOIN e_yr b ON b.yr = p.yb
+JOIN e_un u ON u.ya = p.ya AND u.yb = p.yb
 """
 
 

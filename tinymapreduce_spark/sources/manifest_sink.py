@@ -52,6 +52,30 @@ class Snapshot:
     files: list[str]
     n_rows: int
     schema_ddl: str
+    # Per-file stats (Iceberg manifest-entry analog), keyed by file path:
+    # {"rows": int, "min": {col: val}, "max": {col: val}}. Absent for
+    # snapshots published without stats_cols (backward compatible).
+    stats: dict | None = None
+
+
+def _norm_file_path(p: str) -> str:
+    """``_metadata.file_path`` yields a ``file:``-scheme URI; manifests
+    store plain paths — normalize to the latter."""
+    if p.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(p).path
+    return p
+
+
+def _json_stat(v):
+    """Stats values must round-trip through JSON with their ORDER intact:
+    ints/floats stay numeric, everything else (timestamps, dates,
+    decimals, strings) becomes its ISO/str form — all of which compare
+    correctly as strings within one column's min/max family."""
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    return str(v)
 
 
 class ManifestTable:
@@ -88,6 +112,7 @@ class ManifestTable:
             files=m["files"],
             n_rows=m["n_rows"],
             schema_ddl=m["schema_ddl"],
+            stats=m.get("stats"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -117,6 +142,7 @@ class ManifestTable:
         df: DataFrame,
         snapshot_id: str,
         audit: Callable[[DataFrame], str | None] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` as the table's next version. Returns the version
         serving ``snapshot_id`` — the existing one if this id already
@@ -125,6 +151,15 @@ class ManifestTable:
         ``audit`` receives the RE-READ staged frame and returns an error
         string to abort (or None to pass) — checks run against what was
         actually written, not what was intended.
+
+        ``stats_cols`` records per-file min/max for those columns (plus
+        per-file row counts) in the manifest — the Iceberg manifest-entry
+        stats that make ``read_pruned`` / ``delete_matching`` skip files.
+        Computed distributedly in ONE grouped pass over the staged read
+        (``_metadata.file_path``); only O(#files) stat rows reach the
+        driver. Cluster the frame on the stat column first
+        (``repartitionByRange``) or the per-file ranges all overlap and
+        nothing prunes.
         """
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
@@ -136,7 +171,12 @@ class ManifestTable:
 
         try:
             staged = spark.read.parquet(staging)
-            n_rows = staged.count()
+            stats = None
+            if stats_cols:
+                stats = self._collect_file_stats(staged, stats_cols)
+                n_rows = sum(s["rows"] for s in stats.values())
+            else:
+                n_rows = staged.count()
             problems = audit(staged) if audit else None
             if problems:
                 raise AuditError(problems)
@@ -149,26 +189,65 @@ class ManifestTable:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         )
-        # Version assignment + pointer flip run under the commit lock:
-        # concurrent writers serialize here (the table-format CAS — in
-        # Iceberg this is the atomic metadata swap; on a filesystem,
-        # O_EXCL lock-file acquisition). Everything expensive (the data
-        # write, the audit) already happened outside the lock.
+        committed = self._commit(
+            files, n_rows, staged.schema.simpleString(), snapshot_id, stats
+        )
+        if committed is None:  # lost the race: id published while staging
+            shutil.rmtree(staging, ignore_errors=True)
+            return self._find_snapshot_id(snapshot_id)
+        return committed
+
+    @staticmethod
+    def _collect_file_stats(staged: DataFrame, stats_cols: list[str]) -> dict:
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        rows = (
+            staged.withColumn("_file", F.col("_metadata.file_path"))
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            _norm_file_path(r["_file"]): {
+                "rows": r["_rows"],
+                "min": {c: _json_stat(r[f"_min_{c}"]) for c in stats_cols},
+                "max": {c: _json_stat(r[f"_max_{c}"]) for c in stats_cols},
+            }
+            for r in rows
+        }
+
+    def _commit(
+        self,
+        files: list[str],
+        n_rows: int,
+        schema_ddl: str,
+        snapshot_id: str,
+        stats: dict | None,
+    ) -> int | None:
+        """Version assignment + pointer flip under the commit lock:
+        concurrent writers serialize here (the table-format CAS — in
+        Iceberg this is the atomic metadata swap; on a filesystem,
+        O_EXCL lock-file acquisition). Everything expensive (the data
+        write, the audit, the stats pass) already happened outside the
+        lock. Returns None if ``snapshot_id`` was published by a racing
+        writer (caller cleans up its staging)."""
         with self._commit_lock():
-            # re-check under the lock: another writer may have published
-            # this snapshot_id while we were staging
-            existing = self._find_snapshot_id(snapshot_id)
-            if existing is not None:
-                shutil.rmtree(staging, ignore_errors=True)
-                return existing
+            if self._find_snapshot_id(snapshot_id) is not None:
+                return None
             version = (self.current_version() or 0) + 1
             manifest = {
                 "version": version,
                 "snapshot_id": snapshot_id,
                 "files": files,
                 "n_rows": n_rows,
-                "schema_ddl": staged.schema.simpleString(),
+                "schema_ddl": schema_ddl,
             }
+            if stats is not None:
+                manifest["stats"] = stats
             with open(self._manifest_path(version), "w", encoding="utf-8") as f:
                 json.dump(manifest, f, indent=1)
             # THE atomic publish: readers either see the old pointer or
@@ -208,7 +287,140 @@ class ManifestTable:
         if v is None:
             raise FileNotFoundError(f"no published version in {self.table_dir}")
         snap = self.snapshot(v)
-        return spark.read.parquet(*snap.files)
+        return self._read_files(spark, snap.files, snap.schema_ddl)
+
+    @staticmethod
+    def _read_files(spark: SparkSession, files: list[str], schema_ddl: str) -> DataFrame:
+        if not files:  # an empty publish commits a manifest with no files
+            return spark.createDataFrame([], schema_ddl)
+        return spark.read.parquet(*files)
+
+    def read_pruned(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Read the current version scanning ONLY files whose recorded
+        [min, max] for ``col`` intersects [lo, hi] — manifest-level data
+        skipping (Iceberg scan planning). ``lo``/``hi`` must be in the
+        stats' serialized domain (numbers for numeric columns, ISO
+        strings for timestamps/dates). Files without stats are kept —
+        skipping is an optimization, never a filter: callers still apply
+        the real predicate to the returned frame, so a kept superset is
+        always correct. At 100 TB this is the difference between listing
+        a few thousand manifest entries driver-side and scanning every
+        data file."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(v)
+        stats = snap.stats or {}
+        kept = []
+        for f in snap.files:
+            s = stats.get(f)
+            if s is None:
+                kept.append(f)
+                continue
+            smin, smax = s["min"].get(col), s["max"].get(col)
+            if smin is None or smax is None:  # all-NULL or untracked col
+                kept.append(f)
+            elif not (smax < lo or smin > hi):
+                kept.append(f)
+        return self._read_files(spark, kept, snap.schema_ddl)
+
+    # -- copy-on-write row-level delete ------------------------------
+
+    def delete_matching(
+        self, spark: SparkSession, key_col: str, keys: list, snapshot_id: str
+    ) -> int:
+        """Targeted row-level delete (GDPR erasure / CDC retraction) as a
+        copy-on-write commit: files whose [min, max] range for
+        ``key_col`` cannot contain any key are carried into the new
+        manifest VERBATIM (no read, no write); only intersecting files
+        are re-read, anti-filtered, and rewritten. With the table
+        range-clustered on the key, a delete touches O(matching files),
+        not O(table) — the Iceberg/Delta copy-on-write DELETE shape.
+
+        ``keys`` is a driver-side list (erasure requests are small
+        relative to the table; for a key set beyond driver memory, do a
+        full anti-join rewrite instead). Idempotent per ``snapshot_id``.
+        Returns the committed (or existing) version.
+        """
+        existing = self._find_snapshot_id(snapshot_id)
+        if existing is not None:
+            return existing
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(cur)
+        if not keys:
+            return cur  # nothing to delete; current version already serves it
+
+        keyset = sorted(set(keys))
+        j_lo, j_hi = _json_stat(keyset[0]), _json_stat(keyset[-1])
+        stats = snap.stats or {}
+        untouched, candidates = [], []
+        for f in snap.files:
+            s = stats.get(f)
+            smin = s["min"].get(key_col) if s else None
+            smax = s["max"].get(key_col) if s else None
+            if smin is None or smax is None:
+                candidates.append(f)  # no stats -> must inspect
+            elif smax < j_lo or smin > j_hi:
+                untouched.append(f)
+            elif any(smin <= _json_stat(k) <= smax for k in keyset):
+                candidates.append(f)
+            else:
+                untouched.append(f)
+
+        new_files, kept_rows = [], 0
+        if candidates:
+            from pyspark.sql import functions as F
+
+            remaining = self._read_files(spark, candidates, snap.schema_ddl).where(
+                ~F.col(key_col).isin(keyset)
+            )
+            staging = os.path.join(
+                self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+            )
+            # one output file per rewritten input file keeps granularity
+            remaining.repartitionByRange(
+                max(1, len(candidates)), key_col
+            ).write.mode("errorifexists").parquet(staging)
+            new_files = sorted(
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+            stat_cols = (
+                list(next(iter(stats.values()))["min"]) if stats else [key_col]
+            )
+            try:
+                restats = (
+                    self._collect_file_stats(spark.read.parquet(*new_files), stat_cols)
+                    if new_files
+                    else {}
+                )
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            kept_rows = sum(s["rows"] for s in restats.values())
+        else:
+            restats = {}
+
+        untouched_rows = sum(stats[f]["rows"] for f in untouched if f in stats)
+        new_stats = None
+        if stats:
+            new_stats = {f: stats[f] for f in untouched if f in stats}
+            new_stats.update(restats)
+        committed = self._commit(
+            sorted(untouched + new_files),
+            untouched_rows + kept_rows,
+            snap.schema_ddl,
+            snapshot_id,
+            new_stats,
+        )
+        if committed is None:
+            if candidates:
+                shutil.rmtree(staging, ignore_errors=True)
+            return self._find_snapshot_id(snapshot_id)
+        return committed
 
     def read_history_harmonized(self, spark: SparkSession) -> DataFrame:
         """Every surviving version unioned under schema evolution:
@@ -336,6 +548,108 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
     )
+
+
+def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping as a driver query: publish orders
+    range-clustered on o_orderdate with per-file min/max stats, then
+    answer a one-year slice reading ONLY the files whose recorded range
+    intersects it (``read_pruned``) — the residual predicate still
+    applies, so pruning is a pure optimization. The pytest companion
+    asserts the pruned file list is a strict subset; the oracle checks
+    the answer equals a plain filtered scan. This is the Iceberg/Delta
+    scan-planning shape: at 100 TB the driver consults O(#files)
+    manifest entries instead of opening every footer."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"skip_orders_{tag}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_orderdate"),
+        snapshot_id="base",
+        stats_cols=["o_orderdate"],
+    )
+    lo, hi = "1997-01-01", "1998-01-01"
+    pruned = table.read_pruned(spark, "o_orderdate", lo, hi)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        pruned.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_SKIP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def manifest_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE as a driver query (GDPR erasure):
+    publish orders range-clustered on o_custkey with stats, erase every
+    order belonging to custkeys divisible by 97, and aggregate the
+    CURRENT version. Files whose custkey range contains no erased key
+    carry over verbatim (the pytest companion asserts file reuse across
+    versions); only intersecting files rewrite. Oracle: the same
+    aggregate over ``o_custkey % 97 <> 0``."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"del_orders_{tag}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_custkey"),
+        snapshot_id="base",
+        stats_cols=["o_custkey"],
+    )
+    erase = [
+        r[0]
+        for r in orders.where("o_custkey % 97 = 0")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    ]
+    table.delete_matching(spark, "o_custkey", erase, snapshot_id="erasure-1")
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_DELETE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_custkey % 97 <> 0
+GROUP BY o_orderstatus
+"""
 
 
 MANIFEST_TT_SQL = """
