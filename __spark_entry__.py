@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === the driver's ~50-entry window ends here ===
         "manifest_skipping_scan": manifest_sink.manifest_skipping_scan,
         "manifest_delete_rewrite": manifest_sink.manifest_delete_rewrite,
+        "hll_overlap": sketches.hll_overlap,
+        "token_budget_mix": curation.token_budget_mix,
+        "join_skew_profile": maintenance.join_skew_profile,
+        "stream_stream_outer_join": stream_windows.stream_stream_outer_join,
         "gopher_rules": textstats.gopher_rules,
         "interval_overlap_join": events.interval_overlap_join,
         "lang_id": textstats.lang_id,
@@ -437,6 +441,10 @@ GROUP BY word
         "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
+        "hll_overlap": sketches.HLL_OVERLAP_SQL,
+        "token_budget_mix": curation.TOKEN_BUDGET_MIX_SQL,
+        "join_skew_profile": maintenance.JOIN_SKEW_SQL,
+        "stream_stream_outer_join": stream_windows.STREAM_STREAM_OUTER_SQL,
         "manifest_wap_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "sort_limit": analytics.SORT_LIMIT_SQL,
         "bucketed_join_revenue": layout.BUCKETED_JOIN_SQL,

@@ -150,6 +150,9 @@ HEADLINE = [
     "map_functions",
     "manifest_skipping_scan",
     "manifest_delete_rewrite",
+    "hll_overlap",
+    "token_budget_mix",
+    "join_skew_profile",
 ]
 
 

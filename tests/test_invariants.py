@@ -1166,3 +1166,36 @@ def test_bpe_toy_corpus_hand_verified(spark, tmp_path):
         (4, "m", "at</w>", "mat</w>", 2),
         (5, "s", "at</w>", "sat</w>", 1),
     ]
+
+
+def test_hll_overlap_tracks_exact_intersections(spark, sf_dir):
+    """Inclusion-exclusion overlap estimates must track the exact
+    year-pair customer intersections. Each of the three estimates
+    carries ~4.6% std error (512 registers; small cardinalities sit in
+    the near-exact linear-counting regime), and the subtraction
+    compounds them — 35% relative headroom is far outside normal
+    variation while still catching any register/union bug."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.sketches import hll_overlap
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    got = {(r.ya, r.yb): r.approx_overlap for r in hll_overlap(spark, sf_dir).collect()}
+    assert len(got) >= 5
+
+    y = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("long").alias("yr"), F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    a, b = y.alias("a"), y.alias("b")
+    exact = {
+        (r.ya, r.yb): r.ov
+        for r in a.join(b, (F.col("b.k") == F.col("a.k")) & (F.col("b.yr") == F.col("a.yr") + 1))
+        .groupBy(F.col("a.yr").alias("ya"), F.col("b.yr").alias("yb"))
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for pair, est in got.items():
+        assert abs(est - exact[pair]) / exact[pair] < 0.35, (pair, est, exact[pair])

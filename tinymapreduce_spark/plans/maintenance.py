@@ -516,3 +516,56 @@ SELECT COUNT(*) AS n_rows,
        MAX(l_extendedprice) AS max_price
 FROM lineitem
 """
+
+
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics — the MEASURE half of the skew
+    toolkit (``salted_skew_join`` is the fix; AQE skew-split the
+    runtime fallback). Profiles a prospective join/shuffle key
+    (events.user_id): every key more than 5% above the mean row count
+    is reported with its share and the salt fan-out that would level
+    it (ceil of count/mean). At 100 TB you run this ONCE on a sample
+    or yesterday's partition and feed ``salt_buckets`` straight into
+    the salted join — instead of discovering the hot key from a
+    straggling 2-hour task. One scan + one tiny agg; the 5%-above-mean
+    rule is integer cross-multiplication (cnt*n_keys*20 > total*21),
+    so the flagged set is engine-exact."""
+    from tinymapreduce_spark.sources.loaders import normalize_event_ts
+
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .where(F.col("cnt") * F.col("n_keys") * 20 > F.col("total") * 21)
+        .select(
+            "user_id",
+            "cnt",
+            "total",
+            "n_keys",
+            "max_cnt",
+            F.expr("cnt * 1000000 DIV total").alias("share_ppm"),
+            # ceil(cnt / mean) = ceil(cnt * n_keys / total) in integers
+            F.expr("(cnt * n_keys + total - 1) DIV total").alias("salt_buckets"),
+        )
+    )
+
+
+JOIN_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys,
+         MAX(cnt) AS max_cnt
+  FROM c
+)
+SELECT user_id, cnt, total, n_keys, max_cnt,
+       cnt * 1000000 // total AS share_ppm,
+       (cnt * n_keys + total - 1) // total AS salt_buckets
+FROM c, s
+WHERE cnt * n_keys * 20 > total * 21
+"""

@@ -233,3 +233,155 @@ JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the append-mode shape
+    whose unmatched rows can only be emitted once the watermark proves
+    no match can still arrive (state eviction == null-emission time).
+    Each 'error' event joins the same user's 'purchase' events in the
+    following 10 minutes; errors with no such purchase surface with a
+    NULL purchase id — the alerting query ("errors NOT followed by a
+    recovery/purchase") that inner joins cannot express on streams.
+
+    Flush protocol: bounded inputs leave the last join windows open
+    (the watermark trails the data), so the source appends a SENTINEL
+    event one day past the corpus maximum in a LATER micro-batch
+    (maxFilesPerTrigger=1 + mtime ordering). The sentinel passes
+    through ``withWatermark`` (advancing the watermark past every real
+    window) and is filtered out AFTER — so with the trailing no-data
+    micro-batch every unmatched error is emitted and the result equals
+    the batch LEFT JOIN exactly. At scale the same trick is unnecessary
+    (real streams keep advancing) but the state-size story is identical:
+    both sides' state is bounded by watermark + 10-minute range."""
+    import os
+    import shutil
+    import time
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = os.path.join(SCRATCH, f"ssoj_{tag}")
+    marker = os.path.join(src_dir, "_ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "part-0-events.parquet"),
+        )
+        # Build the sentinel file purely in pyarrow against the SOURCE
+        # file's arrow schema, so both files in the stream directory are
+        # physically identical in type (TIMESTAMP(NANOS) vs long nanos
+        # varies by testdata generation; normalize_event_ts canonicalizes
+        # either on read).
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        src_path = os.path.join(sf_dir, "events.parquet")
+        src_schema = pq.read_schema(src_path)
+        ts_type = src_schema.field("ts").type
+        raw_max = pc.max(pq.read_table(src_path, columns=["ts"]).column("ts")).as_py()
+        if raw_max is not None:  # empty corpus needs no flush
+            if pa.types.is_timestamp(ts_type):
+                flush_val = pa.array([raw_max + _dt.timedelta(days=1)], type=ts_type)
+            else:  # long nanos
+                flush_val = pa.array([raw_max + 86400 * 10**9], type=ts_type)
+            defaults = {
+                "event_id": -1,
+                "user_id": -1,
+                "event_type": "__sentinel__",
+                "value": 0.0,
+            }
+            cols = [
+                flush_val
+                if f.name == "ts"
+                else pa.array([defaults.get(f.name)], type=f.type)
+                for f in src_schema
+            ]
+            pq.write_table(
+                pa.table(cols, schema=src_schema),
+                os.path.join(src_dir, "part-1-sentinel.parquet"),
+            )
+        now = time.time()
+        os.utime(os.path.join(src_dir, "part-0-events.parquet"), (now - 60, now - 60))
+        sentinel = os.path.join(src_dir, "part-1-sentinel.parquet")
+        if os.path.exists(sentinel):
+            os.utime(sentinel, (now, now))
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(alias_user, alias_id, alias_ts, etype):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        s = normalize_event_ts(s)
+        # The sentinel must REACH the event-time collector: a plain
+        # type filter gets pushed below the watermark node (into the
+        # parquet scan itself), which would silently strip the flush
+        # row. So both sides keep the sentinel through the join input —
+        # with user_id = -1 it can never match, its own null-row sits
+        # forever behind the watermark, and the output select drops it.
+        s = s.withWatermark("ts", "0 seconds").where(
+            (F.col("event_type") == etype)
+            | (F.col("event_type") == "__sentinel__")
+        )
+        return s.select(
+            F.col("user_id").alias(alias_user),
+            F.col("event_id").alias(alias_id),
+            F.col("ts").alias(alias_ts),
+        )
+
+    errors = side("err_user", "err_id", "err_ts", "error")
+    purchases = side("p_user", "p_id", "p_ts", "purchase")
+    joined = errors.join(
+        purchases,
+        (F.col("err_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("err_ts"))
+        & (F.col("p_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select(
+        "err_user",
+        "err_id",
+        "p_id",
+        (F.unix_micros("p_ts") - F.unix_micros("err_ts")).alias("lag_us"),
+    )
+    name = f"stream_ssoj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # The null-emissions ride the trailing NO-DATA micro-batch that
+        # runs after the sentinel batch advanced the watermark
+        # (processAllAvailable returns before it). Wait for that batch's
+        # progress entry (numInputRows == 0), bounded.
+        import time as _time
+
+        for _ in range(100):
+            if any(p.numInputRows == 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT err_user, err_id, p_id, lag_us FROM {name} WHERE err_user <> -1"
+    )
+
+
+STREAM_STREAM_OUTER_SQL = """
+SELECT e.user_id AS err_user,
+       e.event_id AS err_id,
+       p.event_id AS p_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts > e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTE
+"""
