@@ -688,3 +688,59 @@ def test_sketch_tables_partial_aggregate(spark, sf_dir):
         assert "partial_count" in p2
     finally:
         spark.catalog.clearCache()
+
+
+def test_token_budget_mix_one_window_exchange_and_broadcast_alloc(spark, sf_dir):
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.token_budget_mix(spark, sf_dir))
+    # the O(#sources) allocation table broadcasts onto the fill pass;
+    # the doc relation shuffles once for the per-source window (+ the
+    # final per-source agg reuses that partitioning or adds one more)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # tokenization/hashing all in codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_join_skew_profile_single_scan_broadcast_stats(spark, sf_dir):
+    from tinymapreduce_spark.plans import maintenance
+
+    p = plan_of(maintenance.join_skew_profile(spark, sf_dir))
+    # per-key counts combine map-side; the one-row stats frame broadcasts
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hll_overlap_register_tables_partial_agg(spark, sf_dir):
+    from tinymapreduce_spark.operators import sketches
+
+    p = plan_of(sketches.hll_overlap(spark, sf_dir))
+    # register build is a map-side-combined groupBy (max per register);
+    # everything after runs on O(groups x 512) rows
+    assert "partial_max" in p
+    # hash/register math never drops to Python
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_manifest_skipping_scan_reads_file_subset(spark, sf_dir):
+    from tinymapreduce_spark.sources import manifest_sink
+
+    df = manifest_sink.manifest_skipping_scan(spark, sf_dir)
+    p = plan_of(df)
+    # the residual predicate still guards correctness on the kept files
+    assert "o_orderdate" in p
+    # pruning happened at planning time: the scan's file list is a
+    # strict subset of the published snapshot
+    import os
+
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"skip_orders_{tag}"))
+    total = len(table.snapshot(table.current_version()).files)
+    pruned = table.read_pruned(spark, "o_orderdate", "1997-01-01", "1998-01-01")
+    n_read = len(pruned.inputFiles())
+    assert 0 < n_read < total, (n_read, total)

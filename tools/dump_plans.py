@@ -69,6 +69,11 @@ SELECTED = {
     "bfs_hops": "frontier BFS final state: checkpointed visited-set scan + label projection only",
     "hll_portable_distinct": "register table via partial_max groupBy; ALL row = register-MAX union",
     "digit_bucket_quantiles": "exact-count bucket table (partial agg); ALL row = bucket-SUM union",
+    "hll_overlap": "ONE fact scan builds per-year registers; unions/overlaps are KB-table arithmetic",
+    "token_budget_mix": "O(#sources) allocation broadcast; one per-source window shuffle fills budgets",
+    "join_skew_profile": "map-side-combined key counts; one-row stats broadcast; zero extra scans",
+    "manifest_skipping_scan": "manifest min/max pruning: the scan lists only range-intersecting files",
+    "manifest_delete_rewrite": "copy-on-write delete: untouched files carried by path, candidates re-clustered",
 }
 
 
