@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === the driver's ~50-entry window ends here ===
         "manifest_skipping_scan": manifest_sink.manifest_skipping_scan,
         "manifest_delete_rewrite": manifest_sink.manifest_delete_rewrite,
+        "manifest_append_incremental": manifest_sink.manifest_append_incremental,
+        "stream_dedup_within_watermark": stream_state.stream_dedup_within_watermark,
         "hll_overlap": sketches.hll_overlap,
         "token_budget_mix": curation.token_budget_mix,
         "join_skew_profile": maintenance.join_skew_profile,
@@ -441,6 +443,8 @@ GROUP BY word
         "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
+        "manifest_append_incremental": manifest_sink.MANIFEST_INCREMENTAL_SQL,
+        "stream_dedup_within_watermark": stream_state.STREAM_DEDUP_SQL,
         "hll_overlap": sketches.HLL_OVERLAP_SQL,
         "token_budget_mix": curation.TOKEN_BUDGET_MIX_SQL,
         "join_skew_profile": maintenance.JOIN_SKEW_SQL,

@@ -153,6 +153,7 @@ HEADLINE = [
     "hll_overlap",
     "token_budget_mix",
     "join_skew_profile",
+    "manifest_append_incremental",
 ]
 
 

@@ -201,3 +201,29 @@ def test_delete_matching_empty_keys_and_full_wipe(spark, table):
     df = table.read(spark)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["id", "v"]
+
+
+def test_append_carries_files_and_incremental_reads_only_new(spark, table):
+    v1 = table.publish(
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        snapshot_id="day1",
+        stats_cols=["id"],
+    )
+    v2 = table.append(
+        _df(spark, 100, 150).repartitionByRange(2, "id"),
+        snapshot_id="day2",
+        stats_cols=["id"],
+    )
+    assert (v1, v2) == (1, 2)
+    s1, s2 = table.snapshot(1), table.snapshot(2)
+    # every v1 file carried by path; append cost is O(new data)
+    assert set(s1.files) <= set(s2.files)
+    assert s2.n_rows == 150
+    # stats merged: pruning works across old + new files
+    assert set(s2.stats) == set(s2.files)
+    inc = table.read_incremental(spark, from_version=1)
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 150))
+    # full current read sees both days
+    assert table.read(spark).count() == 150
+    # idempotent re-append
+    assert table.append(_df(spark, 100, 150), snapshot_id="day2") == 2

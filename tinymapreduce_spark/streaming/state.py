@@ -318,3 +318,38 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-state sibling of
+    ``stream_dedup``. Plain streaming dropDuplicates keeps every key
+    forever (state grows with distinct keys — unusable on an unbounded
+    feed); the within-watermark form evicts a key once the watermark
+    passes its last sighting plus the delay, trading global uniqueness
+    for "no duplicates closer than the delay" with O(active keys)
+    state. With the delay set past the bounded corpus's whole span the
+    two semantics coincide, so the same exact-distinct oracle applies —
+    while the STATE CONTRACT exercised is the one a 100 TB pipeline
+    actually deploys."""
+    from tinymapreduce_spark.sources.loaders import normalize_event_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    name = f"stream_ddww_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT event_type, n_users FROM {name}")
