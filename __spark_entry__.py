@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_skipping_scan": manifest_sink.manifest_skipping_scan,
         "manifest_delete_rewrite": manifest_sink.manifest_delete_rewrite,
         "manifest_append_incremental": manifest_sink.manifest_append_incremental,
+        "manifest_upsert": manifest_sink.manifest_upsert,
+        "dedup_incremental_bloom": dedup.dedup_incremental_bloom,
         "stream_dedup_within_watermark": stream_state.stream_dedup_within_watermark,
         "hll_overlap": sketches.hll_overlap,
         "token_budget_mix": curation.token_budget_mix,
@@ -444,6 +446,8 @@ GROUP BY word
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
         "manifest_append_incremental": manifest_sink.MANIFEST_INCREMENTAL_SQL,
+        "manifest_upsert": manifest_sink.MANIFEST_UPSERT_SQL,
+        "dedup_incremental_bloom": dedup.DEDUP_INCREMENTAL_SQL,
         "stream_dedup_within_watermark": stream_state.STREAM_DEDUP_SQL,
         "hll_overlap": sketches.HLL_OVERLAP_SQL,
         "token_budget_mix": curation.TOKEN_BUDGET_MIX_SQL,

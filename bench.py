@@ -154,6 +154,8 @@ HEADLINE = [
     "token_budget_mix",
     "join_skew_profile",
     "manifest_append_incremental",
+    "manifest_upsert",
+    "dedup_incremental_bloom",
 ]
 
 

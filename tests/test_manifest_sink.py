@@ -227,3 +227,28 @@ def test_append_carries_files_and_incremental_reads_only_new(spark, table):
     assert table.read(spark).count() == 150
     # idempotent re-append
     assert table.append(_df(spark, 100, 150), snapshot_id="day2") == 2
+
+
+def test_upsert_single_commit_updates_inserts_and_reuses_files(spark, table):
+    table.publish(
+        _df(spark, 0, 1000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    v1_files = set(table.snapshot(1).files)
+    # update ids 10,11 (v doubled), insert 5000,5001
+    ups = spark.createDataFrame(
+        [(10, 999), (11, 998), (5000, 1), (5001, 2)], "id long, v long"
+    )
+    v2 = table.upsert_matching(spark, "id", ups, snapshot_id="m1")
+    assert v2 == 2 and len(table.history()) == 2  # ONE commit for the whole MERGE
+    s2 = table.snapshot(2)
+    assert set(s2.files) & v1_files, "non-intersecting files reused"
+    assert s2.n_rows == 1002
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got[10] == 999 and got[11] == 998
+    assert got[5000] == 1 and got[5001] == 2
+    assert got[12] == 24  # untouched row intact
+    # stats consistent for downstream pruning + idempotent re-run
+    assert set(s2.stats) == set(s2.files)
+    assert table.upsert_matching(spark, "id", ups, snapshot_id="m1") == 2

@@ -744,3 +744,15 @@ def test_manifest_skipping_scan_reads_file_subset(spark, sf_dir):
     pruned = table.read_pruned(spark, "o_orderdate", "1997-01-01", "1998-01-01")
     n_read = len(pruned.inputFiles())
     assert 0 < n_read < total, (n_read, total)
+
+
+def test_bloom_incremental_probes_are_broadcast_joins(spark, sf_dir):
+    from tinymapreduce_spark.operators import dedup as dd
+
+    p = plan_of(dd.dedup_incremental_bloom(spark, sf_dir))
+    # the k=4 bitmap probes broadcast; the bitmap itself is built with a
+    # map-side-combined bit_or aggregate
+    assert p.count("BroadcastHashJoin LeftOuter") >= 4
+    assert "partial_bit_or" in p or "bit_or" in p
+    # hashing/probing all in codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -612,6 +612,105 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M_BITS = 1 << 20  # 1M-bit filter: ~128 KB, FP ~3e-4 at 40k base keys
+BLOOM_K = 4
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """k=4 double-hashed bit positions over the portable h60 family:
+    pos_j = (h1 + j * h2) mod m with h2 forced odd — deterministic,
+    engine-replayable, one md5 pair per key."""
+    h1 = _h60(key)
+    h2 = _h60(F.concat(key, F.lit("#"))).bitwiseOR(F.lit(1).cast("long"))
+    return [
+        F.pmod(h1 + F.lit(j).cast("long") * h2, F.lit(BLOOM_M_BITS).cast("long"))
+        for j in range(BLOOM_K)
+    ]
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup — same base/new split and
+    the SAME exact output as ``dedup_incremental`` (shared oracle), but
+    the new batch first probes a Bloom filter built over the base key
+    index: a few BITS per base doc vs its 16-byte key. The filter is a
+    DataFrame — (word_idx -> 64-bit mask), <= 16k rows for 2^20 bits —
+    built with one map-side-combined ``bit_or`` aggregate and BROADCAST
+    onto the probe side; the k=4 probes are plain broadcast equi-joins,
+    so Bloom misses (guaranteed novel) are decided with ZERO shuffle of
+    anything data-sized. Only maybe-hits (true dups + false positives,
+    ~3e-4 at this sizing) reach the exact semi/anti-join verify — the
+    sketch-then-verify shape of the LSH tiers: false negatives are
+    impossible, so exactness is preserved by construction. At 100 TB
+    the per-batch exact join shrinks from |new| to |hits| while the
+    128 KB filter rides the broadcast."""
+    docs = documents_for_cpu(spark, sf_dir)
+    batch_byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text("text")).alias("content_key"),
+        (batch_byte < 64).alias("is_new"),
+    )
+    base_index = keyed.where(~F.col("is_new")).select("content_key").distinct().persist()
+
+    pos = _bloom_positions(F.col("content_key"))
+    bitmap = (
+        base_index.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+
+    new_batch = keyed.where(F.col("is_new"))
+    probed = new_batch
+    maybe = F.lit(True)
+    for j, p in enumerate(_bloom_positions(F.col("content_key"))):
+        probed = (
+            probed.withColumn(f"w{j}", F.shiftright(p, 6))
+            .withColumn(f"b{j}", F.pmod(p, F.lit(64).cast("long")).cast("int"))
+            .withColumn(f"pm{j}", F.expr(f"shiftleft(1L, b{j})"))
+        )
+    # k broadcast joins against the tiny bitmap; absent word -> 0 mask
+    for j in range(BLOOM_K):
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"bw{j}"), F.col("mask").alias(f"bm{j}")
+        )
+        probed = probed.join(
+            F.broadcast(bm), F.col(f"w{j}") == F.col(f"bw{j}"), "left"
+        )
+        maybe = maybe & (
+            F.coalesce(F.col(f"bm{j}"), F.lit(0).cast("long")).bitwiseAND(
+                F.col(f"pm{j}")
+            )
+            != 0
+        )
+    flagged = probed.withColumn("maybe", maybe)
+    sure_novel = flagged.where(~F.col("maybe")).select("doc_id", "source", "content_key")
+    candidates = flagged.where(F.col("maybe")).select("doc_id", "source", "content_key")
+    fp_novel = candidates.join(base_index, "content_key", "left_anti")
+    dup = candidates.join(base_index, "content_key", "left_semi")
+    novel = sure_novel.unionByName(fp_novel)
+    return (
+        novel.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .join(
+            dup.groupBy("source").agg(F.count(F.lit(1)).alias("n_dup_of_base")),
+            "source",
+            "full_outer",
+        )
+        .select(
+            "source",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.coalesce("n_dup_of_base", F.lit(0)).alias("n_dup_of_base"),
+        )
+    )
+
+
 DEDUP_INCREMENTAL_SQL = """
 WITH keyed AS (
   SELECT doc_id, source,

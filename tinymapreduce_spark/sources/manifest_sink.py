@@ -78,6 +78,31 @@ def _json_stat(v):
     return str(v)
 
 
+def _partition_files_by_keys(
+    snap: "Snapshot", key_col: str, keyset: list
+) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (untouched, candidates) for a
+    sorted key list: a file is untouched iff its recorded [min, max]
+    for ``key_col`` provably contains no key. Files without stats are
+    always candidates (must be inspected)."""
+    j_lo, j_hi = _json_stat(keyset[0]), _json_stat(keyset[-1])
+    stats = snap.stats or {}
+    untouched, candidates = [], []
+    for f in snap.files:
+        s = stats.get(f)
+        smin = s["min"].get(key_col) if s else None
+        smax = s["max"].get(key_col) if s else None
+        if smin is None or smax is None:
+            candidates.append(f)  # no stats -> must inspect
+        elif smax < j_lo or smin > j_hi:
+            untouched.append(f)
+        elif any(smin <= _json_stat(k) <= smax for k in keyset):
+            candidates.append(f)
+        else:
+            untouched.append(f)
+    return untouched, candidates
+
+
 class ManifestTable:
     """A directory-backed versioned parquet table with WAP commits."""
 
@@ -397,6 +422,85 @@ class ManifestTable:
         fresh = [f for f in to_snap.files if f not in seen]
         return self._read_files(spark, fresh, to_snap.schema_ddl)
 
+    # -- copy-on-write MERGE (upsert) --------------------------------
+
+    def upsert_matching(
+        self, spark: SparkSession, key_col: str, new_rows: DataFrame, snapshot_id: str
+    ) -> int:
+        """Copy-on-write MERGE in ONE atomic commit: rows whose
+        ``key_col`` appears in ``new_rows`` are replaced, absent keys
+        are inserted. Files whose key range can contain no incoming key
+        carry over by path; only intersecting files are re-read,
+        anti-filtered, unioned with the new rows, re-clustered, and
+        staged — then a single pointer flip publishes everything
+        (readers see the whole MERGE or none of it, the Iceberg/Delta
+        MERGE visibility contract). O(matching files + new rows), not
+        O(table). Idempotent per ``snapshot_id``."""
+        existing = self._find_snapshot_id(snapshot_id)
+        if existing is not None:
+            return existing
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(cur)
+        keyset = sorted(
+            {r[0] for r in new_rows.select(key_col).distinct().collect()}
+        )
+        if not keyset:
+            return cur
+        untouched, candidates = _partition_files_by_keys(snap, key_col, keyset)
+        stats = snap.stats or {}
+
+        from pyspark.sql import functions as F
+
+        remaining = (
+            self._read_files(spark, candidates, snap.schema_ddl).where(
+                ~F.col(key_col).isin(keyset)
+            )
+            if candidates
+            else None
+        )
+        rewritten = (
+            remaining.unionByName(new_rows) if remaining is not None else new_rows
+        )
+        staging = os.path.join(
+            self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+        )
+        rewritten.repartitionByRange(
+            max(1, len(candidates) + 1), key_col
+        ).write.mode("errorifexists").parquet(staging)
+        new_files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        stat_cols = list(next(iter(stats.values()))["min"]) if stats else [key_col]
+        try:
+            restats = (
+                self._collect_file_stats(spark.read.parquet(*new_files), stat_cols)
+                if new_files
+                else {}
+            )
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        untouched_rows = sum(stats[f]["rows"] for f in untouched if f in stats)
+        new_stats = None
+        if stats:
+            new_stats = {f: stats[f] for f in untouched if f in stats}
+            new_stats.update(restats)
+        committed = self._commit(
+            sorted(untouched + new_files),
+            untouched_rows + sum(s["rows"] for s in restats.values()),
+            snap.schema_ddl,
+            snapshot_id,
+            new_stats,
+        )
+        if committed is None:
+            shutil.rmtree(staging, ignore_errors=True)
+            return self._find_snapshot_id(snapshot_id)
+        return committed
+
     # -- copy-on-write row-level delete ------------------------------
 
     def delete_matching(
@@ -426,21 +530,8 @@ class ManifestTable:
             return cur  # nothing to delete; current version already serves it
 
         keyset = sorted(set(keys))
-        j_lo, j_hi = _json_stat(keyset[0]), _json_stat(keyset[-1])
+        untouched, candidates = _partition_files_by_keys(snap, key_col, keyset)
         stats = snap.stats or {}
-        untouched, candidates = [], []
-        for f in snap.files:
-            s = stats.get(f)
-            smin = s["min"].get(key_col) if s else None
-            smax = s["max"].get(key_col) if s else None
-            if smin is None or smax is None:
-                candidates.append(f)  # no stats -> must inspect
-            elif smax < j_lo or smin > j_hi:
-                untouched.append(f)
-            elif any(smin <= _json_stat(k) <= smax for k in keyset):
-                candidates.append(f)
-            else:
-                untouched.append(f)
 
         new_files, kept_rows = [], 0
         if candidates:
@@ -716,6 +807,66 @@ SELECT o_orderpriority, COUNT(*) AS n,
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1999-01-01'
 GROUP BY o_orderpriority
+"""
+
+
+def manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable MERGE as a driver query: publish orders clustered on
+    o_orderkey, then one copy-on-write upsert commit that (a) doubles
+    o_totalprice for every order of custkeys divisible by 97 (match ->
+    update) and (b) inserts a mirror row with the negated orderkey for
+    each (no match -> insert). Aggregating the CURRENT version must
+    equal the oracle's CASE + UNION ALL reconstruction. Doubling a
+    double is exact (power-of-two scale), so values hash-check.
+    ``plans/maintenance.py::merge_upsert`` is the logical MERGE on
+    DataFrames; this is the same semantics committed atomically to the
+    versioned table with file-level pruning."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"ups_orders_{tag}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    updates = orders.where("o_custkey % 97 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = updates.withColumn("o_orderkey", -F.col("o_orderkey"))
+    table.upsert_matching(
+        spark, "o_orderkey", updates.unionByName(inserts), snapshot_id="merge-1"
+    )
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_UPSERT_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_custkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice * 2
+  FROM orders WHERE o_custkey % 97 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
 """
 
 
