@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_outer_join": stream_windows.stream_stream_outer_join,
         "gopher_rules": textstats.gopher_rules,
         "interval_overlap_join": events.interval_overlap_join,
+        "activity_gaps": events.activity_gaps,
+        "exact_quota_split": curation.exact_quota_split,
         "lang_id": textstats.lang_id,
         "doc_hash_embedding": similarity.doc_hash_embedding,
         "doc_ann_topk": similarity.doc_ann_topk,
@@ -506,6 +508,8 @@ GROUP BY word
         "embedding_neardup_pairs": similarity.EMB_NEARDUP_SQL,
         "gopher_rules": textstats.GOPHER_RULES_SQL,
         "interval_overlap_join": events.INTERVAL_OVERLAP_SQL,
+        "activity_gaps": events.ACTIVITY_GAPS_SQL,
+        "exact_quota_split": curation.EXACT_QUOTA_SPLIT_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,

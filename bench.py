@@ -156,6 +156,8 @@ HEADLINE = [
     "manifest_append_incremental",
     "manifest_upsert",
     "dedup_incremental_bloom",
+    "activity_gaps",
+    "exact_quota_split",
 ]
 
 

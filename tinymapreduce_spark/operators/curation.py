@@ -621,3 +621,56 @@ SELECT source,
        CAST(SUM(CASE WHEN cum_before < budget_tok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM ranked GROUP BY source
 """
+
+
+def exact_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified split — ``train_val_test_split``'s hash
+    buckets hit 80/10/10 only in expectation; evaluation protocols often
+    need the quota exact PER STRATUM. Within each language, docs are
+    ranked by md5 priority (stable across runs/engines) and the first
+    floor(n*8/10) go to train, the next floor(n*1/10) to val, the
+    remainder to test — integer quota arithmetic, so membership (not
+    just counts) replays exactly in the oracle. One per-stratum window
+    shuffle; the quota math is constant-space. The trade vs the hash
+    split is the known one: adding documents later RESHUFFLES membership
+    near quota boundaries (ranks shift), which is why the hash split
+    stays the incremental-pipeline default."""
+    docs = documents_for_cpu(spark, sf_dir)
+    pri = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(pri, "doc_id")
+    ranked = docs.select("doc_id", "lang", F.length("text").alias("n_chars_txt")).withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    split = (
+        F.when(F.col("rk") <= F.expr("n * 8 DIV 10"), F.lit("train"))
+        .when(F.col("rk") <= F.expr("n * 8 DIV 10 + n * 1 DIV 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("first_doc_id"),
+        F.sum("n_chars_txt").alias("total_chars"),
+    )
+
+
+EXACT_QUOTA_SPLIT_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, LENGTH(text) AS n_chars_txt,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rk <= n * 8 // 10 THEN 'train'
+            WHEN rk <= n * 8 // 10 + n * 1 // 10 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(CASE WHEN rk = 1 THEN doc_id END) AS first_doc_id,
+       CAST(SUM(n_chars_txt) AS BIGINT) AS total_chars
+FROM ranked GROUP BY 1, 2
+"""

@@ -784,3 +784,45 @@ SELECT a.day AS day, a.user_id AS user_a, b.user_id AS user_b,
 FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
 WHERE least(a.end_us, b.end_us) > greatest(a.start_us, b.start_us)
 """
+
+
+GAP_MIN_MINUTES = 90
+
+
+def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap/island detection — per user, every silence longer than 90
+    minutes between consecutive events (monitoring's "sensor went dark"
+    / churn-risk primitive; the dual of ``sessionize``, which groups the
+    islands where this reports the gaps). One LAG over the per-user
+    time order: a single user_id shuffle, O(1) state per row, exact
+    integer microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_us", F.unix_micros("ts") - F.unix_micros("prev_ts")
+        )
+        .where(F.col("gap_us") > GAP_MIN_MINUTES * 60 * 1_000_000)
+    )
+    return g.select(
+        "user_id",
+        F.unix_micros("prev_ts").alias("gap_start_us"),
+        F.unix_micros("ts").alias("gap_end_us"),
+        "gap_us",
+    )
+
+
+ACTIVITY_GAPS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       epoch_us(prev_ts) AS gap_start_us,
+       epoch_us(ts) AS gap_end_us,
+       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM o
+WHERE epoch_us(ts) - epoch_us(prev_ts) > CAST({GAP_MIN_MINUTES} AS BIGINT) * 60 * 1000000
+"""
