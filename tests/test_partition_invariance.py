@@ -32,6 +32,12 @@ REPRESENTATIVES = [
     "winsorize_stats",
     "mr_wordcount_combiner",
     "perceptron_quality",
+    # round-2 fourth-session additions: register-table sketch algebra,
+    # integer window quotas, bloom pre-filtered incremental dedup
+    "hll_overlap",
+    "token_budget_mix",
+    "exact_quota_split",
+    "dedup_incremental_bloom",
 ]
 
 

@@ -262,7 +262,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     src_dir = os.path.join(SCRATCH, f"ssoj_{tag}")
-    marker = os.path.join(src_dir, "_ready")
+    marker = os.path.join(src_dir, "_ready_v2")  # holds the flush-instant epoch-us
     if not os.path.exists(marker):
         shutil.rmtree(src_dir, ignore_errors=True)
         os.makedirs(src_dir, exist_ok=True)
@@ -285,11 +285,21 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_schema = pq.read_schema(src_path)
         ts_type = src_schema.field("ts").type
         raw_max = pc.max(pq.read_table(src_path, columns=["ts"]).column("ts")).as_py()
+        flush_us = 0
         if raw_max is not None:  # empty corpus needs no flush
             if pa.types.is_timestamp(ts_type):
-                flush_val = pa.array([raw_max + _dt.timedelta(days=1)], type=ts_type)
+                flush_dt = raw_max + _dt.timedelta(days=1)
+                flush_val = pa.array([flush_dt], type=ts_type)
+                aware = (
+                    flush_dt
+                    if flush_dt.tzinfo is not None
+                    else flush_dt.replace(tzinfo=_dt.timezone.utc)
+                )
+                flush_us = int(aware.timestamp() * 1_000_000)
             else:  # long nanos
-                flush_val = pa.array([raw_max + 86400 * 10**9], type=ts_type)
+                flush_ns = raw_max + 86400 * 10**9
+                flush_val = pa.array([flush_ns], type=ts_type)
+                flush_us = flush_ns // 1000
             defaults = {
                 "event_id": -1,
                 "user_id": -1,
@@ -312,7 +322,10 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(sentinel):
             os.utime(sentinel, (now, now))
         with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+            f.write(str(flush_us))
+
+    with open(marker, encoding="utf-8") as f:
+        flush_target_us = int(f.read().strip() or "0")
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -359,12 +372,28 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         # The null-emissions ride the trailing NO-DATA micro-batch that
         # runs after the sentinel batch advanced the watermark
-        # (processAllAvailable returns before it). Wait for that batch's
-        # progress entry (numInputRows == 0), bounded.
+        # (processAllAvailable returns before it). A zero-input batch
+        # alone is NOT the signal — one can also fire between the two
+        # file batches — so wait for a zero-input batch whose reported
+        # watermark has actually reached the sentinel instant. Bounded.
+        import datetime as _dt
         import time as _time
 
-        for _ in range(100):
-            if any(p.numInputRows == 0 for p in q.recentProgress):
+        def _wm_us(p) -> int:
+            wm = (p.eventTime or {}).get("watermark")
+            if not wm:
+                return -1
+            return int(
+                _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp()
+                * 1_000_000
+            )
+
+        for _ in range(150):
+            done = any(
+                p.numInputRows == 0 and _wm_us(p) >= flush_target_us - 1_000_000
+                for p in q.recentProgress
+            )
+            if done or flush_target_us == 0:
                 break
             _time.sleep(0.2)
     finally:
