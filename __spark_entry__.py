@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": events.interval_overlap_join,
         "activity_gaps": events.activity_gaps,
         "exact_quota_split": curation.exact_quota_split,
+        "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
+        "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
         "doc_hash_embedding": similarity.doc_hash_embedding,
         "doc_ann_topk": similarity.doc_ann_topk,
@@ -510,6 +512,8 @@ GROUP BY word
         "interval_overlap_join": events.INTERVAL_OVERLAP_SQL,
         "activity_gaps": events.ACTIVITY_GAPS_SQL,
         "exact_quota_split": curation.EXACT_QUOTA_SPLIT_SQL,
+        "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
+        "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,

@@ -158,6 +158,8 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "activity_gaps",
     "exact_quota_split",
+    "catalog_partition_overwrite",
+    "try_arithmetic",
 ]
 
 

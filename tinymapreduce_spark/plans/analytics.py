@@ -2403,3 +2403,53 @@ SELECT t.user_id,
        COALESCE(k.shares, '') AS shares
 FROM totals t LEFT JOIN kept k USING (user_id)
 """
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe expression surface: ``try_divide`` /
+    ``try_to_number`` / ``try_element_at`` / ``try_add`` return NULL
+    where strict ANSI evaluation would raise (divide-by-zero, malformed
+    cast, out-of-bounds index, overflow). At 100 TB a single malformed
+    row must never kill a stage — the try_ family is the row-level
+    quarantine for expressions, the scalar sibling of the PERMISSIVE
+    corrupt-record path on ingest. Exercised over lineitem with
+    engineered zero/boundary cases; the oracle spells out the same
+    NULL-on-error semantics with CASE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # divide by (tax - tax) == 0 -> NULL, not an exception
+        F.try_divide(F.col("l_quantity"), F.col("l_tax") - F.col("l_tax")).alias(
+            "div_by_zero"
+        ),
+        F.try_divide(F.col("l_quantity").cast("decimal(18,2)"), F.lit(4).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("quarter_qty"),
+        # element 3 of a 2-element array -> NULL
+        F.try_element_at(
+            F.array(F.col("l_quantity"), F.col("l_discount")),
+            (F.col("l_linenumber") % 3 + 1).cast("int"),
+        ).alias("maybe_elem"),
+        # bigint overflow engineered when orderkey is even -> NULL
+        # (+1 so orderkey 0 still overflows MAX_LONG)
+        F.try_add(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(9223372036854775807).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+            F.col("l_orderkey") + 1,
+        ).alias("maybe_overflow"),
+    )
+
+
+TRY_ARITHMETIC_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(NULL AS DOUBLE) AS div_by_zero,
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) / 4 AS DOUBLE) AS quarter_qty,
+       CASE CAST(l_linenumber % 3 + 1 AS INT)
+            WHEN 1 THEN l_quantity WHEN 2 THEN l_discount ELSE NULL END AS maybe_elem,
+       CASE WHEN l_orderkey % 2 = 0 THEN NULL
+            ELSE l_orderkey + 1 END AS maybe_overflow
+FROM lineitem
+"""

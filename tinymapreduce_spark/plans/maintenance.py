@@ -569,3 +569,58 @@ SELECT user_id, cnt, total, n_keys, max_cnt,
 FROM c, s
 WHERE cnt * n_keys * 20 > total * 21
 """
+
+
+def catalog_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL + DYNAMIC partition overwrite — the daily-restate
+    pattern on a managed partitioned table: CREATE TABLE ... PARTITIONED
+    BY (yr), load every year, then INSERT OVERWRITE with restated 1997
+    rows (o_totalprice doubled). With
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` only the
+    partitions present in the incoming data are replaced — the other
+    years' files are never touched (at 100 TB, restating one day must
+    not rewrite the table). The final per-year aggregate oracle-checks
+    the restatement; doubling a double is exact."""
+    import os
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"orders_by_year_{tag}"
+    loc = os.path.join(SCRATCH, f"catalog_{tag}", tbl)
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {tbl}
+            (o_orderkey BIGINT, o_totalprice DOUBLE, yr INT)
+            USING parquet PARTITIONED BY (yr) LOCATION '{loc}'"""
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    orders.createOrReplaceTempView(f"src_{tbl}")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # full load (overwrites every partition present in src -> all years)
+        spark.sql(f"INSERT OVERWRITE TABLE {tbl} SELECT * FROM src_{tbl}")
+        # restatement: ONLY yr=1997 arrives, so ONLY that partition rewrites
+        spark.sql(
+            f"""INSERT OVERWRITE TABLE {tbl}
+                SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, yr
+                FROM src_{tbl} WHERE yr = 1997"""
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.sql(
+        f"""SELECT yr, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM {tbl} GROUP BY yr"""
+    )
+
+
+CATALOG_OVERWRITE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1997
+                          THEN o_totalprice * 2 ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
