@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.label_propagation,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # === the driver's ~50-entry window ends here ===
+        "grouped_arrow_stats": textstats.grouped_arrow_stats,
         "manifest_skipping_scan": manifest_sink.manifest_skipping_scan,
         "manifest_delete_rewrite": manifest_sink.manifest_delete_rewrite,
         "manifest_append_incremental": manifest_sink.manifest_append_incremental,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_sink_roundtrip": _WORD_COUNT_SQL,
         "text_normalize": textstats.TEXT_NORMALIZE_SQL,
         "arrow_text_stats": textstats.ARROW_TEXT_STATS_SQL,
+        "grouped_arrow_stats": textstats.GROUPED_ARROW_SQL,
         "custom_source_runs": _WORD_COUNT_SQL,
         "custom_source_pushdown": f"""
 {_DOCS_CTE}

@@ -1148,3 +1148,52 @@ SELECT doc_id,
         AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
 FROM r
 """
+
+
+def grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow-native UDF surface (``applyInArrow``): per-SOURCE
+    aggregates computed by a pyarrow function receiving each group as a
+    whole Arrow table — the grouped sibling of ``arrow_text_stats``'s
+    mapInArrow and the fourth rung of the Python UDF ladder (row UDF <
+    pandas UDF < Arrow batch map < Arrow grouped). The per-group
+    computation (byte totals, longest doc, docs-over-300-bytes) uses
+    only vectorized pyarrow.compute kernels; Spark shuffles once on the
+    group key and hands each group over zero-copy. Use this shape when
+    per-group logic needs whole-group visibility but stays columnar —
+    the caveat (one group must fit one Arrow table) is the same
+    skew-awareness contract as applyInPandas, documented in SURVEY
+    §7.5."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def per_group(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_bytes = pc.cast(pc.binary_length(tbl.column("text")), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "source": [tbl.column("source")[0].as_py()],
+                "n_docs": [tbl.num_rows],
+                "total_bytes": [pc.sum(n_bytes).as_py()],
+                "max_bytes": [pc.max(n_bytes).as_py()],
+                "n_long_docs": [
+                    pc.sum(
+                        pc.cast(pc.greater(n_bytes, pa.scalar(300)), pa.int64())
+                    ).as_py()
+                ],
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        per_group,
+        "source string, n_docs long, total_bytes long, max_bytes long, n_long_docs long",
+    )
+
+
+GROUPED_ARROW_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(STRLEN(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(STRLEN(text)) AS BIGINT) AS max_bytes,
+       CAST(SUM(CASE WHEN STRLEN(text) > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
+FROM documents GROUP BY source
+"""
