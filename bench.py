@@ -160,6 +160,8 @@ HEADLINE = [
     "exact_quota_split",
     "catalog_partition_overwrite",
     "try_arithmetic",
+    "manifest_optimize",
+    "grouped_arrow_stats",
 ]
 
 

@@ -252,3 +252,23 @@ def test_upsert_single_commit_updates_inserts_and_reuses_files(spark, table):
     # stats consistent for downstream pruning + idempotent re-run
     assert set(s2.stats) == set(s2.files)
     assert table.upsert_matching(spark, "id", ups, snapshot_id="m1") == 2
+
+
+def test_optimize_makes_pruning_effective(spark, table):
+    """Hash-partitioned publish -> every file spans the id range and
+    read_pruned keeps all files; after optimize, a narrow slice reads a
+    strict subset. Content identical across versions; old version still
+    readable (time travel across the rewrite)."""
+    table.publish(
+        _df(spark, 0, 1000).repartition(8, "id"),
+        snapshot_id="ingested",
+        stats_cols=["id"],
+    )
+    assert len(table.read_pruned(spark, "id", 100, 120).inputFiles()) == 8
+    v2 = table.optimize(spark, "id", snapshot_id="opt-1", n_files=8)
+    assert v2 == 2
+    pruned = table.read_pruned(spark, "id", 100, 120)
+    assert 0 < len(pruned.inputFiles()) < 8
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(1000))
+    assert table.read(spark, version=1).count() == 1000  # time travel intact
+    assert table.optimize(spark, "id", snapshot_id="opt-1") == 2  # idempotent

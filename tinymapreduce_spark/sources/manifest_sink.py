@@ -422,6 +422,33 @@ class ManifestTable:
         fresh = [f for f in to_snap.files if f not in seen]
         return self._read_files(spark, fresh, to_snap.schema_ddl)
 
+    # -- OPTIMIZE: re-cluster the current version --------------------
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        cluster_col: str,
+        snapshot_id: str,
+        n_files: int = 8,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE (re-cluster): rewrite the CURRENT version into
+        ``n_files`` range-clustered files on ``cluster_col`` and commit
+        as a new version — turning a table whose per-file ranges all
+        overlap (hash-partitioned ingest, trickle appends) into one
+        where ``read_pruned``/``delete_matching`` actually skip. Old
+        versions stay readable until expired (time travel across the
+        rewrite); content is untouched, only layout changes. The
+        Delta OPTIMIZE ZORDER / Iceberg rewrite_data_files maintenance
+        shape. Idempotent per ``snapshot_id``."""
+        existing = self._find_snapshot_id(snapshot_id)
+        if existing is not None:
+            return existing
+        clustered = self.read(spark).repartitionByRange(n_files, cluster_col)
+        return self.publish(
+            clustered, snapshot_id, stats_cols=stats_cols or [cluster_col]
+        )
+
     # -- copy-on-write MERGE (upsert) --------------------------------
 
     def upsert_matching(
@@ -808,6 +835,47 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1999-01-01'
 GROUP BY o_orderpriority
 """
+
+
+def manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a driver query: orders land HASH-partitioned (every
+    file spans the full date range — the trickle-ingest layout where
+    stats prune nothing), then one ``optimize`` commit re-clusters on
+    o_orderdate; the same 1997 slice is answered from the optimized
+    version via ``read_pruned``. Shares MANIFEST_SKIP_SQL — layout
+    changes, content doesn't. The pytest companion asserts pruning was
+    USELESS before (keeps every file) and strict-subset after."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"opt_orders_{tag}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    table.publish(
+        orders.repartition(8, "o_orderkey"),  # hash layout: ranges all overlap
+        snapshot_id="ingested",
+        stats_cols=["o_orderdate"],
+    )
+    table.optimize(spark, "o_orderdate", snapshot_id="optimize-1", n_files=8)
+
+    lo, hi = "1997-01-01", "1998-01-01"
+    pruned = table.read_pruned(spark, "o_orderdate", lo, hi)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        pruned.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
 
 
 def manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
