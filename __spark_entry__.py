@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gaps": events.activity_gaps,
         "exact_quota_split": curation.exact_quota_split,
         "manifest_optimize": manifest_sink.manifest_optimize,
+        "stream_observe_metrics": stream_sinks.stream_observe_metrics,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -516,6 +517,7 @@ GROUP BY word
         "activity_gaps": events.ACTIVITY_GAPS_SQL,
         "exact_quota_split": curation.EXACT_QUOTA_SPLIT_SQL,
         "manifest_optimize": manifest_sink.MANIFEST_SKIP_SQL,
+        "stream_observe_metrics": stream_sinks.STREAM_OBSERVE_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

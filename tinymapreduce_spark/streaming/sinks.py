@@ -143,3 +143,69 @@ def stream_cms_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell_n").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)
+
+
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY: ``df.observe`` rides the event stream so
+    per-micro-batch counters (rows seen, value total, late-ish nulls)
+    arrive in each progress report WITHOUT a second scan or a separate
+    monitoring query — the streaming twin of
+    ``plans/maintenance.py::observed_metrics``. The query aggregates the
+    per-batch observations from the progress log and returns corpus
+    totals; the value total folds through DECIMAL(18,2) so the result is
+    addition-order-exact and oracle-checkable. At scale this is how a
+    production pipeline exports throughput/quality counters to its
+    metrics bus for free."""
+    import uuid as _uuid
+
+    from tinymapreduce_spark.sources.loaders import normalize_event_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    observed = stream.observe(
+        "ingest_counters",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("n_null_props"),
+    )
+    # a real (tiny) downstream computation so the observe node has a consumer
+    agg = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_obs_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = []
+        for p in q.recentProgress:
+            m = p.observedMetrics.get("ingest_counters")
+            if m is not None:
+                rows.append((int(m["n_rows"]), m["total_value"], int(m["n_null_props"])))
+    finally:
+        q.stop()
+    import decimal
+
+    n_rows = sum(r[0] for r in rows)
+    # per-batch totals may arrive as float through the progress JSON;
+    # str() recovers the exact decimal(18,2) value, and the cross-batch
+    # fold stays in Decimal so it is addition-order-exact
+    total = sum(
+        (decimal.Decimal(str(r[1])) for r in rows if r[1] is not None),
+        decimal.Decimal(0),
+    )
+    n_null = sum(r[2] for r in rows)
+    return spark.createDataFrame(
+        [(n_rows, float(total), n_null)],
+        "n_rows long, total_value double, n_null_props long",
+    )
+
+
+STREAM_OBSERVE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_value,
+       CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS n_null_props
+FROM events
+"""
