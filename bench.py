@@ -162,6 +162,7 @@ HEADLINE = [
     "try_arithmetic",
     "manifest_optimize",
     "grouped_arrow_stats",
+    "pseudonymized_join",
 ]
 
 

@@ -624,3 +624,51 @@ SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
                 AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY 1
 """
+
+
+PSEUDO_SALT = "tenant-salt-v1"
+
+
+def pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving analytics: customer identifiers are replaced
+    by SALTED keyed-hash tokens (the pseudonymization pass a 100 TB
+    warehouse runs before data leaves the trust boundary), and the
+    business query — revenue + distinct customers per nation — runs
+    ENTIRELY in token space. Consistency (same key -> same token across
+    tables) keeps joins working; the oracle computes the same result in
+    CLEAR space, so equality proves the pseudonymization is join-
+    preserving and collision-free on this corpus. Rotating the salt
+    re-keys every token without touching the pipeline. Tokens are
+    64-bit (md5-derived h60), so the join payload stays narrow."""
+    from tinymapreduce_spark.functions.hashing import h60
+
+    token = lambda c: h60(F.concat(F.lit(PSEUDO_SALT), F.lit("|"), c.cast("string")))  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select(
+        token(F.col("c_custkey")).alias("c_token"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        token(F.col("o_custkey")).alias("o_token"), "o_totalprice"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        orders.join(F.broadcast(cust), orders.o_token == cust.c_token)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_token").alias("n_customers"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+PSEUDONYMIZED_SQL = """
+SELECT n_name, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
