@@ -1,0 +1,92 @@
+"""Model-based fuzz of the manifest table — the reference checks its
+stateful component (the KV service) against a sequential model with a
+randomized operation stream (``/root/reference/src/models/kv.go:17-69``
+driven by ``src/kvraft/test_test.go``); this is the same philosophy
+applied to OUR stateful component. A seeded random sequence of
+publish / append / upsert / delete / optimize / expire+vacuum commits
+runs against both the real ``ManifestTable`` and a trivial in-memory
+dict model; after every op the CURRENT read must equal the model
+exactly, version history must stay readable, and the stats invariant
+(every stats key is a live file; row counts sum to n_rows) must hold.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+KEYSPACE = 2_000
+
+
+def _df_of(spark, model: dict[int, int]):
+    if not model:
+        return spark.createDataFrame([], "id long, v long")
+    return spark.createDataFrame(sorted(model.items()), "id long, v long")
+
+
+def _read_as_dict(spark, table) -> dict[int, int]:
+    return {r.id: r.v for r in table.read(spark).collect()}
+
+
+@pytest.mark.parametrize("seed", [7, 61])
+def test_random_op_sequence_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    table = ManifestTable(str(tmp_path / f"t{seed}"))
+    model: dict[int, int] = {}
+
+    # initial publish
+    model = {i: i * 3 for i in range(0, 600)}
+    table.publish(
+        _df_of(spark, model).repartitionByRange(6, "id"),
+        snapshot_id="init",
+        stats_cols=["id"],
+    )
+
+    for step in range(12):
+        op = rng.choice(["append", "upsert", "delete", "optimize", "expire"])
+        sid = f"{op}-{step}"
+        if op == "append":
+            lo = rng.randrange(0, KEYSPACE)
+            new = {k: k * 7 for k in range(lo, lo + 80) if k not in model}
+            table.append(
+                _df_of(spark, new).repartitionByRange(2, "id"),
+                snapshot_id=sid,
+                stats_cols=["id"],
+            )
+            model.update(new)
+        elif op == "upsert":
+            keys = rng.sample(range(0, KEYSPACE), 40)
+            ups = {k: step * 100_000 + k for k in keys}
+            table.upsert_matching(spark, "id", _df_of(spark, ups), snapshot_id=sid)
+            model.update(ups)
+        elif op == "delete":
+            keys = rng.sample(sorted(model) or [0], min(30, len(model)))
+            table.delete_matching(spark, "id", keys, snapshot_id=sid)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "optimize":
+            table.optimize(spark, "id", snapshot_id=sid, n_files=4)
+        else:  # expire old snapshots + vacuum orphans
+            table.expire_snapshots(keep_last=3)
+            table.vacuum()
+
+        got = _read_as_dict(spark, table)
+        assert got == model, f"divergence after step {step} ({op})"
+
+        snap = table.snapshot(table.current_version())
+        assert snap.n_rows == len(model), (step, op, snap.n_rows, len(model))
+        if snap.stats:
+            # stats keys are live files; per-file rows sum to the total
+            assert set(snap.stats) <= set(snap.files)
+            covered = sum(s["rows"] for s in snap.stats.values())
+            uncovered = [f for f in snap.files if f not in snap.stats]
+            assert covered <= len(model)
+            if not uncovered:
+                assert covered == len(model)
+
+    # every surviving historical version still reads without error
+    for s in table.history():
+        table.read(spark, version=s.version).count()
