@@ -90,3 +90,36 @@ def test_indexer_matches_sequential_oracle(corpus):
     rows = inverted_index_df(corpus).collect()
     actual = {r["word"]: (r["n_docs"], r["doc_list"]) for r in rows}
     assert actual == expected
+
+
+def test_crash_app_matches_sequential_oracle(corpus):
+    """The crash/nocrash app (``src/mrapps/nocrash.go:26-47``: per file
+    emit (a, filename), (b, len(filename)), (c, len(contents)),
+    (d, "xyzzy"); reduce = sort + space-join) through the generic MR
+    shim over the real pg-*.txt == the sequential one-process oracle
+    computed in pure Python. This is the app the reference's crash test
+    uses as its golden (``test-mr.sh:275-322``); Spark's task retry
+    plays the crash-tolerance role (tests/test_partitioning.py)."""
+
+    def crash_map(filename: str, contents: str):
+        return [
+            ("a", filename),
+            ("b", str(len(filename))),
+            ("c", str(len(contents))),
+            ("d", "xyzzy"),
+        ]
+
+    def crash_reduce(key: str, values: list[str]) -> str:
+        return " ".join(sorted(values))
+
+    rows = run_mapreduce(corpus, crash_map, crash_reduce).collect()
+    mine = {r["key"]: r["value"] for r in rows}
+
+    oracle: dict[str, list[str]] = {"a": [], "b": [], "c": [], "d": []}
+    for r in corpus.collect():
+        oracle["a"].append(r["filename"])
+        oracle["b"].append(str(len(r["filename"])))
+        oracle["c"].append(str(len(r["contents"])))
+        oracle["d"].append("xyzzy")
+    want = {k: " ".join(sorted(v)) for k, v in oracle.items()}
+    assert mine == want
