@@ -1,0 +1,91 @@
+"""Disk-level scale probe — times representative document operators on
+sf0.1 and on a 4x-inflated on-disk copy of its documents table.
+
+Complements tests/test_scale_smoke.py (in-memory 16x linearity of
+RESULTS) with wall-clock evidence: the same plans on 4x the bytes
+should cost ~4x (candidate-bounded ops may grow a bit faster because
+the inflated copies plant extra near-duplicates — each copy's text is
+perturbed with a copy tag so exact dedup does not collapse them, but
+cross-copy pairs are genuinely near-identical and SHOULD be found).
+
+Run: python tools/scale_probe.py    (prints a table; results recorded
+in BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 4
+PROBES = [
+    "word_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+]
+
+
+def build_inflated(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "documents.parquet", "_SUCCESS")):
+        return
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                # perturb text per copy so copies are near- (not exact-)
+                # duplicates: realistic for crawl re-scrapes
+                F.concat(F.lit(f"cp{i} "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 4).alias("n_chars"),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as mod
+    from tinymapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe", cpus="32")
+    q = mod.queries()
+    out_dir = os.path.join(REPO, ".tmp", "sfx4")
+    os.makedirs(out_dir, exist_ok=True)
+    build_inflated(spark, out_dir)
+
+    # warm python workers / codegen like bench.py does
+    spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'x4':>8s} {'ratio':>6s}  rows(base->x4)")
+    for name in PROBES:
+        fn = q[name]
+        t0 = time.time()
+        n1 = fn(spark, BASE_SF).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        n2 = fn(spark, out_dir).count()
+        t2 = time.time() - t0
+        print(
+            f"{name:28s} {t1:7.2f}s {t2:7.2f}s {t2 / max(t1, 1e-9):5.1f}x  {n1}->{n2}"
+        )
+
+
+if __name__ == "__main__":
+    main()
