@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_optimize": manifest_sink.manifest_optimize,
         "stream_observe_metrics": stream_sinks.stream_observe_metrics,
         "pseudonymized_join": maintenance.pseudonymized_join,
+        "xml_roundtrip_agg": textfiles.xml_roundtrip_agg,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -520,6 +521,7 @@ GROUP BY word
         "manifest_optimize": manifest_sink.MANIFEST_SKIP_SQL,
         "stream_observe_metrics": stream_sinks.STREAM_OBSERVE_SQL,
         "pseudonymized_join": maintenance.PSEUDONYMIZED_SQL,
+        "xml_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

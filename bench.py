@@ -163,6 +163,7 @@ HEADLINE = [
     "manifest_optimize",
     "grouped_arrow_stats",
     "pseudonymized_join",
+    "xml_roundtrip_agg",
 ]
 
 

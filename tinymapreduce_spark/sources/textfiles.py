@@ -186,6 +186,8 @@ def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str, compression: str 
         writer = li.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", True)
+        if fmt == "xml":
+            writer = writer.option("rootTag", "lineitems").option("rowTag", "li")
         if compression:
             writer = writer.option("compression", compression)
         writer.format(fmt).save(out)
@@ -194,6 +196,9 @@ def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str, compression: str 
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.schema(LINEITEM_SLIM_SCHEMA).option("header", True)
+    if fmt == "xml":
+        # explicit schema: no inference scan; rowTag selects the records
+        reader = reader.schema(LINEITEM_SLIM_SCHEMA).option("rowTag", "li")
     back = reader.load(out)
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -215,6 +220,15 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan parity — the second columnar format besides
     parquet; footer-borne schema, no inference."""
     return _roundtrip_agg(spark, sf_dir, "orc")
+
+
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan parity through Spark 4's NATIVE xml source
+    (rowTag records, explicit schema so the read never pays an
+    inference pass). The wire format a surprising number of enterprise
+    feeds still arrive in; doubles survive because the writer emits
+    shortest-round-trip representations, same as CSV."""
+    return _roundtrip_agg(spark, sf_dir, "xml")
 
 
 ROUNDTRIP_AGG_SQL = """
