@@ -1199,3 +1199,47 @@ def test_hll_overlap_tracks_exact_intersections(spark, sf_dir):
     assert set(got) == set(exact)
     for pair, est in got.items():
         assert abs(est - exact[pair]) / exact[pair] < 0.35, (pair, est, exact[pair])
+
+
+def test_token_budget_mix_fills_but_never_overshoots_by_a_doc(spark, sf_dir):
+    """Greedy fill contract: every source with a positive budget keeps
+    at least min(budget, available) tokens, and overshoots its budget by
+    at most ONE document (the keep rule admits a doc iff the tokens
+    BEFORE it are under budget)."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.curation import token_budget_mix
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    out = {r.source: r for r in token_budget_mix(spark, sf_dir).collect()}
+    assert out
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    max_doc = {
+        r.source: r.mx
+        for r in documents_for_cpu(spark, sf_dir)
+        .select("source", F.size(ws).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.max("n").alias("mx"))
+        .collect()
+    }
+    for src, r in out.items():
+        assert r.tokens_kept >= min(r.budget_tokens, r.src_tokens), src
+        if r.tokens_kept > r.budget_tokens:
+            assert r.tokens_kept - r.budget_tokens < max_doc[src], src
+
+
+def test_exact_quota_split_hits_integer_quotas_per_stratum(spark, sf_dir):
+    """Per stratum: train = floor(n*8/10), val = floor(n/10), test =
+    remainder — exactly, not in expectation."""
+    from tinymapreduce_spark.operators.curation import exact_quota_split
+
+    rows = exact_quota_split(spark, sf_dir).collect()
+    per_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.split] = r.n_docs
+    assert per_lang
+    for lang, splits in per_lang.items():
+        n = sum(splits.values())
+        assert splits.get("train", 0) == n * 8 // 10, lang
+        assert splits.get("val", 0) == n * 1 // 10, lang
+        assert splits.get("test", 0) == n - n * 8 // 10 - n * 1 // 10, lang
