@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_observe_metrics": stream_sinks.stream_observe_metrics,
         "pseudonymized_join": maintenance.pseudonymized_join,
         "xml_roundtrip_agg": textfiles.xml_roundtrip_agg,
+        "stream_available_now": stream_sinks.stream_available_now,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -524,6 +525,7 @@ GROUP BY word
         "stream_observe_metrics": stream_sinks.STREAM_OBSERVE_SQL,
         "pseudonymized_join": maintenance.PSEUDONYMIZED_SQL,
         "xml_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
+        "stream_available_now": stream_sinks.STREAM_AVAILABLE_NOW_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -209,3 +209,53 @@ SELECT COUNT(*) AS n_rows,
        CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS n_null_props
 FROM events
 """
+
+
+def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Trigger.AvailableNow`` as a driver query — the scheduled-
+    incremental execution mode every production ingest uses: process
+    exactly the backlog present at start (checkpoint-tracked,
+    rate-limitable), write an append-only parquet sink, then terminate.
+    Re-running the query against the same checkpoint ingests NOTHING
+    new (no new files), so the sink count is stable across re-runs —
+    exactly-once ingest certified by the oracle equality itself: the
+    aggregate over the sink equals the batch aggregate over the source
+    no matter how many times the query ran."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SCRATCH, f"avail_now_{tag}")
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not self-terminate")
+
+    has_parts = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    back = (
+        normalize_event_ts(spark.read.schema(schema).parquet(sink))
+        if has_parts
+        else normalize_event_ts(spark.createDataFrame([], schema))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+STREAM_AVAILABLE_NOW_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
