@@ -41,6 +41,17 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+
+def _src_fp(sf_dir: str, table: str) -> str:
+    """(size, mtime) fingerprint of a source table file. Scratch-cached
+    manifest tables are keyed by it so that if the driver ever
+    REGENERATES testdata in place between rounds, the idempotent
+    snapshot-id no-op path cannot serve stale data — a changed source
+    gets a fresh table directory."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}_{int(st.st_mtime)}"
+
+
 class AuditError(RuntimeError):
     """Raised when a staged snapshot fails its audit; nothing published."""
 
@@ -688,7 +699,7 @@ def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"wap_lineitem_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"wap_lineitem_{tag}_{_src_fp(sf_dir, 'lineitem')}"))
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
@@ -726,7 +737,7 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"tt_lineitem_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"tt_lineitem_{tag}_{_src_fp(sf_dir, 'lineitem')}"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_orderkey"
     )
@@ -757,7 +768,7 @@ def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"skip_orders_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"skip_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
     )
@@ -805,7 +816,7 @@ def manifest_append_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"inc_orders_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"inc_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
     )
@@ -851,7 +862,7 @@ def manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"opt_orders_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"opt_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
     )
@@ -895,7 +906,7 @@ def manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"ups_orders_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"ups_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -952,7 +963,7 @@ def manifest_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    table = ManifestTable(os.path.join(SCRATCH, f"del_orders_{tag}"))
+    table = ManifestTable(os.path.join(SCRATCH, f"del_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )

@@ -223,7 +223,14 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how many times the query ran."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(SCRATCH, f"avail_now_{tag}")
+    # Key the checkpoint by the source file's identity: the file-stream
+    # checkpoint tracks files BY PATH, so if the testdata were ever
+    # regenerated in place, an old checkpoint would silently skip the
+    # new bytes. A (size, mtime) fingerprint gives a fresh checkpoint
+    # exactly when the source actually changed.
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    base = os.path.join(SCRATCH, f"avail_now_{tag}_{fp}")
     ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
     q = (
         spark.readStream.schema(schema)

@@ -261,7 +261,9 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src_dir = os.path.join(SCRATCH, f"ssoj_{tag}")
+    # fingerprint-keyed: regenerated testdata gets a fresh copy+sentinel
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    src_dir = os.path.join(SCRATCH, f"ssoj_{tag}_{st.st_size}_{int(st.st_mtime)}")
     marker = os.path.join(src_dir, "_ready_v2")  # holds the flush-instant epoch-us
     if not os.path.exists(marker):
         shutil.rmtree(src_dir, ignore_errors=True)
