@@ -272,3 +272,42 @@ def test_optimize_makes_pruning_effective(spark, table):
     assert sorted(r.id for r in table.read(spark).collect()) == list(range(1000))
     assert table.read(spark, version=1).count() == 1000  # time travel intact
     assert table.optimize(spark, "id", snapshot_id="opt-1") == 2  # idempotent
+
+
+def test_concurrent_append_and_upsert_serialize(spark, table):
+    """Two writers racing DIFFERENT commit kinds (append vs upsert) must
+    serialize through the commit lock into two consecutive versions
+    whose combined effect equals some sequential order — here the ops
+    touch disjoint key ranges, so the final state is order-independent
+    and exact."""
+    import threading
+
+    table.publish(
+        _df(spark, 0, 500).repartitionByRange(4, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    errs = []
+
+    def do_append():
+        try:
+            table.append(
+                _df(spark, 1000, 1100), snapshot_id="app-1", stats_cols=["id"]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_upsert():
+        try:
+            ups = spark.createDataFrame([(7, 777), (2000, 1)], "id long, v long")
+            table.upsert_matching(spark, "id", ups, snapshot_id="ups-1")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=do_append), threading.Thread(target=do_upsert)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert table.current_version() == 3
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert len(got) == 500 + 100 + 1
+    assert got[7] == 777 and got[2000] == 1 and got[1050] == 2100

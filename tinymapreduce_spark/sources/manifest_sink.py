@@ -56,6 +56,12 @@ class AuditError(RuntimeError):
     """Raised when a staged snapshot fails its audit; nothing published."""
 
 
+class CommitConflict(RuntimeError):
+    """A read-modify-write commit found the table advanced past its base
+    version; the writer must re-derive against the new current and
+    retry (delete_matching / upsert_matching do this automatically)."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -179,6 +185,7 @@ class ManifestTable:
         snapshot_id: str,
         audit: Callable[[DataFrame], str | None] | None = None,
         stats_cols: list[str] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Write ``df`` as the table's next version. Returns the version
         serving ``snapshot_id`` — the existing one if this id already
@@ -225,9 +232,18 @@ class ManifestTable:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         )
-        committed = self._commit(
-            files, n_rows, staged.schema.simpleString(), snapshot_id, stats
-        )
+        try:
+            committed = self._commit(
+                files,
+                n_rows,
+                staged.schema.simpleString(),
+                snapshot_id,
+                stats,
+                base_version=base_version,
+            )
+        except CommitConflict:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if committed is None:  # lost the race: id published while staging
             shutil.rmtree(staging, ignore_errors=True)
             return self._find_snapshot_id(snapshot_id)
@@ -263,6 +279,7 @@ class ManifestTable:
         schema_ddl: str,
         snapshot_id: str,
         stats: dict | None,
+        base_version: int | None = None,
     ) -> int | None:
         """Version assignment + pointer flip under the commit lock:
         concurrent writers serialize here (the table-format CAS — in
@@ -270,29 +287,55 @@ class ManifestTable:
         O_EXCL lock-file acquisition). Everything expensive (the data
         write, the audit, the stats pass) already happened outside the
         lock. Returns None if ``snapshot_id`` was published by a racing
-        writer (caller cleans up its staging)."""
+        writer (caller cleans up its staging).
+
+        ``base_version``: for READ-MODIFY-WRITE commits (delete/upsert),
+        the version the writer's file list was derived from. If the
+        table advanced past it, committing would silently drop the
+        racing writer's files (lost update) — raise CommitConflict so
+        the caller re-derives and retries, the Iceberg validate-and-
+        retry protocol."""
         with self._commit_lock():
             if self._find_snapshot_id(snapshot_id) is not None:
                 return None
-            version = (self.current_version() or 0) + 1
-            manifest = {
-                "version": version,
-                "snapshot_id": snapshot_id,
-                "files": files,
-                "n_rows": n_rows,
-                "schema_ddl": schema_ddl,
-            }
-            if stats is not None:
-                manifest["stats"] = stats
-            with open(self._manifest_path(version), "w", encoding="utf-8") as f:
-                json.dump(manifest, f, indent=1)
-            # THE atomic publish: readers either see the old pointer or
-            # the new one, never a torn state.
-            tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(str(version))
-            os.replace(tmp, self._current_path())
-            return version
+            if base_version is not None and self.current_version() != base_version:
+                raise CommitConflict(
+                    f"table advanced past v{base_version} "
+                    f"(now v{self.current_version()})"
+                )
+            return self._write_manifest_locked(
+                files, n_rows, schema_ddl, snapshot_id, stats
+            )
+
+    def _write_manifest_locked(
+        self,
+        files: list[str],
+        n_rows: int,
+        schema_ddl: str,
+        snapshot_id: str,
+        stats: dict | None,
+    ) -> int:
+        """Manifest write + pointer flip. Caller MUST hold the commit
+        lock and have performed its validations."""
+        version = (self.current_version() or 0) + 1
+        manifest = {
+            "version": version,
+            "snapshot_id": snapshot_id,
+            "files": files,
+            "n_rows": n_rows,
+            "schema_ddl": schema_ddl,
+        }
+        if stats is not None:
+            manifest["stats"] = stats
+        with open(self._manifest_path(version), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        # THE atomic publish: readers either see the old pointer or
+        # the new one, never a torn state.
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path())
+        return version
 
     @contextmanager
     def _commit_lock(self, timeout_s: float = 30.0):
@@ -371,12 +414,15 @@ class ManifestTable:
         """Append-only commit: stage ``df``'s files, then publish a new
         manifest carrying EVERY previous file by path plus the new ones
         — the daily-ingest shape. O(new data) work regardless of table
-        size; idempotent per ``snapshot_id``."""
+        size; idempotent per ``snapshot_id``.
+
+        Concurrency: an append only ADDS files, so it rebases trivially
+        — the previous file list is read UNDER the commit lock, making
+        concurrent appends (or an append racing a rewrite commit)
+        conflict-free: nobody's files are lost."""
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
             return existing
-        cur = self.current_version()
-        prev = self.snapshot(cur) if cur is not None else None
 
         spark = df.sparkSession
         staging = os.path.join(self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}")
@@ -399,21 +445,23 @@ class ManifestTable:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         )
-        stats = None
-        if new_stats is not None or (prev and prev.stats):
-            stats = dict(prev.stats) if prev and prev.stats else {}
-            stats.update(new_stats or {})
-        committed = self._commit(
-            (prev.files if prev else []) + new_files,
-            (prev.n_rows if prev else 0) + n_new,
-            staged.schema.simpleString(),
-            snapshot_id,
-            stats,
-        )
-        if committed is None:
-            shutil.rmtree(staging, ignore_errors=True)
-            return self._find_snapshot_id(snapshot_id)
-        return committed
+        with self._commit_lock():
+            if self._find_snapshot_id(snapshot_id) is not None:
+                shutil.rmtree(staging, ignore_errors=True)
+                return self._find_snapshot_id(snapshot_id)
+            cur = self.current_version()
+            prev = self.snapshot(cur) if cur is not None else None
+            stats = None
+            if new_stats is not None or (prev and prev.stats):
+                stats = dict(prev.stats) if prev and prev.stats else {}
+                stats.update(new_stats or {})
+            return self._write_manifest_locked(
+                (prev.files if prev else []) + new_files,
+                (prev.n_rows if prev else 0) + n_new,
+                staged.schema.simpleString(),
+                snapshot_id,
+                stats,
+            )
 
     def read_incremental(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -451,14 +499,24 @@ class ManifestTable:
         versions stay readable until expired (time travel across the
         rewrite); content is untouched, only layout changes. The
         Delta OPTIMIZE ZORDER / Iceberg rewrite_data_files maintenance
-        shape. Idempotent per ``snapshot_id``."""
-        existing = self._find_snapshot_id(snapshot_id)
-        if existing is not None:
-            return existing
-        clustered = self.read(spark).repartitionByRange(n_files, cluster_col)
-        return self.publish(
-            clustered, snapshot_id, stats_cols=stats_cols or [cluster_col]
-        )
+        shape. Idempotent per ``snapshot_id``; a commit racing past its
+        snapshot read triggers the validate-and-retry loop (the rewrite
+        re-reads the new current)."""
+
+        def once() -> int:
+            existing = self._find_snapshot_id(snapshot_id)
+            if existing is not None:
+                return existing
+            cur = self.current_version()
+            clustered = self.read(spark).repartitionByRange(n_files, cluster_col)
+            return self.publish(
+                clustered,
+                snapshot_id,
+                stats_cols=stats_cols or [cluster_col],
+                base_version=cur,
+            )
+
+        return self._retry_rmw(once)
 
     # -- copy-on-write MERGE (upsert) --------------------------------
 
@@ -473,7 +531,30 @@ class ManifestTable:
         staged — then a single pointer flip publishes everything
         (readers see the whole MERGE or none of it, the Iceberg/Delta
         MERGE visibility contract). O(matching files + new rows), not
-        O(table). Idempotent per ``snapshot_id``."""
+        O(table). Idempotent per ``snapshot_id``.
+
+        Read-modify-write: if another writer commits between this
+        writer's snapshot read and its pointer flip, the commit raises
+        CommitConflict internally and the WHOLE derivation retries
+        against the new current — the Iceberg validate-and-retry loop
+        (lost updates are impossible; see the concurrent-mixed-commit
+        test)."""
+        return self._retry_rmw(
+            lambda: self._upsert_once(spark, key_col, new_rows, snapshot_id)
+        )
+
+    def _retry_rmw(self, attempt, tries: int = 5) -> int:
+        last: Exception | None = None
+        for _ in range(tries):
+            try:
+                return attempt()
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
+
+    def _upsert_once(
+        self, spark: SparkSession, key_col: str, new_rows: DataFrame, snapshot_id: str
+    ) -> int:
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
             return existing
@@ -527,13 +608,18 @@ class ManifestTable:
         if stats:
             new_stats = {f: stats[f] for f in untouched if f in stats}
             new_stats.update(restats)
-        committed = self._commit(
-            sorted(untouched + new_files),
-            untouched_rows + sum(s["rows"] for s in restats.values()),
-            snap.schema_ddl,
-            snapshot_id,
-            new_stats,
-        )
+        try:
+            committed = self._commit(
+                sorted(untouched + new_files),
+                untouched_rows + sum(s["rows"] for s in restats.values()),
+                snap.schema_ddl,
+                snapshot_id,
+                new_stats,
+                base_version=cur,
+            )
+        except CommitConflict:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if committed is None:
             shutil.rmtree(staging, ignore_errors=True)
             return self._find_snapshot_id(snapshot_id)
@@ -555,8 +641,16 @@ class ManifestTable:
         ``keys`` is a driver-side list (erasure requests are small
         relative to the table; for a key set beyond driver memory, do a
         full anti-join rewrite instead). Idempotent per ``snapshot_id``.
-        Returns the committed (or existing) version.
+        Returns the committed (or existing) version. Read-modify-write
+        conflicts retry like ``upsert_matching``.
         """
+        return self._retry_rmw(
+            lambda: self._delete_once(spark, key_col, keys, snapshot_id)
+        )
+
+    def _delete_once(
+        self, spark: SparkSession, key_col: str, keys: list, snapshot_id: str
+    ) -> int:
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
             return existing
@@ -611,13 +705,19 @@ class ManifestTable:
         if stats:
             new_stats = {f: stats[f] for f in untouched if f in stats}
             new_stats.update(restats)
-        committed = self._commit(
-            sorted(untouched + new_files),
-            untouched_rows + kept_rows,
-            snap.schema_ddl,
-            snapshot_id,
-            new_stats,
-        )
+        try:
+            committed = self._commit(
+                sorted(untouched + new_files),
+                untouched_rows + kept_rows,
+                snap.schema_ddl,
+                snapshot_id,
+                new_stats,
+                base_version=cur,
+            )
+        except CommitConflict:
+            if candidates:
+                shutil.rmtree(staging, ignore_errors=True)
+            raise
         if committed is None:
             if candidates:
                 shutil.rmtree(staging, ignore_errors=True)
