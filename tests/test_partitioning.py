@@ -165,3 +165,44 @@ def test_corrupt_json_permissive_quarantine(spark, tmp_path_factory):
         assert all("BROKEN" in r["_corrupt_record"] for r in bad.collect())
     finally:
         df.unpersist()
+
+
+def test_tasks_run_in_parallel_like_mtiming(spark):
+    """The reference's parallelism probes (``src/mrapps/mtiming.go:64-91``,
+    ``rtiming.go:62-84``) assert >=2 workers execute simultaneously by
+    checking interval overlap between task (start, end) windows. Same
+    check against Spark's scheduler: 8 sleeping tasks on local[32] must
+    overlap — both for a map stage and for a post-shuffle (reduce-side)
+    stage."""
+    import time as _t
+
+    def timed_sleep(split):
+        rows = list(split)
+        s = _t.time()
+        _t.sleep(0.4)
+        return [(s, _t.time(), len(rows))]
+
+    def assert_overlap(intervals):
+        intervals = sorted(intervals)
+        assert len(intervals) == 8
+        overlaps = sum(
+            1
+            for (s1, e1, _), (s2, e2, _) in zip(intervals, intervals[1:])
+            if s2 < e1
+        )
+        assert overlaps >= 1, intervals
+
+    # map-stage parallelism (mtiming analog)
+    assert_overlap(
+        spark.sparkContext.parallelize(range(64), 8)
+        .mapPartitions(timed_sleep)
+        .collect()
+    )
+    # post-shuffle-stage parallelism (rtiming analog)
+    rdd = (
+        spark.sparkContext.parallelize(range(64), 4)
+        .map(lambda x: (x % 8, x))
+        .partitionBy(8)
+        .mapPartitions(timed_sleep)
+    )
+    assert_overlap(rdd.collect())
