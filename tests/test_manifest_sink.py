@@ -311,3 +311,20 @@ def test_concurrent_append_and_upsert_serialize(spark, table):
     got = {r.id: r.v for r in table.read(spark).collect()}
     assert len(got) == 500 + 100 + 1
     assert got[7] == 777 and got[2000] == 1 and got[1050] == 2100
+
+
+def test_read_asof_timestamp(spark, table):
+    import time
+
+    table.publish(_df(spark, 0, 10), snapshot_id="v1")
+    t_between = time.time()
+    time.sleep(0.05)
+    table.publish(_df(spark, 0, 25), snapshot_id="v2")
+    after = time.time()
+
+    assert table.read_asof(spark, t_between).count() == 10
+    assert table.read_asof(spark, after).count() == 25
+    with pytest.raises(FileNotFoundError):
+        table.read_asof(spark, t_between - 3600)
+    # commit instants are monotone even across versions
+    assert table._committed_at(1) <= table._committed_at(2)

@@ -324,6 +324,13 @@ class ManifestTable:
             "files": files,
             "n_rows": n_rows,
             "schema_ddl": schema_ddl,
+            # wall-clock commit instant for AS-OF-TIMESTAMP reads; the
+            # lock serializes commits, so committed_at is monotone per
+            # table (clamped to be safe against clock hiccups)
+            "committed_at": max(
+                time.time(),
+                self._committed_at(version - 1) if version > 1 else 0.0,
+            ),
         }
         if stats is not None:
             manifest["stats"] = stats
@@ -462,6 +469,29 @@ class ManifestTable:
                 snapshot_id,
                 stats,
             )
+
+    def _committed_at(self, version: int) -> float:
+        try:
+            with open(self._manifest_path(version), encoding="utf-8") as f:
+                return float(json.load(f).get("committed_at", 0.0))
+        except FileNotFoundError:
+            return 0.0
+
+    def read_asof(self, spark: SparkSession, ts: float) -> DataFrame:
+        """AS OF TIMESTAMP time travel: read the newest surviving
+        version committed at or before epoch-seconds ``ts`` (commit
+        instants are lock-serialized and monotone). Raises if nothing
+        was committed by then."""
+        best = None
+        for s in self.history():
+            at = self._committed_at(s.version)
+            if at and at <= ts:
+                best = s
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts} in {self.table_dir}"
+            )
+        return self._read_files(spark, best.files, best.schema_ddl)
 
     def read_incremental(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
