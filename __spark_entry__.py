@@ -82,17 +82,20 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver verification priority.
 
-    The driver records CORRECTNESS rows for roughly the FIRST 50
-    entries only (r01 stopped at #50), so the window is curated each
-    round: every entry in it is ORACLE-BACKED (the approximate ANN tier
-    sits just past it — a rows-only row spends a slot a hash-checked
-    row could use), covers one key per family the round-1 review called
-    out as never-driver-checked (dedup/similarity, K6, streaming,
-    curation, multimodal, S1-S5 source/sink roundtrips), and includes
-    the operators whose exact oracles are NEW this round (minhash,
-    simhash, kmeans, pagerank, CMS, BM25, passage coverage). Everything
-    else follows, with the 49 already-driver-green round-1 entries
-    last. Rotate again next round based on CORRECTNESS_r02.
+    The driver records CORRECTNESS rows for EXACTLY the first 50
+    entries (r01 stopped at #50), so the window is curated each round:
+    all 50 are ORACLE-BACKED and cover one key per family the round-1
+    review called out as never-driver-checked — dedup/similarity, K6,
+    streaming, curation, multimodal, S1-S5 roundtrips — plus the
+    operators whose exact oracles are NEW this round (minhash, simhash,
+    kmeans, pagerank, CMS, BM25, passage coverage, BPE, perceptron).
+    Entry #50 is cms_heavy_hitters; the marker comment below pins the
+    boundary. Everything after follows in rotation priority for r03:
+    first the streaming/source variants whose oracles are shared with
+    in-window family members, then this round's lakehouse/sketch-
+    algebra/governance additions, then the 49 already-driver-green
+    round-1 entries last. Rotate again next round based on
+    CORRECTNESS_r02.
     """
     return {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
