@@ -328,3 +328,32 @@ def test_read_asof_timestamp(spark, table):
         table.read_asof(spark, t_between - 3600)
     # commit instants are monotone even across versions
     assert table._committed_at(1) <= table._committed_at(2)
+
+
+def test_concurrent_deletes_both_apply_via_retry(spark, table):
+    """Two racing read-modify-write deletes: one of them must hit
+    CommitConflict internally and retry against the other's commit —
+    afterwards BOTH key sets are gone and the versions are consecutive."""
+    import threading
+
+    table.publish(
+        _df(spark, 0, 800).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    errs = []
+
+    def do_delete(keys, sid):
+        try:
+            table.delete_matching(spark, "id", keys, snapshot_id=sid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    a = threading.Thread(target=do_delete, args=(list(range(10, 20)), "del-a"))
+    b = threading.Thread(target=do_delete, args=(list(range(700, 710)), "del-b"))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs, errs
+    assert table.current_version() == 3
+    got = {r.id for r in table.read(spark).collect()}
+    assert got == set(range(800)) - set(range(10, 20)) - set(range(700, 710))
+    assert table.snapshot(3).n_rows == 780
