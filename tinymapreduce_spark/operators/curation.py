@@ -569,10 +569,14 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = src.agg(
         F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w")
     )
+    # NULLIF: a corpus whose every doc tokenizes to nothing has sum_w=0
+    # — allocate zero rather than divide by zero (DuckDB would error)
     alloc = src.crossJoin(F.broadcast(tot)).select(
         "source",
         "src_tok",
-        F.expr(f"(total_tok DIV {TOKEN_BUDGET_DEN}) * w DIV sum_w").alias("budget_tok"),
+        F.expr(
+            f"COALESCE((total_tok DIV {TOKEN_BUDGET_DEN}) * w DIV NULLIF(sum_w, 0), 0)"
+        ).alias("budget_tok"),
     )
     win = (
         Window.partitionBy("source")
@@ -605,7 +609,8 @@ WITH toks AS MATERIALIZED (
 ), tot AS (
   SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok, CAST(SUM(w) AS BIGINT) AS sum_w FROM src
 ), alloc AS MATERIALIZED (
-  SELECT source, src_tok, (total_tok // {TOKEN_BUDGET_DEN}) * w // sum_w AS budget_tok
+  SELECT source, src_tok,
+         COALESCE((total_tok // {TOKEN_BUDGET_DEN}) * w // NULLIF(sum_w, 0), 0) AS budget_tok
   FROM src, tot
 ), ranked AS (
   SELECT t.source, t.n_tok, a.src_tok, a.budget_tok,
