@@ -30,6 +30,12 @@ CONCURRENT = [
     "token_stats",
     "arrow_text_stats",
     "perceptron_quality",
+    # fourth-session surface: register-table sketch algebra, manifest
+    # commits under overlapping load (idempotent snapshot ids + the
+    # commit lock make the same-table race safe), integer window quotas
+    "hll_overlap",
+    "manifest_skipping_scan",
+    "token_budget_mix",
 ]
 
 
