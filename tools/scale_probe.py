@@ -60,6 +60,37 @@ def build_inflated(spark, out_dir: str) -> None:
     )
 
 
+EVENT_PROBES = ["sessionize", "asof_join", "activity_gaps", "rolling_active_users", "join_skew_profile"]
+
+
+def build_inflated_events(spark, out_dir: str) -> None:
+    """4x events: user/event ids shifted per copy (4x users, same time
+    span — the organic growth axis for per-user window analytics)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "events.parquet", "_SUCCESS")):
+        return
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
 def main() -> None:
     import __spark_entry__ as mod
     from tinymapreduce_spark.session import get_spark
@@ -69,12 +100,13 @@ def main() -> None:
     out_dir = os.path.join(REPO, ".tmp", "sfx4")
     os.makedirs(out_dir, exist_ok=True)
     build_inflated(spark, out_dir)
+    build_inflated_events(spark, out_dir)
 
     # warm python workers / codegen like bench.py does
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
 
     print(f"{'query':28s} {'sf0.1':>8s} {'x4':>8s} {'ratio':>6s}  rows(base->x4)")
-    for name in PROBES:
+    for name in PROBES + EVENT_PROBES:
         fn = q[name]
         t0 = time.time()
         n1 = fn(spark, BASE_SF).count()
