@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymized_join": maintenance.pseudonymized_join,
         "xml_roundtrip_agg": textfiles.xml_roundtrip_agg,
         "stream_available_now": stream_sinks.stream_available_now,
+        "pretrain_mix_pipeline": curation.pretrain_mix_pipeline,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -529,6 +530,7 @@ GROUP BY word
         "pseudonymized_join": maintenance.PSEUDONYMIZED_SQL,
         "xml_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "stream_available_now": stream_sinks.STREAM_AVAILABLE_NOW_SQL,
+        "pretrain_mix_pipeline": curation.PRETRAIN_MIX_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

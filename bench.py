@@ -164,6 +164,7 @@ HEADLINE = [
     "grouped_arrow_stats",
     "pseudonymized_join",
     "xml_roundtrip_agg",
+    "pretrain_mix_pipeline",
 ]
 
 

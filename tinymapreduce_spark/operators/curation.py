@@ -679,3 +679,162 @@ SELECT lang,
        CAST(SUM(n_chars_txt) AS BIGINT) AS total_chars
 FROM ranked GROUP BY 1, 2
 """
+
+
+PIPE2_MIN_WORDS, PIPE2_MAX_WORDS = 10, 100_000
+PIPE2_ALPHA_NUM, PIPE2_ALPHA_DEN = 4, 5  # >= 80% words contain a letter
+
+
+def pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition v2 — the SIZING half of corpus construction,
+    chained as ONE declarative plan (the quality/chunking half is
+    ``curation_pipeline``):
+
+      Gopher-style gate (word-count bounds + >=80% alpha-words)
+      -> exact dedup (keep min doc_id per normalized content)
+      -> temperature-0.5 token-budget fill per source
+      (floor-sqrt allocation over the SURVIVORS' token mass,
+      md5-priority greedy fill — the same integer algebra as
+      ``token_budget_mix``, now downstream of gating + dedup).
+
+    Output per source: docs in, gated, surviving dedup, kept by budget,
+    tokens kept vs budget. Catalyst fuses the gate into the scan; the
+    dedup shuffle carries 16-byte keys; the fill adds one per-source
+    window — three shuffles end to end at any corpus size, and every
+    count is integer-exact so the whole chain hash-checks."""
+    docs = documents_for_cpu(spark, sf_dir)
+    from tinymapreduce_spark.functions.text import normalized_text
+
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+        F.md5(normalized_text("text")).alias("content_key"),
+    ).withColumn("n_tok", F.size("ws").cast("long"))
+    alpha_ok = (
+        F.size(F.filter("ws", lambda t: t.rlike("[A-Za-z]"))) * PIPE2_ALPHA_DEN
+        >= F.col("n_tok") * PIPE2_ALPHA_NUM
+    )
+    gated = base.where(
+        (F.col("n_tok") >= PIPE2_MIN_WORDS)
+        & (F.col("n_tok") <= PIPE2_MAX_WORDS)
+        & alpha_ok
+    ).select("doc_id", "source", "content_key", "n_tok")
+    survivors = (
+        gated.select(
+            "content_key", F.struct("doc_id", "source", "n_tok").alias("rec")
+        )
+        .groupBy("content_key")
+        .agg(F.min("rec").alias("rec"))
+        .select("rec.doc_id", "rec.source", "rec.n_tok")
+    )
+    src = survivors.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    src = src.withColumn(
+        "w", F.floor(F.sqrt(F.col("src_tok").cast("double"))).cast("long")
+    )
+    tot = src.agg(F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w"))
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tok",
+        F.expr(
+            f"COALESCE((total_tok DIV {TOKEN_BUDGET_DEN}) * w DIV NULLIF(sum_w, 0), 0)"
+        ).alias("budget_tok"),
+    )
+    pri = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    win = (
+        Window.partitionBy("source")
+        .orderBy(pri, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = survivors.join(F.broadcast(alloc), "source").withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(win), F.lit(0).cast("long"))
+    )
+    keep = F.col("cum_before") < F.col("budget_tok")
+    stage_counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+        .join(
+            gated.groupBy("source").agg(F.count(F.lit(1)).alias("docs_gated")),
+            "source",
+            "left",
+        )
+    )
+    filled = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_deduped"),
+        F.max("budget_tok").alias("budget_tokens"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("docs_kept"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_kept"),
+    )
+    return stage_counts.join(filled, "source", "left").select(
+        "source",
+        "docs_in",
+        F.coalesce("docs_gated", F.lit(0).cast("long")).alias("docs_gated"),
+        F.coalesce("docs_deduped", F.lit(0).cast("long")).alias("docs_deduped"),
+        F.coalesce("budget_tokens", F.lit(0).cast("long")).alias("budget_tokens"),
+        F.coalesce("docs_kept", F.lit(0).cast("long")).alias("docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+    )
+
+
+PRETRAIN_MIX_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+  FROM documents
+), counted AS MATERIALIZED (
+  SELECT doc_id, source, content_key,
+         CAST(len(ws) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+  FROM base
+), gated AS MATERIALIZED (
+  SELECT doc_id, source, content_key, n_tok FROM counted
+  WHERE n_tok >= {PIPE2_MIN_WORDS} AND n_tok <= {PIPE2_MAX_WORDS}
+    AND n_alpha * {PIPE2_ALPHA_DEN} >= n_tok * {PIPE2_ALPHA_NUM}
+), survivors AS MATERIALIZED (
+  SELECT doc_id, source, n_tok FROM (
+    SELECT doc_id, source, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rk
+    FROM gated
+  ) WHERE rk = 1
+), src AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+         CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+  FROM survivors GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok, CAST(SUM(w) AS BIGINT) AS sum_w FROM src
+), alloc AS MATERIALIZED (
+  SELECT source,
+         COALESCE((total_tok // {TOKEN_BUDGET_DEN}) * w // NULLIF(sum_w, 0), 0) AS budget_tok
+  FROM src, tot
+), ranked AS (
+  SELECT s.source, s.n_tok, a.budget_tok,
+         COALESCE(SUM(s.n_tok) OVER (
+           PARTITION BY s.source
+           ORDER BY ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT, s.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM survivors s JOIN alloc a USING (source)
+), filled AS (
+  SELECT source,
+         COUNT(*) AS docs_deduped,
+         MAX(budget_tok) AS budget_tokens,
+         CAST(SUM(CASE WHEN cum_before < budget_tok THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         CAST(SUM(CASE WHEN cum_before < budget_tok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM ranked GROUP BY source
+), stage AS (
+  SELECT c.source, COUNT(*) AS docs_in,
+         CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_gated
+  FROM counted c LEFT JOIN gated g USING (doc_id)
+  GROUP BY c.source
+)
+SELECT s.source, s.docs_in,
+       COALESCE(s.docs_gated, 0) AS docs_gated,
+       COALESCE(f.docs_deduped, 0) AS docs_deduped,
+       COALESCE(f.budget_tokens, 0) AS budget_tokens,
+       COALESCE(f.docs_kept, 0) AS docs_kept,
+       COALESCE(f.tokens_kept, 0) AS tokens_kept
+FROM stage s LEFT JOIN filled f USING (source)
+"""
