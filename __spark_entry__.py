@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip_agg": textfiles.xml_roundtrip_agg,
         "stream_available_now": stream_sinks.stream_available_now,
         "pretrain_mix_pipeline": curation.pretrain_mix_pipeline,
+        "sql_execute_immediate": analytics.sql_execute_immediate,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -531,6 +532,7 @@ GROUP BY word
         "xml_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "stream_available_now": stream_sinks.STREAM_AVAILABLE_NOW_SQL,
         "pretrain_mix_pipeline": curation.PRETRAIN_MIX_SQL,
+        "sql_execute_immediate": analytics.SQL_EXECUTE_IMMEDIATE_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -2453,3 +2453,37 @@ SELECT l_orderkey, l_linenumber,
             ELSE l_orderkey + 1 END AS maybe_overflow
 FROM lineitem
 """
+
+
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE`` — dynamic SQL with positional and
+    named parameter binding, the metadata-driven-query building block
+    (a governance layer that assembles statements from a rules table
+    runs exactly this). The statement text arrives as a session
+    VARIABLE, parameters bind via USING (injection-safe — no string
+    splicing of values), and the result is an ordinary DataFrame plan:
+    pushdown and pruning apply as if the SQL were written literally.
+    Oracle: the equivalent static statement."""
+    from tinymapreduce_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VARIABLE stmt =
+           'SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderdate >= :lo AND o_orderdate < :hi
+            GROUP BY o_orderpriority'"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE stmt USING TIMESTAMP '1997-01-01' AS lo, TIMESTAMP '1998-01-01' AS hi"
+    )
+
+
+SQL_EXECUTE_IMMEDIATE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
