@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_available_now": stream_sinks.stream_available_now,
         "pretrain_mix_pipeline": curation.pretrain_mix_pipeline,
         "sql_execute_immediate": analytics.sql_execute_immediate,
+        "iterator_udf_scoring": udaf.iterator_udf_scoring,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -533,6 +534,7 @@ GROUP BY word
         "stream_available_now": stream_sinks.STREAM_AVAILABLE_NOW_SQL,
         "pretrain_mix_pipeline": curation.PRETRAIN_MIX_SQL,
         "sql_execute_immediate": analytics.SQL_EXECUTE_IMMEDIATE_SQL,
+        "iterator_udf_scoring": udaf.ITERATOR_SCORING_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

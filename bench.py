@@ -165,6 +165,8 @@ HEADLINE = [
     "pseudonymized_join",
     "xml_roundtrip_agg",
     "pretrain_mix_pipeline",
+    "sql_execute_immediate",
+    "iterator_udf_scoring",
 ]
 
 

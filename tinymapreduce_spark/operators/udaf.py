@@ -12,6 +12,7 @@ the point is certifying the surface, not the arithmetic.
 from __future__ import annotations
 
 import sys
+from typing import Iterator  # noqa: UP035 — resolvable for pandas_udf hint parsing
 
 import pandas as pd
 
@@ -165,3 +166,72 @@ SELECT source, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY source
 """
+
+
+def iterator_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (``Iterator[pd.Series] -> Iterator[pd.Series]``)
+    — the PER-WORKER-INIT rung of the Python UDF ladder: expensive state
+    (a model, a tokenizer, a lexicon) loads ONCE per executor task and
+    is reused across every Arrow batch that task processes, instead of
+    once per batch (plain pandas UDF) or once per row (row UDF). Here
+    the "model" is the sentiment lexicon compiled into a regex scorer
+    inside the iterator prologue; at 100 TB swap that line for loading
+    the real ONNX/torch weights. Output is integer-exact (polarity sum
+    + hit count per document) so the scored values hash-check against
+    the lexicon-join oracle."""
+    import re
+
+    from pyspark.sql.types import LongType
+
+    from tinymapreduce_spark.operators.textstats import SENTIMENT_LEXICON
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    lex_items = tuple(sorted(SENTIMENT_LEXICON.items()))
+
+    @F.pandas_udf(LongType())
+    def polarity_sum(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # -- once per task: "load the model" --
+        token_re = re.compile(r"[A-Za-z]+")
+        model = dict(lex_items)
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(model.get(w, 0) for w in token_re.findall(t))
+            ).astype("int64")
+
+    @F.pandas_udf(LongType())
+    def hit_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        token_re = re.compile(r"[A-Za-z]+")
+        model = dict(lex_items)
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(1 for w in token_re.findall(t) if w in model)
+            ).astype("int64")
+
+    docs = documents_for_cpu(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        polarity_sum(F.col("text")).alias("polarity_sum"),
+        hit_count(F.col("text")).alias("n_hits"),
+    )
+
+
+def _iterator_scoring_sql() -> str:
+    from tinymapreduce_spark.operators.textstats import SENTIMENT_LEXICON
+
+    vals = ", ".join(f"('{t}', {p})" for t, p in sorted(SENTIMENT_LEXICON.items()))
+    return f"""
+WITH lex(tok, polarity) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(COALESCE(SUM(l.polarity), 0) AS BIGINT) AS polarity_sum,
+       CAST(COUNT(l.polarity) AS BIGINT) AS n_hits
+FROM toks t LEFT JOIN lex l USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+ITERATOR_SCORING_SQL = _iterator_scoring_sql()
