@@ -756,3 +756,23 @@ def test_bloom_incremental_probes_are_broadcast_joins(spark, sf_dir):
     assert "partial_bit_or" in p or "bit_or" in p
     # hashing/probing all in codegen
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pretrain_mix_pipeline_tiny_joins_broadcast(spark, sf_dir):
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.pretrain_mix_pipeline(spark, sf_dir))
+    # per-source stage frames are O(#sources): joined with broadcasts,
+    # never a data-sized sort-merge join
+    assert "SortMergeJoin" not in p
+    # gate + hashing stay in codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_iterator_udf_is_arrow_batched(spark, sf_dir):
+    from tinymapreduce_spark.operators import udaf
+
+    p = plan_of(udaf.iterator_udf_scoring(spark, sf_dir))
+    # SQL_SCALAR_PANDAS_ITER evaluates as Arrow batches, not row Python
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p

@@ -699,9 +699,11 @@ def pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per source: docs in, gated, surviving dedup, kept by budget,
     tokens kept vs budget. Catalyst fuses the gate into the scan; the
-    dedup shuffle carries 16-byte keys; the fill adds one per-source
-    window — three shuffles end to end at any corpus size, and every
-    count is integer-exact so the whole chain hash-checks."""
+    DATA-SIZED work is exactly one dedup shuffle (16-byte keys) plus
+    one per-source window for the fill — every aggregate/join after
+    runs on O(#sources) rows (the tiny frames joined with explicit
+    broadcasts), and every count is integer-exact so the whole chain
+    hash-checks."""
     docs = documents_for_cpu(spark, sf_dir)
     from tinymapreduce_spark.functions.text import normalized_text
 
@@ -757,7 +759,9 @@ def pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs_in"))
         .join(
-            gated.groupBy("source").agg(F.count(F.lit(1)).alias("docs_gated")),
+            F.broadcast(
+                gated.groupBy("source").agg(F.count(F.lit(1)).alias("docs_gated"))
+            ),
             "source",
             "left",
         )
@@ -768,7 +772,7 @@ def pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("docs_kept"),
         F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_kept"),
     )
-    return stage_counts.join(filled, "source", "left").select(
+    return stage_counts.join(F.broadcast(filled), "source", "left").select(
         "source",
         "docs_in",
         F.coalesce("docs_gated", F.lit(0).cast("long")).alias("docs_gated"),
