@@ -38,6 +38,7 @@ REPRESENTATIVES = [
     "token_budget_mix",
     "exact_quota_split",
     "dedup_incremental_bloom",
+    "pretrain_mix_pipeline",
 ]
 
 

@@ -30,6 +30,8 @@ PROBES = [
     "dedup_ngram_jaccard",
     "tfidf_top_terms",
     "winnow_fingerprints",
+    "pretrain_mix_pipeline",
+    "token_budget_mix",
 ]
 
 
