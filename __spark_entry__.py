@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_mix_pipeline": curation.pretrain_mix_pipeline,
         "sql_execute_immediate": analytics.sql_execute_immediate,
         "iterator_udf_scoring": udaf.iterator_udf_scoring,
+        "approx_topk_builtin": sketches.approx_topk_builtin,
         "catalog_partition_overwrite": maintenance.catalog_partition_overwrite,
         "try_arithmetic": analytics.try_arithmetic,
         "lang_id": textstats.lang_id,
@@ -535,6 +536,8 @@ GROUP BY word
         "pretrain_mix_pipeline": curation.PRETRAIN_MIX_SQL,
         "sql_execute_immediate": analytics.SQL_EXECUTE_IMMEDIATE_SQL,
         "iterator_udf_scoring": udaf.ITERATOR_SCORING_SQL,
+        # under-capacity frequent-items sketch degenerates to exact counts
+        "approx_topk_builtin": _WORD_COUNT_SQL,
         "catalog_partition_overwrite": maintenance.CATALOG_OVERWRITE_SQL,
         "try_arithmetic": analytics.TRY_ARITHMETIC_SQL,
         "lang_id": textstats.LANG_ID_SQL,

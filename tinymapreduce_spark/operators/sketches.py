@@ -528,3 +528,25 @@ SELECT grp,
 FROM b2
 GROUP BY grp
 """
+
+
+def approx_topk_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` — the DataSketches frequent-items BUILT-IN, the
+    engine-native sibling of the portable ``cms_heavy_hitters`` (same
+    capability split as hll_distinct_merge vs hll_portable_distinct).
+    Sketch-exactness regime exploited for the oracle: with k and
+    maxItemsTracked far above the corpus vocabulary, the frequent-items
+    sketch degenerates to EXACT counts over every item, so the exploded
+    (word, cnt) table equals the plain word count bit-for-bit (shared
+    oracle). Past capacity the counts become bounded-error estimates —
+    that regime is covered by the CMS cell table, which stays
+    oracle-exact at any cardinality by construction."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir)
+    words = docs.select(F.explode(tokens("text")).alias("w"))
+    sk = words.agg(F.expr("approx_top_k(w, 1000, 10000)").alias("top"))
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").alias("cnt")
+    )
