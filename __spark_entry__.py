@@ -79,25 +79,89 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mapreduce(text_documents(spark, sf_dir), wc_map, merge=wc_merge)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver verification priority.
+# The driver records CORRECTNESS rows for EXACTLY the first 50 queries()
+# entries (r01/r02 each stopped at #50), so registry order = verification
+# priority. _R3_WINDOW pins this round's 50: ALL oracle-backed, ALL with
+# zero driver rows across r01∪r02 (VERDICT r02 item #1) — the manifest
+# lakehouse tier, the physical-layout tier, the Python UDF/UDTF ladder,
+# the 7 late streaming keys, the incremental-dedup extras, the pretrain
+# mix/quota allocators, winnow/tfidf, the mergeable-sketch pair, the
+# sql_* surface — plus this round's NEW driver-checkable rows: the
+# golden-corpus parity query and the four ANN recall@k quality rows.
+# ROTATION.md schedules r4 (next 50) and r5 (the final 22), so the sweep
+# provably terminates with every oracle-backed key driver-checked.
+_R3_WINDOW = [
+    # manifest / lakehouse (8)
+    "manifest_skipping_scan",
+    "manifest_delete_rewrite",
+    "manifest_delete_by_table",
+    "manifest_upsert",
+    "manifest_append_incremental",
+    "manifest_optimize",
+    "manifest_time_travel",
+    "catalog_partition_overwrite",
+    # physical layout (7)
+    "bucketed_join_revenue",
+    "zorder_pruned_agg",
+    "dpp_partitioned_join",
+    "bloom_filter_join",
+    "salted_skew_join",
+    "partitioned_sink_pruned_scan",
+    "compact_small_files",
+    # Python UDF/UDTF ladder (6)
+    "grouped_agg_udaf",
+    "python_udtf_split",
+    "python_udtf_table_arg",
+    "iterator_udf_scoring",
+    "grouped_arrow_stats",
+    "sql_python_udf",
+    # late streaming keys (7)
+    "stream_stream_outer_join",
+    "stream_dedup_within_watermark",
+    "stream_available_now",
+    "stream_observe_metrics",
+    "stream_wap_sink",
+    "stream_cms_sink",
+    "stream_sliding_window",
+    # incremental-dedup extras (3)
+    "dedup_incremental_bloom",
+    "dedup_incremental_minhash",
+    "dedup_survivors",
+    # pretrain mix / quota allocators (3)
+    "token_budget_mix",
+    "exact_quota_split",
+    "pretrain_mix_pipeline",
+    # winnowing / tfidf (3)
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
+    "tfidf_top_terms",
+    # mergeable sketches (2)
+    "hll_portable_distinct",
+    "digit_bucket_quantiles",
+    # sql_* surface (6)
+    "sql_interface",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
+    "sql_scripting",
+    "sql_udf_function",
+    "sql_parameterized",
+    # new this round: reference parity + ANN quality rows (5)
+    "golden_wc_parity",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+]
 
-    The driver records CORRECTNESS rows for EXACTLY the first 50
-    entries (r01 stopped at #50), so the window is curated each round:
-    all 50 are ORACLE-BACKED and cover one key per family the round-1
-    review called out as never-driver-checked — dedup/similarity, K6,
-    streaming, curation, multimodal, S1-S5 roundtrips — plus the
-    operators whose exact oracles are NEW this round (minhash, simhash,
-    kmeans, pagerank, CMS, BM25, passage coverage, BPE, perceptron).
-    Entry #50 is cms_heavy_hitters; the marker comment below pins the
-    boundary. Everything after follows in rotation priority for r03:
-    first the streaming/source variants whose oracles are shared with
-    in-window family members, then this round's lakehouse/sketch-
-    algebra/governance additions, then the 49 already-driver-green
-    round-1 entries last. Rotate again next round based on
-    CORRECTNESS_r02.
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver verification priority: the _R3_WINDOW
+    keys (50, all oracle-backed, none previously driver-checked) come
+    first, then every other key in its round-2 family order, with the
+    cumulatively driver-green entries last. See ROTATION.md for the
+    r4/r5 schedule that completes the sweep.
     """
-    return {
+    base = {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -346,7 +410,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_scalar_subquery": subqueries.correlated_scalar_subquery,
         "in_subquery": subqueries.in_subquery,
         "exact_percentiles": subqueries.exact_percentiles,
+        # --- new in round 3 ---
+        "manifest_delete_by_table": manifest_sink.manifest_delete_by_table,
+        "golden_wc_parity": reference_queries.golden_wc_parity,
+        "ann_ivf_recall": similarity.ann_ivf_recall,
+        "ann_lsh_recall": similarity.ann_lsh_recall,
+        "ann_pq_recall": similarity.ann_pq_recall,
+        "ann_ivfpq_recall": similarity.ann_ivfpq_recall,
     }
+    window = {k: base[k] for k in _R3_WINDOW}
+    return window | {k: v for k, v in base.items() if k not in window}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -354,7 +427,9 @@ def oracle_sql() -> dict[str, str]:
     ann_ivf_topk / ann_lsh_topk /
     ann_pq_topk / ann_ivfpq_topk / semdedup_drops (approximate by
     construction over float embeddings — tests assert their recall
-    against the exact forms instead; dedup_minhash_lsh / dedup_simhash,
+    against the exact forms, and the four ann_*_recall registry keys
+    additionally compute recall@k in-plan as ORACLE-BACKED quality
+    rows; dedup_minhash_lsh / dedup_simhash,
     equally approximate but built on the portable integer md5-60-bit
     hash family, DO carry exact oracles that replay the very same
     signatures/bands, as does cms_heavy_hitters whose cell table uses
@@ -463,6 +538,12 @@ GROUP BY word
         "orc_roundtrip_agg": textfiles.ROUNDTRIP_AGG_SQL,
         "parquet_zstd_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
+        "manifest_delete_by_table": manifest_sink.MANIFEST_DELETE_BY_TABLE_SQL,
+        "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
+        "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
+        "ann_lsh_recall": similarity.ANN_LSH_RECALL_SQL,
+        "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,
+        "ann_ivfpq_recall": similarity.ANN_IVFPQ_RECALL_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
         "manifest_append_incremental": manifest_sink.MANIFEST_INCREMENTAL_SQL,

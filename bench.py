@@ -167,6 +167,9 @@ HEADLINE = [
     "pretrain_mix_pipeline",
     "sql_execute_immediate",
     "iterator_udf_scoring",
+    "manifest_delete_by_table",
+    "golden_wc_parity",
+    "ann_ivf_recall",
 ]
 
 

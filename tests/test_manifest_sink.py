@@ -357,3 +357,94 @@ def test_concurrent_deletes_both_apply_via_retry(spark, table):
     got = {r.id for r in table.read(spark).collect()}
     assert got == set(range(800)) - set(range(10, 20)) - set(range(700, 710))
     assert table.snapshot(3).n_rows == 780
+
+
+def test_split_files_by_key_frame_semi_join_refinement(spark, table):
+    """Scan planning for MERGE/DELETE: beyond the global [lo, hi]
+    prefilter, the stats×keys semi-join marks ONLY files actually
+    containing a key as candidates — middle files inside the global key
+    range but hit by no key carry over untouched."""
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    table.publish(
+        _df(spark, 0, 1000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    snap = table.snapshot(1)
+    keys = spark.createDataFrame([(5,), (990,)], "id long")
+    untouched, candidates = _split_files_by_key_frame(
+        spark, snap, "id", keys, 5, 990
+    )
+    assert len(candidates) == 2, candidates
+    assert len(untouched) == len(snap.files) - 2
+    assert set(untouched) | set(candidates) == set(snap.files)
+
+
+def test_upsert_large_key_frame_never_collects_keys(spark, table, monkeypatch):
+    """The MERGE key set stays a DataFrame end to end: 10⁵ distinct
+    upsert keys flow through the stats semi-join + LEFT ANTI join, and
+    any driver-side collect bigger than O(#files) trips the guard."""
+    from pyspark.sql import DataFrame
+
+    table.publish(
+        _df(spark, 0, 200_000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    ups = spark.range(0, 100_000).selectExpr(
+        "id * 2 AS id", "CAST(-1 AS LONG) AS v"
+    )
+    orig = DataFrame.collect
+
+    def guarded(self):
+        rows = orig(self)
+        assert len(rows) <= 1_000, (
+            f"driver-side materialization of {len(rows)} rows in the MERGE path"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    v2 = table.upsert_matching(spark, "id", ups, snapshot_id="m-big")
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert v2 == 2
+    s2 = table.snapshot(2)
+    assert s2.n_rows == 200_000  # every key existed: pure update, no inserts
+    cur = table.read(spark)
+    assert cur.where("id % 2 = 0 AND v <> -1").count() == 0
+    assert cur.where("id % 2 = 1 AND v <> id * 2").count() == 0
+
+
+def test_delete_and_upsert_null_key_semantics(spark, table):
+    """Iceberg/Delta NULL contract: a NULL key matches nothing — NULL
+    erase-list entries are ignored, existing NULL-key rows survive every
+    rewrite, and NULL-key new_rows are pure inserts."""
+    base = spark.createDataFrame([(1, 10), (2, 20), (None, 99)], "id long, v long")
+    table.publish(base, snapshot_id="base", stats_cols=["id"])
+    table.delete_matching(spark, "id", [1, None], snapshot_id="e1")
+    rows = {(r.id, r.v) for r in table.read(spark).collect()}
+    assert rows == {(2, 20), (None, 99)}, rows
+    ups = spark.createDataFrame([(2, 200), (None, 55)], "id long, v long")
+    table.upsert_matching(spark, "id", ups, snapshot_id="m1")
+    rows = {(r.id, r.v) for r in table.read(spark).collect()}
+    assert rows == {(2, 200), (None, 99), (None, 55)}, rows
+
+
+def test_delete_by_frame_table_sized_key_set(spark, table):
+    """DELETE whose key set is itself a DataFrame (segment erasure /
+    CDC retraction): same atomic single-commit semantics, file reuse,
+    and idempotency as the list form."""
+    table.publish(
+        _df(spark, 0, 1000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    v1_files = set(table.snapshot(1).files)
+    keys = spark.range(0, 300).select("id")  # first files only
+    v = table.delete_by_frame(spark, "id", keys, snapshot_id="e-frame")
+    assert v == 2
+    s2 = table.snapshot(2)
+    assert set(s2.files) & v1_files, "files outside the key range reused"
+    assert s2.n_rows == 700
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(300, 1000))
+    assert table.delete_by_frame(spark, "id", keys, snapshot_id="e-frame") == 2

@@ -86,3 +86,30 @@ def sorted_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(F.col("lang").alias("key")).agg(
         F.array_join(F.array_sort(F.collect_set("source")), " ").alias("value")
     )
+
+
+GOLDEN_MAIN = "/root/reference/src/main"
+
+
+def golden_wc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-golden parity as a driver-checkable query: run the Q1
+    plan over the reference's OWN committed corpus
+    (``/root/reference/src/main/pg-*.txt``, 8 Project Gutenberg books)
+    and return the full (word, cnt) table. The oracle side parses the
+    reference engine's committed verified output (``src/main/mymrout``,
+    the file ``test-mr.sh:93-103`` diffs against the course golden), so
+    a driver hash match IS byte-level parity with the reference engine,
+    re-proven independently every round. ``sf_dir`` is unused — the
+    corpus under test is the reference's, by design."""
+    from tinymapreduce_spark.sources.textfiles import read_whole_text_files
+
+    docs = read_whole_text_files(spark, f"{GOLDEN_MAIN}/pg-*.txt")
+    return word_count_df(docs).select("word", F.col("cnt").cast("long"))
+
+
+GOLDEN_WC_PARITY_SQL = f"""
+SELECT word, cnt
+FROM read_csv('{GOLDEN_MAIN}/mymrout', delim=' ', header=false,
+              columns={{'word': 'VARCHAR', 'cnt': 'BIGINT'}})
+WHERE word IS NOT NULL AND word <> ''
+"""

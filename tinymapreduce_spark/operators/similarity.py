@@ -1011,3 +1011,95 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {FH_TOP_K}
 """
+
+
+# -- driver-checkable ANN quality rows -------------------------------
+#
+# The approximate tiers (IVF / LSH / PQ / IVF-PQ) are rows-only by
+# construction as top-k outputs (float k-means training makes exact
+# membership run-sensitive at boundaries). Their QUALITY is still
+# hash-checkable: compute recall@k against the exact baseline entirely
+# in-plan and emit one aggregate row whose values the oracle can derive
+# (query count, k, exact-pair count) plus the recall invariant as a
+# boolean with wide margin (measured recalls sit 0.15-0.25 above the
+# thresholds, so codebook-boundary jitter of a pair or two cannot flip
+# the bit). A broken index (empty probes, wrong banding, dead cells)
+# flips recall_ok and the driver hash catches it.
+
+ANN_RECALL_MIN_PCT = {"ivf": 70, "lsh": 60, "pq": 70, "ivfpq": 60}
+
+
+def _recall_metric(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, min_recall_pct: int
+) -> DataFrame:
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_exact",
+            (F.col("n_hit") * 100 >= F.col("n_exact") * min_recall_pct).alias(
+                "recall_ok"
+            ),
+            F.lit(min_recall_pct).cast("long").alias("min_recall_pct"),
+        )
+    )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF tier vs the exact baseline, in-plan."""
+    return _recall_metric(
+        spark, sf_dir, ann_ivf_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["ivf"]
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the multi-probe LSH tier vs the exact baseline."""
+    return _recall_metric(
+        spark, sf_dir, ann_lsh_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["lsh"]
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ retrieve+rerank tier vs the exact baseline."""
+    return _recall_metric(
+        spark, sf_dir, ann_pq_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["pq"]
+    )
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ tier vs the exact baseline."""
+    return _recall_metric(
+        spark, sf_dir, ann_ivfpq_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["ivfpq"]
+    )
+
+
+def _ann_recall_sql(min_recall_pct: int) -> str:
+    """The oracle derives every derivable column from the tables (query
+    count from the corpus, exact-pair count from its own exact top-k)
+    and pins the recall invariant; the Spark side must REACH those
+    values from its real exact frame and real approximate index."""
+    return f"""
+WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST((SELECT SUM(LEAST({TOP_K},
+                 (SELECT COUNT(*) FROM embeddings) - 1)) FROM q)
+            AS BIGINT) AS n_exact,
+       TRUE AS recall_ok,
+       CAST({min_recall_pct} AS BIGINT) AS min_recall_pct
+"""
+
+
+ANN_IVF_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivf"])
+ANN_LSH_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["lsh"])
+ANN_PQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["pq"])
+ANN_IVFPQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivfpq"])

@@ -225,12 +225,20 @@ toks AS (
   SELECT doc_id,
          UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
   FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COALESCE(SUM(l.polarity), 0) AS BIGINT) AS polarity_sum,
+         CAST(COUNT(l.polarity) AS BIGINT) AS n_hits
+  FROM toks t LEFT JOIN lex l USING (tok)
+  GROUP BY t.doc_id
 )
-SELECT t.doc_id,
-       CAST(COALESCE(SUM(l.polarity), 0) AS BIGINT) AS polarity_sum,
-       CAST(COUNT(l.polarity) AS BIGINT) AS n_hits
-FROM toks t LEFT JOIN lex l USING (tok)
-GROUP BY t.doc_id
+-- left join back onto documents: a letterless doc UNNESTs to zero token
+-- rows and would otherwise vanish, while the Spark UDF scores it (0, 0)
+SELECT d.doc_id,
+       CAST(COALESCE(p.polarity_sum, 0) AS BIGINT) AS polarity_sum,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 

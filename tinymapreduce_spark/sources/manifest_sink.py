@@ -95,16 +95,39 @@ def _json_stat(v):
     return str(v)
 
 
-def _partition_files_by_keys(
-    snap: "Snapshot", key_col: str, keyset: list
+def _split_files_by_key_frame(
+    spark: SparkSession,
+    snap: "Snapshot",
+    key_col: str,
+    keys_df: DataFrame,
+    key_lo,
+    key_hi,
 ) -> tuple[list[str], list[str]]:
-    """Split a snapshot's files into (untouched, candidates) for a
-    sorted key list: a file is untouched iff its recorded [min, max]
-    for ``key_col`` provably contains no key. Files without stats are
-    always candidates (must be inspected)."""
-    j_lo, j_hi = _json_stat(keyset[0]), _json_stat(keyset[-1])
+    """Split a snapshot's files into (untouched, candidates) for a key
+    DataFrame — the MERGE/DELETE scan-planning step, with no driver-side
+    key materialization. Two levels:
+
+    1. Driver-side range prefilter: files whose recorded [min, max]
+       cannot intersect [key_lo, key_hi] (the keys' global bounds, a
+       2-value agg) are untouched without any join work.
+    2. For the surviving files, a distributed semi-join of the O(#files)
+       stats frame against the (distinct, non-null) keys decides which
+       files actually contain a key. The stats frame is tiny, so Spark
+       broadcasts it and streams the keys through a nested-loop range
+       probe — O(overlapping files × distinct keys) comparisons, which
+       a key-clustered table keeps near O(distinct keys).
+
+    Files without stats are always candidates (must be inspected).
+    Pruning compares in the stats' serialized domain (numbers for
+    numeric columns, ISO/str form otherwise — see ``_json_stat``);
+    candidates are a superset, and the rewrite applies the real
+    predicate, so an imprecise domain can only cost extra rewrites,
+    never correctness."""
+    from pyspark.sql import functions as F
+
+    j_lo, j_hi = _json_stat(key_lo), _json_stat(key_hi)
     stats = snap.stats or {}
-    untouched, candidates = [], []
+    untouched, candidates, overlapping = [], [], []
     for f in snap.files:
         s = stats.get(f)
         smin = s["min"].get(key_col) if s else None
@@ -113,10 +136,41 @@ def _partition_files_by_keys(
             candidates.append(f)  # no stats -> must inspect
         elif smax < j_lo or smin > j_hi:
             untouched.append(f)
-        elif any(smin <= _json_stat(k) <= smax for k in keyset):
-            candidates.append(f)
         else:
-            untouched.append(f)
+            overlapping.append((f, smin, smax))
+    if not overlapping:
+        return untouched, candidates
+    sample = overlapping[0][1]
+    if isinstance(sample, bool) or not isinstance(sample, (int, float)):
+        dom = "string"
+    elif all(
+        isinstance(v, int) and not isinstance(v, bool)
+        for _, a, b in overlapping
+        for v in (a, b)
+    ):
+        dom = "bigint"
+    else:
+        dom = "double"
+    files_df = spark.createDataFrame(
+        overlapping, f"_file string, _fmin {dom}, _fmax {dom}"
+    )
+    probe = (
+        keys_df.select(F.col(key_col).cast(dom).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+    )
+    hit = {
+        r["_file"]
+        for r in F.broadcast(files_df)
+        .join(
+            probe,
+            (F.col("_k") >= F.col("_fmin")) & (F.col("_k") <= F.col("_fmax")),
+            "left_semi",
+        )
+        .collect()
+    }
+    for f, _, _ in overlapping:
+        (candidates if f in hit else untouched).append(f)
     return untouched, candidates
 
 
@@ -585,6 +639,33 @@ class ManifestTable:
     def _upsert_once(
         self, spark: SparkSession, key_col: str, new_rows: DataFrame, snapshot_id: str
     ) -> int:
+        return self._rewrite_once(
+            spark, key_col, new_rows.select(key_col), snapshot_id, new_rows=new_rows
+        )
+
+    def _rewrite_once(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        keys_df: DataFrame,
+        snapshot_id: str,
+        new_rows: DataFrame | None = None,
+    ) -> int:
+        """Shared copy-on-write core for MERGE (``new_rows`` given) and
+        DELETE (``new_rows`` None). The matched-key set stays a
+        DataFrame end to end: file pruning is a stats×keys semi-join
+        (``_split_files_by_key_frame``) and the row-level match is a
+        LEFT ANTI equi-join — the driver never materializes keys, so a
+        MERGE batch of 10⁸ keys is just another shuffle. Catalyst/AQE
+        picks broadcast vs shuffle for the anti-join from the key
+        frame's actual size.
+
+        NULL semantics follow Iceberg/Delta MERGE/DELETE: a NULL key
+        never matches anything (SQL equality), so existing NULL-key rows
+        are preserved by the anti-join, NULL-key ``new_rows`` are pure
+        inserts, and NULL entries in a delete key set are ignored."""
+        from pyspark.sql import functions as F
+
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
             return existing
@@ -592,123 +673,56 @@ class ManifestTable:
         if cur is None:
             raise FileNotFoundError(f"no published version in {self.table_dir}")
         snap = self.snapshot(cur)
-        keyset = sorted(
-            {r[0] for r in new_rows.select(key_col).distinct().collect()}
+
+        nn_keys = keys_df.where(F.col(key_col).isNotNull())
+        bounds = nn_keys.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(key_col).alias("_lo"),
+            F.max(key_col).alias("_hi"),
+        ).first()
+        has_null_inserts = (
+            new_rows is not None
+            and new_rows.where(F.col(key_col).isNull()).limit(1).count() > 0
         )
-        if not keyset:
-            return cur
-        untouched, candidates = _partition_files_by_keys(snap, key_col, keyset)
+        if bounds["_n"] == 0 and not has_null_inserts:
+            return cur  # nothing matches / nothing to insert
+        if bounds["_n"] == 0:
+            untouched, candidates = list(snap.files), []
+        else:
+            untouched, candidates = _split_files_by_key_frame(
+                spark, snap, key_col, nn_keys, bounds["_lo"], bounds["_hi"]
+            )
         stats = snap.stats or {}
 
-        from pyspark.sql import functions as F
-
         remaining = (
-            self._read_files(spark, candidates, snap.schema_ddl).where(
-                ~F.col(key_col).isin(keyset)
+            self._read_files(spark, candidates, snap.schema_ddl).join(
+                nn_keys, on=key_col, how="left_anti"
             )
             if candidates
             else None
         )
-        rewritten = (
-            remaining.unionByName(new_rows) if remaining is not None else new_rows
-        )
-        staging = os.path.join(
-            self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
-        )
-        rewritten.repartitionByRange(
-            max(1, len(candidates) + 1), key_col
-        ).write.mode("errorifexists").parquet(staging)
-        new_files = sorted(
-            os.path.join(staging, f)
-            for f in os.listdir(staging)
-            if f.endswith(".parquet")
-        )
-        stat_cols = list(next(iter(stats.values()))["min"]) if stats else [key_col]
-        try:
-            restats = (
-                self._collect_file_stats(spark.read.parquet(*new_files), stat_cols)
-                if new_files
-                else {}
+        if new_rows is not None:
+            rewritten = (
+                remaining.unionByName(new_rows) if remaining is not None else new_rows
             )
-        except Exception:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        untouched_rows = sum(stats[f]["rows"] for f in untouched if f in stats)
-        new_stats = None
-        if stats:
-            new_stats = {f: stats[f] for f in untouched if f in stats}
-            new_stats.update(restats)
-        try:
-            committed = self._commit(
-                sorted(untouched + new_files),
-                untouched_rows + sum(s["rows"] for s in restats.values()),
-                snap.schema_ddl,
-                snapshot_id,
-                new_stats,
-                base_version=cur,
-            )
-        except CommitConflict:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        if committed is None:
-            shutil.rmtree(staging, ignore_errors=True)
-            return self._find_snapshot_id(snapshot_id)
-        return committed
+            n_out = max(1, len(candidates) + 1)
+        elif remaining is not None:
+            rewritten = remaining
+            n_out = max(1, len(candidates))
+        else:
+            rewritten = None
+            n_out = 0
 
-    # -- copy-on-write row-level delete ------------------------------
-
-    def delete_matching(
-        self, spark: SparkSession, key_col: str, keys: list, snapshot_id: str
-    ) -> int:
-        """Targeted row-level delete (GDPR erasure / CDC retraction) as a
-        copy-on-write commit: files whose [min, max] range for
-        ``key_col`` cannot contain any key are carried into the new
-        manifest VERBATIM (no read, no write); only intersecting files
-        are re-read, anti-filtered, and rewritten. With the table
-        range-clustered on the key, a delete touches O(matching files),
-        not O(table) — the Iceberg/Delta copy-on-write DELETE shape.
-
-        ``keys`` is a driver-side list (erasure requests are small
-        relative to the table; for a key set beyond driver memory, do a
-        full anti-join rewrite instead). Idempotent per ``snapshot_id``.
-        Returns the committed (or existing) version. Read-modify-write
-        conflicts retry like ``upsert_matching``.
-        """
-        return self._retry_rmw(
-            lambda: self._delete_once(spark, key_col, keys, snapshot_id)
-        )
-
-    def _delete_once(
-        self, spark: SparkSession, key_col: str, keys: list, snapshot_id: str
-    ) -> int:
-        existing = self._find_snapshot_id(snapshot_id)
-        if existing is not None:
-            return existing
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(f"no published version in {self.table_dir}")
-        snap = self.snapshot(cur)
-        if not keys:
-            return cur  # nothing to delete; current version already serves it
-
-        keyset = sorted(set(keys))
-        untouched, candidates = _partition_files_by_keys(snap, key_col, keyset)
-        stats = snap.stats or {}
-
-        new_files, kept_rows = [], 0
-        if candidates:
-            from pyspark.sql import functions as F
-
-            remaining = self._read_files(spark, candidates, snap.schema_ddl).where(
-                ~F.col(key_col).isin(keyset)
-            )
+        new_files: list[str] = []
+        restats: dict = {}
+        staging = None
+        if rewritten is not None:
             staging = os.path.join(
                 self.data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
             )
-            # one output file per rewritten input file keeps granularity
-            remaining.repartitionByRange(
-                max(1, len(candidates)), key_col
-            ).write.mode("errorifexists").parquet(staging)
+            rewritten.repartitionByRange(n_out, key_col).write.mode(
+                "errorifexists"
+            ).parquet(staging)
             new_files = sorted(
                 os.path.join(staging, f)
                 for f in os.listdir(staging)
@@ -726,10 +740,6 @@ class ManifestTable:
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
-            kept_rows = sum(s["rows"] for s in restats.values())
-        else:
-            restats = {}
-
         untouched_rows = sum(stats[f]["rows"] for f in untouched if f in stats)
         new_stats = None
         if stats:
@@ -738,21 +748,83 @@ class ManifestTable:
         try:
             committed = self._commit(
                 sorted(untouched + new_files),
-                untouched_rows + kept_rows,
+                untouched_rows + sum(s["rows"] for s in restats.values()),
                 snap.schema_ddl,
                 snapshot_id,
                 new_stats,
                 base_version=cur,
             )
         except CommitConflict:
-            if candidates:
+            if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
             raise
         if committed is None:
-            if candidates:
+            if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
             return self._find_snapshot_id(snapshot_id)
         return committed
+
+    # -- copy-on-write row-level delete ------------------------------
+
+    def delete_matching(
+        self, spark: SparkSession, key_col: str, keys: list, snapshot_id: str
+    ) -> int:
+        """Targeted row-level delete (GDPR erasure / CDC retraction) as a
+        copy-on-write commit: files whose [min, max] range for
+        ``key_col`` cannot contain any key are carried into the new
+        manifest VERBATIM (no read, no write); only intersecting files
+        are re-read, anti-filtered, and rewritten. With the table
+        range-clustered on the key, a delete touches O(matching files),
+        not O(table) — the Iceberg/Delta copy-on-write DELETE shape.
+
+        ``keys`` is a convenience list form (erasure requests); it is
+        lifted into a single-column DataFrame typed from the table
+        schema and routed through the same join-based core as
+        ``delete_by_frame`` — use that directly when the key set is
+        itself a table. NULL entries are ignored (SQL equality: a NULL
+        key matches nothing, the Iceberg/Delta DELETE contract).
+        Idempotent per ``snapshot_id``. Returns the committed (or
+        existing) version. Read-modify-write conflicts retry like
+        ``upsert_matching``.
+        """
+        nn = [k for k in set(keys) if k is not None]
+
+        def once() -> int:
+            existing = self._find_snapshot_id(snapshot_id)
+            if existing is not None:
+                return existing
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(f"no published version in {self.table_dir}")
+            if not nn:
+                return cur  # nothing to delete; current version serves it
+            snap = self.snapshot(cur)
+            key_type = (
+                spark.createDataFrame([], snap.schema_ddl).schema[key_col].dataType
+            )
+            from pyspark.sql.types import StructField, StructType
+
+            keys_df = spark.createDataFrame(
+                [(k,) for k in nn], StructType([StructField(key_col, key_type)])
+            )
+            return self._rewrite_once(spark, key_col, keys_df, snapshot_id)
+
+        return self._retry_rmw(once)
+
+    def delete_by_frame(
+        self, spark: SparkSession, key_col: str, keys_df: DataFrame, snapshot_id: str
+    ) -> int:
+        """Row-level DELETE whose key set is a DataFrame — the scale
+        path for erase sets beyond driver memory (a MERGE-sized CDC
+        retraction batch, "delete every customer in this segment").
+        File pruning is a stats×keys semi-join and the row match a LEFT
+        ANTI join; no key ever reaches the driver. Same atomicity /
+        idempotency / retry contract as ``delete_matching``."""
+        return self._retry_rmw(
+            lambda: self._rewrite_once(
+                spark, key_col, keys_df.select(key_col), snapshot_id
+            )
+        )
 
     def read_history_harmonized(self, spark: SparkSession) -> DataFrame:
         """Every surviving version unioned under schema evolution:
@@ -1127,6 +1199,62 @@ SELECT o_orderstatus, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 WHERE o_custkey % 97 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def manifest_delete_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with a TABLE-sized key set, end-to-end through the
+    join-based rewrite: publish orders range-clustered on o_custkey,
+    then erase every order belonging to a BUILDING-segment customer by
+    handing ``delete_by_frame`` the key *DataFrame* (customer filtered
+    on segment) — no key list ever reaches the driver, so the same
+    commit shape carries a 10⁸-key CDC retraction batch. File pruning
+    is the stats×keys semi-join; the row match is a LEFT ANTI join.
+    Oracle: the same aggregate over orders anti-joined to the segment."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"delt_orders_{tag}_{_src_fp(sf_dir, 'orders')}")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_custkey"),
+        snapshot_id="base",
+        stats_cols=["o_custkey"],
+    )
+    erase_keys = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    table.delete_by_frame(spark, "o_custkey", erase_keys, snapshot_id="erase-seg-1")
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_DELETE_BY_TABLE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+)
 GROUP BY o_orderstatus
 """
 

@@ -205,8 +205,10 @@ class MrRunsWriter(DataSourceWriter):
                 pass
 
 
-# The datasource class is shipped to executors by value — the repo is on
-# the driver's sys.path only (see .claude/skills/verify gotchas).
+# The datasource class is shipped to executors by value: the repo is on
+# the driver's sys.path only, so without pickle-by-value the executor-side
+# Python worker fails with ModuleNotFoundError when it unpickles the reader
+# (only reproducible when the driver process runs from a foreign cwd).
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 

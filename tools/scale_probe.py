@@ -3,7 +3,7 @@ sf0.1 and on a 4x-inflated on-disk copy of its documents table.
 
 Complements tests/test_scale_smoke.py (in-memory 16x linearity of
 RESULTS) with wall-clock evidence: the same plans on 4x the bytes
-should cost ~4x (candidate-bounded ops may grow a bit faster because
+should cost ~4x (x16 with SPARK_GRAFT_PROBE_COPIES=16; candidate-bounded ops may grow a bit faster because
 the inflated copies plant extra near-duplicates — each copy's text is
 perturbed with a copy tag so exact dedup does not collapse them, but
 cross-copy pairs are genuinely near-identical and SHOULD be found).
@@ -22,7 +22,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 4
+# x4 by default; the x16 run (VERDICT r02 item #4: where shuffle sizes
+# start to matter and banded-join growth claims are genuinely exercised)
+# via SPARK_GRAFT_PROBE_COPIES=16.
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "4"))
 PROBES = [
     "word_count",
     "dedup_exact",
@@ -30,6 +33,7 @@ PROBES = [
     "dedup_ngram_jaccard",
     "tfidf_top_terms",
     "winnow_fingerprints",
+    "winnow_neardup_pairs",
     "pretrain_mix_pipeline",
     "token_budget_mix",
 ]
@@ -99,7 +103,7 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-probe", cpus="32")
     q = mod.queries()
-    out_dir = os.path.join(REPO, ".tmp", "sfx4")
+    out_dir = os.path.join(REPO, ".tmp", f"sfx{COPIES}")
     os.makedirs(out_dir, exist_ok=True)
     build_inflated(spark, out_dir)
     build_inflated_events(spark, out_dir)
@@ -107,7 +111,10 @@ def main() -> None:
     # warm python workers / codegen like bench.py does
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
 
-    print(f"{'query':28s} {'sf0.1':>8s} {'x4':>8s} {'ratio':>6s}  rows(base->x4)")
+    print(
+        f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
+        f"  rows(base->x{COPIES})"
+    )
     for name in PROBES + EVENT_PROBES:
         fn = q[name]
         t0 = time.time()
