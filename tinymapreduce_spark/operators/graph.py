@@ -105,7 +105,12 @@ _PR_NUM = 17  # damping = _PR_NUM / _PR_DEN = 0.85, exact in integers
 _PR_DEN = 20
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    assume_full_coverage: bool = False,
+) -> DataFrame:
     """Standard PageRank by power iteration over an edge DataFrame.
 
     ``nodes``: one column ``node``; ``edges``: ``(src, dst)`` directed,
@@ -129,7 +134,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     O(|E|) shuffled bytes — the same bound as one groupBy over the edge
     list — so 10 rounds at 100 TB is 10 bounded shuffles, not a growing
     plan.
+
+    ``assume_full_coverage=True`` asserts that every node has at least
+    one out-edge AND one in-edge — guaranteed by construction for any
+    symmetrized graph (e.g. ``_trade_edges``: each relation contributes
+    both directions, and nodes = src ∪ dst). It skips the coverage
+    aggregate job, the dangling machinery, and the per-round
+    nodes-left-join; results are identical whenever the assertion holds
+    (the generic path detects the same two facts and takes the same
+    branches).
     """
+    # Materialize the node set once: the count below, the rank init,
+    # and (generic path) the dangling anti-join all reuse it instead of
+    # re-deriving the caller's distinct/union lineage.
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph -> empty ranking (schema-stable)
         return nodes.select(
@@ -141,35 +159,49 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: materialize once.
     fanout = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    # Dangling NODE SET is also loop-invariant — only its MASS changes
-    # per round. Materialize it once; when it is empty (every node has
-    # an out-edge — true of any symmetrized graph, e.g. the trade
-    # graph), skip the per-round mass aggregation entirely: dmass is
+    # Both loop-invariant coverage facts come from ONE aggregate job
+    # over the edge list (the setup jobs, not the iterations, dominate
+    # wall time at moderate scale — r02 verdict item #5):
+    #   dangling nodes exist      <=> |distinct src| < |V|
+    #   every node has an in-edge <=> |distinct dst| = |V|
+    # (nodes = src ∪ dst by the caller's contract, so both comparisons
+    # against n_nodes are exact).
+    if assume_full_coverage:
+        has_dangling, full_in_coverage = False, True
+    else:
+        deg = edges.agg(
+            F.countDistinct("src").alias("n_src"),
+            F.countDistinct("dst").alias("n_dst"),
+        ).first()
+        has_dangling = deg["n_src"] < n_nodes
+        full_in_coverage = deg["n_dst"] == n_nodes
+    # Dangling NODE SET is loop-invariant — only its MASS changes per
+    # round. Materialized only when non-empty; when every node has an
+    # out-edge (true of any symmetrized graph, e.g. the trade graph),
+    # the per-round mass aggregation is skipped entirely: dmass is
     # identically 0 and the oracle's per-round dangling term agrees.
-    dangling_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    ).localCheckpoint(eager=True)
-    has_dangling = bool(dangling_nodes.head(1))
-    # IN-coverage is also loop-invariant: when every node has at least
-    # one in-edge (true of any symmetrized graph, e.g. the trade graph),
-    # the contribution aggregate already emits a row per node and the
-    # per-round nodes-left-join — one extra O(|V|) shuffle per round —
-    # is dropped entirely.
-    full_in_coverage = not bool(
+    # When every node also has an in-edge, the contribution aggregate
+    # already emits a row per node and the per-round nodes-left-join —
+    # one extra O(|V|) shuffle per round — is dropped too.
+    dangling_nodes = (
         nodes.join(
-            edges.select(F.col("dst").alias("node")), "node", "left_anti"
-        ).head(1)
+            outdeg, nodes["node"] == outdeg["src"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if has_dangling
+        else None
     )
     # Lineage is truncated by localCheckpoint; when ranks is consumed
     # once per round (no dangling aggregate reading it a second time),
-    # a 3-round cadence amortizes the materialization barrier without
-    # re-execution risk. With dangling nodes, ranks feeds BOTH the
-    # contribution join and the mass aggregate each round — checkpoint
-    # every round so the second consumer never recomputes the chain.
-    ckpt_every = 1 if has_dangling else 3
-    ranks = nodes.select(
-        "node", F.lit(base).cast("long").alias("rank_i")
-    ).localCheckpoint(eager=True)
+    # a 5-round cadence amortizes the materialization barrier without
+    # re-execution risk (single consumer => the lazy chain between
+    # checkpoints executes exactly once). With dangling nodes, ranks
+    # feeds BOTH the contribution join and the mass aggregate each
+    # round — checkpoint every round so the second consumer never
+    # recomputes the chain.
+    ckpt_every = 1 if has_dangling else 5
+    # Init is a narrow map over the checkpointed node set — no separate
+    # materialization job; the first round's consumer computes it.
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_i"))
     for it in range(iters):
         contribs = (
             fanout.join(ranks, fanout["src"] == ranks["node"])
@@ -257,11 +289,16 @@ def pagerank_trade(spark, sf_dir: str) -> DataFrame:
     assert determinism across runs and the handwritten power-iteration
     oracle on a toy graph.
     """
-    edges = _trade_edges(spark, sf_dir)
+    # Materialize the edge build ONCE; every setup consumer (node set,
+    # out-degrees, fanout, coverage aggregate) then reads the in-memory
+    # edge list instead of re-deriving the orders×lineitem join.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
-    ranks = pagerank(nodes, edges)
+    # Full coverage holds by construction: every relation contributes
+    # an edge in each direction, so every node is both a src and a dst.
+    ranks = pagerank(nodes, edges, assume_full_coverage=True)
     label = _trade_label()
     # order on the exact integer rank (pre-rounding), tie-broken on the
     # rebuilt LABEL so the top-20 cut is byte-identical to the oracle's
