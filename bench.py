@@ -170,6 +170,8 @@ HEADLINE = [
     "manifest_delete_by_table",
     "golden_wc_parity",
     "ann_ivf_recall",
+    "dsir_importance_weights",
+    "k_anonymity_risk",
 ]
 
 

@@ -778,3 +778,24 @@ def test_iterator_udf_is_arrow_batched(spark, sf_dir):
     # SQL_SCALAR_PANDAS_ITER evaluates as Arrow batches, not row Python
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_dsir_weights_stay_jvm_side_with_broadcast_lut(spark, sf_dir):
+    from tinymapreduce_spark.operators import curation
+
+    p = plan_of(curation.dsir_importance_weights(spark, sf_dir))
+    # tokenize/hash/bucket in codegen; the 256-row LUT joins broadcast
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # no data-sized sort-merge join anywhere in the scoring path
+    assert "CartesianProduct" not in p
+
+
+def test_k_anonymity_is_one_aggregate(spark, sf_dir):
+    from tinymapreduce_spark.plans import maintenance
+
+    p = plan_of(maintenance.k_anonymity_risk(spark, sf_dir))
+    # single hash-aggregate with map-side partials; no join at all
+    assert "HashAggregate" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p

@@ -842,3 +842,117 @@ SELECT s.source, s.docs_in,
        COALESCE(f.tokens_kept, 0) AS tokens_kept
 FROM stage s LEFT JOIN filled f USING (source)
 """
+
+
+# -- DSIR-style importance weighting ---------------------------------
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (Xie et al. use 10^4 x bigrams)
+DSIR_SCALE = 1_000_000  # log-ratio quantization: 1e-6 nats per unit
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    re-expressed Spark-first: score every document by how much more
+    likely its hashed-unigram bag is under the TARGET distribution
+    (here: the ``lang='en'`` slice, the stand-in for a high-quality
+    domain) than under the RAW rest of the corpus.
+
+    Exactness: bucket log-ratios are quantized ONCE per bucket —
+    ``round(1e6 * ln((ct+1)(R+B) / ((cr+1)(T+B))))`` over exact integer
+    counts (Laplace-smoothed) — and each document's score is then a SUM
+    OF BIGINTS, so per-doc aggregation order cannot perturb the result;
+    the only float work is one division + ln per bucket, the same
+    cross-engine-stable shape as BM25's idf (`retrieval.py`).
+
+    Scale: tokenize/bucket stays in codegen (split + md5 + pmod); the
+    bucket-count aggregate is B=256 keys with map-side combine; the LUT
+    is a 256-row broadcast; the per-doc sum is one O(corpus tokens)
+    shuffle keyed by doc_id. Nothing is all-pairs, nothing collects.
+    """
+    from tinymapreduce_spark.functions.hashing import h60
+
+    docs = documents_for_cpu(spark, sf_dir)
+    B = DSIR_BUCKETS
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(tokens("text")).alias("tok"),
+    ).withColumn("b", F.pmod(h60(F.col("tok")), F.lit(B)))
+    stats = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    lut = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("ct") + F.lit(1.0)) * (F.col("r_tot") + F.lit(float(B))))
+                    / ((F.col("cr") + F.lit(1.0)) * (F.col("t_tot") + F.lit(float(B))))
+                )
+                * DSIR_SCALE
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    scores = (
+        tok.join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("dsir_score"))
+    )
+    return (
+        docs.join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dsir_score"), F.lit(0)).cast("long").alias("dsir_score"),
+            (F.coalesce(F.col("dsir_score"), F.lit(0)) > 0).alias("target_like"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL
+
+    B = DSIR_BUCKETS
+    h = H60_SQL_TMPL.format(expr="tok")
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS is_t,
+         ({h}) % {B} AS b
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS tok
+    FROM documents
+  )
+), stats AS MATERIALIZED (
+  SELECT b,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY b
+), totals AS (
+  SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM stats
+), lut AS MATERIALIZED (
+  SELECT b,
+         CAST(ROUND(ln(
+           ((ct + 1.0) * (r_tot + {B}.0))
+           / ((cr + 1.0) * (t_tot + {B}.0))
+         ) * {DSIR_SCALE}) AS BIGINT) AS w
+  FROM stats CROSS JOIN totals
+), scores AS (
+  SELECT t.doc_id, CAST(SUM(l.w) AS BIGINT) AS dsir_score
+  FROM tok t JOIN lut l USING (b)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+       COALESCE(s.dsir_score, 0) > 0 AS target_like
+FROM documents d LEFT JOIN scores s USING (doc_id)
+"""
+
+
+DSIR_SQL = _dsir_sql()

@@ -672,3 +672,50 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+K_ANON_K = 5  # groups smaller than this are re-identification risks
+
+
+def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table's quasi-identifiers
+    (Sweeney 2002): treat (nation, market segment, account-balance
+    band) as the attacker-visible attribute combination and report
+    every equivalence class with fewer than K members — the classes
+    where "anonymized" records are re-identifiable by quasi-identifier
+    join. The governance companion to ``pseudonymized_join``: that one
+    proves analytics survive key pseudonymization, this one finds the
+    rows for which pseudonymization is NOT enough.
+
+    One hash-aggregate over the table (map-side combined), then a
+    filter on the class size — O(|classes|) output, no joins. At 100 TB
+    the same plan holds: the aggregate shuffles one row per class, not
+    per customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.where(F.col("class_size") < K_ANON_K).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_band",
+        "class_size",
+        F.lit(K_ANON_K).cast("long").alias("k_required"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       COUNT(*) AS class_size,
+       CAST({K_ANON_K} AS BIGINT) AS k_required
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {K_ANON_K}
+"""
