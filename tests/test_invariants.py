@@ -805,6 +805,23 @@ class TestPageRank:
         for n in "sab":
             assert got[n] == pytest.approx(ranks[n], abs=1e-12), n
 
+    def test_assume_full_coverage_matches_generic_path(self, spark):
+        """The assume_full_coverage fast path must be bit-identical to
+        the generic (detecting) path whenever the assertion holds — here
+        on a symmetrized toy graph where every node has in+out edges."""
+        from tinymapreduce_spark.operators.graph import pagerank
+
+        rel = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+        both = rel + [(y, x) for x, y in rel]
+        edges = spark.createDataFrame(both, "src string, dst string")
+        nodes = spark.createDataFrame([(n,) for n in "abcd"], "node string")
+        generic = {r.node: r.rank_i for r in pagerank(nodes, edges).collect()}
+        fast = {
+            r.node: r.rank_i
+            for r in pagerank(nodes, edges, assume_full_coverage=True).collect()
+        }
+        assert generic == fast
+
     def test_mass_conserved_and_deterministic(self, spark, sf_dir):
         from tinymapreduce_spark.operators.graph import pagerank_trade
 

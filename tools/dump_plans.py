@@ -77,6 +77,8 @@ SELECTED = {
     "dedup_incremental_bloom": "bloom bitmap broadcast; k=4 probe joins shuffle-free; only maybe-hits reach exact verify",
     "pseudonymized_join": "token-space analytics: keyed-hash projections in codegen, dims broadcast",
     "try_arithmetic": "NULL-on-error scalar family entirely in codegen over one narrow scan",
+    "dsir_importance_weights": "hashed-unigram LUT broadcast; per-doc score is a bigint sum — one token shuffle",
+    "k_anonymity_risk": "one map-side-combined aggregate over quasi-identifiers; O(classes) output, no joins",
 }
 
 
