@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_subquery": subqueries.in_subquery,
         "exact_percentiles": subqueries.exact_percentiles,
         # --- new in round 3 ---
+        "stream_cdc_upsert": stream_sinks.stream_cdc_upsert,
         "dsir_importance_weights": curation.dsir_importance_weights,
         "k_anonymity_risk": maintenance.k_anonymity_risk,
         "manifest_delete_by_table": manifest_sink.manifest_delete_by_table,
@@ -541,6 +542,7 @@ GROUP BY word
         "parquet_zstd_roundtrip": textfiles.ROUNDTRIP_AGG_SQL,
         "manifest_time_travel": manifest_sink.MANIFEST_TT_SQL,
         "manifest_delete_by_table": manifest_sink.MANIFEST_DELETE_BY_TABLE_SQL,
+        "stream_cdc_upsert": stream_sinks.STREAM_CDC_UPSERT_SQL,
         "dsir_importance_weights": curation.DSIR_SQL,
         "k_anonymity_risk": maintenance.K_ANONYMITY_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,

@@ -172,6 +172,7 @@ HEADLINE = [
     "ann_ivf_recall",
     "dsir_importance_weights",
     "k_anonymity_risk",
+    "stream_cdc_upsert",
 ]
 
 

@@ -266,3 +266,94 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — a change feed MERGEd into the versioned
+    table one micro-batch at a time through ``foreachBatch`` +
+    ``upsert_matching`` (the join-based copy-on-write core, so each
+    batch's key set stays a DataFrame: stats semi-join file pruning +
+    LEFT ANTI row match, no driver-side key list even under streaming).
+
+    Feed construction (deterministic): orders of custkeys divisible by 7
+    arrive as UPDATES (price doubled — exact for doubles), custkeys
+    divisible by 11 as INSERTS (negated orderkey), hash-split into 4
+    files and streamed one file per trigger, so the MERGE really runs
+    4 times against an evolving table. Keys are disjoint across batches
+    (hash split on the key), so the final state is order-independent.
+
+    Exactly-once: each batch commits under ``snapshot_id=cdc-{batch_id}``
+    — a replayed batch re-derives against the current version and hits
+    the idempotent no-op publish, the streaming analog of the
+    reference's rename-commit story. Oracle: CASE + UNION ALL
+    reconstruction of the final state (shared shape with
+    ``manifest_upsert``, different key classes)."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    run = uuid.uuid4().hex[:8]
+    table = ManifestTable(os.path.join(SCRATCH, f"cdc_tbl_{run}"))
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    updates = orders.where("o_custkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = orders.where("o_custkey % 11 = 0").select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    feed_dir = os.path.join(SCRATCH, f"cdc_feed_{run}")
+    updates.unionByName(inserts).repartition(4, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert_matching(
+            batch_df.sparkSession, "o_orderkey", batch_df,
+            snapshot_id=f"cdc-{batch_id}",
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+STREAM_CDC_UPSERT_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_custkey % 11 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
