@@ -384,6 +384,33 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert not (fps[1] & fps[3])
 
 
+def test_winnow_stop_fingerprints_drop_boilerplate_buckets(spark):
+    """A fingerprint shared by more than the hot-fp cap is boilerplate,
+    not pair evidence: without the cap a 100 TB template bucket emits
+    O(bucket²) pair rows. Docs sharing ONLY the hot template must pair
+    with nobody; a pair sharing a genuinely rare substring must survive
+    the cap untouched."""
+    from tinymapreduce_spark.operators.textstats import winnow_neardup_pairs_df
+
+    template = "commonboilerplateheaderline"
+    # long enough that the surviving pair clears WINNOW_SHARED_MIN
+    rare = " ".join(f"xylophonequartz{j}" for j in range(40))
+    rows = [(i, f"doc {i} unique{i} " + template) for i in range(40)]
+    rows += [
+        (100, "alpha " + rare + " beta " + template),
+        (101, "gamma " + rare + " delta " + template),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_neardup_pairs_df(docs, hot_fp_cap=8).collect()
+    }
+    assert (100, 101) in pairs, "rare shared substring must still pair"
+    assert all(p == (100, 101) for p in pairs), (
+        f"boilerplate-only docs must not pair: {sorted(pairs)[:5]}"
+    )
+
+
 def test_training_shuffle_positions_are_contiguous(spark, sf_dir):
     """Within every shard, positions must be exactly 1..n (a permutation
     a loader can stream without gaps), and the assignment must be

@@ -811,7 +811,7 @@ WITH h AS (
                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS win_min,
          MAX(p) OVER (PARTITION BY doc_id) AS max_p
   FROM h
-), fps AS (
+), fps AS MATERIALIZED (
   SELECT DISTINCT doc_id, win_min AS fp
   FROM wins WHERE p <= max_p - {WINNOW_W - 1}
 )
@@ -880,6 +880,9 @@ def compressibility_df(docs: DataFrame) -> DataFrame:
 WINNOW_SHARED_MIN = 40
 
 
+WINNOW_HOT_FP_CAP = 512  # stop-fingerprints: buckets past this are boilerplate
+
+
 def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-copy pairs via shared winnowing fingerprints — the MOSS
     use case proper: two documents that share >= WINNOW_SHARED_MIN
@@ -889,8 +892,36 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the other pair generators — a narrow
     (doc_id, fp) index self-joined on the 8-byte fingerprint, so only
-    docs colliding on a selected hash ever pair; no all-pairs stage."""
-    fps = winnow_fps_df(documents_for_cpu(spark, sf_dir))
+    docs colliding on a selected hash ever pair; no all-pairs stage.
+
+    The quadratic term is Σ_fp bucket²: on real text, fingerprint
+    entropy grows with the corpus and buckets stay near clone-family
+    size, but template boilerplate (or a low-entropy corpus) can
+    produce a bucket of 10⁶ docs whose pair expansion alone is 10¹²
+    rows. ``hot_fp_cap`` on the ``_df`` form is the stop-fingerprint
+    knob for that regime (MOSS applies the same treatment to common
+    code idioms). The REGISTERED query keeps the exact uncapped
+    semantics: the ×16 probe measured that this synthetic corpus's
+    k-gram space is degenerate (8.5k distinct fps over 80k docs), where
+    any fixed cap strips evidence below WINNOW_SHARED_MIN — see
+    BASELINE.md round-3 notes."""
+    return winnow_neardup_pairs_df(documents_for_cpu(spark, sf_dir))
+
+
+def winnow_neardup_pairs_df(
+    docs: DataFrame, hot_fp_cap: int | None = None
+) -> DataFrame:
+    """Pair-join body over any ``(doc_id, text)`` frame; ``hot_fp_cap``
+    (e.g. WINNOW_HOT_FP_CAP) drops stop-fingerprints shared by more
+    documents than the cap, bounding the join at O(index × cap) rows."""
+    fps = winnow_fps_df(docs)
+    if hot_fp_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > hot_fp_cap)
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: local[32] packs 32 concurrent tasks (sorts + partial-agg
+        # maps) into ONE JVM heap — 8g left ~250 MB/task and OOMed the
+        # x16 winnowing pair probe; a real cluster sizes per-executor
+        # memory instead (this knob maps to spark.executor.memory there).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -33,10 +33,16 @@ PROBES = [
     "dedup_ngram_jaccard",
     "tfidf_top_terms",
     "winnow_fingerprints",
-    "winnow_neardup_pairs",
     "pretrain_mix_pipeline",
     "token_budget_mix",
 ]
+# The uncapped winnow pair join is quadratic in fp-bucket size, and THIS
+# synthetic corpus's k-gram space is degenerate at x16 (8.5k distinct
+# fps over 80k docs, max bucket 61k -> 1.9e9 pair rows from one bucket).
+# Probe it at x4 where buckets stay clone-family sized; the x16 story +
+# the hot_fp_cap knob are measured and documented in BASELINE.md.
+if COPIES <= 4:
+    PROBES.insert(PROBES.index("pretrain_mix_pipeline"), "winnow_neardup_pairs")
 
 
 def build_inflated(spark, out_dir: str) -> None:
