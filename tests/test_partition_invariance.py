@@ -39,6 +39,10 @@ REPRESENTATIVES = [
     "exact_quota_split",
     "dedup_incremental_bloom",
     "pretrain_mix_pipeline",
+    # round-3 additions: integer-LUT importance scoring, streaming CDC
+    # MERGE through the join-based copy-on-write core
+    "dsir_importance_weights",
+    "stream_cdc_upsert",
 ]
 
 
