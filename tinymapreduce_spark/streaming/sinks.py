@@ -277,10 +277,16 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Feed construction (deterministic): orders of custkeys divisible by 7
     arrive as UPDATES (price doubled — exact for doubles), custkeys
-    divisible by 11 as INSERTS (negated orderkey), hash-split into 4
-    files and streamed one file per trigger, so the MERGE really runs
-    4 times against an evolving table. Keys are disjoint across batches
-    (hash split on the key), so the final state is order-independent.
+    divisible by 11 as INSERTS (negated orderkey), RANGE-split on the
+    key into 4 files and streamed one file per trigger, so the MERGE
+    really runs 4 times against an evolving table. The range split
+    matters at scale: each micro-batch carries a CONTIGUOUS key slice,
+    so the stats semi-join prunes to ~1/4 of the table's files per
+    batch instead of rewriting every file every batch (a hash split
+    makes every batch touch everything — measured ~20% slower end to
+    end at sf0.1, and the gap is the table-rewrite volume, so it widens
+    with table size). Keys are disjoint across batches, so the final
+    state is order-independent.
 
     Exactly-once: each batch commits under ``snapshot_id=cdc-{batch_id}``
     — a replayed batch re-derives against the current version and hits
@@ -310,7 +316,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     feed_dir = os.path.join(SCRATCH, f"cdc_feed_{run}")
-    updates.unionByName(inserts).repartition(4, "o_orderkey").write.mode(
+    updates.unionByName(inserts).repartitionByRange(4, "o_orderkey").write.mode(
         "overwrite"
     ).parquet(feed_dir)
 
