@@ -340,14 +340,21 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return (
+    out = (
         table.read(spark)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec("o_totalprice")).cast("double").alias("total"),
         )
+        # materialize before deleting the run-scoped scratch dirs below
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    return out
 
 
 STREAM_CDC_UPSERT_SQL = """
