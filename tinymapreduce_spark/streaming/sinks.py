@@ -59,7 +59,13 @@ def stream_wap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return table.read(spark)
+    # materialize, then drop the run-scoped table dir (fresh per run —
+    # batch ids restart per query, so it can never be reused anyway)
+    out = table.read(spark).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    return out
 
 
 STREAM_WAP_SQL = """
@@ -142,7 +148,16 @@ def stream_cms_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("cell_n").alias("est_count"))
     )
-    return est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)
+    out = (
+        est.orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(CMS_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
 
 
 def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
