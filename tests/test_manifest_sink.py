@@ -448,3 +448,19 @@ def test_delete_by_frame_table_sized_key_set(spark, table):
     assert s2.n_rows == 700
     assert sorted(r.id for r in table.read(spark).collect()) == list(range(300, 1000))
     assert table.delete_by_frame(spark, "id", keys, snapshot_id="e-frame") == 2
+
+
+def test_rewrite_on_statsless_table_treats_all_files_as_candidates(spark, table):
+    """A table published WITHOUT per-file stats cannot prune — every
+    file is a candidate and MERGE/DELETE must still be correct (just
+    unpruned), including through the join-based key match."""
+    table.publish(_df(spark, 0, 200).repartition(4, "id"), snapshot_id="base")
+    assert not table.snapshot(1).stats
+    ups = spark.createDataFrame([(5, -1), (500, -2)], "id long, v long")
+    table.upsert_matching(spark, "id", ups, snapshot_id="m1")
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got[5] == -1 and got[500] == -2 and got[7] == 14
+    table.delete_matching(spark, "id", [500, 7], snapshot_id="e1")
+    remaining = {r.id for r in table.read(spark).collect()}
+    assert 500 not in remaining and 7 not in remaining and 5 in remaining
+    assert len(remaining) == 199  # 200 +1 insert -2 deletes
