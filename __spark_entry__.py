@@ -427,12 +427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    ann_ivf_topk / ann_lsh_topk /
+    ann_ivf_topk /
     ann_pq_topk / ann_ivfpq_topk / semdedup_drops (approximate by
-    construction over float embeddings — tests assert their recall
-    against the exact forms, and the four ann_*_recall registry keys
-    additionally compute recall@k in-plan as ORACLE-BACKED quality
-    rows; dedup_minhash_lsh / dedup_simhash,
+    construction over float-trained codebooks — tests assert their
+    recall against the exact forms, and the four ann_*_recall registry
+    keys additionally compute recall@k in-plan as ORACLE-BACKED quality
+    rows; ann_lsh_topk, whose planes are training-free h60 integers,
+    now carries a FULL pipeline oracle — ANN_LSH_TOPK_SQL replays
+    planes, signatures, multi-probe, candidates, and scores exactly; dedup_minhash_lsh / dedup_simhash,
     equally approximate but built on the portable integer md5-60-bit
     hash family, DO carry exact oracles that replay the very same
     signatures/bands, as does cms_heavy_hitters whose cell table uses
@@ -546,6 +548,7 @@ GROUP BY word
         "dsir_importance_weights": curation.DSIR_SQL,
         "k_anonymity_risk": maintenance.K_ANONYMITY_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
+        "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,

@@ -206,53 +206,97 @@ LSH_TABLES = 12
 LSH_BITS = 8
 
 
-def _plane_component(t: int, b: int, j_col):
-    """Hyperplane component (t, b, j) in [-1, 1], derived JVM-side from
-    ``xxhash64`` of the coordinate triple — deterministic across runs and
-    engines, and O(1) plan size in the embedding dimension (the round-1
-    form inlined dim literals per bit: ~6k literals at dim=64, a codegen
-    hazard at real dims >= 768; VERDICT r01 'What's wrong' item 3)."""
-    h = F.xxhash64(
-        F.concat_ws("-", F.lit("lsh"), F.lit(t), F.lit(b), j_col.cast("string"))
+LSH_SCALE = 1_000_000  # embedding quantization for sign-exact dot products
+LSH_PLANE_M = 1 << 20  # plane components are exact ints in [-M, M]
+
+
+def _portable_planes(emb: DataFrame, emb_col: str) -> DataFrame:
+    """ALL L×B hyperplanes as ONE nested broadcast row, components drawn
+    from the portable md5 h60 family (``functions/hashing.py``) so the
+    DuckDB oracle derives bit-identical planes: component (t, b, j) =
+    h60("lshp-t-b-j") mod (2M+1) − M, an exact integer. Plan size stays
+    O(1) in the embedding dimension (components come from a lambda over
+    ``sequence(0, dim-1)``; dim is read from the DATA via a 1-row
+    broadcast, never inlined as literals — the r01 codegen-size fix,
+    now without the engine-private xxhash64)."""
+    from tinymapreduce_spark.functions.hashing import h60
+
+    spark = emb.sparkSession
+    dim_row = emb.select(F.size(emb_col).alias("_d")).limit(1)
+    tb = spark.range(LSH_TABLES * LSH_BITS).select(
+        (F.col("id") / LSH_BITS).cast("int").alias("t"),
+        (F.col("id") % LSH_BITS).cast("int").alias("b"),
     )
-    return h.cast("double") / F.lit(float(1 << 63))
-
-
-def _dot_hashplane(emb_col, t: int, b: int):
-    prods = F.zip_with(
-        emb_col,
-        F.sequence(F.lit(0), F.size(emb_col) - 1),
-        lambda x, j: x * _plane_component(t, b, j),
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _signatures(df: DataFrame, emb_col: str) -> DataFrame:
-    """Append one B-bit bucket column per LSH table: bit b of table t is
-    sign(embedding . hyperplane(t,b)). All L*B dot products run as one
-    Catalyst projection inside the scan — one narrow pass, no Python,
-    no driver-side dim probe (the plane materializes element-wise inside
-    the ``zip_with`` lambda, whatever the array length)."""
-    buckets = [
-        sum(
-            (F.when(_dot_hashplane(F.col(emb_col), t, b) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-            for b in range(LSH_BITS)
-        ).alias(f"b{t}")
-        for t in range(LSH_TABLES)
-    ]
-    return df.select("*", *buckets)
-
-
-def _melt_tables(df: DataFrame, id_col: str) -> DataFrame:
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                for t in range(LSH_TABLES)
-            ]
+    comp = lambda j: (  # noqa: E731
+        F.pmod(
+            h60(
+                F.concat_ws(
+                    "-",
+                    F.lit("lshp"),
+                    F.col("t").cast("string"),
+                    F.col("b").cast("string"),
+                    j.cast("string"),
+                )
+            ),
+            F.lit(2 * LSH_PLANE_M + 1),
         )
-    ).alias("tb")
-    return df.select(id_col, tb).select(id_col, "tb.t", "tb.bucket")
+        - F.lit(LSH_PLANE_M)
+    )
+    planes = tb.crossJoin(F.broadcast(dim_row)).select(
+        "t",
+        "b",
+        F.transform(F.sequence(F.lit(0), F.col("_d") - 1), comp).alias("p"),
+    )
+    return planes.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("t", "b", "p"))).alias("_P")
+    )
+
+
+def _signatures_index(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
+    """The narrow (id, t, bucket) signature index: bit b of table t is
+    sign(⟨quantized embedding, integer plane(t, b)⟩). Both sides of the
+    dot product are exact integers (floor(x·1e6) vs the h60-derived
+    plane), so every SIGN — hence every bucket, candidate set, and
+    output row — is an exact function of the data that the SQL oracle
+    replays bit-for-bit; no float summation order anywhere near a
+    decision boundary. One narrow pass over the scan plus a 1-row plane
+    broadcast; signatures explode to L rows per vector, embeddings are
+    never replicated per table."""
+    planes = _portable_planes(df, emb_col)
+    qe = F.transform(
+        F.col(emb_col), lambda x: F.floor(x.cast("double") * LSH_SCALE).cast("long")
+    )
+    with_q = df.select(F.col(id_col), qe.alias("_qe")).crossJoin(F.broadcast(planes))
+    zero = F.lit(0).cast("long")
+
+    def dot(plane):
+        return F.aggregate(
+            F.zip_with(F.col("_qe"), plane, lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    def bucket_t(t):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(LSH_BITS - 1)),
+            zero,
+            lambda acc, b: acc
+            + F.when(
+                dot(
+                    F.element_at(
+                        F.col("_P"), (t * LSH_BITS + b + 1).cast("int")
+                    )["p"]
+                )
+                > 0,
+                # 2^b as exact integer (shiftleft needs a literal shift)
+                F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+            ).otherwise(zero),
+        )
+
+    buckets = F.transform(F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)), bucket_t)
+    return with_q.select(
+        F.col(id_col), F.posexplode(buckets).alias("t", "bucket")
+    ).select(id_col, F.col("t").cast("int").alias("t"), "bucket")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,8 +312,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per distinct candidate for exact scoring. Per-query scan
     fraction is the bucket collision rate (<~40% here, ~2^-B per random
     pair per probe in high-similarity regimes) instead of 100% for brute
-    force. Rows-only driver check; recall >= 0.6 vs the exact baseline
-    asserted in tests/test_invariants.py."""
+    force.
+
+    Exactness: signatures are integer-exact over the portable md5 plane
+    family (``_signatures_index``), so bucket membership — and with it
+    the candidate sets and the final top-k — is a pure function of the
+    data, and the DuckDB oracle (ANN_LSH_TOPK_SQL) replays the ENTIRE
+    index→probe→candidate→exact-score pipeline; the driver hash-checks
+    it like any exact query. Recall >= 0.6 vs the exact baseline is
+    additionally asserted in tests/test_invariants.py."""
     return ann_lsh_topk_df(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -277,15 +328,17 @@ def ann_lsh_topk_df(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     """LSH top-k body over any ``(vec_id, embedding)`` frame — split out
     so tests can certify recall on synthetic high-dim (>= 256) corpora,
     where the hashed-plane formulation must stay O(1) in plan size."""
-    sigs = _signatures(emb.select("vec_id", "embedding"), "embedding")
-    index = _melt_tables(sigs, "vec_id")
+    index = _signatures_index(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id"
+    )
 
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    q_sigs = _signatures(queries, "q_emb")
-    q_tables = _melt_tables(q_sigs.withColumnRenamed("query_id", "qid"), "qid")
-    probes = q_tables.select(
+    q_index = _signatures_index(
+        queries.select(F.col("query_id").alias("qid"), "q_emb"), "q_emb", "qid"
+    )
+    probes = q_index.select(
         "qid",
         "t",
         F.explode(
@@ -1103,3 +1156,70 @@ ANN_IVF_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivf"])
 ANN_LSH_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["lsh"])
 ANN_PQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["pq"])
 ANN_IVFPQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivfpq"])
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB replay of the ENTIRE LSH pipeline — portable planes,
+    integer-exact signatures, multi-probe bit flips, candidate join,
+    exact re-scoring — so the approximate index itself is hash-checked,
+    not just its recall. Every decision (bucket bits) is a comparison of
+    exact integers, so there is no float boundary anywhere before the
+    final (rounded) cosine scores."""
+    from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL
+
+    h = H60_SQL_TMPL.format(
+        expr="'lshp-' || t.t || '-' || b.b || '-' || j"
+    )
+    return f"""
+WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS MATERIALIZED (
+  SELECT t.t, b.b,
+         list_transform(range(0, (SELECT d FROM dim)),
+                        j -> ({h}) % {2 * LSH_PLANE_M + 1} - {LSH_PLANE_M}) AS p
+  FROM range(0, {LSH_TABLES}) t(t), range(0, {LSH_BITS}) b(b)
+),
+qe AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {LSH_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+sigs AS MATERIALIZED (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.q) + 1),
+                                                    i -> e.q[i] * p.p[i])) > 0
+                       THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qe e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+probes AS MATERIALIZED (
+  SELECT s.vec_id AS qid, s.t,
+         CASE WHEN f.j < 0 THEN s.bucket
+              ELSE xor(s.bucket, CAST(1 AS BIGINT) << f.j) END AS bucket
+  FROM sigs s, range(-1, {LSH_BITS}) f(j)
+  WHERE s.vec_id < {N_QUERIES}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.qid AS query_id, s.vec_id
+  FROM sigs s JOIN probes p ON s.t = p.t AND s.bucket = p.bucket
+  WHERE s.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(
+           list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6) AS score
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_lsh_sql()
