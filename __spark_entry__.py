@@ -550,7 +550,7 @@ GROUP BY word
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
-        "ann_lsh_recall": similarity.ANN_LSH_RECALL_SQL,
+        "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,
         "ann_ivfpq_recall": similarity.ANN_IVFPQ_RECALL_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,

@@ -1115,10 +1115,57 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the multi-probe LSH tier vs the exact baseline."""
-    return _recall_metric(
-        spark, sf_dir, ann_lsh_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["lsh"]
+    """Recall@k of the multi-probe LSH tier vs the exact baseline —
+    and because the LSH index is integer-exact (see ann_lsh_topk), the
+    HIT COUNT itself is value-checked: the oracle recomputes both the
+    exact and the LSH top-k in SQL and derives n_hit independently,
+    rather than pinning a boolean."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    min_pct = ANN_RECALL_MIN_PCT["lsh"]
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") * 100 >= F.col("n_exact") * min_pct).alias("recall_ok"),
+            F.lit(min_pct).cast("long").alias("min_recall_pct"),
+        )
     )
+
+
+def _ann_lsh_recall_sql() -> str:
+    min_pct = ANN_RECALL_MIN_PCT["lsh"]
+    return f"""
+WITH m AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT)
+      AS n_queries,
+    CAST((SELECT SUM(LEAST({TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1))
+          FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT) AS n_exact,
+    CAST((SELECT COUNT(*)
+          FROM ({ANN_TOPK_SQL}) e
+          JOIN ({ANN_LSH_TOPK_SQL}) l
+            ON e.query_id = l.query_id AND e.vec_id = l.vec_id) AS BIGINT)
+      AS n_hit
+)
+SELECT n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       n_exact,
+       n_hit,
+       n_hit * 100 >= n_exact * {min_pct} AS recall_ok,
+       CAST({min_pct} AS BIGINT) AS min_recall_pct
+FROM m
+"""
+
+
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,3 +1270,7 @@ SELECT query_id, vec_id, score, rank FROM (
 
 
 ANN_LSH_TOPK_SQL = _ann_lsh_sql()
+
+
+# bound here: _ann_lsh_recall_sql composes ANN_LSH_TOPK_SQL (defined above)
+ANN_LSH_RECALL_VALUE_SQL = _ann_lsh_recall_sql()
