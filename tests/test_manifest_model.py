@@ -21,10 +21,11 @@ from tinymapreduce_spark.sources.manifest_sink import ManifestTable
 KEYSPACE = 2_000
 
 
-def _df_of(spark, model: dict[int, int]):
+def _df_of(spark, model: dict[int | None, int]):
     if not model:
         return spark.createDataFrame([], "id long, v long")
-    return spark.createDataFrame(sorted(model.items()), "id long, v long")
+    rows = sorted(model.items(), key=lambda kv: (kv[0] is None, kv[0] or 0))
+    return spark.createDataFrame(rows, "id long, v long")
 
 
 def _read_as_dict(spark, table) -> dict[int, int]:
@@ -37,8 +38,10 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     table = ManifestTable(str(tmp_path / f"t{seed}"))
     model: dict[int, int] = {}
 
-    # initial publish
+    # initial publish — includes one NULL-key row, which per the
+    # Iceberg/Delta contract no upsert or delete may ever match
     model = {i: i * 3 for i in range(0, 600)}
+    model[None] = 999
     table.publish(
         _df_of(spark, model).repartitionByRange(6, "id"),
         snapshot_id="init",
@@ -63,8 +66,15 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
             table.upsert_matching(spark, "id", _df_of(spark, ups), snapshot_id=sid)
             model.update(ups)
         elif op == "delete":
-            keys = rng.sample(sorted(model) or [0], min(30, len(model)))
-            table.delete_matching(spark, "id", keys, snapshot_id=sid)
+            live = sorted(k for k in model if k is not None)
+            keys = rng.sample(live or [0], min(30, len(live) or 1))
+            if rng.random() < 0.5:
+                # list form, with a NULL entry the table must ignore
+                table.delete_matching(spark, "id", [*keys, None], snapshot_id=sid)
+            else:
+                # table-sized form through the join-based core
+                kdf = spark.createDataFrame([(k,) for k in keys], "id long")
+                table.delete_by_frame(spark, "id", kdf, snapshot_id=sid)
             for k in keys:
                 model.pop(k, None)
         elif op == "optimize":
