@@ -134,5 +134,91 @@ def main() -> None:
         )
 
 
+# -- TPC-H relational tier x{COPIES} -----------------------------------
+
+TPCH_SHIFTS = {
+    "customer": [("c_custkey", 10_000_000)],
+    "supplier": [("s_suppkey", 1_000_000)],
+    "part": [("p_partkey", 10_000_000)],
+    "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 10_000_000)],
+    "lineitem": [
+        ("l_orderkey", 1_000_000_000),
+        ("l_partkey", 10_000_000),
+        ("l_suppkey", 1_000_000),
+    ],
+}
+TPCH_COPY_VERBATIM = ["region", "nation", "events", "documents", "embeddings"]
+TPCH_PROBES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "global_sort_range",
+    "rollup_revenue",
+    "topk_per_group",
+    "merge_upsert",
+    "pagerank_trade",
+]
+
+
+def build_inflated_tpch(spark, out_dir: str) -> None:
+    """COPIES x the relational star: fact/dimension keys shifted per copy
+    so FK joins stay consistent (nation/region shared — the realistic
+    axis: more customers/orders/parts, same geography)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "lineitem.parquet", "_SUCCESS")):
+        return
+    for t, shifts in TPCH_SHIFTS.items():
+        base = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for col, step in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    for t in TPCH_COPY_VERBATIM:
+        spark.read.parquet(f"{BASE_SF}/{t}.parquet").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
+def main_tpch() -> None:
+    import __spark_entry__ as mod
+    from tinymapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-tpch", cpus="32")
+    q = mod.queries()
+    out_dir = os.path.join(REPO, ".tmp", f"tpchx{COPIES}")
+    os.makedirs(out_dir, exist_ok=True)
+    build_inflated_tpch(spark, out_dir)
+    spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+    print(
+        f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
+        f"  rows(base->x{COPIES})"
+    )
+    for name in TPCH_PROBES:
+        fn = q[name]
+        t0 = time.time()
+        n1 = fn(spark, BASE_SF).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        n2 = fn(spark, out_dir).count()
+        t2 = time.time() - t0
+        print(
+            f"{name:28s} {t1:7.2f}s {t2:7.2f}s {t2 / max(t1, 1e-9):5.1f}x  {n1}->{n2}"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "tpch":
+        main_tpch()
+    else:
+        main()
