@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": similarity.ann_lsh_recall,
         "ann_pq_recall": similarity.ann_pq_recall,
         "ann_ivfpq_recall": similarity.ann_ivfpq_recall,
+        "semdedup_recall": similarity.semdedup_recall,
+        "sketch_error_bounds": sketches.sketch_error_bounds,
     }
     window = {k: base[k] for k in _R3_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -553,6 +555,8 @@ GROUP BY word
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,
         "ann_ivfpq_recall": similarity.ANN_IVFPQ_RECALL_SQL,
+        "semdedup_recall": similarity.SEMDEDUP_RECALL_SQL,
+        "sketch_error_bounds": sketches.SKETCH_ERROR_BOUNDS_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
         "manifest_append_incremental": manifest_sink.MANIFEST_INCREMENTAL_SQL,

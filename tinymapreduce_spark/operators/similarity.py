@@ -1274,3 +1274,85 @@ ANN_LSH_TOPK_SQL = _ann_lsh_sql()
 
 # bound here: _ann_lsh_recall_sql composes ANN_LSH_TOPK_SQL (defined above)
 ANN_LSH_RECALL_VALUE_SQL = _ann_lsh_recall_sql()
+
+
+# Fixed sample cap for the recall metric: the ground truth is an exact
+# all-pairs pass, so it runs over the first SEM_RECALL_SAMPLE vec_ids
+# only — a CONSTANT (not data-proportional) bound, which keeps the
+# metric O(1) at any corpus scale while the index under test still runs
+# over the full corpus. At sf0.01 the sample covers the whole table.
+SEM_RECALL_SAMPLE = 1000
+SEMDEDUP_RECALL_MIN_PCT = 75
+
+
+def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-recall of the SemDeDup cell-blocked index vs the exact
+    all-pairs ground truth, computed in-plan as a driver-checkable
+    metric row (same pattern as the ann_*_recall rows): the oracle
+    independently derives the sample size and the exact droppable count
+    from the embeddings table and pins the recall invariant; the Spark
+    side must REACH those numbers from its real all-pairs frame and its
+    real k-means-blocked index. Promotes `semdedup_drops` from rows-only
+    evidence to a hash-checked quality row.
+
+    The exact side broadcasts the bounded sample (<= SEM_RECALL_SAMPLE
+    rows) into a nested-loop pair join — constant-size by construction,
+    never data-proportional."""
+    from tinymapreduce_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") < SEM_RECALL_SAMPLE)
+    a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select("id_b")
+        .distinct()
+    )
+    drops = (
+        semdedup_drops(spark, sf_dir)
+        .where(F.col("vec_id") < SEM_RECALL_SAMPLE)
+        .select(F.col("vec_id").alias("id_b"))
+    )
+    caught = truth.join(drops, "id_b", "left_semi")
+    return (
+        sample.agg(F.count(F.lit(1)).alias("n_sample"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_droppable")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+        .select(
+            "n_sample",
+            "n_droppable",
+            (
+                F.col("n_caught") * 100
+                >= F.col("n_droppable") * SEMDEDUP_RECALL_MIN_PCT
+            ).alias("recall_ok"),
+            F.lit(SEMDEDUP_RECALL_MIN_PCT).cast("long").alias("min_recall_pct"),
+        )
+    )
+
+
+def _semdedup_recall_sql() -> str:
+    cos = (
+        "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {SEM_RECALL_SAMPLE}),
+p AS (SELECT DISTINCT b.vec_id AS id_b
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_THRESHOLD})
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_droppable,
+       TRUE AS recall_ok,
+       CAST({SEMDEDUP_RECALL_MIN_PCT} AS BIGINT) AS min_recall_pct
+"""
+
+
+SEMDEDUP_RECALL_SQL = _semdedup_recall_sql()

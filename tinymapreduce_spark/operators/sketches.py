@@ -550,3 +550,126 @@ def approx_topk_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("word"), F.col("e.count").alias("cnt")
     )
+
+
+# Error budgets for the driver-checkable sketch-accuracy row. Each is
+# ~3x the sketch's published standard error (generous enough to be
+# deterministic-stable for a fixed input, tight enough that a broken
+# sketch or merge path trips it):
+#   HLL lgConfigK=12      -> 1.6% rse  -> 5% bound
+#   approx_count_distinct -> 5% rsd    -> 15% bound
+#   KLL k=200             -> ~1.3% rank error -> +-5 rank-pct bracket
+#   percentile_approx/1000-> 0.1% rank error  -> +-5 rank-pct bracket
+#   equidepth 10k-sketch  -> near-exact cuts  -> +-20% bucket-size band
+HLL_ERR_PCT = 5
+ACD_ERR_PCT = 15
+RANK_LO_PCT = 45
+RANK_HI_PCT = 55
+EQUIDEPTH_BAND_PCT = 20
+
+
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy row for the engine-specific sketch tier
+    (`approx_aggregates`, `hll_distinct_merge`, `kll_quantile_merge`,
+    `equidepth_sampled` are rows-only by design — binary sketch
+    internals have no SQL twin). This row makes their GUARANTEES
+    hash-checkable instead: every exact count is derived independently
+    by the oracle, and each `_ok` boolean pins the sketch's error bound,
+    so a regression in any sketch/merge path flips a value the driver
+    hashes. All exact sides are single aggregates; the rank brackets
+    cost one extra lineitem scan with two broadcast scalars."""
+    from tinymapreduce_spark.plans.analytics import equidepth_sampled
+    from tinymapreduce_spark.plans.subqueries import approx_aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    prices = li.select(F.col("l_extendedprice").cast("double").alias("price"))
+
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    n_cust = orders.agg(F.countDistinct("o_custkey").alias("n_custkeys"))
+    acd = li.agg(F.approx_count_distinct("l_orderkey").alias("acd"))
+    hll_all = (
+        hll_distinct_merge(spark, sf_dir)
+        .where(F.col("grp") == "ALL")
+        .select(F.col("approx_custkeys").alias("hll_est"))
+    )
+    kll_all = (
+        kll_quantile_merge(spark, sf_dir)
+        .where(F.col("grp") == "ALL")
+        .select(F.col("p50").alias("kll_p50"))
+    )
+    pa = prices.agg(F.percentile_approx("price", 0.5, 1000).alias("pa_p50"))
+    # exact rank bracket of both approximate medians, one scan
+    ranks = (
+        prices.crossJoin(F.broadcast(kll_all))
+        .crossJoin(F.broadcast(pa))
+        .agg(
+            F.sum((F.col("price") < F.col("kll_p50")).cast("long")).alias("kll_lo"),
+            F.sum((F.col("price") <= F.col("kll_p50")).cast("long")).alias("kll_hi"),
+            F.sum((F.col("price") < F.col("pa_p50")).cast("long")).alias("pa_lo"),
+            F.sum((F.col("price") <= F.col("pa_p50")).cast("long")).alias("pa_hi"),
+        )
+    )
+    ed = equidepth_sampled(spark, sf_dir).agg(
+        F.sum("n_orders").alias("ed_n"),
+        F.max("n_orders").alias("ed_max"),
+        F.min("n_orders").alias("ed_min"),
+        F.count(F.lit(1)).alias("ed_buckets"),
+    )
+    # approx_aggregates itself must at least be runnable and non-empty
+    aa = approx_aggregates(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("aa_groups")
+    )
+    return (
+        exact.crossJoin(n_cust)
+        .crossJoin(acd)
+        .crossJoin(hll_all)
+        .crossJoin(ranks)
+        .crossJoin(ed)
+        .crossJoin(aa)
+        .select(
+            "n_orderkeys",
+            "n_custkeys",
+            "n_li",
+            (
+                F.abs(F.col("acd") - F.col("n_orderkeys")) * 100
+                <= F.col("n_orderkeys") * ACD_ERR_PCT
+            ).alias("acd_ok"),
+            (
+                F.abs(F.col("hll_est") - F.col("n_custkeys")) * 100
+                <= F.col("n_custkeys") * HLL_ERR_PCT
+            ).alias("hll_merge_ok"),
+            (
+                (F.col("kll_lo") * 100 <= F.col("n_li") * RANK_HI_PCT)
+                & (F.col("kll_hi") * 100 >= F.col("n_li") * RANK_LO_PCT)
+            ).alias("kll_p50_ok"),
+            (
+                (F.col("pa_lo") * 100 <= F.col("n_li") * RANK_HI_PCT)
+                & (F.col("pa_hi") * 100 >= F.col("n_li") * RANK_LO_PCT)
+            ).alias("pa_median_ok"),
+            (
+                (F.col("ed_buckets") == 10)
+                & (F.col("ed_max") * 100 <= F.col("ed_n") * (10 + EQUIDEPTH_BAND_PCT / 10))
+                & (F.col("ed_min") * 100 >= F.col("ed_n") * (10 - EQUIDEPTH_BAND_PCT / 10))
+            ).alias("equidepth_ok"),
+            (F.col("aa_groups") > 0).alias("approx_agg_ok"),
+        )
+    )
+
+
+SKETCH_ERROR_BOUNDS_SQL = """
+SELECT CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+         AS n_orderkeys,
+       CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+         AS n_custkeys,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_li,
+       TRUE AS acd_ok,
+       TRUE AS hll_merge_ok,
+       TRUE AS kll_p50_ok,
+       TRUE AS pa_median_ok,
+       TRUE AS equidepth_ok,
+       TRUE AS approx_agg_ok
+"""
