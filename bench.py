@@ -173,6 +173,9 @@ HEADLINE = [
     "dsir_importance_weights",
     "k_anonymity_risk",
     "stream_cdc_upsert",
+    "semdedup_drops",
+    "semdedup_recall",
+    "sketch_error_bounds",
 ]
 
 

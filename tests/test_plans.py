@@ -799,3 +799,39 @@ def test_k_anonymity_is_one_aggregate(spark, sf_dir):
     assert "HashAggregate" in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_semdedup_pair_join_is_salted_equi(spark, sf_dir):
+    from tinymapreduce_spark.operators import similarity
+
+    p = plan_of(similarity.semdedup_drops(spark, sf_dir))
+    # the within-cell pair stage must be an EQUI join on (cid, salt) —
+    # k*SALT-way parallel — never an all-pairs nested loop over vectors
+    assert "Left keys [2]" in p
+    assert "CartesianProduct" not in p
+    # per-row norms are carried, so each pair evaluates ONE array fold
+    # (the dot); a regression back to cosine-per-pair shows up as three
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semdedup_recall_truth_side_is_bounded_broadcast(spark, sf_dir):
+    from tinymapreduce_spark.operators import similarity
+
+    p = plan_of(similarity.semdedup_recall(spark, sf_dir))
+    # exact ground truth: broadcast NLJ over the CONSTANT-size sample
+    # (vec_id < SEM_RECALL_SAMPLE pushed to the scan), never the corpus
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LessThan(vec_id,1000)" in p.replace(" ", "").replace("\n", "")
+    assert "CartesianProduct" not in p
+
+
+def test_sketch_error_bounds_scalar_frames_only(spark, sf_dir):
+    from tinymapreduce_spark.operators import sketches
+
+    p = plan_of(sketches.sketch_error_bounds(spark, sf_dir))
+    # the metric row composes 1-row aggregate frames; nothing Python,
+    # no cartesian over data-sized inputs
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # exact distincts combine map-side before their exchange
+    assert "partial_count(distinct" in p or "partial_count" in p

@@ -419,6 +419,7 @@ WHERE ROUND(
 SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_K = 8  # codebook size
 SEMDEDUP_NASSIGN = 2  # soft assignment: each vector lives in its 2 nearest cells
+SEMDEDUP_SALT = 8  # pair-join fan-out per cell (see pair stage below)
 
 
 def semdedup_drops(
@@ -469,15 +470,43 @@ def semdedup_drops(
         .where(F.col("rn") <= nassign)
         .select("vec_id", "embedding", "cid")
     )
-    a = cells.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cid")
-    b = cells.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cid")
+    # Pair stage tuned for the two things the plan audit flagged:
+    # (1) each row's L2 norm is computed ONCE here (sqrt of the same
+    # ordered fold -> bit-identical cosine), so the per-pair work is a
+    # single dot product instead of dot + two norms; (2) the cid
+    # equi-join alone has only k distinct keys, so it is salted
+    # (b-side bucketed by vec_id, a-side replicated) to spread the
+    # within-cell pair work over k * SEMDEDUP_SALT shuffle partitions —
+    # the same skew treatment as plans/layout.py::salted_skew_join.
+    # cells is O(N * nassign) narrow rows; persist() so the self-join's
+    # two sides share one computation of the assignment window.
+    from tinymapreduce_spark.functions.vectors import dot, l2_norm
+
+    cells = cells.withColumn("nrm", l2_norm(F.col("embedding"))).persist()
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cid",
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SEMDEDUP_SALT)])))
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cid",
+        F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_SALT)).cast("int").alias("salt"),
+    )
     pairs = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         # soft assignment can surface the same pair from two shared cells
@@ -1298,17 +1327,33 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact side broadcasts the bounded sample (<= SEM_RECALL_SAMPLE
     rows) into a nested-loop pair join — constant-size by construction,
     never data-proportional."""
-    from tinymapreduce_spark.functions.vectors import cosine_similarity
+    from tinymapreduce_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sample = emb.where(F.col("vec_id") < SEM_RECALL_SAMPLE)
-    a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # carry each row's norm once so the pair pass is one dot product
+    # (sqrt of the same ordered fold -> bit-identical cosine values)
+    sample = emb.where(F.col("vec_id") < SEM_RECALL_SAMPLE).withColumn(
+        "nrm", l2_norm(F.col("embedding"))
+    )
+    a = sample.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     truth = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
             >= SEMDEDUP_THRESHOLD
         )
         .select("id_b")

@@ -283,3 +283,233 @@ GROUP BY token
 
 BPE_TRAIN_SQL = _bpe_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
+# -- Unigram-LM (SentencePiece-style) Viterbi segmentation ------------------
+#
+# The second of the two real-world subword-tokenizer families (Kudo 2018,
+# "Subword Regularization"): score candidate pieces by corpus likelihood
+# and segment each word with Viterbi to the max-likelihood piece sequence.
+# Everything is integer-exact so the whole pipeline — piece weights,
+# quantized log-likelihoods, DP, tie-breaks — replays bit-identically in
+# the DuckDB oracle:
+#
+#   - piece weight  = summed word-type frequency over every occurrence
+#   - log2-quantized likelihood: intlog2(x) := length(bin(x)) - 1, an
+#     EXACT integer in both engines (no float log)
+#   - piece score   = intlog2(weight) - intlog2(total weight)  (<= 0,
+#     the quantized log-prob; the per-piece "-LOGTOT" term is what makes
+#     fewer/longer pieces win, exactly as in the real unigram objective)
+#   - combined DP objective = score * _UNI_BASE - 1 per piece, so among
+#     equal-likelihood segmentations the one with FEWER pieces wins and
+#     the piece count decodes from the result (n = BASE - sc % BASE)
+#
+# Scale shape: the corpus-wide pass is ONE word-frequency aggregation
+# (partial agg before the shuffle); everything after runs on the
+# Zipf-capped word-type table (UNI_WORDS rows). The vocabulary is a
+# bounded collect (<= UNI_VOCAB + alphabet rows, same contract as the
+# BPE vocab collect above), and the Viterbi DP itself is a JVM-side
+# F.aggregate fold over character positions — zero Python, zero extra
+# shuffles, parallel across word types.
+
+UNI_WORDS = 1500  # word types considered (Zipf-cap, as BPE_VOCAB)
+UNI_MAX_WORD = 16  # DP unroll bound; longer word types dropped in BOTH engines
+UNI_MAX_PIECE = 4  # max piece length
+UNI_VOCAB = 512  # pieces kept by weight (all single chars always kept)
+UNI_OUT = 200  # output rows: top word types by (freq DESC, word ASC)
+_UNI_BASE = 64  # piece-count base in the combined objective (> UNI_MAX_WORD)
+_UNI_OFFSET = 4096  # positivity shift so DP values stay nonneg for % decode
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents_for_cpu(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .select(F.lower("t").alias("word"))
+        .where(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(UNI_WORDS)
+    )
+
+
+def _uni_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """(piece, combined-objective score) pairs — a BOUNDED collect
+    (<= UNI_VOCAB + alphabet rows; computed from the substring table of
+    the capped word-type frame, never corpus rows).
+    """
+    words = _uni_words(spark, sf_dir)
+    pieces = (
+        words.select(
+            "freq",
+            "word",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "freq",
+            "word",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(UNI_MAX_PIECE), F.length("word") - F.col("i") + 1
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(F.col("word").substr(F.col("i"), F.col("l")).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("wfreq"))
+    )
+    total = pieces.agg(F.sum("wfreq").alias("tw"))
+    # kept set = top-UNI_VOCAB by weight UNION all single chars — the
+    # top-k is a TakeOrdered (never a single-partition rank window)
+    top = pieces.orderBy(F.desc("wfreq"), F.asc("piece")).limit(UNI_VOCAB)
+    kept = (
+        top.unionByName(pieces.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            (
+                (
+                    (F.length(F.bin("wfreq")) - 1)
+                    - (F.length(F.bin("tw")) - 1)
+                )
+                * _UNI_BASE
+                - 1
+            ).cast("long").alias("cscore"),
+        )
+    )
+    return [(r.piece, r.cscore) for r in kept.collect()]
+
+
+def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-likelihood Viterbi segmentation of the top word types under
+    the quantized unigram piece LM. Output per word: the piece count and
+    the combined quantized log-likelihood of its best segmentation —
+    both uniquely determined (the DP objective is totally ordered), so
+    the oracle's unrolled-CTE DP reproduces them exactly."""
+    vocab = _uni_vocab(spark, sf_dir)
+    entries: list = []
+    for piece, cs in sorted(vocab):
+        entries.append(F.lit(piece))
+        entries.append(F.lit(int(cs)))
+    cmap = F.create_map(*entries)
+    word = F.col("word")
+    init = F.array(
+        F.lit(None).cast("long"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("long"),
+        F.lit(_UNI_OFFSET * _UNI_BASE).cast("long"),
+    )
+
+    def step(acc, i):
+        # best[i] = max over piece length l of best[i-l] + cscore(piece);
+        # acc holds [best[i-4], best[i-3], best[i-2], best[i-1]] and
+        # try_element_at yields NULL for out-of-vocab pieces, which
+        # when/greatest then skip. All-null can't happen: every single
+        # char of a considered word is in the vocabulary.
+        cands = [
+            F.when(
+                i >= F.lit(l),
+                F.element_at(acc, 5 - l)
+                + F.try_element_at(cmap, word.substr(i - F.lit(l - 1), F.lit(l))),
+            )
+            for l in range(1, UNI_MAX_PIECE + 1)
+        ]
+        return F.array(
+            F.element_at(acc, 2),
+            F.element_at(acc, 3),
+            F.element_at(acc, 4),
+            F.greatest(*cands),
+        )
+
+    words = _uni_words(spark, sf_dir)
+    sc = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step), 4
+    )
+    n_pieces = (F.lit(_UNI_BASE) - F.col("sc") % _UNI_BASE).cast("long")
+    return (
+        words.withColumn("sc", sc)
+        .select(
+            "word",
+            "freq",
+            n_pieces.alias("n_pieces"),
+            (
+                F.floor((F.col("sc") + (F.lit(_UNI_BASE) - F.col("sc") % _UNI_BASE)) / _UNI_BASE)
+                - _UNI_OFFSET
+            ).cast("long").alias("ll_score"),
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(UNI_OUT)
+    )
+
+
+def _unigram_sql() -> str:
+    P, B, OFF = UNI_MAX_PIECE, _UNI_BASE, _UNI_OFFSET
+    parts = [
+        f"""WITH uw AS MATERIALIZED (
+  SELECT word, freq FROM (
+    SELECT lower(t) AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST({_TOK_SQL}) AS t FROM documents)
+    GROUP BY 1)
+  WHERE len(word) <= {UNI_MAX_WORD}
+  ORDER BY freq DESC, word ASC LIMIT {UNI_WORDS}
+),
+pieces AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS wfreq FROM (
+    SELECT substr(word, i, l) AS piece, freq
+    FROM (SELECT word, freq, i,
+                 UNNEST(range(1, least({P}, len(word) - i + 1) + 1)) AS l
+          FROM (SELECT word, freq, UNNEST(range(1, len(word) + 1)) AS i
+                FROM uw)))
+  GROUP BY 1
+),
+vocab AS MATERIALIZED (
+  SELECT piece,
+         ((length(bin(wfreq)) - 1)
+          - (SELECT length(bin(CAST(SUM(wfreq) AS BIGINT))) - 1 FROM pieces))
+         * {B} - 1 AS cscore
+  FROM (SELECT piece, wfreq,
+               ROW_NUMBER() OVER (ORDER BY wfreq DESC, piece ASC) AS rk
+        FROM pieces)
+  WHERE rk <= {UNI_VOCAB} OR len(piece) = 1
+),
+dp0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST({OFF * B} AS BIGINT) AS best FROM uw
+)"""
+    ]
+    for i in range(1, UNI_MAX_WORD + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT word, pos, best FROM dp{j}"
+            for j in range(max(0, i - P), i)
+        )
+        parts.append(
+            f"""dp{i} AS MATERIALIZED (
+  SELECT p.word, {i} AS pos, MAX(p.best + v.cscore) AS best
+  FROM ({prevs}) p
+  JOIN uw w ON w.word = p.word
+  JOIN vocab v ON v.piece = substr(w.word, p.pos + 1, {i} - p.pos)
+  WHERE len(w.word) >= {i}
+  GROUP BY 1
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT word, pos, best FROM dp{i}" for i in range(1, UNI_MAX_WORD + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT w.word, w.freq,
+       CAST({B} - d.best % {B} AS BIGINT) AS n_pieces,
+       CAST((d.best + ({B} - d.best % {B})) // {B} - {OFF} AS BIGINT) AS ll_score
+FROM uw w JOIN ({finals}) d ON d.word = w.word AND d.pos = len(w.word)
+ORDER BY w.freq DESC, w.word ASC LIMIT {UNI_OUT}
+"""
+    )
+
+
+UNIGRAM_SQL = _unigram_sql()
