@@ -80,86 +80,87 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for EXACTLY the first 50 queries()
-# entries (r01/r02 each stopped at #50), so registry order = verification
-# priority. _R3_WINDOW pins this round's 50: ALL oracle-backed, ALL with
-# zero driver rows across r01∪r02 (VERDICT r02 item #1) — the manifest
-# lakehouse tier, the physical-layout tier, the Python UDF/UDTF ladder,
-# the 7 late streaming keys, the incremental-dedup extras, the pretrain
-# mix/quota allocators, winnow/tfidf, the mergeable-sketch pair, the
-# sql_* surface — plus this round's NEW driver-checkable rows: the
-# golden-corpus parity query and the four ANN recall@k quality rows.
-# ROTATION.md schedules r4 (next 50) and r5 (the final 22), so the sweep
-# provably terminates with every oracle-backed key driver-checked.
-_R3_WINDOW = [
-    # manifest / lakehouse (8)
-    "manifest_skipping_scan",
-    "manifest_delete_rewrite",
-    "manifest_delete_by_table",
-    "manifest_upsert",
-    "manifest_append_incremental",
-    "manifest_optimize",
-    "manifest_time_travel",
-    "catalog_partition_overwrite",
-    # physical layout (7)
-    "bucketed_join_revenue",
-    "zorder_pruned_agg",
-    "dpp_partitioned_join",
-    "bloom_filter_join",
-    "salted_skew_join",
-    "partitioned_sink_pruned_scan",
-    "compact_small_files",
-    # Python UDF/UDTF ladder (6)
-    "grouped_agg_udaf",
-    "python_udtf_split",
-    "python_udtf_table_arg",
-    "iterator_udf_scoring",
-    "grouped_arrow_stats",
-    "sql_python_udf",
-    # late streaming keys (7)
-    "stream_stream_outer_join",
-    "stream_dedup_within_watermark",
-    "stream_available_now",
-    "stream_observe_metrics",
-    "stream_wap_sink",
-    "stream_cms_sink",
-    "stream_sliding_window",
-    # incremental-dedup extras (3)
-    "dedup_incremental_bloom",
-    "dedup_incremental_minhash",
-    "dedup_survivors",
-    # pretrain mix / quota allocators (3)
-    "token_budget_mix",
-    "exact_quota_split",
-    "pretrain_mix_pipeline",
-    # winnowing / tfidf (3)
-    "winnow_fingerprints",
-    "winnow_neardup_pairs",
-    "tfidf_top_terms",
-    # mergeable sketches (2)
-    "hll_portable_distinct",
-    "digit_bucket_quantiles",
-    # sql_* surface (6)
-    "sql_interface",
-    "sql_pipe_syntax",
-    "sql_group_by_all",
-    "sql_scripting",
-    "sql_udf_function",
-    "sql_parameterized",
-    # new this round: reference parity + ANN quality rows (5)
-    "golden_wc_parity",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
+# entries (r01/r02/r03 each stopped at #50), so registry order =
+# verification priority. _R4_WINDOW pins this round's 50, exactly as
+# ROTATION.md scheduled them after r3: the six r3-new keys first
+# (dsir / k-anonymity / CDC MERGE / the full-pipeline LSH oracle / the
+# semdedup + sketch accuracy rows), then the graph tier, the textstats
+# family, custom sources, format roundtrips, approx/HLL builtins, the
+# remaining maintenance/sql keys, doc-embedding ANN, the sampling
+# allocators, multimodal, and the events/windows/as-of family. ALL
+# oracle-backed, NONE previously driver-checked (cumulative after r3:
+# 149/227; after this window: 199/227). ROTATION.md pins r5 (the final
+# 28 + rows-only re-checks) so the sweep provably terminates.
+_R4_WINDOW = [
+    # r3-new keys (6) — first driver evidence for the newest oracles
+    "dsir_importance_weights",
+    "k_anonymity_risk",
+    "stream_cdc_upsert",
+    "ann_lsh_topk",
+    "semdedup_recall",
+    "sketch_error_bounds",
+    # graph tier (3)
+    "bfs_hops",
+    "label_propagation",
+    "triangle_count",
+    # textstats family (11)
+    "extract_entities",
+    "gopher_rules",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "fingerprint",
+    "repetition_score",
+    "pii_mask",
+    "bigram_lm",
+    "char_entropy",
+    "sentiment_lexicon",
+    # custom sources (3)
+    "custom_source_runs",
+    "custom_source_pushdown",
+    "custom_stream_source",
+    # format roundtrips (4)
+    "xml_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "parquet_zstd_roundtrip",
+    # approx builtins (2)
+    "hll_overlap",
+    "approx_topk_builtin",
+    # maintenance / sql leftovers (4)
+    "join_skew_profile",
+    "pseudonymized_join",
+    "sql_execute_immediate",
+    "try_arithmetic",
+    # doc-embedding ANN + sampling (7)
+    "doc_hash_embedding",
+    "doc_ann_topk",
+    "negative_sampling",
+    "stratified_sample",
+    "weighted_sample",
+    "per_source_cap",
+    "mix_weights",
+    # multimodal (2)
+    "multimodal_resize",
+    "frame_sample",
+    # events / windows / as-of (8)
+    "interval_overlap_join",
+    "activity_gaps",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionize",
+    "asof_join",
+    "cogrouped_asof",
+    "resample_ffill",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver verification priority: the _R3_WINDOW
+    """Registry order = driver verification priority: the _R4_WINDOW
     keys (50, all oracle-backed, none previously driver-checked) come
-    first, then every other key in its round-2 family order, with the
+    first, then every other key in its family order, with the
     cumulatively driver-green entries last. See ROTATION.md for the
-    r4/r5 schedule that completes the sweep.
+    r5 schedule that completes the sweep.
     """
     base = {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
@@ -423,7 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_recall": similarity.semdedup_recall,
         "sketch_error_bounds": sketches.sketch_error_bounds,
     }
-    window = {k: base[k] for k in _R3_WINDOW}
+    window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 

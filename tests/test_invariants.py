@@ -411,6 +411,46 @@ def test_winnow_stop_fingerprints_drop_boilerplate_buckets(spark):
     )
 
 
+def test_winnow_default_path_is_stop_fingerprint_filtered(spark):
+    """The REGISTERED query's default must be the scale-safe path: a
+    planted boilerplate template shared by > WINNOW_HOT_FP_CAP docs
+    produces no pairs under the default (hot buckets dropped in-plan),
+    while the rare-substring pair survives; the exact uncapped knob
+    (hot_fp_cap=None) still surfaces the boilerplate cluster."""
+    from tinymapreduce_spark.operators.textstats import (
+        WINNOW_HOT_FP_CAP,
+        winnow_neardup_pairs_df,
+    )
+
+    template = " ".join(f"commonboilerplateheader{j}" for j in range(40))
+    rare = " ".join(f"xylophonequartz{j}" for j in range(40))
+    n_hot = WINNOW_HOT_FP_CAP + 8
+    rows = [(i, f"doc {i} unique{i} " + template) for i in range(n_hot)]
+    rows += [
+        (9100, "alpha " + rare + " beta"),
+        (9101, "gamma " + rare + " delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(8)
+    default_pairs = {
+        (r.doc_a, r.doc_b) for r in winnow_neardup_pairs_df(docs).collect()
+    }
+    assert (9100, 9101) in default_pairs, "rare pair must survive the default cap"
+    assert all(p == (9100, 9101) for p in default_pairs), (
+        "hot-template buckets must be dropped by default: "
+        f"{sorted(default_pairs)[:5]}"
+    )
+    exact_sample = (
+        winnow_neardup_pairs_df(
+            spark.createDataFrame(rows[:64] + rows[-2:], "doc_id long, text string"),
+            hot_fp_cap=None,
+        )
+        .where("doc_a < 9000 AND doc_b < 9000")
+        .limit(1)
+        .collect()
+    )
+    assert exact_sample, "exact knob must still emit boilerplate pairs"
+
+
 def test_training_shuffle_positions_are_contiguous(spark, sf_dir):
     """Within every shard, positions must be exactly 1..n (a permutation
     a loader can stream without gaps), and the assignment must be

@@ -100,3 +100,51 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     # every surviving historical version still reads without error
     for s in table.history():
         table.read(spark, version=s.version).count()
+
+
+def test_decimal_key_delete_upserts_numerically(spark, tmp_path):
+    """DECIMAL stats must prune in the NUMERIC domain: lexicographic
+    string order would classify a file with min '90.00' as untouched by
+    key '100.00' and silently delete nothing. Stats are now stored as
+    floats widened outward one ulp, so the [min, max] range always
+    encloses the file's true decimals and the copy-on-write rewrite
+    actually sees the matching file."""
+    from decimal import Decimal
+
+    table = ManifestTable(str(tmp_path / "dec"))
+    rows = [(Decimal(f"{k}.00"), k) for k in range(80, 140)]
+    df = spark.createDataFrame(rows, "price decimal(12,2), v long")
+    table.publish(
+        df.repartitionByRange(4, "price"), snapshot_id="init", stats_cols=["price"]
+    )
+    # the ADVICE repro: min stat '90.00' > '100.00' lexicographically
+    table.delete_matching(spark, "price", [Decimal("100.00")], snapshot_id="del")
+    got = {r.price for r in table.read(spark).collect()}
+    assert Decimal("100.00") not in got, "decimal-keyed delete must remove the row"
+    assert len(got) == 59
+
+    ups = spark.createDataFrame(
+        [(Decimal("101.00"), 777)], "price decimal(12,2), v long"
+    )
+    table.upsert_matching(spark, "price", ups, snapshot_id="ups")
+    vals = {r.price: r.v for r in table.read(spark).collect()}
+    assert vals[Decimal("101.00")] == 777
+    assert len(vals) == 59  # matched update, not a duplicate insert
+
+    # out-of-range delete is a no-op commit, not a row loss
+    table.delete_matching(spark, "price", [Decimal("9999.00")], snapshot_id="miss")
+    assert len(table.read(spark).collect()) == 59
+
+
+def test_bool_stat_key_degrades_to_unpruned(spark, tmp_path):
+    """Boolean min/max stats have no usable range: MERGE/DELETE keyed on
+    a bool-stat column must degrade to unpruned (every stats file a
+    candidate) instead of crashing in createDataFrame with a
+    string-typed schema holding bools."""
+    table = ManifestTable(str(tmp_path / "boolkey"))
+    rows = [(i, i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, flag boolean")
+    table.publish(df.repartition(2), snapshot_id="init", stats_cols=["flag"])
+    table.delete_matching(spark, "flag", [True], snapshot_id="del")
+    got = [r.flag for r in table.read(spark).collect()]
+    assert len(got) == 10 and not any(got)

@@ -478,11 +478,16 @@ def semdedup_drops(
     # (b-side bucketed by vec_id, a-side replicated) to spread the
     # within-cell pair work over k * SEMDEDUP_SALT shuffle partitions —
     # the same skew treatment as plans/layout.py::salted_skew_join.
-    # cells is O(N * nassign) narrow rows; persist() so the self-join's
-    # two sides share one computation of the assignment window.
+    # cells is O(N * nassign) narrow rows; localCheckpoint (eager) so the
+    # self-join's two sides share one computation of the assignment
+    # window — unlike persist(), its blocks are released by the context
+    # cleaner when the frame is GC'd, so repeated invocations in a
+    # long-lived bench session don't accumulate storage.
     from tinymapreduce_spark.functions.vectors import dot, l2_norm
 
-    cells = cells.withColumn("nrm", l2_norm(F.col("embedding"))).persist()
+    cells = cells.withColumn("nrm", l2_norm(F.col("embedding"))).localCheckpoint(
+        eager=True
+    )
     a = cells.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),

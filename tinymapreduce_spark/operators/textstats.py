@@ -896,24 +896,27 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quadratic term is Σ_fp bucket²: on real text, fingerprint
     entropy grows with the corpus and buckets stay near clone-family
-    size, but template boilerplate (or a low-entropy corpus) can
-    produce a bucket of 10⁶ docs whose pair expansion alone is 10¹²
-    rows. ``hot_fp_cap`` on the ``_df`` form is the stop-fingerprint
-    knob for that regime (MOSS applies the same treatment to common
-    code idioms). The REGISTERED query keeps the exact uncapped
-    semantics: the ×16 probe measured that this synthetic corpus's
-    k-gram space is degenerate (8.5k distinct fps over 80k docs), where
-    any fixed cap strips evidence below WINNOW_SHARED_MIN — see
-    BASELINE.md round-3 notes."""
+    size, but template boilerplate (and real 100 TB corpora ARE
+    boilerplate-heavy) can produce a bucket of 10⁶ docs whose pair
+    expansion alone is 10¹² rows. So the REGISTERED query applies the
+    stop-fingerprint filter BY DEFAULT: a fingerprint shared by more
+    than WINNOW_HOT_FP_CAP documents is treated as boilerplate, not
+    pair evidence (MOSS applies the same treatment to common code
+    idioms), which bounds the join at O(index × cap) rows. The filter
+    is in-plan — a groupBy doc-frequency + broadcast anti-join — so the
+    DuckDB oracle replays it exactly. The uncapped exact form remains
+    as the ``hot_fp_cap=None`` knob on ``winnow_neardup_pairs_df`` for
+    corpora where every collision is wanted evidence."""
     return winnow_neardup_pairs_df(documents_for_cpu(spark, sf_dir))
 
 
 def winnow_neardup_pairs_df(
-    docs: DataFrame, hot_fp_cap: int | None = None
+    docs: DataFrame, hot_fp_cap: int | None = WINNOW_HOT_FP_CAP
 ) -> DataFrame:
-    """Pair-join body over any ``(doc_id, text)`` frame; ``hot_fp_cap``
-    (e.g. WINNOW_HOT_FP_CAP) drops stop-fingerprints shared by more
-    documents than the cap, bounding the join at O(index × cap) rows."""
+    """Pair-join body over any ``(doc_id, text)`` frame. The default
+    drops stop-fingerprints shared by more than ``hot_fp_cap``
+    documents (bounding the self-join at O(index × cap) rows);
+    ``hot_fp_cap=None`` is the exact uncapped knob."""
     fps = winnow_fps_df(docs)
     if hot_fp_cap is not None:
         hot = (
@@ -933,11 +936,18 @@ def winnow_neardup_pairs_df(
     )
 
 
+# The oracle replays the stop-fingerprint filter in-plan: hot = the
+# doc-frequency groupBy, kept = fps ANTI JOIN hot — identical semantics
+# to the broadcast left_anti in winnow_neardup_pairs_df.
 WINNOW_NEARDUP_SQL = (
     _WINNOW_CTE_SQL
-    + f"""
+    + f""", hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {WINNOW_HOT_FP_CAP}
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h ON f.fp = h.fp
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
 """

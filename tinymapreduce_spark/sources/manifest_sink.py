@@ -85,14 +85,44 @@ def _norm_file_path(p: str) -> str:
     return p
 
 
-def _json_stat(v):
+def _json_stat(v, widen: str | None = None):
     """Stats values must round-trip through JSON with their ORDER intact:
-    ints/floats stay numeric, everything else (timestamps, dates,
-    decimals, strings) becomes its ISO/str form — all of which compare
-    correctly as strings within one column's min/max family."""
-    if v is None or isinstance(v, (int, float, bool)):
+    ints/floats stay numeric; decimals become floats (string order !=
+    numeric order for decimals — '90.00' > '100.00' lexicographically —
+    so they MUST live in the numeric domain to prune safely), widened by
+    one ulp toward ``widen`` ('down' for mins, 'up' for maxes) whenever
+    float conversion rounded the wrong way, so the stored bounds always
+    enclose the true decimal; timestamps/dates/strings keep their
+    ISO/str form, which is order-preserving. Bools are stored verbatim
+    and treated as UNPRUNABLE by the planner (no meaningful range)."""
+    import decimal as _decimal
+
+    if v is None or isinstance(v, bool) or isinstance(v, (int, float)):
         return v
+    if isinstance(v, _decimal.Decimal):
+        import math
+
+        f = float(v)
+        if widen == "down" and _decimal.Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        elif widen == "up" and _decimal.Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
     return str(v)
+
+
+def _stat_family(v) -> str:
+    """Comparison family of a serialized stat: 'num' (int/float),
+    'str' (order-preserving ISO/str forms), or 'other' (bools, legacy
+    string-serialized decimals live here via the cross-family guard) —
+    only same-family values are ever range-compared."""
+    if isinstance(v, bool):
+        return "other"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    return "other"
 
 
 def _split_files_by_key_frame(
@@ -119,13 +149,19 @@ def _split_files_by_key_frame(
 
     Files without stats are always candidates (must be inspected).
     Pruning compares in the stats' serialized domain (numbers for
-    numeric columns, ISO/str form otherwise — see ``_json_stat``);
-    candidates are a superset, and the rewrite applies the real
-    predicate, so an imprecise domain can only cost extra rewrites,
-    never correctness."""
+    numeric AND decimal columns — decimals are float-widened at publish
+    so stored bounds enclose the true values — ISO/str form otherwise;
+    see ``_json_stat``); a stat whose comparison family doesn't match
+    the keys' (bools, legacy string-serialized decimals from older
+    manifests) makes its file UNPRUNABLE — it goes straight to
+    candidates instead of being cross-type compared. Candidates are a
+    superset, and the rewrite applies the real predicate, so an
+    imprecise domain can only cost extra rewrites, never correctness."""
     from pyspark.sql import functions as F
 
-    j_lo, j_hi = _json_stat(key_lo), _json_stat(key_hi)
+    j_lo = _json_stat(key_lo, widen="down")
+    j_hi = _json_stat(key_hi, widen="up")
+    key_fam = _stat_family(j_lo)
     stats = snap.stats or {}
     untouched, candidates, overlapping = [], [], []
     for f in snap.files:
@@ -134,6 +170,12 @@ def _split_files_by_key_frame(
         smax = s["max"].get(key_col) if s else None
         if smin is None or smax is None:
             candidates.append(f)  # no stats -> must inspect
+        elif (
+            key_fam == "other"
+            or _stat_family(smin) != key_fam
+            or _stat_family(smax) != key_fam
+        ):
+            candidates.append(f)  # unprunable domain -> must inspect
         elif smax < j_lo or smin > j_hi:
             untouched.append(f)
         else:
@@ -320,8 +362,10 @@ class ManifestTable:
         return {
             _norm_file_path(r["_file"]): {
                 "rows": r["_rows"],
-                "min": {c: _json_stat(r[f"_min_{c}"]) for c in stats_cols},
-                "max": {c: _json_stat(r[f"_max_{c}"]) for c in stats_cols},
+                # widen decimal->float conversions outward so the
+                # stored bounds always enclose the file's true values
+                "min": {c: _json_stat(r[f"_min_{c}"], widen="down") for c in stats_cols},
+                "max": {c: _json_stat(r[f"_max_{c}"], widen="up") for c in stats_cols},
             }
             for r in rows
         }

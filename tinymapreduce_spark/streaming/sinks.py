@@ -13,6 +13,16 @@ This is the streaming analog of the reference's exactly-once output
 story (temp-file + rename per reduce task,
 ``/root/reference/src/mr/worker.go:160-184``) lifted to a versioned
 multi-file table.
+
+Result-materialization caveat: each query here returns a
+``localCheckpoint(eager=True)``-ed frame and then deletes the
+run-scoped backing table directory. ``localCheckpoint`` truncates
+lineage WITHOUT replication, so a lost block (executor restart) would
+make the returned frame unrecoverable — safe in this single-JVM local
+deployment, where executor == driver. A multi-executor deployment of
+these sinks should either keep the table directory alive for the
+frame's lifetime or collect the (small) aggregate through
+``createDataFrame`` instead.
 """
 
 from __future__ import annotations
