@@ -274,10 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textstats.token_stats,
         "fingerprint": textstats.fingerprint,
         "repetition_score": textstats.repetition_score,
-        # --- approximate ANN tier: rows-only by construction (recall
-        # invariants vs the exact baseline live in test_invariants.py),
-        # kept just past the window so every driver-hashed row above is
-        # oracle-backed; rotate them in a later round for rows evidence ---
+        # --- ANN tier: integer-exact codebooks since round 4, so every
+        # ann_*_topk now carries a FULL-pipeline oracle (training rounds
+        # replayed in SQL); recall invariants additionally pinned in
+        # test_invariants.py; scheduled for driver rows in r5 ---
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
@@ -430,14 +430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    ann_ivf_topk /
-    ann_pq_topk / ann_ivfpq_topk / semdedup_drops (approximate by
-    construction over float-trained codebooks — tests assert their
-    recall against the exact forms, and the four ann_*_recall registry
-    keys additionally compute recall@k in-plan as ORACLE-BACKED quality
-    rows; ann_lsh_topk, whose planes are training-free h60 integers,
-    now carries a FULL pipeline oracle — ANN_LSH_TOPK_SQL replays
-    planes, signatures, multi-probe, candidates, and scores exactly; dedup_minhash_lsh / dedup_simhash,
+    semdedup_drops (approximate cell-blocked dedup — its oracle-backed
+    semdedup_recall accuracy row audits it; the ann tier, by contrast,
+    is now FULLY oracle-backed: ann_lsh_topk replays planes,
+    signatures, multi-probe, candidates and scores, and
+    ann_{{ivf,pq,ivfpq}}_topk replay their integer-Lloyd's codebook
+    training, cell/code assignment, ADC tables, pools and re-rank —
+    every training decision is exact integer arithmetic on the 1e-6
+    grid, so the four ann_*_recall rows also derive n_hit in SQL;
+    dedup_minhash_lsh / dedup_simhash,
     equally approximate but built on the portable integer md5-60-bit
     hash family, DO carry exact oracles that replay the very same
     signatures/bands, as does cms_heavy_hitters whose cell table uses
@@ -552,6 +553,9 @@ GROUP BY word
         "k_anonymity_risk": maintenance.K_ANONYMITY_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
+        "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
+        "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
+        "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,

@@ -26,9 +26,8 @@ N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 # Trained structures are deterministic functions of the corpus, so they
 # cache per corpus dir for the session (a real pipeline trains once on a
 # sample and serves many queries; retraining per query was the dominant
-# bench cost for the PQ family). Driver memory: O(K x dim) floats each.
-_CENTROID_CACHE: dict[str, list[list[float]]] = {}
-_PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+# bench cost for the PQ family). Driver memory: O(K x dim) ints each —
+# the caches themselves live next to the integer trainers below.
 
 # Codebooks/centroids train on a bounded deterministic sample (vec_id
 # cap) — at 100 TB you never train k-means on the full corpus; the
@@ -131,59 +130,150 @@ def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters:
     return [[float(v) for v in row] for row in c]
 
 
-def _cached_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[float]]:
-    if sf_dir not in _CENTROID_CACHE:
-        sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_CAP)
-        _CENTROID_CACHE[sf_dir] = _train_centroids(spark, sample)
-    return _CENTROID_CACHE[sf_dir]
+# --- integer-exact IVF / PQ training ---------------------------------------
+# The coarse quantizer and the PQ codebooks train on coordinates
+# quantized ONCE to the 1e-6 integer grid (the operators/clustering.py
+# convention: q = floor(x * 10^6) + 2^20 — floor of an IEEE double
+# multiply is engine-identical, the offset keeps q positive so integer
+# division floors identically in numpy //, Spark DIV and DuckDB //).
+# Every training decision (squared distances, argmin with ties to the
+# lowest cid, floor-mean updates) is then exact integer arithmetic, so
+# DuckDB replays the IDENTICAL codebooks and the whole IVF/PQ pipeline
+# carries a full SQL oracle — the same bar ann_lsh_topk's integer
+# planes set (no float boundary anywhere before the final rounded
+# cosine re-rank).
+from tinymapreduce_spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
+
+_CENTROID_INT_CACHE: dict[str, list[list[int]]] = {}
+_PQ_CB_INT_CACHE: dict[str, list[tuple[int, int, list[int]]]] = {}
+
+
+def _quantize(col: F.Column) -> F.Column:
+    """array<float> -> array<bigint> on the 1e-6 grid, positive."""
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long")
+        + F.lit(QUANT_OFFSET),
+    )
+
+
+def _collect_quantized_sample(emb: DataFrame):
+    """The bounded deterministic training sample as an int64 numpy
+    matrix (TRAIN_SAMPLE_CAP vec_id window, TRAIN_COLLECT_CAP row cap —
+    never a data-sized collect; faiss trains on a ~100k reservoir the
+    same way)."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") < TRAIN_SAMPLE_CAP)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(TRAIN_COLLECT_CAP)
+        .collect()
+    )
+    if not rows:
+        return None
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return np.floor(x * QUANT_SCALE).astype(np.int64) + QUANT_OFFSET
+
+
+def _lloyds_int(x, k: int, iters: int):
+    """Integer Lloyd's: init = first k sample rows, argmin ties to the
+    lowest cid (numpy argmin is first-min), floor-mean updates, empty
+    cells keep their previous centroid. Pure int64 — exactly the update
+    rule the SQL oracles unroll."""
+    c = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        a = d.argmin(axis=1)
+        for cid in range(k):
+            members = x[a == cid]
+            if len(members):
+                c[cid] = members.sum(axis=0) // len(members)
+    return c
+
+
+def _cached_centroids_int(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[int]]:
+    if sf_dir not in _CENTROID_INT_CACHE:
+        x = _collect_quantized_sample(emb)
+        _CENTROID_INT_CACHE[sf_dir] = (
+            [] if x is None else [[int(v) for v in row] for row in _lloyds_int(x, NLIST, KMEANS_ITERS)]
+        )
+    return _CENTROID_INT_CACHE[sf_dir]
+
+
+_EMPTY_TOPK_DDL = "query_id long, vec_id long, score double, rank long"
+
+
+def _ivf_cells_probes(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple[DataFrame, DataFrame] | None:
+    """Shared IVF structure: (cells, probes). cells = every corpus
+    vector's nearest integer centroid (argmin sqdist, ties to lowest
+    cid); probes = each query's NPROBE nearest cells (sorted
+    (dist, cid) structs — no window, one broadcast of a single
+    array-of-arrays centroid row, identical plan every call)."""
+    cents = _cached_centroids_int(spark, sf_dir, emb)
+    if not cents:
+        return None
+    cdf = spark.createDataFrame([(cents,)], "cs array<array<bigint>>")
+    dists = F.transform(
+        "cs",
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    assigned = (
+        emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+        .join(F.broadcast(cdf))
+        .select("vec_id", "embedding", dists.alias("ds"))
+    )
+    cells = assigned.select(
+        "vec_id",
+        "embedding",
+        (F.array_position("ds", F.array_min("ds")) - 1).cast("int").alias("cid"),
+    )
+    probe_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                "ds", lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid"))
+            )
+        ),
+        1,
+        NPROBE,
+    )
+    probes = (
+        assigned.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_structs).alias("p"),
+        )
+        .select("query_id", "q_emb", F.col("p.cid").alias("cid"))
+    )
+    return cells, probes
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: spherical-k-means codebook; each vector
-    lives in its nearest-centroid cell; each query probes its NPROBE
-    nearest cells and scores only those.
+    """IVF approximate top-k: integer-Lloyd's coarse quantizer (L2 on
+    the 1e-6 grid — the faiss IVF-Flat shape); each vector lives in its
+    nearest-centroid cell; each query probes its NPROBE nearest cells
+    and exact-cosine-scores only those members.
 
     Scan cost per query drops from O(N) to ~NPROBE/NLIST of the corpus,
     and the cell join is an equi-join on cid — at 100 TB that's a
-    partition-pruned shuffle, not a broadcast cross product. Rows-only
-    driver check (approximate by construction); tests/test_invariants.py
-    asserts recall >= 0.7 against ann_topk_cosine.
-    """
+    partition-pruned shuffle, not a broadcast cross product. The
+    training is integer-exact, so ANN_IVF_TOPK_SQL replays codebook,
+    cells, probes and scores — a FULL-pipeline oracle;
+    tests/test_invariants.py additionally asserts recall >= 0.7 vs
+    ann_topk_cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _cached_centroids(spark, sf_dir, emb)
-    cdf = F.broadcast(
-        spark.createDataFrame(list(enumerate(centroids)), "cid int, centroid array<double>")
-    )
-    # cell assignment for every corpus vector
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
-    cells = (
-        emb.crossJoin(cdf)
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cid"))
-    probes = (
-        queries.crossJoin(cdf)
-        .select(
-            "query_id",
-            "q_emb",
-            "cid",
-            cosine_similarity(F.col("q_emb"), F.col("centroid")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") <= NPROBE)
-        .select("query_id", "q_emb", "cid")
-    )
+    cp = _ivf_cells_probes(spark, sf_dir, emb)
+    if cp is None:
+        return spark.createDataFrame([], _EMPTY_TOPK_DDL)
+    cells, probes = cp
     scored = (
         cells.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -736,10 +826,11 @@ def _subvectors(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     )
 
 
-def _sqdist(a, b):
+def _sqdist_int(a, b):
+    """Exact integer squared distance between two array<bigint>s."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
@@ -747,58 +838,36 @@ def _sqdist(a, b):
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(id, m, cid): nearest centroid per subvector. One broadcast join
     + one hash aggregate — the deterministic argmin rides a struct MIN
-    (lexicographic (dist, cid)), no window, no shuffle beyond the agg."""
+    (lexicographic (dist, cid) — exact BIGINTs, so ties break to the
+    lowest cid with no float boundary), no window, no shuffle beyond
+    the agg."""
     scored = subs.join(F.broadcast(cb), "m").select(
-        "id", "m", F.struct(_sqdist("sub", "centroid").alias("d"), F.col("cid")).alias("dc")
+        "id", "m", F.struct(_sqdist_int("sub", "centroid").alias("d"), F.col("cid")).alias("dc")
     )
     return scored.groupBy("id", "m").agg(F.min("dc").getField("cid").alias("cid"))
 
 
-def _train_pq_codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Per-subspace Lloyd's over a BOUNDED sample, in numpy on the
-    driver (same justification as _train_centroids: quantizer training
-    is sample-bounded by design — faiss-style — so the collect is
-    O(TRAIN_COLLECT_CAP), never data-sized; corpus ENCODING stays
-    distributed via _pq_assign). Deterministic: init = subvectors of
-    the first PQ_K sample vectors by vec_id; assignment = nearest
-    centroid, ties to the lowest cid (argmin-first); empty cells keep
-    their previous centroid — the exact update rule the previous
-    distributed form used."""
-    import numpy as np
-
-    rows = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
-    )
-    if not rows:  # empty corpus -> empty codebook (callers emit 0 rows)
-        return spark.createDataFrame([], "m int, cid int, centroid array<double>")
-    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    sub_len = x.shape[1] // PQ_M
-    codebook: list[tuple[int, int, list[float]]] = []
-    for m in range(PQ_M):
-        s = x[:, m * sub_len : (m + 1) * sub_len]
-        c = s[:PQ_K].copy()
-        for _ in range(PQ_ITERS):
-            d = ((s[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
-            a = np.argmin(d, axis=1)  # first min == lowest cid on ties
-            for cid in range(PQ_K):
-                members = s[a == cid]
-                if len(members):
-                    c[cid] = members.mean(axis=0)
-        codebook.extend(
-            (m, cid, [float(v) for v in c[cid]]) for cid in range(PQ_K)
-        )
-    return spark.createDataFrame(codebook, "m int, cid int, centroid array<double>")
-
-
 def _cached_pq_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
-    if sf_dir not in _PQ_CODEBOOK_CACHE:
-        cb = _train_pq_codebooks(spark, emb.where(F.col("vec_id") < TRAIN_SAMPLE_CAP))
-        _PQ_CODEBOOK_CACHE[sf_dir] = [
-            (int(r["m"]), int(r["cid"]), [float(x) for x in r["centroid"]])
-            for r in cb.collect()
-        ]
+    """Per-subspace integer Lloyd's over the bounded sample (same
+    justification as _cached_centroids_int: quantizer training is
+    sample-bounded by design — faiss-style — so the collect is
+    O(TRAIN_COLLECT_CAP), never data-sized; corpus ENCODING stays
+    distributed via _pq_assign). Init = subvectors of the first PQ_K
+    sample vectors by vec_id; assignment ties to the lowest cid;
+    floor-mean updates — exactly the rounds the SQL oracles unroll."""
+    if sf_dir not in _PQ_CB_INT_CACHE:
+        x = _collect_quantized_sample(emb)
+        codebook: list[tuple[int, int, list[int]]] = []
+        if x is not None:
+            sub_len = x.shape[1] // PQ_M
+            for m in range(PQ_M):
+                c = _lloyds_int(x[:, m * sub_len : (m + 1) * sub_len], PQ_K, PQ_ITERS)
+                codebook.extend(
+                    (m, cid, [int(v) for v in c[cid]]) for cid in range(min(PQ_K, len(c)))
+                )
+        _PQ_CB_INT_CACHE[sf_dir] = codebook
     return spark.createDataFrame(
-        _PQ_CODEBOOK_CACHE[sf_dir], "m int, cid int, centroid array<double>"
+        _PQ_CB_INT_CACHE[sf_dir], "m int, cid int, centroid array<bigint>"
     )
 
 
@@ -813,34 +882,37 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PQ_M bytes/vector of payload); the per-query distance table
     (queries x PQ_M x PQ_K rows) broadcasts; scoring is one equi-join on
     (m, code) + one hash aggregate. Compose with IVF cells for the full
-    IVF-PQ at 100 TB. Rows-only driver check (approximate by
-    construction); recall >= vs the exact baseline asserted in
+    IVF-PQ at 100 TB. Training, codes and ADC distances are all exact
+    integers on the 1e-6 grid, so ANN_PQ_TOPK_SQL replays the ENTIRE
+    pipeline (codebooks, codes, distance tables, pool, re-rank); recall
+    vs the exact baseline additionally asserted in
     tests/test_invariants.py."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     cb = _cached_pq_codebook(spark, sf_dir, emb)
 
-    codes = _pq_assign(_subvectors(emb, "vec_id", "embedding"), cb).select(
+    qemb = emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+    codes = _pq_assign(_subvectors(qemb, "vec_id", "qv"), cb).select(
         F.col("id").alias("vec_id"), "m", F.col("cid").alias("code")
     )
 
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    queries = qemb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "qv"
     )
     dt = (
-        _subvectors(queries, "query_id", "embedding")
+        _subvectors(queries, "query_id", "qv")
         .join(F.broadcast(cb), "m")
         .select(
             F.col("id").alias("query_id"),
             "m",
             F.col("cid").alias("code"),
-            _sqdist("sub", "centroid").alias("d"),
+            _sqdist_int("sub", "centroid").alias("d"),
         )
     )
     scored = (
         codes.join(F.broadcast(dt), ["m", "code"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+        .agg(F.sum("d").alias("approx_dist"))
     )
     # Retrieve-then-rerank (the standard PQ deployment): ADC selects a
     # candidate pool, exact cosine re-ranks it. Only POOL vectors per
@@ -875,64 +947,43 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top pool. Per-query cost: (NPROBE/NLIST) of the corpus, scored with
     no full-dim arithmetic until the last POOL candidates.
 
-    Both structures train distributed with only O(K x dim) driver
-    traffic (see _train_centroids / _train_pq_codebooks). Rows-only
-    driver check; recall vs the exact baseline asserted in
-    tests/test_invariants.py."""
+    Both structures train driver-side on the bounded sample in exact
+    integer arithmetic (see _cached_centroids_int /
+    _cached_pq_codebook), so ANN_IVFPQ_TOPK_SQL replays the composed
+    pipeline end to end; recall vs the exact baseline additionally
+    asserted in tests/test_invariants.py."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
 
-    # IVF: cell assignment + query probes (same construction as ann_ivf_topk)
-    centroids = _cached_centroids(spark, sf_dir, emb)
-    cdf = F.broadcast(
-        spark.createDataFrame(list(enumerate(centroids)), "cid int, centroid array<double>")
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
-    cells = (
-        emb.crossJoin(cdf)
-        .select(
-            "vec_id",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cid"))
-    probes = (
-        queries.crossJoin(cdf)
-        .select(
-            "query_id",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") <= NPROBE)
-        .select("query_id", "cid")
-    )
+    # IVF: cell assignment + query probes (shared with ann_ivf_topk)
+    cp = _ivf_cells_probes(spark, sf_dir, emb)
+    if cp is None:
+        return spark.createDataFrame([], _EMPTY_TOPK_DDL)
+    cells, probes = cp
 
     # PQ: codes index + per-query ADC distance tables
     cb = _cached_pq_codebook(spark, sf_dir, emb)
-    codes = _pq_assign(_subvectors(emb, "vec_id", "embedding"), cb).select(
+    qemb = emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+    codes = _pq_assign(_subvectors(qemb, "vec_id", "qv"), cb).select(
         F.col("id").alias("vec_id"), "m", F.col("cid").alias("code")
     )
+    queries = qemb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "qv"
+    )
     dt = (
-        _subvectors(queries, "query_id", "embedding")
+        _subvectors(queries, "query_id", "qv")
         .join(F.broadcast(cb), "m")
         .select(
             F.col("id").alias("query_id"),
             "m",
             F.col("cid").alias("code"),
-            _sqdist("sub", "centroid").alias("d"),
+            _sqdist_int("sub", "centroid").alias("d"),
         )
     )
 
     # candidates = members of probed cells; scored by ADC lookups only
     cand = (
-        cells.join(F.broadcast(probes), "cid")
+        cells.select("vec_id", "cid")
+        .join(F.broadcast(probes.select("query_id", "cid")), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
@@ -940,7 +991,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(codes, "vec_id")
         .join(F.broadcast(dt), ["query_id", "m", "code"])
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+        .agg(F.sum("d").alias("approx_dist"))
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
     pool = (
@@ -1119,6 +1170,11 @@ ANN_RECALL_MIN_PCT = {"ivf": 70, "lsh": 60, "pq": 70, "ivfpq": 60}
 def _recall_metric(
     spark: SparkSession, sf_dir: str, approx: DataFrame, min_recall_pct: int
 ) -> DataFrame:
+    """Recall@k row vs the exact baseline. Every ANN index is now
+    integer-exact (LSH planes, integer-Lloyd's IVF centroids, integer
+    PQ codebooks), so the HIT COUNT itself is value-checked: the
+    paired oracle recomputes both the exact and the approximate top-k
+    in SQL and derives n_hit independently — no pinned booleans."""
     exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
     hits = exact.join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
@@ -1133,6 +1189,7 @@ def _recall_metric(
             "n_queries",
             F.lit(TOP_K).cast("long").alias("k"),
             "n_exact",
+            "n_hit",
             (F.col("n_hit") * 100 >= F.col("n_exact") * min_recall_pct).alias(
                 "recall_ok"
             ),
@@ -1149,57 +1206,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the multi-probe LSH tier vs the exact baseline —
-    and because the LSH index is integer-exact (see ann_lsh_topk), the
-    HIT COUNT itself is value-checked: the oracle recomputes both the
-    exact and the LSH top-k in SQL and derives n_hit independently,
-    rather than pinning a boolean."""
-    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
-    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
-    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-    min_pct = ANN_RECALL_MIN_PCT["lsh"]
-    return (
-        exact.agg(
-            F.countDistinct("query_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("n_exact"),
-        )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-        .select(
-            "n_queries",
-            F.lit(TOP_K).cast("long").alias("k"),
-            "n_exact",
-            "n_hit",
-            (F.col("n_hit") * 100 >= F.col("n_exact") * min_pct).alias("recall_ok"),
-            F.lit(min_pct).cast("long").alias("min_recall_pct"),
-        )
+    """Recall@k of the multi-probe LSH tier vs the exact baseline."""
+    return _recall_metric(
+        spark, sf_dir, ann_lsh_topk(spark, sf_dir), ANN_RECALL_MIN_PCT["lsh"]
     )
-
-
-def _ann_lsh_recall_sql() -> str:
-    min_pct = ANN_RECALL_MIN_PCT["lsh"]
-    return f"""
-WITH m AS (
-  SELECT
-    CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT)
-      AS n_queries,
-    CAST((SELECT SUM(LEAST({TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1))
-          FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT) AS n_exact,
-    CAST((SELECT COUNT(*)
-          FROM ({ANN_TOPK_SQL}) e
-          JOIN ({ANN_LSH_TOPK_SQL}) l
-            ON e.query_id = l.query_id AND e.vec_id = l.vec_id) AS BIGINT)
-      AS n_hit
-)
-SELECT n_queries,
-       CAST({TOP_K} AS BIGINT) AS k,
-       n_exact,
-       n_hit,
-       n_hit * 100 >= n_exact * {min_pct} AS recall_ok,
-       CAST({min_pct} AS BIGINT) AS min_recall_pct
-FROM m
-"""
-
-
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,27 +1226,36 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_sql(min_recall_pct: int) -> str:
-    """The oracle derives every derivable column from the tables (query
-    count from the corpus, exact-pair count from its own exact top-k)
-    and pins the recall invariant; the Spark side must REACH those
-    values from its real exact frame and real approximate index."""
+def _ann_recall_value_sql(approx_sql: str, min_pct: int) -> str:
+    """Oracle for a recall row: recomputes the exact AND the
+    approximate top-k in SQL (the approximate index replays its full
+    integer-exact pipeline) and derives n_hit from their join — the
+    ann_lsh_recall pattern, now shared by every ANN tier."""
     return f"""
-WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES})
-SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+WITH m AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT)
+      AS n_queries,
+    CAST((SELECT SUM(LEAST({TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1))
+          FROM embeddings WHERE vec_id < {N_QUERIES}) AS BIGINT) AS n_exact,
+    CAST((SELECT COUNT(*)
+          FROM ({ANN_TOPK_SQL}) e
+          JOIN ({approx_sql}) l
+            ON e.query_id = l.query_id AND e.vec_id = l.vec_id) AS BIGINT)
+      AS n_hit
+)
+SELECT n_queries,
        CAST({TOP_K} AS BIGINT) AS k,
-       CAST((SELECT SUM(LEAST({TOP_K},
-                 (SELECT COUNT(*) FROM embeddings) - 1)) FROM q)
-            AS BIGINT) AS n_exact,
-       TRUE AS recall_ok,
-       CAST({min_recall_pct} AS BIGINT) AS min_recall_pct
+       n_exact,
+       n_hit,
+       n_hit * 100 >= n_exact * {min_pct} AS recall_ok,
+       CAST({min_pct} AS BIGINT) AS min_recall_pct
+FROM m
 """
 
 
-ANN_IVF_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivf"])
-ANN_LSH_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["lsh"])
-ANN_PQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["pq"])
-ANN_IVFPQ_RECALL_SQL = _ann_recall_sql(ANN_RECALL_MIN_PCT["ivfpq"])
+# The four ANN_*_RECALL_SQL bindings live AFTER the ANN_*_TOPK_SQL
+# definitions below (each composes its tier's full-pipeline oracle).
 
 
 def _ann_lsh_sql() -> str:
@@ -1306,8 +1325,244 @@ SELECT query_id, vec_id, score, rank FROM (
 ANN_LSH_TOPK_SQL = _ann_lsh_sql()
 
 
-# bound here: _ann_lsh_recall_sql composes ANN_LSH_TOPK_SQL (defined above)
-ANN_LSH_RECALL_VALUE_SQL = _ann_lsh_recall_sql()
+# --- full-pipeline IVF / PQ / IVF-PQ oracles --------------------------------
+# DuckDB replays the ENTIRE pipelines: the integer quantization, the
+# unrolled Lloyd's training rounds (MATERIALIZED — every stage is
+# referenced twice, the KMEANS_SQL lesson), cell/code assignment,
+# probes, ADC distance tables, candidate pools and the exact rounded
+# cosine re-rank. Every decision before the final rounded score is a
+# comparison of exact BIGINTs, so the approximate indexes themselves
+# are hash-checked — the ann_lsh_topk bar applied to the trained tier.
+
+_COSINE_QE_SQL = (
+    "ROUND(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)"
+)
+
+_TRAIN_IDS_SQL = f"""SELECT vec_id FROM embeddings WHERE vec_id < {TRAIN_SAMPLE_CAP}
+    ORDER BY vec_id LIMIT {TRAIN_COLLECT_CAP}"""
+
+
+def _quant_cte() -> str:
+    """v: every corpus vector in long format on the integer grid."""
+    return f"""v AS MATERIALIZED (
+  SELECT e.vec_id, g.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+           + {QUANT_OFFSET} AS q
+  FROM embeddings e,
+       LATERAL (SELECT UNNEST(generate_series(1, len(e.embedding))) AS i) g
+)"""
+
+
+def _ivf_train_ctes() -> str:
+    """tv (bounded training sample) + c0..cN coarse-centroid rounds."""
+    parts = [f"""tv AS MATERIALIZED (
+  SELECT * FROM v WHERE vec_id IN ({_TRAIN_IDS_SQL})
+), c0 AS MATERIALIZED (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, dim, q AS c
+  FROM tv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv ORDER BY vec_id LIMIT {NLIST})
+)"""]
+    for k in range(KMEANS_ITERS):
+        parts.append(f"""ca{k} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) ASC,
+                                       c.cid ASC) AS rk
+    FROM tv t JOIN c{k} c ON t.dim = c.dim
+    GROUP BY t.vec_id, c.cid
+  ) WHERE rk = 1
+), c{k + 1} AS MATERIALIZED (
+  SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+  FROM c{k} p LEFT JOIN (
+    SELECT a.cid, t.dim, CAST(SUM(t.q) AS BIGINT) // COUNT(*) AS c
+    FROM ca{k} a JOIN tv t ON a.vec_id = t.vec_id
+    GROUP BY a.cid, t.dim
+  ) u ON p.cid = u.cid AND p.dim = u.dim
+)""")
+    return ",\n".join(parts)
+
+
+def _ivf_search_ctes() -> str:
+    """cells (full-corpus assignment) + probes (NPROBE per query)
+    against the trained c{KMEANS_ITERS}."""
+    cn = f"c{KMEANS_ITERS}"
+    assign = f"""SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) ASC,
+                                       c.cid ASC) AS rk
+    FROM v JOIN {cn} c ON v.dim = c.dim"""
+    return f"""cells AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    {assign}
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rk = 1
+), probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid FROM (
+    {assign}
+    WHERE v.vec_id < {N_QUERIES}
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rk <= {NPROBE}
+)"""
+
+
+def _pq_train_ctes() -> str:
+    """sv (subvector long format) + p0..pN per-subspace codebook rounds."""
+    parts = [f"""sl AS (SELECT MAX(dim) // {PQ_M} AS sub_len FROM v),
+sv AS MATERIALIZED (
+  SELECT v.vec_id, CAST((v.dim - 1) // s.sub_len AS INT) AS m,
+         CAST((v.dim - 1) % s.sub_len AS INT) AS ld, v.q
+  FROM v, sl s
+), tsv AS MATERIALIZED (
+  SELECT * FROM sv WHERE vec_id IN ({_TRAIN_IDS_SQL})
+), p0 AS MATERIALIZED (
+  SELECT m, CAST(DENSE_RANK() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cid,
+         ld, q AS c
+  FROM tsv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tsv ORDER BY vec_id LIMIT {PQ_K})
+)"""]
+    for k in range(PQ_ITERS):
+        parts.append(f"""pa{k} AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM (
+    SELECT t.vec_id, t.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m
+                              ORDER BY CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) ASC,
+                                       c.cid ASC) AS rk
+    FROM tsv t JOIN p{k} c ON t.m = c.m AND t.ld = c.ld
+    GROUP BY t.vec_id, t.m, c.cid
+  ) WHERE rk = 1
+), p{k + 1} AS MATERIALIZED (
+  SELECT pc.m, pc.cid, pc.ld, COALESCE(u.c, pc.c) AS c
+  FROM p{k} pc LEFT JOIN (
+    SELECT a.m, a.cid, t.ld, CAST(SUM(t.q) AS BIGINT) // COUNT(*) AS c
+    FROM pa{k} a JOIN tsv t ON a.vec_id = t.vec_id AND a.m = t.m
+    GROUP BY a.m, a.cid, t.ld
+  ) u ON pc.m = u.m AND pc.cid = u.cid AND pc.ld = u.ld
+)""")
+    return ",\n".join(parts)
+
+
+def _pq_index_ctes() -> str:
+    """codes (full-corpus PQ assignment) + qd (per-query ADC distance
+    table) against the trained p{PQ_ITERS}."""
+    pn = f"p{PQ_ITERS}"
+    return f"""codes AS MATERIALIZED (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY CAST(SUM((s.q - c.c) * (s.q - c.c)) AS BIGINT) ASC,
+                                       c.cid ASC) AS rk
+    FROM sv s JOIN {pn} c ON s.m = c.m AND s.ld = c.ld
+    GROUP BY s.vec_id, s.m, c.cid
+  ) WHERE rk = 1
+), qd AS MATERIALIZED (
+  SELECT s.vec_id AS query_id, s.m, c.cid AS code,
+         CAST(SUM((s.q - c.c) * (s.q - c.c)) AS BIGINT) AS d
+  FROM sv s JOIN {pn} c ON s.m = c.m AND s.ld = c.ld
+  WHERE s.vec_id < {N_QUERIES}
+  GROUP BY s.vec_id, s.m, c.cid
+)"""
+
+
+def _rerank_tail(pool_cte: str) -> str:
+    """Exact rounded-cosine re-rank + final top-k projection over any
+    (query_id, vec_id) candidate CTE."""
+    return f"""scored AS (
+  SELECT p.query_id, p.vec_id, {_COSINE_QE_SQL} AS score
+  FROM {pool_cte} p
+  JOIN embeddings e ON p.vec_id = e.vec_id
+  JOIN embeddings q ON p.query_id = q.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}"""
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+WITH {_quant_cte()},
+{_ivf_train_ctes()},
+{_ivf_search_ctes()},
+cand AS MATERIALIZED (
+  SELECT p.query_id, s.vec_id
+  FROM probes p JOIN cells s ON p.cid = s.cid
+  WHERE s.vec_id <> p.query_id
+),
+{_rerank_tail("cand")}
+"""
+
+
+def _ann_pq_sql() -> str:
+    return f"""
+WITH {_quant_cte()},
+{_pq_train_ctes()},
+{_pq_index_ctes()},
+adc AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id, CAST(SUM(q.d) AS BIGINT) AS approx_dist
+  FROM codes c JOIN qd q ON c.m = q.m AND c.code = q.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, vec_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {PQ_RERANK_POOL}
+),
+{_rerank_tail("pool")}
+"""
+
+
+def _ann_ivfpq_sql() -> str:
+    return f"""
+WITH {_quant_cte()},
+{_ivf_train_ctes()},
+{_ivf_search_ctes()},
+{_pq_train_ctes()},
+{_pq_index_ctes()},
+cand AS MATERIALIZED (
+  SELECT p.query_id, s.vec_id
+  FROM probes p JOIN cells s ON p.cid = s.cid
+  WHERE s.vec_id <> p.query_id
+),
+adc AS MATERIALIZED (
+  SELECT n.query_id, n.vec_id, CAST(SUM(q.d) AS BIGINT) AS approx_dist
+  FROM cand n
+  JOIN codes c ON n.vec_id = c.vec_id
+  JOIN qd q ON q.query_id = n.query_id AND q.m = c.m AND q.code = c.code
+  GROUP BY n.query_id, n.vec_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, vec_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {PQ_RERANK_POOL}
+),
+{_rerank_tail("pool")}
+"""
+
+
+ANN_IVF_TOPK_SQL = _ann_ivf_sql()
+ANN_PQ_TOPK_SQL = _ann_pq_sql()
+ANN_IVFPQ_TOPK_SQL = _ann_ivfpq_sql()
+
+
+# bound here: each composes its tier's full-pipeline top-k oracle
+# (defined above) into the shared hit-count-deriving recall template
+ANN_IVF_RECALL_SQL = _ann_recall_value_sql(ANN_IVF_TOPK_SQL, ANN_RECALL_MIN_PCT["ivf"])
+ANN_LSH_RECALL_VALUE_SQL = _ann_recall_value_sql(
+    ANN_LSH_TOPK_SQL, ANN_RECALL_MIN_PCT["lsh"]
+)
+ANN_PQ_RECALL_SQL = _ann_recall_value_sql(ANN_PQ_TOPK_SQL, ANN_RECALL_MIN_PCT["pq"])
+ANN_IVFPQ_RECALL_SQL = _ann_recall_value_sql(
+    ANN_IVFPQ_TOPK_SQL, ANN_RECALL_MIN_PCT["ivfpq"]
+)
 
 
 # Fixed sample cap for the recall metric: the ground truth is an exact
