@@ -331,9 +331,55 @@ class TestMrShim:
             run_mapreduce(df, wc_map)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_decode_image_real_formats_and_compressed_rejection():
+    """decode_image is REAL for the trivial formats: BMP survives a
+    roundtrip including the bottom-up row order and 4-byte row padding
+    (w=5 -> 1 pad byte), a top-down (negative height) BMP decodes to
+    the same image orientation, and P6 PPM with header comments parses;
+    compressed formats (PNG magic) are still rejected — codec libraries
+    are absent by design."""
+    import struct
+
+    from tinymapreduce_spark.operators.multimodal import encode_bmp
+
+    w, h = 5, 4
+    px = [
+        [((x + 3 * y) % 256, (7 * x) % 256, (11 * y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    bmp = encode_bmp(w, h, px)
+    assert decode_image(bmp) == (w, h, px)
+
+    # top-down variant: negate biHeight and reverse the stored rows
+    top_down = bytearray(bmp)
+    struct.pack_into("<i", top_down, 22, -h)
+    stride = w * 3 + ((-w * 3) % 4)
+    body = bmp[54:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+    top_down[54:] = b"".join(reversed(rows))
+    assert decode_image(bytes(top_down)) == (w, h, px)
+
+    ppm = b"P6\n# a comment\n5 4\n255\n" + bytes(
+        v for y in range(h) for x in range(w)
+        for v in (px[y][x][2], px[y][x][1], px[y][x][0])
+    )
+    assert decode_image(ppm) == (w, h, px)
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_wav_walks_chunks_and_preserves_sign():
+    """decode_wav must walk RIFF chunks by declared size (encode_wav
+    plants a junk LIST chunk before 'data') and decode little-endian
+    int16 with correct sign across the full range."""
+    from tinymapreduce_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [-32768, -1, 0, 1, 32767, -12345, 12345]
+    rate, got = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000 and got == samples
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
 
 
 def test_tf_cosine_identity_and_disjointness(spark):

@@ -247,6 +247,95 @@ def test_custom_stream_reader_offsets_cover_exactly_once(spark, sf_dir):
     assert first == again and first
 
 
+def test_cdc_upsert_restart_from_checkpoint_matches_batch_merge(
+    spark, tmp_path_factory
+):
+    """The CDC MERGE sink under the reference's crash-test posture
+    (/root/reference/src/main/test-mr.sh:275-322 applied to the one
+    stateful sink that mutates a table): kill the streaming query
+    mid-feed, crash-replay the last delivered batch verbatim (the
+    at-least-once foreachBatch contract), restart from the checkpoint,
+    and the manifest table must equal the one-shot batch MERGE result
+    exactly — no lost changes, no double-applied ones, no extra
+    versions from the replay."""
+    import os
+
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+    base = str(tmp_path_factory.mktemp("cdc_restart"))
+    src, ckpt = os.path.join(base, "feed"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    table = ManifestTable(os.path.join(base, "table"))
+    base_rows = [(i, i * 10) for i in range(200)]
+    table.publish(
+        spark.createDataFrame(base_rows, "id long, v long").repartitionByRange(4, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+
+    # change feed: 4 disjoint key slices, each one file = one micro-batch
+    # (updates to existing keys + inserts under fresh negative keys)
+    def slice_rows(ids):
+        return [(i, i * 10 + 1) for i in ids] + [(-i - 1, i) for i in ids]
+
+    def write_feed(name, ids):
+        df = spark.createDataFrame(slice_rows(ids), "id long, v long")
+        staging = src + f".stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    write_feed("f1", range(0, 50))
+    write_feed("f2", range(50, 100))
+
+    def apply_batch(bdf, batch_id):
+        table.upsert_matching(
+            bdf.sparkSession, "id", bdf, snapshot_id=f"cdc-{batch_id}"
+        )
+
+    def start():
+        return (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # incarnation 1: drain f1+f2, then the query dies mid-feed
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    v_after_kill = table.current_version()
+
+    # crash-replay: Spark re-delivers the last (batch_id, data) pair after
+    # a failure between MERGE commit and checkpoint commit — the
+    # idempotent snapshot_id must no-op, leaving version and data alone
+    last_batch = spark.read.parquet(os.path.join(src, "f2.parquet"))
+    apply_batch(last_batch, 1)
+    assert table.current_version() == v_after_kill, "replayed batch must not commit"
+
+    # rest of the feed arrives while the query is DOWN
+    write_feed("f3", range(100, 150))
+    write_feed("f4", range(150, 200))
+
+    # incarnation 2 resumes from the checkpoint and applies only f3/f4
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    expected = {i: i * 10 + 1 for i in range(200)}
+    expected.update({-i - 1: i for i in range(200)})
+    assert got == expected, "restarted CDC stream must equal the batch MERGE result"
+    # exactly 4 CDC commits ever happened: base + cdc-0..cdc-3
+    sids = [s.snapshot_id for s in table.history()]
+    assert sorted(sids) == ["base", "cdc-0", "cdc-1", "cdc-2", "cdc-3"]
+
+
 def test_stream_cms_merge_equals_batch_sketch(spark, sf_dir):
     """The incremental cell-table merges across micro-batches must
     reconstruct the one-shot batch sketch EXACTLY (cell addition is

@@ -1,10 +1,20 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is an
-explicit stub (``decode_image`` raises NotImplementedError; the pipeline
-uses a deterministic fake featureizer) — but the Spark-side machinery is
-real and tested: BinaryType columns, metadata structs, Arrow-batched
-``mapInPandas`` over binary data, stable output schema.
+The container has no codec LIBRARIES (PIL/ffmpeg), so compressed
+formats (JPEG/PNG pixels, MP3) stay out of reach — but trivial
+container formats need no library, and ``decode_image`` /
+``decode_wav`` below are REAL pure-Python decoders: uncompressed
+24-bit BMP (file+info header parse, bottom-up row order, 4-byte row
+padding, top-down negative-height variant), binary PPM (P6 with
+whitespace/comment-tolerant header), and RIFF/WAVE PCM16 (proper chunk
+walking — unknown chunks are skipped by their declared size). The
+``image_decode_stats`` / ``audio_decode_stats`` queries encode
+synthesized payloads into real BinaryType columns and decode them back
+through these parsers inside Arrow-batched kernels; their oracles
+re-derive the pixel/sample statistics from the generation formula
+independently, so an encoder OR decoder bug (padding, offsets, row
+order, endianness, sign) breaks parity. ``fake_features`` remains the
+stand-in only where a compressed-codec call would sit.
 
 At 100 TB the payload column dominates IO; the plans here only project
 (doc_id, payload) into the UDF — column pruning keeps text/metadata out
@@ -29,14 +39,125 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library not present in this
-    container. Deliberately stubbed; ``fake_features`` is the
-    deterministic stand-in the pipeline uses."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "use fake_features() for the deterministic test path"
-    )
+def encode_bmp(width: int, height: int, pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP writer. ``pixels[y][x]`` is
+    (b, g, r) in image orientation (row 0 = top); storage is bottom-up
+    with rows padded to 4 bytes — the format's two classic traps."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            body.extend(pixels[y][x])
+        body.extend(b"\x00" * pad)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(body)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Real pure-Python image decode for the two trivial formats:
+    uncompressed 24-bit BMP and binary PPM (P6). Returns
+    ``(width, height, pixels)`` with ``pixels[y][x] = (b, g, r)`` in
+    image orientation. Raises ValueError for anything else (compressed
+    codecs need libraries this container doesn't have — see module
+    docstring)."""
+    import struct
+
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        bi_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, bitcount = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bitcount != 24 or compression != 0:
+            raise ValueError("only uncompressed 24-bit BMP is supported")
+        top_down = height < 0
+        height = abs(height)
+        row_bytes = width * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = []
+        for r in range(height):
+            off = data_off + r * stride
+            raw = payload[off : off + row_bytes]
+            rows.append([tuple(raw[3 * x : 3 * x + 3]) for x in range(width)])
+        if not top_down:
+            rows.reverse()  # bottom-up storage -> image orientation
+        return width, height, rows
+    if payload[:2] == b"P6":
+        # header: magic, width, height, maxval — whitespace separated,
+        # '#' comments allowed between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while payload[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = tokens
+        if maxval > 255:
+            raise ValueError("only 8-bit PPM is supported")
+        rows = []
+        for y in range(height):
+            off = pos + y * width * 3
+            raw = payload[off : off + width * 3]
+            # PPM stores RGB; normalize to the (b, g, r) convention
+            rows.append(
+                [
+                    (raw[3 * x + 2], raw[3 * x + 1], raw[3 * x])
+                    for x in range(width)
+                ]
+            )
+        return width, height, rows
+    raise ValueError("unsupported image format (BMP/P6 PPM only)")
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE PCM16-mono writer — includes a junk LIST chunk before
+    'data' so decoders must really walk chunks by declared size."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Real pure-Python RIFF/WAVE decode (PCM16 mono): verify the RIFF
+    container, then walk chunks by declared size — skipping unknown
+    ones — to find 'fmt ' and 'data'. Returns
+    ``(sample_rate, samples)`` with samples as a list of signed ints."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono is supported")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    return sample_rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -320,6 +441,171 @@ def image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_u32(21).alias("height"),
         F.length("payload").cast("long").alias("header_bytes"),
     )
+
+
+# --- real decode paths over synthesized payloads ------------------------
+# Pixel/sample values are pure functions of doc_id, so the oracle can
+# re-derive every statistic WITHOUT decoding — while the Spark side must
+# encode the payload into a real BinaryType column and decode it back
+# through the real parsers. Any disagreement in padding, row order,
+# offsets, endianness or sign breaks the hash match.
+
+IMG_W = lambda d: 4 + d % 5  # noqa: E731 — 4..8 px (exercises row padding 0..3)
+IMG_H = lambda d: 3 + (d * 3) % 5  # noqa: E731 — 3..7 px
+IMG_PIX = lambda d, x, y, c: (d + 7 * x + 13 * y + 31 * c) % 256  # noqa: E731
+WAV_N = lambda d: 64 + d % 64  # noqa: E731
+WAV_S = lambda d, i: (d * 13 + i * i) % 4096 - 2048  # noqa: E731
+WAV_RATE = 8000
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over BinaryType: synthesize a 24-bit BMP per
+    document (dimensions + pixels are pure functions of doc_id), carry
+    it as a binary column through Arrow, decode it back with the
+    pure-Python BMP parser, and emit pixel statistics plus a 2x
+    nearest-neighbor downsample's statistics (the decode->transform
+    step of an image pipeline). The oracle computes the same statistics
+    straight from the generation formula — so the encoder and decoder
+    must agree byte-for-byte about padding and bottom-up row order or
+    the values diverge."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = IMG_W(d), IMG_H(d)
+                px = [
+                    [tuple(IMG_PIX(d, x, y, c) for c in range(3)) for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+                "mean_pixel": [],
+                "resized_pixel_sum": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(p))
+                total = sum(v for row in px for bgr in row for v in bgr)
+                small = sum(
+                    v for y in range(0, h, 2) for x in range(0, w, 2) for v in px[y][x]
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(total)
+                rows["mean_pixel"].append(total // (w * h * 3))
+                rows["resized_pixel_sum"].append(small)
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, pixel_sum long,"
+            " mean_pixel long, resized_pixel_sum long"
+        ),
+    )
+
+
+IMAGE_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + (doc_id * 3) % 5 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, x.x, y.y, c.c,
+         (d.doc_id + 7 * x.x + 13 * y.y + 31 * c.c) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, d.w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, d.h)) AS y) y,
+       LATERAL (SELECT UNNEST(range(0, 3)) AS c) c
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(v) AS BIGINT) // (w * h * 3) AS mean_pixel,
+       CAST(SUM(v) FILTER (WHERE x % 2 = 0 AND y % 2 = 0) AS BIGINT)
+         AS resized_pixel_sum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over BinaryType: synthesize a PCM16-mono WAV
+    per document (samples are a pure function of doc_id, spanning the
+    full signed range), carry it as a binary column through Arrow,
+    decode it back with the chunk-walking RIFF parser (a junk LIST
+    chunk sits before 'data', so naive offset math fails), and emit
+    exact integer energy statistics. The oracle re-derives them from
+    the sample formula — little-endian int16 sign handling included."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    encode_wav([WAV_S(d, i) for i in range(WAV_N(d))], WAV_RATE)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "energy": [],
+                "peak_abs": [],
+                "mean_abs": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(p))
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+                rows["energy"].append(sum(s * s for s in samples))
+                rows["peak_abs"].append(max(abs(s) for s in samples))
+                rows["mean_abs"].append(sum(abs(s) for s in samples) // len(samples))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_samples long, sample_rate long, energy long,"
+            " peak_abs long, mean_abs long"
+        ),
+    )
+
+
+AUDIO_DECODE_SQL = f"""
+WITH n AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, (doc_id * 13 + i.i * i.i) % 4096 - 2048 AS v
+  FROM n, LATERAL (SELECT UNNEST(range(0, n.n)) AS i) i
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(v)) AS BIGINT) // n AS mean_abs
+FROM s
+GROUP BY doc_id, n
+"""
 
 
 IMAGE_HEADER_SQL = """
