@@ -176,6 +176,9 @@ HEADLINE = [
     "semdedup_drops",
     "semdedup_recall",
     "sketch_error_bounds",
+    # new in round 4: real decode paths
+    "image_decode_stats",
+    "audio_decode_stats",
 ]
 
 

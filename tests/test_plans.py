@@ -358,6 +358,47 @@ def test_q21_correlated_exists_residual_conditions(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_q21_probe_sides_stay_hash_joins_at_x10(spark):
+    """The r3 x10 disk probe measured q21 at a 2.9x wall ratio —
+    input-honest, but only while the EXISTS/NOT-EXISTS probe sides stay
+    broadcast/hash joins. Pin the EXECUTED (post-AQE) plan at probe
+    scale so a future planner change can't silently flip the 4-way
+    orderkey self-join into a sort-merge pileup: both semi probes and
+    the anti probe must be hash joins (broadcast, shuffled-hash, or an
+    AQE-skew-handled SMJ) carrying their residual suppkey inequalities,
+    with no nested-loop or cartesian anywhere."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    x10 = os.path.join(repo, ".tmp", "tpchx10")
+    if not os.path.exists(os.path.join(x10, "lineitem.parquet", "_SUCCESS")):
+        spec = importlib.util.spec_from_file_location(
+            "scale_probe", os.path.join(repo, "tools", "scale_probe.py")
+        )
+        sp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sp)
+        sp.COPIES = 10  # dir name pins the scale regardless of env default
+        os.makedirs(x10, exist_ok=True)
+        sp.build_inflated_tpch(spark, x10)
+
+    df = analytics.q21_waiting_suppliers(spark, x10)
+    assert df.count() > 0
+    final = df._jdf.queryExecution().executedPlan().toString()
+    semi = [ln for ln in final.splitlines() if "LeftSemi" in ln]
+    anti = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert len(semi) == 2 and len(anti) == 1, (semi, anti)
+    for ln in semi + anti:
+        assert (
+            "BroadcastHashJoin" in ln
+            or "ShuffledHashJoin" in ln
+            or "skew=true" in ln
+        ), f"probe side degraded to an unhandled sort-merge join: {ln}"
+    assert "NOT (l_suppkey" in final  # residual inequality rides the equi-join
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+
+
 def test_window_rank_funcs_single_exchange(spark, sf_dir):
     p = plan_of(analytics.window_rank_funcs(spark, sf_dir))
     # six window functions, ONE window spec -> one exchange + one sort;

@@ -36,13 +36,15 @@ PROBES = [
     "pretrain_mix_pipeline",
     "token_budget_mix",
 ]
-# The uncapped winnow pair join is quadratic in fp-bucket size, and THIS
-# synthetic corpus's k-gram space is degenerate at x16 (8.5k distinct
-# fps over 80k docs, max bucket 61k -> 1.9e9 pair rows from one bucket).
-# Probe it at x4 where buckets stay clone-family sized; the x16 story +
-# the hot_fp_cap knob are measured and documented in BASELINE.md.
-if COPIES <= 4:
-    PROBES.insert(PROBES.index("pretrain_mix_pipeline"), "winnow_neardup_pairs")
+# The REGISTERED winnow pair join applies the stop-fingerprint filter
+# by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
+# docs are dropped in-plan), so the x16 degenerate corpus — 8.5k
+# distinct fps over 80k docs, max bucket 61k, 1.9e9 pair rows from one
+# bucket under the old uncapped default — now completes bounded and the
+# query probes at EVERY scale. The uncapped exact form remains the
+# hot_fp_cap=None knob; its quadratic x16 story stays documented in
+# BASELINE.md round-3 notes.
+PROBES.insert(PROBES.index("pretrain_mix_pipeline"), "winnow_neardup_pairs")
 
 
 def build_inflated(spark, out_dir: str) -> None:
