@@ -82,6 +82,9 @@ SELECTED = {
     "semdedup_drops": "salted within-cell pair join (k*SALT partitions); per-row norms carried once, pair cost = one dot",
     "semdedup_recall": "constant-size exact truth (broadcast NLJ over <=1000-row sample) semi-joined with the index's drops",
     "sketch_error_bounds": "exact sides are partial-agg scans; both approx medians broadcast into ONE shared rank-bracket scan",
+    "ann_ivf_topk": "integer centroid distances in codegen (ONE broadcast array-of-arrays row); probes = sorted struct slice, no window; candidates from cid equi-join",
+    "ann_pq_topk": "codes = narrow (id,m,code) relation; per-query ADC table broadcast; (m,code) equi-join + hash agg; only the bounded pool sees full-dim math",
+    "image_decode_stats": "binary payloads encoded+decoded in two Arrow hops; (doc_id,payload)-only projection keeps text out of the channel",
 }
 
 
