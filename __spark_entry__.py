@@ -433,15 +433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    semdedup_drops (approximate cell-blocked dedup — its oracle-backed
-    semdedup_recall accuracy row audits it; the ann tier, by contrast,
-    is now FULLY oracle-backed: ann_lsh_topk replays planes,
-    signatures, multi-probe, candidates and scores, and
-    ann_{{ivf,pq,ivfpq}}_topk replay their integer-Lloyd's codebook
-    training, cell/code assignment, ADC tables, pools and re-rank —
-    every training decision is exact integer arithmetic on the 1e-6
-    grid, so the four ann_*_recall rows also derive n_hit in SQL;
-    dedup_minhash_lsh / dedup_simhash,
+    (the whole trained-index tier is now FULLY oracle-backed:
+    ann_lsh_topk replays planes, signatures, multi-probe, candidates
+    and scores; ann_{{ivf,pq,ivfpq}}_topk and semdedup_drops replay
+    their integer-Lloyd's codebook training, cell/code assignment, ADC
+    tables, pools and re-rank/keeper selection — every training and
+    blocking decision is exact integer arithmetic on the 1e-6 grid, so
+    the four ann_*_recall rows and semdedup_recall also derive their
+    hit/caught counts in SQL; dedup_minhash_lsh / dedup_simhash,
     equally approximate but built on the portable integer md5-60-bit
     hash family, DO carry exact oracles that replay the very same
     signatures/bands, as does cms_heavy_hitters whose cell table uses
@@ -559,6 +558,7 @@ GROUP BY word
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
         "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
+        "semdedup_drops": similarity.SEMDEDUP_DROPS_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,

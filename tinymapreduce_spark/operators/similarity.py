@@ -93,44 +93,7 @@ KMEANS_ITERS = 5
 TRAIN_COLLECT_CAP = 8192  # hard ceiling on rows a trainer may collect
 
 
-def _train_centroids(spark: SparkSession, emb: DataFrame, k: int = NLIST, iters: int = KMEANS_ITERS) -> list[list[float]]:
-    """Spherical k-means codebook over a BOUNDED sample, trained in
-    numpy on the driver — the standard quantizer-training shape (faiss
-    trains IVF/PQ codebooks on a ~100k reservoir regardless of corpus
-    size): the sample is capped (TRAIN_COLLECT_CAP rows, ~4 MB), so
-    this is never a data-sized collect, and the driver loop avoids
-    paying per-iteration plan/codegen overhead for a dataflow whose
-    input is a few thousand rows. Assignment and scoring of the FULL
-    corpus stay distributed (see ann_ivf_topk / ann_pq_topk).
-
-    Deterministic: init = first k sample vectors by vec_id; assignment
-    = highest cosine, ties to the lowest cid (argmax-first); empty
-    cells keep their previous centroid; means renormalized to the
-    sphere — the exact update rule the previous distributed form used.
-    """
-    import numpy as np
-
-    rows = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(TRAIN_COLLECT_CAP).collect()
-    )
-    if not rows:  # empty corpus -> empty codebook (callers emit 0 rows)
-        return []
-    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    c = x[:k].copy()
-    xn = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
-    for _ in range(iters):
-        cn = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
-        sims = (x @ c.T) / (xn[:, None] * cn[None, :])
-        a = np.argmax(sims, axis=1)  # first max == lowest cid on ties
-        for cid in range(k):
-            members = x[a == cid]
-            if len(members):
-                m = members.mean(axis=0)
-                c[cid] = m / (np.linalg.norm(m) or 1.0)
-    return [[float(v) for v in row] for row in c]
-
-
-# --- integer-exact IVF / PQ training ---------------------------------------
+# --- integer-exact IVF / PQ / SemDeDup training ----------------------------
 # The coarse quantizer and the PQ codebooks train on coordinates
 # quantized ONCE to the 1e-6 integer grid (the operators/clustering.py
 # convention: q = floor(x * 10^6) + 2^20 — floor of an IEEE double
@@ -146,6 +109,7 @@ from tinymapreduce_spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
 
 _CENTROID_INT_CACHE: dict[str, list[list[int]]] = {}
 _PQ_CB_INT_CACHE: dict[str, list[tuple[int, int, list[int]]]] = {}
+_SEMDEDUP_CENT_CACHE: dict[tuple[str, int], list[list[int]]] = {}
 
 
 def _quantize(col: F.Column) -> F.Column:
@@ -537,28 +501,53 @@ def semdedup_drops(
     (k >> nassign^2, e.g. k ~ sqrt(N)) so cells stay bounded, and recurse
     into oversized cells.
 
-    Approximate by construction (a near-dup pair outside any shared cell
-    is missed), so no SQL oracle; tests/test_invariants.py asserts drop
+    Still approximate by construction (a near-dup pair outside any
+    shared cell is missed) — but since round 4 the cell index trains
+    with the same integer Lloyd's as the IVF tier (1e-6-grid
+    quantization, floor-mean updates, argmin ties to the lowest cid),
+    so every blocking decision is an exact-integer function of the data
+    and SEMDEDUP_DROPS_SQL replays the WHOLE pipeline: training rounds,
+    soft assignment, within-cell pairs, rounded cosines, keeper
+    selection. tests/test_invariants.py additionally asserts drop
     recall >= 0.75 against the exact all-pairs form and that every
     emitted cosine really clears the threshold (precision = 1).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _train_centroids(spark, emb, k=k)
-    cdf = F.broadcast(
-        spark.createDataFrame(list(enumerate(centroids)), "cid int, centroid array<double>")
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
-    cells = (
-        emb.crossJoin(cdf)
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("c_score"),
+    cache_key = (sf_dir, k)
+    if cache_key not in _SEMDEDUP_CENT_CACHE:
+        x = _collect_quantized_sample(emb)
+        _SEMDEDUP_CENT_CACHE[cache_key] = (
+            []
+            if x is None
+            else [[int(v) for v in row] for row in _lloyds_int(x, k, KMEANS_ITERS)]
         )
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") <= nassign)
-        .select("vec_id", "embedding", "cid")
+    cents = _SEMDEDUP_CENT_CACHE[cache_key]
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, kept_by long, cosine double")
+    cdf = spark.createDataFrame([(cents,)], "cs array<array<bigint>>")
+    dists = F.transform(
+        "cs",
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    cell_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                "ds", lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid"))
+            )
+        ),
+        1,
+        nassign,
+    )
+    cells = (
+        emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+        .join(F.broadcast(cdf))
+        .select("vec_id", "embedding", dists.alias("ds"))
+        .select("vec_id", "embedding", F.explode(cell_structs).alias("p"))
+        .select("vec_id", "embedding", F.col("p.cid").alias("cid"))
     )
     # Pair stage tuned for the two things the plan audit flagged:
     # (1) each row's L2 norm is computed ONCE here (sqrt of the same
@@ -1355,33 +1344,40 @@ def _quant_cte() -> str:
 )"""
 
 
-def _ivf_train_ctes() -> str:
-    """tv (bounded training sample) + c0..cN coarse-centroid rounds."""
+def _train_ctes(k: int, iters: int) -> str:
+    """tv (bounded training sample) + c0..c{iters} integer-Lloyd's
+    rounds for a k-centroid codebook — shared by the IVF oracle
+    (k=NLIST) and the SemDeDup oracle (k=SEMDEDUP_K)."""
     parts = [f"""tv AS MATERIALIZED (
   SELECT * FROM v WHERE vec_id IN ({_TRAIN_IDS_SQL})
 ), c0 AS MATERIALIZED (
   SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, dim, q AS c
-  FROM tv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv ORDER BY vec_id LIMIT {NLIST})
+  FROM tv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv ORDER BY vec_id LIMIT {k})
 )"""]
-    for k in range(KMEANS_ITERS):
-        parts.append(f"""ca{k} AS MATERIALIZED (
+    for i in range(iters):
+        parts.append(f"""ca{i} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT t.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY t.vec_id
                               ORDER BY CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) ASC,
                                        c.cid ASC) AS rk
-    FROM tv t JOIN c{k} c ON t.dim = c.dim
+    FROM tv t JOIN c{i} c ON t.dim = c.dim
     GROUP BY t.vec_id, c.cid
   ) WHERE rk = 1
-), c{k + 1} AS MATERIALIZED (
+), c{i + 1} AS MATERIALIZED (
   SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
-  FROM c{k} p LEFT JOIN (
+  FROM c{i} p LEFT JOIN (
     SELECT a.cid, t.dim, CAST(SUM(t.q) AS BIGINT) // COUNT(*) AS c
-    FROM ca{k} a JOIN tv t ON a.vec_id = t.vec_id
+    FROM ca{i} a JOIN tv t ON a.vec_id = t.vec_id
     GROUP BY a.cid, t.dim
   ) u ON p.cid = u.cid AND p.dim = u.dim
 )""")
     return ",\n".join(parts)
+
+
+def _ivf_train_ctes() -> str:
+    """tv (bounded training sample) + c0..cN coarse-centroid rounds."""
+    return _train_ctes(NLIST, KMEANS_ITERS)
 
 
 def _ivf_search_ctes() -> str:
@@ -1565,6 +1561,51 @@ ANN_IVFPQ_RECALL_SQL = _ann_recall_value_sql(
 )
 
 
+def _semdedup_drops_sql() -> str:
+    """DuckDB replay of the ENTIRE SemDeDup pipeline — integer-Lloyd's
+    codebook training (the shared _train_ctes rounds), top-NASSIGN soft
+    cell assignment, within-cell candidate pairs, exact rounded
+    cosines, best-keeper selection. Every blocking decision is a
+    comparison of exact BIGINTs; the only floats are the final rounded
+    cosines, same as every other pair oracle."""
+    cos6 = (
+        "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH {_quant_cte()},
+{_train_ctes(SEMDEDUP_K, KMEANS_ITERS)},
+cells AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) ASC,
+                                       c.cid ASC) AS rk
+    FROM v JOIN c{KMEANS_ITERS} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rk <= {SEMDEDUP_NASSIGN}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM cells ca JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+),
+scored AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, {cos6} AS cosine
+  FROM cand p JOIN embeddings a ON p.id_a = a.vec_id
+              JOIN embeddings b ON p.id_b = b.vec_id
+)
+SELECT id_b AS vec_id, id_a AS kept_by, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+                               ORDER BY cosine DESC, id_a ASC) AS rn
+  FROM scored WHERE cosine >= {SEMDEDUP_THRESHOLD}
+) WHERE rn = 1
+"""
+
+
+SEMDEDUP_DROPS_SQL = _semdedup_drops_sql()
+
+
 # Fixed sample cap for the recall metric: the ground truth is an exact
 # all-pairs pass, so it runs over the first SEM_RECALL_SAMPLE vec_ids
 # only — a CONSTANT (not data-proportional) bound, which keeps the
@@ -1632,6 +1673,7 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_sample",
             "n_droppable",
+            "n_caught",
             (
                 F.col("n_caught") * 100
                 >= F.col("n_droppable") * SEMDEDUP_RECALL_MIN_PCT
@@ -1642,6 +1684,9 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_recall_sql() -> str:
+    """Since round 4 the index itself is SQL-replayable, so the CAUGHT
+    count is derived too (truth semi-joined with the replayed drop set)
+    — no pinned booleans left anywhere in the recall tier."""
     cos = (
         "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
@@ -1650,13 +1695,20 @@ def _semdedup_recall_sql() -> str:
     return f"""
 WITH s AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id < {SEM_RECALL_SAMPLE}),
-p AS (SELECT DISTINCT b.vec_id AS id_b
+p AS MATERIALIZED (SELECT DISTINCT b.vec_id AS id_b
       FROM s a JOIN s b ON a.vec_id < b.vec_id
-      WHERE {cos} >= {SEMDEDUP_THRESHOLD})
-SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample,
-       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_droppable,
-       TRUE AS recall_ok,
+      WHERE {cos} >= {SEMDEDUP_THRESHOLD}),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample,
+         CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_droppable,
+         CAST((SELECT COUNT(*) FROM p
+               JOIN ({SEMDEDUP_DROPS_SQL}) d ON p.id_b = d.vec_id
+               WHERE d.vec_id < {SEM_RECALL_SAMPLE}) AS BIGINT) AS n_caught
+)
+SELECT n_sample, n_droppable, n_caught,
+       n_caught * 100 >= n_droppable * {SEMDEDUP_RECALL_MIN_PCT} AS recall_ok,
        CAST({SEMDEDUP_RECALL_MIN_PCT} AS BIGINT) AS min_recall_pct
+FROM m
 """
 
 
