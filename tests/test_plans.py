@@ -358,6 +358,30 @@ def test_q21_correlated_exists_residual_conditions(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_ann_trained_tier_no_cartesians_bounded_broadcasts(spark, sf_dir):
+    """The integer-trained ANN tier's 100 TB shape: the ONLY
+    nested-loop joins are the single-row codebook attaches (an
+    array-of-arrays frame broadcast into codegen distance
+    expressions); candidate generation and ADC scoring are hash
+    equi-joins (cid / (m, code)); nothing is ever a cartesian of two
+    data-sized relations."""
+    from tinymapreduce_spark.operators import similarity as sim
+
+    for fn, max_codebook_attaches in [
+        (sim.ann_ivf_topk, 2),  # cells + probes share one assigned frame
+        (sim.ann_pq_topk, 0),  # codebook is a k-row frame: plain broadcast hash joins
+        (sim.ann_ivfpq_topk, 2),
+    ]:
+        p = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, fn.__name__
+        n_bnlj = p.count(") BroadcastNestedLoopJoin")
+        assert n_bnlj <= max_codebook_attaches, (fn.__name__, n_bnlj)
+        if n_bnlj:
+            # every BNLJ must be the BuildRight single-row attach
+            assert p.count("BroadcastNestedLoopJoin Inner BuildRight") >= n_bnlj, fn.__name__
+        assert "BroadcastHashJoin" in p, fn.__name__
+
+
 def test_q21_probe_sides_stay_hash_joins_at_x10(spark):
     """The r3 x10 disk probe measured q21 at a 2.9x wall ratio —
     input-honest, but only while the EXISTS/NOT-EXISTS probe sides stay
@@ -453,17 +477,19 @@ def test_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
 
 def test_bloom_filter_join_returns_cached_pruned_result(spark, sf_dir):
     """The operator must NOT collect() to the driver: it returns a
-    distributed frame materialized (under the scoped confs) into the
-    cache, so re-execution serves the bloom-pruned result rather than
-    re-planning without the confs (VERDICT r01 'What's wrong' item 1)."""
+    distributed frame eagerly materialized under the scoped confs
+    (localCheckpoint), so its plan is the materialized RDD — lineage is
+    truncated and a re-execution can only serve the bloom-pruned
+    result, never a re-plan without the confs (VERDICT r01 'What's
+    wrong' item 1). A driver-side collect would surface as a
+    LocalRelation instead of distributed RDD blocks. The injected
+    might_contain itself is pinned by
+    test_bloom_filter_injected_on_shuffle_join on the pre-
+    materialization plan."""
     df = layout.bloom_filter_join(spark, sf_dir)
     p = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "InMemoryRelation" in p
-    # the cached plan underneath is the bloom-pruned join, not a
-    # LocalRelation of collected rows
-    assert "LocalRelation" not in p
-    assert "might_contain" in p
-    df.unpersist()
+    assert "LogicalRDD" in p  # materialized distributed blocks
+    assert "LocalRelation" not in p  # not a collected literal
 
 
 def test_triangle_edges_broadcast_after_distinct(spark, sf_dir):
@@ -709,26 +735,28 @@ def test_doc_ann_broadcast_query_side(spark, sf_dir):
     assert "BroadcastExchange" in p
 
 
-def test_sketch_tables_partial_aggregate(spark, sf_dir):
+def test_sketch_tables_partial_aggregate(spark, sf_dir, monkeypatch):
     """The portable HLL register table and the digit-bucket table must
     build with map-side partial aggregation (partial_max / partial
-    counts before the exchange) — the mergeable-sketch shape."""
+    counts before the exchange) — the mergeable-sketch shape. The
+    functions localCheckpoint their sketch tables (which truncates the
+    visible lineage), so the checkpoint is bypassed here to expose the
+    full build plan."""
+    # Spark 4: the concrete classic DataFrame overrides the abstract
+    # base's methods, so the bypass must patch the concrete class.
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from tinymapreduce_spark.operators.sketches import (
         digit_bucket_quantiles,
         hll_portable_distinct,
     )
 
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
     p = plan_of(hll_portable_distinct(spark, sf_dir))
-    try:
-        assert "partial_max" in p
-        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    finally:
-        spark.catalog.clearCache()
+    assert "partial_max" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     p2 = plan_of(digit_bucket_quantiles(spark, sf_dir))
-    try:
-        assert "partial_count" in p2
-    finally:
-        spark.catalog.clearCache()
+    assert "partial_count" in p2
 
 
 def test_token_budget_mix_one_window_exchange_and_broadcast_alloc(spark, sf_dir):

@@ -653,7 +653,14 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized_text("text")).alias("content_key"),
         (batch_byte < 64).alias("is_new"),
     )
-    base_index = keyed.where(~F.col("is_new")).select("content_key").distinct().persist()
+    base_index = (
+        keyed.where(~F.col("is_new"))
+        .select("content_key")
+        .distinct()
+        # eager localCheckpoint over persist: blocks are GC-released,
+        # so repeated bench invocations don't accumulate storage
+        .localCheckpoint(eager=True)
+    )
 
     pos = _bloom_positions(F.col("content_key"))
     bitmap = (

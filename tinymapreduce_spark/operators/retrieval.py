@@ -68,7 +68,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
             for i, t in enumerate(all_terms)
         ],
-    ).persist()
+    ).localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )

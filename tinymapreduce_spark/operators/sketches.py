@@ -47,8 +47,9 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K)).alias("sk")
     )
-    # Cache: the ALL row must union the *same* per-group sketches.
-    per_group = per_group.persist()
+    # Cache: the ALL row must union the *same* per-group sketches
+    # (localCheckpoint: GC-released, no cross-invocation storage leak).
+    per_group = per_group.localCheckpoint(eager=True)
     groups = per_group.select(
         F.col("o_orderpriority").alias("grp"),
         F.hll_sketch_estimate("sk").alias("approx_custkeys"),
@@ -71,7 +72,7 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("price", F.lit(KLL_K)).alias("sk")
     )
-    per_group = per_group.persist()
+    per_group = per_group.localCheckpoint(eager=True)
 
     def quantile_cols(df: DataFrame) -> DataFrame:
         cols = [
@@ -249,7 +250,7 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "reg")
         .agg(F.max("rho").alias("mj"))
     )
-    regs = regs.persist()
+    regs = regs.localCheckpoint(eager=True)
     merged = (
         regs.groupBy("reg")
         .agg(F.max("mj").alias("mj"))
@@ -365,7 +366,7 @@ def hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("yr", "reg", rho.alias("rho"))
         .groupBy("yr", "reg")
         .agg(F.max("rho").alias("mj"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     years = regs.select("yr").distinct()
     pairs = (
@@ -469,7 +470,7 @@ def digit_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = li.select("grp", lb.alias("lb")).groupBy("grp", "lb").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    buckets = buckets.persist()
+    buckets = buckets.localCheckpoint(eager=True)
     merged = (
         buckets.groupBy("lb")
         .agg(F.sum("cnt").alias("cnt"))

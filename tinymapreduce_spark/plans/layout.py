@@ -405,10 +405,11 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conf scoping vs laziness: the bloom-injection rule reads session
     confs at OPTIMIZATION time (= first action), so the confs (broadcast
     disabled to simulate the at-scale regime) must be live exactly when
-    the plan first materializes. The operator therefore persists and
-    materializes the frame inside the conf scope — no driver-side
-    ``collect()``; the result stays a distributed frame whose cache
-    holds the bloom-pruned execution, so caller re-execution reads that,
+    the plan first materializes. The operator therefore eagerly
+    localCheckpoints the frame inside the conf scope — no driver-side
+    ``collect()``; the result stays a distributed frame whose
+    materialized blocks hold the bloom-pruned execution (and are
+    GC-released after use), so caller re-execution reads those,
     never a literal scan. The injected ``might_contain`` is asserted in
     tests/test_plans.py; results are filter-invariant — plain-SQL
     oracle."""
@@ -427,9 +428,11 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("total_price"),
             )
-            .persist()
+            # eager localCheckpoint: materializes under the scoped
+            # confs AND releases its blocks via GC (no persist leak
+            # across bench invocations)
+            .localCheckpoint(eager=True)
         )
-        out.count()  # force optimization + execution under the scoped confs
     return out
 
 
