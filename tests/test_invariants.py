@@ -369,6 +369,51 @@ def test_decode_image_real_formats_and_compressed_rejection():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def test_codec_roundtrips_hypothesis():
+    """Property fuzz over the pure-Python codecs: ANY 24-bit image
+    (width 1..17 exercises every row-padding class, arbitrary pixel
+    bytes) must survive BMP encode→decode exactly, and ANY int16
+    sample sequence must survive WAV encode→decode — the same
+    model-fuzz posture the manifest/KV tests use."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tinymapreduce_spark.operators.multimodal import (
+        decode_image,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_roundtrip(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        assert decode_image(encode_bmp(w, h, px)) == (w, h, px)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_roundtrip(samples, rate):
+        got_rate, got = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate and got == samples
+
+    bmp_roundtrip()
+    wav_roundtrip()
+
+
 def test_decode_wav_walks_chunks_and_preserves_sign():
     """decode_wav must walk RIFF chunks by declared size (encode_wav
     plants a junk LIST chunk before 'data') and decode little-endian
