@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: REAL pure-Python BMP/PPM + WAV decode paths
         "image_decode_stats": multimodal.image_decode_stats,
         "audio_decode_stats": multimodal.audio_decode_stats,
+        # new in round 4: CDC apply (MERGE with deletes), batch + streaming
+        "manifest_apply_changes": manifest_sink.manifest_apply_changes,
+        "stream_cdc_apply_changes": stream_sinks.stream_cdc_apply_changes,
         # --- S1-S5 source/sink surface (VERDICT r01: never driver-checked) ---
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
@@ -694,6 +697,8 @@ GROUP BY word
         "image_header_parse": multimodal.IMAGE_HEADER_SQL,
         "image_decode_stats": multimodal.IMAGE_DECODE_SQL,
         "audio_decode_stats": multimodal.AUDIO_DECODE_SQL,
+        "manifest_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
+        "stream_cdc_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
         "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,

@@ -176,9 +176,11 @@ HEADLINE = [
     "semdedup_drops",
     "semdedup_recall",
     "sketch_error_bounds",
-    # new in round 4: real decode paths
+    # new in round 4: real decode paths + CDC apply with deletes
     "image_decode_stats",
     "audio_decode_stats",
+    "manifest_apply_changes",
+    "stream_cdc_apply_changes",
 ]
 
 

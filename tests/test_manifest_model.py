@@ -49,7 +49,9 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     )
 
     for step in range(12):
-        op = rng.choice(["append", "upsert", "delete", "optimize", "expire"])
+        op = rng.choice(
+            ["append", "upsert", "delete", "optimize", "expire", "apply_changes"]
+        )
         sid = f"{op}-{step}"
         if op == "append":
             lo = rng.randrange(0, KEYSPACE)
@@ -77,6 +79,26 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
                 table.delete_by_frame(spark, "id", kdf, snapshot_id=sid)
             for k in keys:
                 model.pop(k, None)
+        elif op == "apply_changes":
+            # one CDC batch mixing deletes, updates and inserts — with a
+            # NULL-op row (counts as upsert) and a NULL-key delete (must
+            # match nothing, per the MERGE NULL contract)
+            live = sorted(k for k in model if k is not None)
+            dels = rng.sample(live or [0], min(10, len(live) or 1))
+            ups = rng.sample(range(0, KEYSPACE), 15)
+            rows = [(k, 0, "D") for k in dels]
+            rows += [(k, step * 1_000_000 + k, "U") for k in ups if k not in dels]
+            null_op_key = KEYSPACE + step
+            rows.append((null_op_key, 42, None))
+            rows.append((None, 0, "D"))
+            cdf = spark.createDataFrame(rows, "id long, v long, op string")
+            table.apply_changes(spark, "id", cdf, snapshot_id=sid)
+            for k in dels:
+                model.pop(k, None)
+            for k in ups:
+                if k not in dels:
+                    model[k] = step * 1_000_000 + k
+            model[null_op_key] = 42
         elif op == "optimize":
             table.optimize(spark, "id", snapshot_id=sid, n_files=4)
         else:  # expire old snapshots + vacuum orphans
@@ -134,6 +156,37 @@ def test_decimal_key_delete_upserts_numerically(spark, tmp_path):
     # out-of-range delete is a no-op commit, not a row loss
     table.delete_matching(spark, "price", [Decimal("9999.00")], snapshot_id="miss")
     assert len(table.read(spark).collect()) == 59
+
+
+def test_apply_changes_all_delete_batch_and_atomicity(spark, tmp_path):
+    """A CDC batch of ONLY deletes must still commit atomically through
+    apply_changes (empty re-insert side), and the whole batch (delete +
+    update + insert) must be exactly ONE new version — the MERGE
+    visibility contract."""
+    table = ManifestTable(str(tmp_path / "cdc"))
+    table.publish(
+        spark.createDataFrame([(i, i) for i in range(40)], "id long, v long"),
+        snapshot_id="init",
+        stats_cols=["id"],
+    )
+    v0 = table.current_version()
+
+    mixed = spark.createDataFrame(
+        [(5, 0, "D"), (7, 700, "U"), (100, 1000, "I")], "id long, v long, op string"
+    )
+    table.apply_changes(spark, "id", mixed, snapshot_id="b1")
+    assert table.current_version() == v0 + 1  # one commit for the whole batch
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert 5 not in got and got[7] == 700 and got[100] == 1000
+    assert len(got) == 40  # 40 - 1 deleted + 1 inserted
+
+    only_deletes = spark.createDataFrame(
+        [(i, 0, "D") for i in range(0, 4)], "id long, v long, op string"
+    )
+    table.apply_changes(spark, "id", only_deletes, snapshot_id="b2")
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert not any(k in got for k in range(0, 4))
+    assert len(got) == 36
 
 
 def test_bool_stat_key_degrades_to_unpruned(spark, tmp_path):

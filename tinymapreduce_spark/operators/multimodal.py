@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 # (driver may load us via sys.path only) — pickle this module by value.
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
-from tinymapreduce_spark.sources.loaders import documents_for_cpu, load_table
+from tinymapreduce_spark.sources.loaders import documents_for_cpu
 
 
 def encode_bmp(width: int, height: int, pixels: list[list[tuple[int, int, int]]]) -> bytes:

@@ -671,6 +671,39 @@ class ManifestTable:
             lambda: self._upsert_once(spark, key_col, new_rows, snapshot_id)
         )
 
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        changes: DataFrame,
+        snapshot_id: str,
+        op_col: str = "op",
+    ) -> int:
+        """MERGE **with deletes** in ONE atomic commit — the CDC-apply
+        shape (Delta's ``WHEN MATCHED AND op = 'D' THEN DELETE`` /
+        DLT's APPLY CHANGES INTO): every change row's key is matched
+        out of the table, and only rows whose ``op_col`` is not ``'D'``
+        are re-inserted — so a 'D' row deletes, anything else upserts,
+        and one pointer flip publishes the whole batch (readers see all
+        of it or none). Routes through the same join-based copy-on-write
+        core as upsert/delete: file pruning by stats×keys semi-join,
+        LEFT ANTI row match, no driver-side key materialization.
+        NULL ``op_col`` rows count as upserts; NULL keys follow the
+        MERGE contract (match nothing; non-delete NULL-key rows are
+        pure inserts). Idempotent per ``snapshot_id``; RMW conflicts
+        retry like ``upsert_matching``."""
+        from pyspark.sql import functions as F
+
+        keys = changes.select(key_col)
+        new_rows = changes.where(
+            F.coalesce(F.col(op_col) != "D", F.lit(True))
+        ).drop(op_col)
+        return self._retry_rmw(
+            lambda: self._rewrite_once(
+                spark, key_col, keys, snapshot_id, new_rows=new_rows
+            )
+        )
+
     def _retry_rmw(self, attempt, tries: int = 5) -> int:
         last: Exception | None = None
         for _ in range(tries):
@@ -1188,6 +1221,82 @@ WITH final AS (
   UNION ALL
   SELECT -o_orderkey, o_orderstatus, o_totalprice * 2
   FROM orders WHERE o_custkey % 97 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
+
+
+def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — MERGE WITH DELETES in one atomic commit — as a
+    driver query: publish orders clustered on o_orderkey, build a
+    change set with disjoint op classes (custkey % 13 == 0 -> 'D'
+    deletes; else % 7 == 0 -> 'U' price doubled; else % 11 == 0 ->
+    'I' inserts under the negated orderkey), apply it through
+    ``ManifestTable.apply_changes``, and aggregate the CURRENT
+    version. The oracle reconstructs the final state with the same
+    class predicates (doubling a double is exact). A second
+    ``apply_changes`` with the same snapshot id inside the query
+    proves the idempotent no-op path on the delete-bearing commit."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"cdc_orders_{tag}_{_src_fp(sf_dir, 'orders')}")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    is_d = F.col("o_custkey") % 13 == 0
+    is_u = (~is_d) & (F.col("o_custkey") % 7 == 0)
+    is_i = (~is_d) & (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 11 == 0)
+    deletes = orders.where(is_d).withColumn("op", F.lit("D"))
+    updates = (
+        orders.where(is_u)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.where(is_i)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    v = table.apply_changes(spark, "o_orderkey", changes, snapshot_id="cdc-batch")
+    # replayed delivery of the same batch must be the no-op path
+    assert table.apply_changes(spark, "o_orderkey", changes, snapshot_id="cdc-batch") == v
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_APPLY_CHANGES_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_custkey % 13 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_custkey % 13 <> 0 AND o_custkey % 7 <> 0 AND o_custkey % 11 = 0
 )
 SELECT o_orderstatus, COUNT(*) AS n,
        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -395,3 +395,89 @@ SELECT o_orderstatus, COUNT(*) AS n,
        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM final GROUP BY o_orderstatus
 """
+
+
+def stream_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with DELETES — the full change-feed shape
+    (op column carrying D/U/I) MERGEd into the versioned table one
+    micro-batch at a time through ``ManifestTable.apply_changes``: each
+    batch's deletes and upserts land in ONE atomic commit (Delta's
+    ``WHEN MATCHED AND op='D' THEN DELETE`` applied per epoch).
+
+    Feed construction (deterministic, disjoint op classes so the final
+    state is order-independent): custkeys divisible by 13 arrive as
+    DELETE rows, else divisible by 7 as UPDATEs (price doubled — exact
+    for doubles), else divisible by 11 as INSERTs (negated orderkey).
+    RANGE-split on the key into 4 files streamed one per trigger, so
+    the stats semi-join prunes each batch to its key slice of the
+    table (the ``stream_cdc_upsert`` pruning story, now with erasure
+    in the same commit — GDPR deletion riding a CDC feed).
+
+    Exactly-once: each batch commits under ``snapshot_id=cdca-{batch}``;
+    replays hit the idempotent no-op publish."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    run = uuid.uuid4().hex[:8]
+    table = ManifestTable(os.path.join(SCRATCH, f"cdca_tbl_{run}"))
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    is_d = F.col("o_custkey") % 13 == 0
+    is_u = (~is_d) & (F.col("o_custkey") % 7 == 0)
+    is_i = (~is_d) & (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 11 == 0)
+    deletes = orders.where(is_d).withColumn("op", F.lit("D"))
+    updates = (
+        orders.where(is_u)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.where(is_i)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
+        .withColumn("op", F.lit("I"))
+    )
+    feed_dir = os.path.join(SCRATCH, f"cdca_feed_{run}")
+    deletes.unionByName(updates).unionByName(inserts).repartitionByRange(
+        4, "o_orderkey"
+    ).write.mode("overwrite").parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.apply_changes(
+            batch_df.sparkSession, "o_orderkey", batch_df,
+            snapshot_id=f"cdca-{batch_id}",
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        # materialize before deleting the run-scoped scratch dirs below
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    return out
