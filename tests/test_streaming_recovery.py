@@ -336,6 +336,82 @@ def test_cdc_upsert_restart_from_checkpoint_matches_batch_merge(
     assert sorted(sids) == ["base", "cdc-0", "cdc-1", "cdc-2", "cdc-3"]
 
 
+def test_cdc_apply_changes_restart_covers_deletes(spark, tmp_path_factory):
+    """The delete-bearing CDC path under the same crash posture: kill
+    the stream mid-feed between delete-carrying batches, crash-replay
+    the last batch (no-op), restart from checkpoint — the final table
+    must equal the one-shot application of the whole change feed, with
+    deleted keys gone and exactly one commit per batch."""
+    import os
+
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+    base = str(tmp_path_factory.mktemp("cdca_restart"))
+    src, ckpt = os.path.join(base, "feed"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    table = ManifestTable(os.path.join(base, "table"))
+    table.publish(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(200)], "id long, v long"
+        ).repartitionByRange(4, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+
+    # per slice: delete ids % 3 == 0, update the rest, insert one new key
+    def slice_rows(ids):
+        rows = [(i, 0, "D") if i % 3 == 0 else (i, i + 1, "U") for i in ids]
+        rows.append((-min(ids) - 1, 77, "I"))
+        return rows
+
+    def write_feed(name, ids):
+        df = spark.createDataFrame(slice_rows(ids), "id long, v long, op string")
+        staging = src + f".stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    write_feed("f1", range(0, 50))
+    write_feed("f2", range(50, 100))
+
+    def apply_batch(bdf, batch_id):
+        table.apply_changes(spark, "id", bdf, snapshot_id=f"cdca-{batch_id}")
+
+    def start():
+        return (
+            spark.readStream.schema("id long, v long, op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    v_after_kill = table.current_version()
+
+    # crash-replay the last delivered batch — idempotent no-op
+    apply_batch(spark.read.parquet(os.path.join(src, "f2.parquet")), 1)
+    assert table.current_version() == v_after_kill
+
+    write_feed("f3", range(100, 150))
+    write_feed("f4", range(150, 200))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    expected = {i: i + 1 for i in range(200) if i % 3 != 0}
+    expected.update({-lo - 1: 77 for lo in (0, 50, 100, 150)})
+    assert got == expected, "restarted delete-bearing CDC must equal one-shot apply"
+    sids = [s.snapshot_id for s in table.history()]
+    assert sorted(sids) == ["base", "cdca-0", "cdca-1", "cdca-2", "cdca-3"]
+
+
 def test_stream_cms_merge_equals_batch_sketch(spark, sf_dir):
     """The incremental cell-table merges across micro-batches must
     reconstruct the one-shot batch sketch EXACTLY (cell addition is
