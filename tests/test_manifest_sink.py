@@ -359,6 +359,44 @@ def test_concurrent_deletes_both_apply_via_retry(spark, table):
     assert table.snapshot(3).n_rows == 780
 
 
+def test_concurrent_apply_changes_both_apply_via_retry(spark, table):
+    """Two racing CDC apply_changes batches (each mixing deletes and
+    upserts on disjoint key slices): the loser retries against the
+    winner's commit — afterwards BOTH batches' deletes AND upserts are
+    visible and versions are consecutive."""
+    import threading
+
+    table.publish(
+        _df(spark, 0, 800).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    errs = []
+
+    def do_apply(del_keys, up_keys, sid):
+        try:
+            rows = [(k, 0, "D") for k in del_keys]
+            rows += [(k, 999, "U") for k in up_keys]
+            cdf = spark.createDataFrame(rows, "id long, v long, op string")
+            table.apply_changes(spark, "id", cdf, snapshot_id=sid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    a = threading.Thread(
+        target=do_apply, args=(range(10, 20), range(30, 35), "cdc-a")
+    )
+    b = threading.Thread(
+        target=do_apply, args=(range(700, 710), range(720, 725), "cdc-b")
+    )
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs, errs
+    assert table.current_version() == 3
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert not any(k in got for k in (*range(10, 20), *range(700, 710)))
+    assert all(got[k] == 999 for k in (*range(30, 35), *range(720, 725)))
+    assert len(got) == 800 - 20
+
+
 def test_split_files_by_key_frame_semi_join_refinement(spark, table):
     """Scan planning for MERGE/DELETE: beyond the global [lo, hi]
     prefilter, the stats×keys semi-join marks ONLY files actually
