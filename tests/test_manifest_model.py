@@ -189,6 +189,43 @@ def test_apply_changes_all_delete_batch_and_atomicity(spark, tmp_path):
     assert len(got) == 36
 
 
+def test_string_and_date_key_delete_prune_in_iso_order(spark, tmp_path):
+    """The other stat families of the pruning matrix: plain strings and
+    dates serialize to order-preserving forms, so range pruning is
+    exact — deletes keyed on them must remove exactly the matching
+    rows (and the untouched-file carry must not lose any)."""
+    import datetime
+
+    t1 = ManifestTable(str(tmp_path / "strkey"))
+    rows = [(f"user-{i:04d}", i) for i in range(100)]
+    t1.publish(
+        spark.createDataFrame(rows, "uid string, v long").repartitionByRange(4, "uid"),
+        snapshot_id="init",
+        stats_cols=["uid"],
+    )
+    t1.delete_matching(spark, "uid", ["user-0007", "user-0093"], snapshot_id="del")
+    got = {r.uid for r in t1.read(spark).collect()}
+    assert "user-0007" not in got and "user-0093" not in got and len(got) == 98
+
+    t2 = ManifestTable(str(tmp_path / "datekey"))
+    base = datetime.date(2026, 1, 1)
+    drows = [(base + datetime.timedelta(days=i), i) for i in range(60)]
+    t2.publish(
+        spark.createDataFrame(drows, "d date, v long").repartitionByRange(4, "d"),
+        snapshot_id="init",
+        stats_cols=["d"],
+    )
+    kill = base + datetime.timedelta(days=30)
+    t2.delete_matching(spark, "d", [kill], snapshot_id="del")
+    got_d = {r.d for r in t2.read(spark).collect()}
+    assert kill not in got_d and len(got_d) == 59
+    # upsert on the date key must match, not duplicate
+    ups = spark.createDataFrame([(base, 777)], "d date, v long")
+    t2.upsert_matching(spark, "d", ups, snapshot_id="ups")
+    vals = {r.d: r.v for r in t2.read(spark).collect()}
+    assert vals[base] == 777 and len(vals) == 59
+
+
 def test_bool_stat_key_degrades_to_unpruned(spark, tmp_path):
     """Boolean min/max stats have no usable range: MERGE/DELETE keyed on
     a bool-stat column must degrade to unpruned (every stats file a
