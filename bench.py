@@ -181,6 +181,7 @@ HEADLINE = [
     "audio_decode_stats",
     "manifest_apply_changes",
     "stream_cdc_apply_changes",
+    "binary_files_decode",
 ]
 
 

@@ -540,6 +540,125 @@ GROUP BY doc_id, w, h
 """
 
 
+BINFILE_CAP = 200  # bounded file count for the file-based ingest path
+
+
+def _ensure_bmp_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a directory of REAL .bmp files (one per document id
+    below BINFILE_CAP, pixels from the shared generation formula),
+    written DISTRIBUTED via foreachPartition with temp+rename commits —
+    at 100 TB an image corpus already lives as files in shared/object
+    storage, and each task writing its own files is exactly that shape.
+    Idempotent per (session, sf)."""
+    import os
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(SCRATCH, f"bmp_files_{tag}")
+    marker = f"spark.tinymr.bmp_files_{tag.replace('.', '_')}"
+    if not spark.conf.get(marker, None):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = (
+            documents_for_cpu(spark, sf_dir)
+            .select("doc_id")
+            .where(F.col("doc_id") < BINFILE_CAP)
+        )
+
+        def write_part(rows) -> None:
+            import os as _os
+
+            for row in rows:
+                d = int(row.doc_id)
+                w, h = IMG_W(d), IMG_H(d)
+                px = [
+                    [tuple(IMG_PIX(d, x, y, c) for c in range(3)) for x in range(w)]
+                    for y in range(h)
+                ]
+                tmp = _os.path.join(out_dir, f".img_{d}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(encode_bmp(w, h, px))
+                _os.replace(tmp, _os.path.join(out_dir, f"img_{d}.bmp"))
+
+        docs.foreachPartition(write_part)
+        spark.conf.set(marker, "1")
+    return out_dir
+
+
+def binary_files_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based multimodal ingest — Spark's built-in ``binaryFile``
+    source over a directory of real .bmp files: each row arrives as
+    (path, modificationTime, length, content binary) with
+    ``pathGlobFilter`` pruning the listing, which is how a 100 TB image
+    corpus stored as objects is actually scanned (no decode in the
+    reader; bytes flow as a binary column). The content then goes
+    through the REAL BMP parser in an Arrow-batched kernel, keyed by
+    the doc_id parsed from the filename. The oracle re-derives the
+    byte size (54-byte headers + padded rows) and the pixel statistics
+    from the generation formula — so the writer, the file reader AND
+    the decoder must all agree."""
+    src = _ensure_bmp_files(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("file_bytes"),
+            "content",
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "file_bytes": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+            }
+            for d, n, p in zip(pdf["doc_id"], pdf["file_bytes"], pdf["content"]):
+                w, h, px = decode_image(bytes(p))
+                rows["doc_id"].append(d)
+                rows["file_bytes"].append(n)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(
+                    sum(v for row in px for bgr in row for v in bgr)
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        decode,
+        schema="doc_id long, file_bytes long, width long, height long, pixel_sum long",
+    )
+
+
+BINARY_FILES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + (doc_id * 3) % 5 AS h
+  FROM documents WHERE doc_id < {BINFILE_CAP}
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 7 * x.x + 13 * y.y + 31 * c.c) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, d.w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, d.h)) AS y) y,
+       LATERAL (SELECT UNNEST(range(0, 3)) AS c) c
+)
+SELECT doc_id,
+       CAST(54 + h * (w * 3 + (4 - (w * 3) % 4) % 4) AS BIGINT) AS file_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over BinaryType: synthesize a PCM16-mono WAV
     per document (samples are a pure function of doc_id, spanning the
