@@ -182,6 +182,7 @@ HEADLINE = [
     "manifest_apply_changes",
     "stream_cdc_apply_changes",
     "binary_files_decode",
+    "stream_binary_files_decode",
 ]
 
 

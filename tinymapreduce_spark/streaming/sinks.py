@@ -33,6 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tinymapreduce_spark.operators.multimodal import BINFILE_CAP as _BINFILE_CAP
 from tinymapreduce_spark.sources.loaders import normalize_event_ts
 from tinymapreduce_spark.sources.manifest_sink import ManifestTable
 from tinymapreduce_spark.sources.textfiles import SCRATCH
@@ -290,6 +291,124 @@ STREAM_AVAILABLE_NOW_SQL = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
+"""
+
+
+def stream_binary_files_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MULTIMODAL ingest — the autoloader shape every image
+    pipeline schedules: a streaming ``binaryFile`` read over the .bmp
+    corpus directory (new files picked up by the checkpointed file
+    index; listing pruned by pathGlobFilter), the real BMP decode
+    running INSIDE the stream as an Arrow-batched mapInPandas, and an
+    append-only parquet sink under Trigger.AvailableNow. Re-running
+    against the same checkpoint ingests nothing new, so the aggregate
+    over the sink equals the batch decode no matter how many times the
+    query ran — the exactly-once-ingest certificate, now for binary
+    payloads. Shares binary_files_decode's generation-formula oracle
+    (aggregated)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tinymapreduce_spark.operators.multimodal import (
+        _ensure_bmp_files,
+        decode_image,
+    )
+
+    src = _ensure_bmp_files(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # checkpoint keyed by the source documents table's identity: the
+    # file-stream index tracks .bmp paths, so a regenerated corpus must
+    # get a fresh checkpoint (the stream_available_now convention)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    base = os.path.join(SCRATCH, f"stream_bmp_{tag}_{st.st_size}_{int(st.st_mtime)}")
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+
+    # the binaryFile source's fixed schema (streaming reads require it)
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.bmp")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "pixel_sum": [], "n_px": []}
+            for d, p in zip(pdf["doc_id"], pdf["content"]):
+                w, h, px = decode_image(bytes(p))
+                rows["doc_id"].append(d)
+                rows["pixel_sum"].append(
+                    sum(v for row in px for bgr in row for v in bgr)
+                )
+                rows["n_px"].append(w * h)
+            yield pd.DataFrame(rows)
+
+    q = (
+        blobs.mapInPandas(decode, schema="doc_id long, pixel_sum long, n_px long")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not self-terminate")
+
+    has_parts = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    back = (
+        spark.read.schema("doc_id long, pixel_sum long, n_px long").parquet(sink)
+        if has_parts
+        else spark.createDataFrame([], "doc_id long, pixel_sum long, n_px long")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("pixel_sum").alias("pixel_sum_total"),
+        F.sum("n_px").alias("n_px_total"),
+    )
+
+
+STREAM_BINARY_FILES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + (doc_id * 3) % 5 AS h
+  FROM documents WHERE doc_id < {_BINFILE_CAP}
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 7 * x.x + 13 * y.y + 31 * c.c) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, d.w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, d.h)) AS y) y,
+       LATERAL (SELECT UNNEST(range(0, 3)) AS c) c
+)
+SELECT CAST((SELECT COUNT(*) FROM dims) AS BIGINT) AS n_images,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum_total,
+       CAST((SELECT SUM(w * h) FROM dims) AS BIGINT) AS n_px_total
+FROM px
 """
 
 
