@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: binaryFile-source ingest over real .bmp files
         "binary_files_decode": multimodal.binary_files_decode,
         "stream_binary_files_decode": stream_sinks.stream_binary_files_decode,
+        # new in round 4: state-store introspection (Spark 4 state source)
+        "state_store_read": stream_state.state_store_read,
         # --- S1-S5 source/sink surface (VERDICT r01: never driver-checked) ---
         "text_roundtrip_wordcount": textfiles.text_roundtrip_wordcount,
         "json_runs_roundtrip": textfiles.json_runs_roundtrip,
@@ -704,6 +706,7 @@ GROUP BY word
         "stream_cdc_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "binary_files_decode": multimodal.BINARY_FILES_SQL,
         "stream_binary_files_decode": stream_sinks.STREAM_BINARY_FILES_SQL,
+        "state_store_read": stream_state.STATE_STORE_READ_SQL,
         "sql_python_udf": analytics.SQL_PYTHON_UDF_SQL,
         "extract_entities": textstats.EXTRACT_ENTITIES_SQL,
         "incremental_agg_merge": maintenance.INCREMENTAL_AGG_SQL,

@@ -183,6 +183,7 @@ HEADLINE = [
     "stream_cdc_apply_changes",
     "binary_files_decode",
     "stream_binary_files_decode",
+    "state_store_read",
 ]
 
 

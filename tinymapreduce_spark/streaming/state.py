@@ -353,3 +353,71 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.sql(f"SELECT event_type, n_users FROM {name}")
+
+
+def state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state OBSERVABILITY — the Spark 4 State Data Source:
+    run a checkpointed per-event-type aggregate, then open the
+    checkpoint's STATE STORE itself (``format("statestore")``) and
+    return the aggregation buffers it holds — (key.event_type,
+    value.count, value.sum) straight from the HDFS-backed store, per
+    partition, no output sink involved. The oracle is the plain batch
+    aggregate, so the check certifies that the persisted state equals
+    the query's semantics exactly — at 100 TB this is how a production
+    stateful pipeline is debugged (inspect/repair state offline)
+    without replaying its input. ``state-metadata`` is asserted
+    in-plan: exactly one stateful operator must own the store.
+
+    The checkpoint is keyed by the source file's identity (the
+    stream_available_now convention) and survives re-runs: restarting
+    the query against it finds no new files, batches nothing, and the
+    state read stays byte-stable."""
+    import os
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    base = os.path.join(SCRATCH, f"state_read_{tag}_{st.st_size}_{int(st.st_mtime)}")
+    ckpt = os.path.join(base, "ckpt")
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+    )
+    name = f"state_read_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    n_ops = meta.where(F.col("operatorName") == "stateStoreSave").count()
+    assert n_ops == 1, f"expected one stateful operator, saw {n_ops}"
+
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )
+
+
+STATE_STORE_READ_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
