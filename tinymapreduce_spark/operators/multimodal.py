@@ -554,15 +554,21 @@ def _ensure_bmp_files(spark: SparkSession, sf_dir: str) -> str:
 
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
+    from tinymapreduce_spark.sources.loaders import load_table
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(SCRATCH, f"bmp_files_{tag}")
     marker = f"spark.tinymr.bmp_files_{tag.replace('.', '_')}"
     if not spark.conf.get(marker, None):
         os.makedirs(out_dir, exist_ok=True)
+        # id-only column-pruned scan (the text column never leaves the
+        # footer) fanned to a few writer tasks — file creation is the
+        # work here, not the id read
         docs = (
-            documents_for_cpu(spark, sf_dir)
+            load_table(spark, sf_dir, "documents")
             .select("doc_id")
             .where(F.col("doc_id") < BINFILE_CAP)
+            .coalesce(8)
         )
 
         def write_part(rows) -> None:
