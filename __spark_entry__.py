@@ -22,6 +22,7 @@ from tinymapreduce_spark.operators import (
     graph,
     kv,
     multimodal,
+    packing,
     reference_queries,
     retrieval,
     shards,
@@ -210,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": curation.doc_chunk_overlap,
         "training_shuffle": curation.training_shuffle,
         "curation_pipeline": curation.curation_pipeline,
+        "pack_nextfit_bins": packing.pack_nextfit_bins,
+        "length_curriculum": packing.length_curriculum,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
         "audio_energy_windows": multimodal.audio_energy_windows,
@@ -669,6 +672,8 @@ GROUP BY word
         "sequence_pack": curation.SEQUENCE_PACK_SQL,
         "doc_chunk_overlap": curation.DOC_CHUNK_SQL,
         "curation_pipeline": curation.CURATION_PIPELINE_SQL,
+        "pack_nextfit_bins": packing.PACK_NEXTFIT_BINS_SQL,
+        "length_curriculum": packing.LENGTH_CURRICULUM_SQL,
         "triangle_count": graph.TRIANGLE_SQL,
         "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
         "per_source_cap": curation.PER_SOURCE_CAP_SQL,

@@ -84,6 +84,8 @@ HEADLINE = [
     "contamination_check",
     "sequence_pack",
     "doc_chunk_overlap",
+    "pack_nextfit_bins",
+    "length_curriculum",
     "curation_pipeline",
     "cogrouped_asof",
     "triangle_count",

@@ -1,0 +1,96 @@
+"""Semantic invariants of the sequence-packing tier
+(``operators/packing.py``) beyond the DuckDB hash parity that
+``test_oracle_parity.py`` already enforces: next-fit bin discipline,
+whole-document conservation, and curriculum batch monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tinymapreduce_spark.functions.text import tokens
+from tinymapreduce_spark.operators import packing
+from tinymapreduce_spark.sources.loaders import load_table
+
+
+class TestPackNextfitBins:
+    def _frames(self, spark, sf_dir):
+        bins = packing.pack_nextfit_bins(spark, sf_dir).toPandas()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(tokens("text")).alias("t"))
+            .toPandas()
+        )
+        return bins, docs
+
+    def test_conservation_and_capacity(self, spark, sf_dir):
+        bins, docs = self._frames(spark, sf_dir)
+        # every document lands in exactly one bin, tokens conserved
+        assert bins["n_docs"].sum() == len(docs)
+        assert bins["bin_tokens"].sum() == docs["t"].sum()
+        # a bin only exceeds capacity when it holds a single oversize doc
+        over = bins[bins["bin_tokens"] > packing.PACK_CAP]
+        assert (over["n_docs"] == 1).all()
+
+    def test_bin_ids_consecutive_per_shard(self, spark, sf_dir):
+        bins, _ = self._frames(spark, sf_dir)
+        for _, grp in bins.groupby("shard"):
+            assert sorted(grp["bin_id"]) == list(range(1, len(grp) + 1))
+            # doc_id ranges of consecutive bins never interleave
+            g = grp.sort_values("bin_id")
+            assert (g["first_doc"] <= g["last_doc"]).all()
+            assert (g["last_doc"].shift(1).dropna() < g["first_doc"].iloc[1:]).all()
+
+    def test_nextfit_greedy_no_early_close(self, spark, sf_dir):
+        """Next-fit property: a new bin opens only because the first doc
+        of that bin did NOT fit in the previous bin's remaining space."""
+        bins, docs = self._frames(spark, sf_dir)
+        tok = dict(zip(docs["doc_id"], docs["t"]))
+        for _, grp in bins.groupby("shard"):
+            g = grp.sort_values("bin_id").reset_index(drop=True)
+            for i in range(1, len(g)):
+                prev_fill = g.loc[i - 1, "bin_tokens"]
+                first_next = tok[g.loc[i, "first_doc"]]
+                assert prev_fill + first_next > packing.PACK_CAP
+
+
+class TestLengthCurriculum:
+    def test_batch_shape_and_waste(self, spark, sf_dir):
+        out = packing.length_curriculum(spark, sf_dir).toPandas()
+        assert (out["n_docs"] <= packing.BATCH_SIZE).all()
+        assert (out["padding_waste"] >= 0).all()
+        assert (
+            out["padding_waste"] == out["max_tok"] * out["n_docs"] - out["sum_tok"]
+        ).all()
+        # only the final batch of a shard may be ragged
+        for _, grp in out.groupby("shard"):
+            g = grp.sort_values("batch")
+            assert (g["n_docs"].iloc[:-1] == packing.BATCH_SIZE).all()
+
+    def test_batches_are_length_sorted(self, spark, sf_dir):
+        """Within a shard, batch b's longest doc is never longer than
+        batch b+1's shortest — the property padding-aware batching buys."""
+        out = packing.length_curriculum(spark, sf_dir).toPandas()
+        for _, grp in out.groupby("shard"):
+            g = grp.sort_values("batch")
+            assert (g["max_tok"].iloc[:-1].values <= g["min_tok"].iloc[1:].values).all()
+
+    def test_curriculum_beats_arrival_order_padding(self, spark, sf_dir):
+        """The point of the operator: length-grouped batches waste fewer
+        pad tokens than batching in doc_id arrival order."""
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.pmod("doc_id", F.lit(packing.CURRICULUM_SHARDS)).alias("shard"),
+                F.size(tokens("text")).alias("t"),
+            )
+            .toPandas()
+        )
+        naive = 0
+        for _, grp in docs.groupby("shard"):
+            g = grp.sort_values("doc_id").reset_index(drop=True)
+            for s in range(0, len(g), packing.BATCH_SIZE):
+                b = g.iloc[s : s + packing.BATCH_SIZE]
+                naive += int(b["t"].max()) * len(b) - int(b["t"].sum())
+        curated = packing.length_curriculum(spark, sf_dir).toPandas()
+        assert curated["padding_waste"].sum() < naive

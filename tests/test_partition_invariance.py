@@ -43,6 +43,9 @@ REPRESENTATIVES = [
     # MERGE through the join-based copy-on-write core
     "dsir_importance_weights",
     "stream_cdc_upsert",
+    # round-4 addition: sharded sequential packer (applyInPandas groups
+    # must pack identically regardless of upstream partitioning)
+    "pack_nextfit_bins",
 ]
 
 
