@@ -34,6 +34,8 @@ SELECTED = {
     "bucketed_join_revenue": "co-bucketed fact-fact sort-merge join: ZERO exchanges",
     "salted_skew_join": "deterministic salting spreads hot keys over 16 sub-keys",
     "sequence_pack": "single shuffle reused for group + pack; 2-column read",
+    "pack_nextfit_bins": "tokenize before shuffle: only (doc_id, shard, count) exchanges, never text; one Arrow stage packs per shard",
+    "length_curriculum": "per-shard window (no global sort) feeding a map-side-combined aggregate",
     "dpp_partitioned_join": "runtime partition pruning: dynamicpruningexpression, no static fallback",
     "zorder_pruned_agg": "Morton-clustered files: min/max stats prune BOTH filter dims",
     "doc_chunk_overlap": "overlapping chunking with zero shuffles (sequence + slice in codegen)",
