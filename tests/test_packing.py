@@ -5,6 +5,9 @@ whole-document conservation, and curriculum batch monotonicity."""
 
 from __future__ import annotations
 
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.functions.text import tokens
@@ -51,6 +54,43 @@ class TestPackNextfitBins:
                 prev_fill = g.loc[i - 1, "bin_tokens"]
                 first_next = tok[g.loc[i, "first_doc"]]
                 assert prev_fill + first_next > packing.PACK_CAP
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=3 * packing.PACK_CAP), max_size=60)
+)
+def test_pack_shard_matches_model(toks):
+    """The Arrow kernel vs an independently-written model: assign each
+    doc a bin id first (plain scan), aggregate with pandas groupby —
+    same answer for arbitrary token counts incl. zero-length and
+    oversize docs."""
+    pdf = pd.DataFrame(
+        {"shard": 3, "doc_id": range(len(toks)), "t": pd.array(toks, dtype="int64")}
+    )
+    got = packing._pack_shard(pdf.sample(frac=1, random_state=7))  # order-insensitive
+
+    bin_ids, bin_id, fill = [], 0, None
+    for t in toks:
+        if fill is None or fill + t > packing.PACK_CAP:
+            bin_id, fill = bin_id + 1, t
+        else:
+            fill += t
+        bin_ids.append(bin_id)
+    model = pdf.assign(bin_id=pd.array(bin_ids, dtype="int64"))
+    expect = (
+        model.groupby("bin_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            bin_tokens=("t", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        .reset_index()
+    )
+    assert len(got) == len(expect)
+    for col in ("n_docs", "bin_tokens", "first_doc", "last_doc"):
+        assert list(got[col]) == list(expect[col]), col
 
 
 class TestLengthCurriculum:

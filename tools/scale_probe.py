@@ -35,6 +35,10 @@ PROBES = [
     "winnow_fingerprints",
     "pretrain_mix_pipeline",
     "token_budget_mix",
+    # round-4 sequence-prep tier: the packer is a sharded sequential
+    # scan, so its ratio should track input growth ~linearly
+    "pack_nextfit_bins",
+    "length_curriculum",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
