@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation.curation_pipeline,
         "pack_nextfit_bins": packing.pack_nextfit_bins,
         "length_curriculum": packing.length_curriculum,
+        "stream_pack_nextfit": stream_state.stream_pack_nextfit,
         # --- multimodal ---
         "multimodal_features": multimodal.multimodal_features,
         "audio_energy_windows": multimodal.audio_energy_windows,
@@ -674,6 +675,9 @@ GROUP BY word
         "curation_pipeline": curation.CURATION_PIPELINE_SQL,
         "pack_nextfit_bins": packing.PACK_NEXTFIT_BINS_SQL,
         "length_curriculum": packing.LENGTH_CURRICULUM_SQL,
+        # the streaming packer emits exactly the bins the batch packer
+        # builds (sentinel-flushed), so it shares the recursive oracle
+        "stream_pack_nextfit": packing.PACK_NEXTFIT_BINS_SQL,
         "triangle_count": graph.TRIANGLE_SQL,
         "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
         "per_source_cap": curation.PER_SOURCE_CAP_SQL,

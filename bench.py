@@ -86,6 +86,7 @@ HEADLINE = [
     "doc_chunk_overlap",
     "pack_nextfit_bins",
     "length_curriculum",
+    "stream_pack_nextfit",
     "curation_pipeline",
     "cogrouped_asof",
     "triangle_count",

@@ -56,6 +56,23 @@ class TestPackNextfitBins:
                 assert prev_fill + first_next > packing.PACK_CAP
 
 
+class TestStreamPackNextfit:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """The sentinel flush closes every real bin, so the appended
+        streaming output IS the batch packing — and a second invocation
+        (fresh query + checkpoint over the cached feed) reproduces it."""
+        from tinymapreduce_spark.streaming.state import stream_pack_nextfit
+
+        batch = packing.pack_nextfit_bins(spark, sf_dir).toPandas()
+        s1 = stream_pack_nextfit(spark, sf_dir).toPandas()
+        s2 = stream_pack_nextfit(spark, sf_dir).toPandas()
+        assert s1.equals(batch)
+        assert s2.equals(batch)
+        # no sentinel artifacts leak into the output
+        assert (s1["first_doc"] < 1 << 40).all()
+        assert (s1["last_doc"] < 1 << 40).all()
+
+
 @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     toks=st.lists(st.integers(min_value=0, max_value=3 * packing.PACK_CAP), max_size=60)

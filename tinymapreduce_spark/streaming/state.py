@@ -21,9 +21,17 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tinymapreduce_spark.operators.packing import PACK_CAP, PACK_SHARDS
 from tinymapreduce_spark.sources.loaders import normalize_event_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -421,3 +429,157 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental sequence packing: the streaming twin of
+# operators/packing.py::pack_nextfit_bins.
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("bin_id", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("bin_tokens", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+    ]
+)
+# the OPEN bin of each shard: (bin_id, n_docs, bin_tokens, first_doc, last_doc)
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("bin_id", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("bin_tokens", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+    ]
+)
+# Sentinel doc ids start here; divisible by PACK_SHARDS so sentinel s
+# routes to shard s. A sentinel is PACK_CAP+1 tokens, so it can never
+# join an open bin — it force-closes the shard's final real bin and
+# parks itself in state, unemitted.
+PACK_SENTINEL_BASE = 1 << 40
+
+
+def _pack_apply(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's (doc_id, t) rows into the shard's open
+    bin; emit every bin the batch CLOSES. O(1) state per shard — the
+    open bin tuple — regardless of stream length."""
+    open_bin = list(state.get) if state.exists else None
+    closed: list[list[int]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("doc_id")
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            doc_id, t = int(doc_id), int(t)
+            if open_bin is not None and open_bin[2] + t <= PACK_CAP:
+                open_bin[1] += 1
+                open_bin[2] += t
+                open_bin[4] = doc_id
+            else:
+                if open_bin is not None:
+                    closed.append(open_bin)
+                nxt = open_bin[0] + 1 if open_bin is not None else 1
+                open_bin = [nxt, 1, t, doc_id, doc_id]
+    if open_bin is not None:
+        state.update(tuple(int(v) for v in open_bin))
+    if closed:
+        shard = int(key[0])
+        yield pd.DataFrame(
+            [(shard, b[0], b[1], b[2], b[3], b[4]) for b in closed],
+            columns=["shard", "bin_id", "n_docs", "bin_tokens", "first_doc", "last_doc"],
+        )
+
+
+def stream_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental next-fit sequence packing: documents arrive in doc_id
+    order across micro-batches (mtime-ordered feed files,
+    maxFilesPerTrigger=1) and each shard's open bin lives in per-key
+    state (`applyInPandasWithState`) — bins are emitted the moment they
+    close, which is how a packer runs on an unbounded ingest feed. A
+    final sentinel micro-batch (one PACK_CAP+1-token doc per shard)
+    force-closes every real bin, so the appended output equals
+    ``pack_nextfit_bins`` on the same corpus exactly — the two share
+    one recursive-CTE SQL oracle. State is one 5-long tuple per shard,
+    constant in stream length."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    feed_dir = os.path.join(SCRATCH, f"packfeed_{tag}_{st.st_size}_{int(st.st_mtime)}")
+    marker = os.path.join(feed_dir, "_ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        os.makedirs(feed_dir, exist_ok=True)
+        table = pq.read_table(src_path).sort_by("doc_id")
+        n = table.num_rows
+        n_files = 4
+        step = max(1, -(-n // n_files)) if n else 1
+        now = time.time()
+        wrote = 0
+        for i in range(0, max(n, 1), step):
+            if n == 0:
+                break
+            part = table.slice(i, step)
+            path = os.path.join(feed_dir, f"part-{wrote:03d}.parquet")
+            pq.write_table(part, path)
+            os.utime(path, (now - 600 + wrote * 10, now - 600 + wrote * 10))
+            wrote += 1
+        sent_text = "a " * (PACK_CAP + 1)
+        defaults = {
+            "text": sent_text,
+            "lang": "__sentinel__",
+            "source": "__sentinel__",
+            "n_chars": len(sent_text),
+        }
+        sent_ids = [PACK_SENTINEL_BASE + s for s in range(PACK_SHARDS)]
+        cols = []
+        for f in table.schema:
+            if f.name == "doc_id":
+                cols.append(pa.array(sent_ids, type=f.type))
+            else:
+                cols.append(pa.array([defaults.get(f.name)] * len(sent_ids), type=f.type))
+        sent_path = os.path.join(feed_dir, f"part-{wrote:03d}-sentinel.parquet")
+        pq.write_table(pa.table(cols, schema=table.schema), sent_path)
+        os.utime(sent_path, (now, now))
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    from tinymapreduce_spark.functions.text import tokens
+
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    d = stream.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(tokens("text")).alias("t"),
+    )
+    bins = d.groupBy("shard").applyInPandasWithState(
+        _pack_apply,
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_pack_{uuid.uuid4().hex[:8]}"
+    q = bins.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").orderBy("shard", "bin_id")
