@@ -428,3 +428,106 @@ def test_stream_cms_merge_equals_batch_sketch(spark, sf_dir):
     streamed = {(r.token, r.est_count) for r in stream_cms_sink(spark, sf_dir).collect()}
     batch = {(r.token, r.est_count) for r in cms_heavy_hitters(spark, sf_dir).collect()}
     assert streamed == batch
+
+
+def test_stream_packer_restart_resumes_open_bin(spark, tmp_path_factory):
+    """Kill-and-restart for the incremental packer: stop the query after
+    the first feed files, deliver more documents (and the sentinel
+    flush) while it is DOWN, restart from the checkpoint — the file
+    sink must hold exactly the batch packing's bins, with the open bin
+    carried across the restart by the state store (no bin lost, none
+    emitted twice, no bin split at the crash boundary)."""
+    import pandas as pd
+
+    from tinymapreduce_spark.operators import packing
+    from tinymapreduce_spark.streaming.state import (
+        PACK_OUTPUT_SCHEMA,
+        PACK_SENTINEL_BASE,
+        PACK_STATE_SCHEMA,
+        _pack_apply,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    base = str(tmp_path_factory.mktemp("pack_recovery"))
+    src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    def tok(i: int) -> int:
+        return (i * 37) % 150 + 1  # deterministic, crosses bin boundaries
+
+    def write_docs(name: str, ids: range) -> None:
+        df = spark.createDataFrame(
+            [(i, i % packing.PACK_SHARDS, tok(i)) for i in ids],
+            "doc_id long, shard int, t long",
+        )
+        staging = src + f".stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, shard int, t long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        bins = stream.groupBy("shard").applyInPandasWithState(
+            _pack_apply,
+            outputStructType=PACK_OUTPUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            bins.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    write_docs("f1", range(0, 100))
+    write_docs("f2", range(100, 200))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # docs arrive while the query is DOWN — including the flush sentinels
+    write_docs("f3", range(200, 300))
+    sent = spark.createDataFrame(
+        [(PACK_SENTINEL_BASE + s, s, packing.PACK_CAP + 1) for s in range(packing.PACK_SHARDS)],
+        "doc_id long, shard int, t long",
+    )
+    staging = src + ".stage_sent"
+    sent.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), os.path.join(src, "f4_sentinel.parquet"))
+    shutil.rmtree(staging)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(sink)
+        .orderBy("shard", "bin_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    all_docs = pd.DataFrame(
+        {
+            "shard": [i % packing.PACK_SHARDS for i in range(300)],
+            "doc_id": list(range(300)),
+            "t": [tok(i) for i in range(300)],
+        }
+    )
+    expect = (
+        pd.concat(
+            [packing._pack_shard(g) for _, g in all_docs.groupby("shard")],
+            ignore_index=True,
+        )
+        .sort_values(["shard", "bin_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(expect.astype("int64"))
