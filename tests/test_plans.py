@@ -187,6 +187,33 @@ def test_sequence_pack_single_shuffle(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
+def test_pack_nextfit_shuffles_counts_not_text(spark, sf_dir):
+    from tinymapreduce_spark.operators import packing
+
+    p = plan_of(packing.pack_nextfit_bins(spark, sf_dir))
+    # the packer's data exchange routes on shard; the text column is
+    # projected away BEFORE it (only doc_id/shard/token-count shuffle),
+    # so 100 TB of text never crosses the wire
+    assert "Arguments: hashpartitioning(shard" in p
+    assert "FlatMapGroupsInPandas" in p
+    gp = p[p.index("FlatMapGroupsInPandas") :]
+    assert "text" not in gp.split("\n")[1]  # Arguments line: no text col
+    # column pruning at the scan: only what tokenization needs
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_length_curriculum_window_feeds_agg_without_reshuffle(spark, sf_dir):
+    from tinymapreduce_spark.operators import packing
+
+    p = plan_of(packing.length_curriculum(spark, sf_dir))
+    # the per-shard window and the (shard, batch) aggregate share one
+    # hashpartitioning(shard) exchange (plus the presentation-only
+    # range partitioning for orderBy); no global single-partition window
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "SinglePartition" not in p
+    assert "partial_count" in p  # map-side combine survives the window
+
+
 def test_q6_all_predicates_pushed(spark, sf_dir):
     p = plan_of(analytics.q6_forecast_revenue(spark, sf_dir))
     # every predicate reaches the parquet reader; scan reads only the
