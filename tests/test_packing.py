@@ -73,6 +73,46 @@ class TestStreamPackNextfit:
         assert (s1["last_doc"] < 1 << 40).all()
 
 
+class _StubState:
+    """Minimal GroupState stand-in for driving _pack_apply directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_kernel_sorts_across_chunks():
+    """A micro-batch's rows can arrive as several Arrow chunks in
+    partition order; the fold must sort across ALL of them, not within
+    each — two interleaved chunks must pack like one sorted frame."""
+    from tinymapreduce_spark.streaming.state import _pack_apply
+
+    def run(chunks):
+        st = _StubState()
+        out = list(_pack_apply((3,), iter(chunks), st))
+        return (
+            pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+        ), st._v
+
+    rows = pd.DataFrame(
+        {"doc_id": range(10), "t": [200, 60, 200, 60, 200, 60, 200, 60, 200, 60]}
+    )
+    whole, st1 = run([rows])
+    split, st2 = run([rows.iloc[1::2], rows.iloc[0::2]])  # interleaved arrival
+    assert whole.equals(split)
+    assert st1 == st2
+
+
 @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     toks=st.lists(st.integers(min_value=0, max_value=3 * packing.PACK_CAP), max_size=60)

@@ -470,8 +470,12 @@ def _pack_apply(
     open bin tuple — regardless of stream length."""
     open_bin = list(state.get) if state.exists else None
     closed: list[list[int]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("doc_id")
+    # A big micro-batch arrives as MULTIPLE Arrow chunks whose relative
+    # order is partition order, not doc_id order — concatenate before
+    # the one sort (bounded by the micro-batch, not the stream).
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
             doc_id, t = int(doc_id), int(t)
             if open_bin is not None and open_bin[2] + t <= PACK_CAP:
