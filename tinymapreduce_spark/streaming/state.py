@@ -51,8 +51,12 @@ def _apply_ops(
     no-op for state. Emits the post-batch value.
     """
     cur = state.get[0] if state.exists else None
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("seq")
+    # a large micro-batch reaches the kernel as multiple Arrow chunks in
+    # partition order — the seq sort must span ALL of them (put/append
+    # application is order-sensitive), so concat before the one sort
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
         for op, value in zip(pdf["op"], pdf["value"]):
             if op == "put":
                 cur = value
