@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": similarity.ann_ivfpq_recall,
         "semdedup_recall": similarity.semdedup_recall,
         "sketch_error_bounds": sketches.sketch_error_bounds,
+        # --- new in round 4 (post-window): privacy + streaming index ---
+        "l_diversity_audit": maintenance.l_diversity_audit,
+        "stream_ann_ingest": stream_sinks.stream_ann_ingest,
     }
     window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -565,6 +568,8 @@ GROUP BY word
         "stream_cdc_upsert": stream_sinks.STREAM_CDC_UPSERT_SQL,
         "dsir_importance_weights": curation.DSIR_SQL,
         "k_anonymity_risk": maintenance.K_ANONYMITY_SQL,
+        "l_diversity_audit": maintenance.L_DIVERSITY_SQL,
+        "stream_ann_ingest": stream_sinks.STREAM_ANN_INGEST_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,

@@ -187,6 +187,9 @@ HEADLINE = [
     "binary_files_decode",
     "stream_binary_files_decode",
     "state_store_read",
+    # new in round 4: privacy audit + streaming vector-index ingest
+    "l_diversity_audit",
+    "stream_ann_ingest",
 ]
 
 

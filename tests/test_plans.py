@@ -897,6 +897,39 @@ def test_k_anonymity_is_one_aggregate(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_l_diversity_is_one_aggregate(spark, sf_dir):
+    from tinymapreduce_spark.plans import maintenance
+
+    p = plan_of(maintenance.l_diversity_audit(spark, sf_dir))
+    # exact distinct-aggregate: two hash aggregates (partial distinct
+    # expansion map-side, final count), still no join and no Python
+    assert "HashAggregate" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_stream_ann_assignment_is_narrow(spark, sf_dir):
+    """The ingest path's per-batch cell assignment must be a narrow map
+    over the vectors: one broadcast single-row centroid join, no
+    Exchange (the only shuffle in the sink is the O(NLIST) stats fold)
+    and no Python eval."""
+    from tinymapreduce_spark.operators.similarity import (
+        _cached_centroids_int,
+        _nearest_cid,
+        _with_cell_dists,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _cached_centroids_int(spark, sf_dir, emb)
+    assigned = _with_cell_dists(emb, cents).select(
+        "vec_id", _nearest_cid().alias("cid")
+    )
+    p = plan_of(assigned)
+    assert p.count("Arguments: hashpartitioning") == 0  # no shuffle at all
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row centroid frame
+
+
 def test_semdedup_pair_join_is_salted_equi(spark, sf_dir):
     from tinymapreduce_spark.operators import similarity
 

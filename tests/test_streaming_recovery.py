@@ -430,6 +430,42 @@ def test_stream_cms_merge_equals_batch_sketch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
+    """The per-micro-batch cell-stats merges must reconstruct the
+    one-shot batch IVF assignment EXACTLY (the codebook is frozen and
+    per-cell addition is exact and associative). Idempotent replay of a
+    committed batch is covered by the manifest no-op publish tests."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.similarity import (
+        _cached_centroids_int,
+        _nearest_cid,
+        _with_cell_dists,
+    )
+    from tinymapreduce_spark.streaming.sinks import stream_ann_ingest
+
+    streamed = {
+        (r.cid, r.n_vecs, r.id_sum)
+        for r in stream_ann_ingest(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _cached_centroids_int(spark, sf_dir, emb)
+    batch = {
+        (r.cid, r.n_vecs, r.id_sum)
+        for r in (
+            _with_cell_dists(emb, cents)
+            .select("vec_id", _nearest_cid().alias("cid"))
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vec_id").alias("id_sum"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+
+
 def test_stream_packer_restart_resumes_open_bin(spark, tmp_path_factory):
     """Kill-and-restart for the incremental packer: stop the query after
     the first feed files, deliver more documents (and the sentinel

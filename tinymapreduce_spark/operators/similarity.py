@@ -169,6 +169,35 @@ def _cached_centroids_int(spark: SparkSession, sf_dir: str, emb: DataFrame) -> l
 _EMPTY_TOPK_DDL = "query_id long, vec_id long, score double, rank long"
 
 
+def _with_cell_dists(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, embedding, ds): squared integer-grid L2 distance to
+    every centroid — one broadcast array-of-arrays centroid row joined
+    onto the vector frame, so assignment is a narrow map over the
+    corpus with no shuffle. Shared by the batch IVF index and the
+    streaming ingest path (streaming/sinks.stream_ann_ingest)."""
+    cdf = df.sparkSession.createDataFrame([(cents,)], "cs array<array<bigint>>")
+    dists = F.transform(
+        "cs",
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+        .join(F.broadcast(cdf))
+        .select("vec_id", "embedding", dists.alias("ds"))
+    )
+
+
+def _nearest_cid(ds_col: str = "ds") -> F.Column:
+    """argmin over the ds distance array, first-min (lowest-cid) ties —
+    exactly the ROW_NUMBER (dist ASC, cid ASC) rule the SQL oracles
+    unroll."""
+    return (F.array_position(ds_col, F.array_min(ds_col)) - 1).cast("int")
+
+
 def _ivf_cells_probes(
     spark: SparkSession, sf_dir: str, emb: DataFrame
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -180,25 +209,8 @@ def _ivf_cells_probes(
     cents = _cached_centroids_int(spark, sf_dir, emb)
     if not cents:
         return None
-    cdf = spark.createDataFrame([(cents,)], "cs array<array<bigint>>")
-    dists = F.transform(
-        "cs",
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
-    )
-    assigned = (
-        emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
-        .join(F.broadcast(cdf))
-        .select("vec_id", "embedding", dists.alias("ds"))
-    )
-    cells = assigned.select(
-        "vec_id",
-        "embedding",
-        (F.array_position("ds", F.array_min("ds")) - 1).cast("int").alias("cid"),
-    )
+    assigned = _with_cell_dists(emb, cents)
+    cells = assigned.select("vec_id", "embedding", _nearest_cid().alias("cid"))
     probe_structs = F.slice(
         F.array_sort(
             F.transform(

@@ -719,3 +719,55 @@ FROM customer
 GROUP BY 1, 2, 3
 HAVING COUNT(*) < {K_ANON_K}
 """
+
+
+L_DIVERSITY_L = 3  # classes with fewer distinct sensitive values leak
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    attribute-disclosure companion to ``k_anonymity_risk``: a class can
+    be large (k-anonymous) yet still leak if every member shares the
+    same SENSITIVE value, because the attacker learns the attribute
+    without identifying the row. Quasi-identifiers here are (nation,
+    account-balance band); the sensitive attribute is the market
+    segment. Report every class whose distinct-sensitive count is
+    below L, with its size and diversity.
+
+    One exact distinct-aggregate: Spark plans it as two hash
+    aggregates (partial distinct expansion map-side, final count), so
+    the shuffle carries one row per (class, segment) — bounded by
+    |classes| x |segments|, not by table size. The same plan holds at
+    100 TB; no joins, no window."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "acctbal_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+    )
+    return classes.where(F.col("n_sensitive") < L_DIVERSITY_L).select(
+        "c_nationkey",
+        "acctbal_band",
+        "class_size",
+        "n_sensitive",
+        F.lit(L_DIVERSITY_L).cast("long").alias("l_required"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       COUNT(*) AS class_size,
+       COUNT(DISTINCT c_mktsegment) AS n_sensitive,
+       CAST({L_DIVERSITY_L} AS BIGINT) AS l_required
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT c_mktsegment) < {L_DIVERSITY_L}
+"""

@@ -600,3 +600,114 @@ def stream_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table.table_dir, ignore_errors=True)
     shutil.rmtree(feed_dir, ignore_errors=True)
     return out
+
+
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance — the incremental form of
+    ``operators/similarity.ann_ivf_topk``'s cell index: the coarse
+    quantizer is trained ONCE on the bounded base sample (the
+    train-once / ingest-forever posture of every production vector
+    store), then vectors arrive as micro-batches (the embeddings table
+    pre-split into 8 parquet files, streamed 2 per trigger) and each
+    batch's nearest-centroid assignments are ADDED into a versioned
+    per-cell postings-stats table (read current + union + re-sum +
+    publish). The query returns the final per-cell row counts and
+    vec_id checksums.
+
+    Exactly-once: the read-modify-write publishes under snapshot_id =
+    batch id, so a replayed batch recomputes against whatever is
+    current and then hits the idempotent no-op publish — counts can
+    never double-add. Because the codebook is frozen and per-cell
+    addition is exact and associative, the final table equals the
+    one-shot batch assignment bit-for-bit: the oracle replays the
+    integer-Lloyd's training and full-corpus assignment in SQL
+    (STREAM_ANN_INGEST_SQL shares the IVF oracle's CTEs) and the
+    driver hash-checks it.
+
+    At 100 TB this is how a vector index actually grows: assignment is
+    a narrow map per batch (one broadcast centroid row, no shuffle),
+    the stats table stays O(NLIST) regardless of corpus size, and the
+    full postings lists would ride the same foreachBatch as an
+    append-only (cid)-partitioned sink."""
+    from tinymapreduce_spark.operators.similarity import (
+        _cached_centroids_int,
+        _nearest_cid,
+        _with_cell_dists,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _cached_centroids_int(spark, sf_dir, emb)
+    if not cents:
+        return spark.createDataFrame([], "cid int, n_vecs long, id_sum long")
+
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"ann_stream_src_{run}")
+    emb.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"ann_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = (
+            _with_cell_dists(batch_df, cents)
+            .select("vec_id", _nearest_cid().alias("cid"))
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vec_id").alias("id_sum"),
+            )
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("cid")
+                .agg(
+                    F.sum("n_vecs").alias("n_vecs"),
+                    F.sum("id_sum").alias("id_sum"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = table.read(spark).select(
+        "cid", "n_vecs", "id_sum"
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _stream_ann_ingest_sql() -> str:
+    """Batch-equality oracle: replay quantization, integer-Lloyd's
+    training and full-corpus cell assignment (the IVF oracle's own
+    CTEs), then fold per-cell counts/checksums."""
+    from tinymapreduce_spark.operators.similarity import (
+        _ivf_search_ctes,
+        _ivf_train_ctes,
+        _quant_cte,
+    )
+
+    return f"""
+WITH {_quant_cte()},
+{_ivf_train_ctes()},
+{_ivf_search_ctes()}
+SELECT cid, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM cells
+GROUP BY cid
+"""
+
+
+STREAM_ANN_INGEST_SQL = _stream_ann_ingest_sql()

@@ -81,6 +81,7 @@ SELECTED = {
     "try_arithmetic": "NULL-on-error scalar family entirely in codegen over one narrow scan",
     "dsir_importance_weights": "hashed-unigram LUT broadcast; per-doc score is a bigint sum — one token shuffle",
     "k_anonymity_risk": "one map-side-combined aggregate over quasi-identifiers; O(classes) output, no joins",
+    "l_diversity_audit": "exact distinct-agg as two hash aggregates; shuffle bounded by classes x segments, no joins",
     "semdedup_drops": "salted within-cell pair join (k*SALT partitions); per-row norms carried once, pair cost = one dot",
     "semdedup_recall": "constant-size exact truth (broadcast NLJ over <=1000-row sample) semi-joined with the index's drops",
     "sketch_error_bounds": "exact sides are partial-agg scans; both approx medians broadcast into ONE shared rank-bracket scan",
