@@ -190,6 +190,7 @@ HEADLINE = [
     # new in round 4: privacy audit + streaming vector-index ingest
     "l_diversity_audit",
     "stream_ann_ingest",
+    "content_chunk_dedup",
 ]
 
 

@@ -1418,3 +1418,43 @@ def test_exact_quota_split_hits_integer_quotas_per_stratum(spark, sf_dir):
         assert splits.get("train", 0) == n * 8 // 10, lang
         assert splits.get("val", 0) == n * 1 // 10, lang
         assert splits.get("test", 0) == n - n * 8 // 10 - n * 1 // 10, lang
+
+
+def test_content_chunking_survives_prefix_insertion(spark):
+    """The defining CDC property (LBFS/FastCDC): inserting text near the
+    START of a document shifts every downstream offset, yet almost all
+    content-defined chunks re-align and dedup — where fixed-offset
+    chunking of the same pair shares (almost) nothing."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.dedup import content_chunks_df
+
+    # deterministic varied text (LCG over A..Z + spaces), ~4000 chars
+    x, out = 12345, []
+    for _ in range(4000):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        out.append(" " if x % 7 == 0 else chr(65 + x % 26))
+    base = "".join(out)
+    shifted = "INSERTED PREFIX 0123456789. " + base
+    docs = spark.createDataFrame(
+        [(1, "s", base), (2, "s", shifted)],
+        "doc_id long, source string, text string",
+    )
+    per_doc = {
+        r.doc_id: r.chunks
+        for r in content_chunks_df(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("chunk").alias("chunks"))
+        .collect()
+    }
+    a, b = per_doc[1], per_doc[2]
+    assert len(a) > 20  # the divisor rule actually fired many times
+    shared = set(a) & set(b)
+    # everything beyond the insertion's hash window re-aligns: at most
+    # the first couple of chunks differ
+    assert len(shared) >= len(a) - 2
+    # contrast: fixed-offset 64-char chunking shares nothing after an
+    # unaligned prefix insertion
+    fixed_a = {base[i : i + 64] for i in range(0, len(base), 64)}
+    fixed_b = {shifted[i : i + 64] for i in range(0, len(shifted), 64)}
+    assert len(fixed_a & fixed_b) == 0

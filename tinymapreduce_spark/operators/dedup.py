@@ -1167,3 +1167,143 @@ SELECT doc_a AS new_doc, doc_b AS base_doc, n_shared,
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {NGRAM_THRESHOLD}
 """
+
+
+# --- Content-defined chunking dedup (gear/Rabin-CDC family) ------------
+#
+# Storage-style dedup: chunk boundaries are picked by CONTENT (a rolling
+# hash hitting a divisor), not by offset, so an insertion early in a
+# document only re-chunks the window it touches — every downstream chunk
+# re-aligns and still dedups. This is the boundary-shifting-proof
+# complement to fixed-offset passage dedup (dup_passage_coverage) and to
+# set-similarity dedup (minhash/simhash): FDC/LBFS lineage, the scheme
+# behind chunk stores and CAS blob caches. Simplified contract (no
+# min/max chunk clamps — a pure divisor rule keeps both engines exact).
+
+CHUNK_K = 8  # rolling-hash window (chars) — shares the winnow hash family
+CHUNK_D = 64  # boundary divisor: expected chunk length ~= D chars
+
+
+def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunking dedup accounting: every
+    document is split at positions whose char-8-gram polynomial rolling
+    hash is divisible by CHUNK_D (plus the forced start-of-doc
+    boundary); chunks are identified by md5 and the per-source rollup
+    reports chunk counts, unique-chunk counts, character volumes and
+    the dedup ratio (unique chars / total chars — the fraction a
+    chunk store would actually have to hold).
+
+    All integer hash math ((acc*B + code) % M per k-gram, divisor
+    test), md5 over the chunk text, and exact BIGINT character sums —
+    both engines agree bit-for-bit, so the oracle replays boundary
+    selection, chunking, and the rollup (CONTENT_CHUNK_SQL).
+
+    Scale shape: boundary hashing is one codegen projection over the
+    pre-split char-code array (no Python); the per-doc LEAD window
+    shuffles on doc_id (parallel across docs); chunk identity
+    aggregates shuffle (source, md5) rows — never text. At 100 TB the
+    chunk-hash aggregate is the classic storage-dedup shape: the
+    shuffle carries 16-byte digests, and hot chunks (boilerplate)
+    concentrate into single reducers only as single (hash, count)
+    rows, not as payload."""
+    docs = documents_for_cpu(spark, sf_dir).where(F.length("text") > 0)
+    chunks = content_chunks_df(docs)
+    per_hash = (
+        chunks.select(
+            "source", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+        )
+        .groupBy("source", "h", "clen")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("clen")).alias("chars_total"),
+            F.sum("clen").alias("chars_unique"),
+        )
+        .withColumn(
+            "dedup_ratio", F.round(F.col("chars_unique") / F.col("chars_total"), 6)
+        )
+    )
+
+
+def content_chunks_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk) — the content-defined chunk rows, split
+    out so tests can assert the boundary-shift property directly: a
+    document with text INSERTED near its start shares all chunks with
+    the original beyond the insertion's hash window, where fixed-offset
+    chunking would share none."""
+    codes_col = F.transform(
+        F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")), F.ascii
+    )
+    base = docs.repartition(64, "doc_id").select(
+        "doc_id", "source", "text", codes_col.alias("codes")
+    )
+    codes = F.col("codes")
+    n = F.size(codes)
+    # candidate boundary positions: 2 .. n-K+1 (start of doc is forced)
+    positions = F.when(
+        n - CHUNK_K + 1 >= 2, F.sequence(F.lit(2), n - CHUNK_K + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kgram_hash = lambda p: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(CHUNK_K - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * 257 + F.element_at(codes, p + j)) % ((1 << 31) - 1),
+    )
+    bounds = F.concat(
+        F.array(F.lit(1)),
+        F.filter(positions, lambda p: kgram_hash(p) % CHUNK_D == 0),
+    )
+    starts = base.select(
+        "doc_id", "source", "text", F.posexplode(bounds).alias("i", "start")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        starts.withColumn("nxt", F.lead("start").over(w))
+        .withColumn("len_t", F.length("text"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "substring(text, start, coalesce(nxt, len_t + 1) - start)"
+            ).alias("chunk"),
+        )
+    )
+
+
+CONTENT_CHUNK_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT doc_id, t.p
+  FROM d,
+       LATERAL (SELECT UNNEST(range(2, length(text) - {CHUNK_K} + 2)) AS p) t
+  WHERE list_reduce(
+          list_transform(range(0, {CHUNK_K}),
+                         j -> CAST(ascii(substr(text, t.p + j, 1)) AS BIGINT)),
+          (acc, x) -> (acc * 257 + x) % {(1 << 31) - 1}
+        ) % {CHUNK_D} = 0
+), s AS (
+  SELECT doc_id, 1 AS start FROM d
+  UNION ALL
+  SELECT doc_id, p AS start FROM b
+), c AS MATERIALIZED (
+  SELECT d.source,
+         substr(d.text, s.start,
+                COALESCE(LEAD(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start),
+                         length(d.text) + 1) - s.start) AS chunk
+  FROM s JOIN d USING (doc_id)
+), g AS (
+  SELECT source, md5(chunk) AS h, length(chunk) AS clen, COUNT(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_unique_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS chars_total,
+       CAST(SUM(clen) AS BIGINT) AS chars_unique,
+       ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) AS dedup_ratio
+FROM g GROUP BY source
+"""
