@@ -39,6 +39,11 @@ PROBES = [
     # scan, so its ratio should track input growth ~linearly
     "pack_nextfit_bins",
     "length_curriculum",
+    # round-4 CDC chunking: boundary hashing is linear in chars; the
+    # chunk-identity aggregate shuffles digests only, so the ratio
+    # should track input growth even though the inflated copies plant
+    # massive cross-copy chunk duplication (that's the point)
+    "content_chunk_dedup",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
