@@ -191,6 +191,7 @@ HEADLINE = [
     "l_diversity_audit",
     "stream_ann_ingest",
     "content_chunk_dedup",
+    "manifest_expire_vacuum",
 ]
 
 

@@ -502,3 +502,37 @@ def test_rewrite_on_statsless_table_treats_all_files_as_candidates(spark, table)
     remaining = {r.id for r in table.read(spark).collect()}
     assert 500 not in remaining and 7 not in remaining and 5 in remaining
     assert len(remaining) == 199  # 200 +1 insert -2 deletes
+
+
+def test_expire_vacuum_removes_only_unreferenced_dirs(spark, table):
+    """Retention split: expire drops old manifests, vacuum deletes only
+    data dirs no KEPT manifest references — the current version's rows
+    survive bit-for-bit, and expired versions stop being readable."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    table.publish(df.where("k < 60").repartition(2), snapshot_id="d1")
+    table.append(df.where("k >= 60").repartition(2), snapshot_id="d2")
+    table.optimize(spark, "k", snapshot_id="compact", n_files=2)
+    before = {(r.k, r.v) for r in table.read(spark).collect()}
+
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    removed = table.vacuum()
+    assert removed, "pre-compaction dirs must actually be reclaimed"
+    # live data intact, expired versions gone
+    assert {(r.k, r.v) for r in table.read(spark).collect()} == before
+    assert len(table.history()) == 1
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, version=1)
+    # idempotent re-pass: nothing further to reclaim
+    assert table.vacuum() == []
+    # the compacted version's dirs are all still on disk
+    live_dirs = {os.path.dirname(f) for f in table.snapshot(3).files}
+    for d in live_dirs:
+        assert os.path.isdir(d)

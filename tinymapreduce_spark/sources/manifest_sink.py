@@ -1127,6 +1127,76 @@ GROUP BY o_orderpriority
 """
 
 
+def manifest_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle as a driver-checked query — the Iceberg
+    expire-snapshots / remove-orphan-files split that completes the
+    table-maintenance story (publish → append → OPTIMIZE → expire →
+    vacuum): day-1 publishes orders before 1997, day-2 appends the
+    1997 slice, OPTIMIZE compacts the table into fresh range-clustered
+    files, ``expire_snapshots(keep_last=1)`` drops the pre-compaction
+    versions and ``vacuum`` physically deletes the data directories no
+    surviving manifest references. The query then aggregates the
+    CURRENT version — which proves the one claim that matters: vacuum
+    removed ONLY unreferenced files, because if it had touched a live
+    one the post-vacuum read would lose rows and the oracle hash would
+    flip. ``n_readable`` carries the retention contract (exactly
+    keep_last versions remain time-travelable). Every step is
+    idempotent (snapshot-id no-ops, FileNotFoundError-tolerant expire,
+    empty re-vacuum), so re-runs return the identical frame.
+
+    At 100 TB this is the maintenance job that keeps a manifest table
+    from accreting forever: expiry is O(#versions) metadata deletes,
+    vacuum is an O(#dirs) listing diff against the union of kept
+    manifests — neither reads data."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"ret_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    d97 = F.lit("1997-01-01").cast("timestamp")
+    d98 = F.lit("1998-01-01").cast("timestamp")
+    table.publish(
+        orders.where(F.col("o_orderdate") < d97).repartitionByRange(4, "o_orderdate"),
+        snapshot_id="day1",
+        stats_cols=["o_orderdate"],
+    )
+    table.append(
+        orders.where((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d98))
+        .repartitionByRange(4, "o_orderdate"),
+        snapshot_id="day2",
+        stats_cols=["o_orderdate"],
+    )
+    table.optimize(spark, "o_orderdate", snapshot_id="compact", n_files=8)
+    table.expire_snapshots(keep_last=1)
+    table.vacuum()
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .withColumn("n_readable", F.lit(len(table.history())).cast("long"))
+    )
+
+
+MANIFEST_EXPIRE_VACUUM_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(1 AS BIGINT) AS n_readable
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
 def manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE as a driver query: orders land HASH-partitioned (every
     file spans the full date range — the trickle-ingest layout where
