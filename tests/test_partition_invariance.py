@@ -46,6 +46,11 @@ REPRESENTATIVES = [
     # round-4 addition: sharded sequential packer (applyInPandas groups
     # must pack identically regardless of upstream partitioning)
     "pack_nextfit_bins",
+    # round-4 post-window additions: chunk identity must not depend on
+    # how docs are split across tasks; the streaming ingest's per-batch
+    # merge must fold to the same cell stats under any fan-out
+    "content_chunk_dedup",
+    "stream_ann_ingest",
 ]
 
 
