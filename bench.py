@@ -192,6 +192,7 @@ HEADLINE = [
     "stream_ann_ingest",
     "content_chunk_dedup",
     "manifest_expire_vacuum",
+    "stream_chunk_ingest",
 ]
 
 

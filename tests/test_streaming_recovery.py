@@ -466,6 +466,19 @@ def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
     assert streamed == batch
 
 
+def test_stream_chunk_ingest_equals_batch_chunking(spark, sf_dir):
+    """The per-micro-batch chunk-count merges must reconstruct the
+    one-shot batch CDC chunking EXACTLY: boundaries depend only on
+    document content (never on batch composition), so the streamed
+    chunk-identity table folds to the same per-source rollup."""
+    from tinymapreduce_spark.operators.dedup import content_chunk_dedup
+    from tinymapreduce_spark.streaming.sinks import stream_chunk_ingest
+
+    streamed = {tuple(r) for r in stream_chunk_ingest(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in content_chunk_dedup(spark, sf_dir).collect()}
+    assert streamed == batch
+
+
 def test_stream_packer_restart_resumes_open_bin(spark, tmp_path_factory):
     """Kill-and-restart for the incremental packer: stop the query after
     the first feed files, deliver more documents (and the sentinel

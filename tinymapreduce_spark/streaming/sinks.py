@@ -711,3 +711,86 @@ GROUP BY cid
 
 
 STREAM_ANN_INGEST_SQL = _stream_ann_ingest_sql()
+
+
+def stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunk-store ingestion — the incremental form of
+    ``operators/dedup.content_chunk_dedup``: documents arrive as
+    micro-batches (the corpus pre-split into 8 parquet files, streamed
+    2 per trigger), each batch is content-defined-chunked and its
+    (source, chunk-md5, length) counts are ADDED into a versioned
+    chunk-identity table (read current + union + re-sum + publish
+    under idempotent batch-id snapshot ids). The query folds the final
+    table into the same per-source dedup-ratio rollup as the batch
+    operator — and because chunk boundaries depend only on document
+    CONTENT (never on batch composition) and count addition is exact
+    and associative, the end state equals the one-shot batch chunking
+    bit-for-bit: the oracle is CONTENT_CHUNK_SQL, shared verbatim.
+
+    This is the storage-dedup ingest loop at 100 TB: the chunk-identity
+    table grows with UNIQUE content only (16-byte digests + counts,
+    never text), each batch's delta is a narrow map + digest-width
+    shuffle, and a re-delivered batch can never double-count a chunk."""
+    from tinymapreduce_spark.operators.dedup import content_chunks_df
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = (
+        documents_for_cpu(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select("doc_id", "source", "text")
+    )
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"chunk_stream_src_{run}")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"chunk_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = (
+            content_chunks_df(batch_df)
+            .select(
+                "source", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+            )
+            .groupBy("source", "h", "clen")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("source", "h", "clen")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = (
+        table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("clen")).alias("chars_total"),
+            F.sum("clen").alias("chars_unique"),
+        )
+        .withColumn(
+            "dedup_ratio", F.round(F.col("chars_unique") / F.col("chars_total"), 6)
+        )
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
