@@ -193,6 +193,7 @@ HEADLINE = [
     "content_chunk_dedup",
     "manifest_expire_vacuum",
     "stream_chunk_ingest",
+    "manifest_merge_on_read",
 ]
 
 

@@ -536,3 +536,66 @@ def test_expire_vacuum_removes_only_unreferenced_dirs(spark, table):
     live_dirs = {os.path.dirname(f) for f in table.snapshot(3).files}
     for d in live_dirs:
         assert os.path.isdir(d)
+
+
+def test_merge_on_read_dv_delete_mechanism(spark, table):
+    """Deletion vectors: the delete commits no data-file rewrite (base
+    files byte-identical), overlapping key sets never double-record a
+    position (visible-row accounting exact), readers and time travel
+    subtract DVs, copy-on-write refuses over outstanding DVs, and
+    optimize() materializes them into a DV-free version."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    table.publish(
+        df.repartitionByRange(4, "k"), snapshot_id="base", stats_cols=["k"]
+    )
+    base_snap = table.snapshot(1)
+    base_sizes = {f: os.path.getsize(f) for f in base_snap.files}
+
+    table.delete_matching_mor(
+        spark, "k", df.where("k % 3 = 0").select("k"), snapshot_id="dv1"
+    )
+    # overlapping set: k % 6 = 0 is a subset of k % 3 = 0 plus nothing new
+    table.delete_matching_mor(
+        spark, "k", df.where("k % 6 = 0 or k % 7 = 0").select("k"), snapshot_id="dv2"
+    )
+    snap = table.snapshot(table.current_version())
+    assert snap.files == base_snap.files  # no rewrite
+    assert {f: os.path.getsize(f) for f in snap.files} == base_sizes
+    assert snap.deletes and len(snap.deletes) == 2
+
+    expected = {
+        r.k for r in df.where("not (k % 3 = 0 or k % 7 = 0)").collect()
+    }
+    assert {r.k for r in table.read(spark).collect()} == expected
+    assert snap.n_rows == len(expected)  # overlap not double-subtracted
+    # time travel to the pre-delete version still serves every row
+    assert table.read(spark, version=1).count() == 200
+
+    # copy-on-write over outstanding DVs would resurrect deleted rows
+    with pytest.raises(ValueError, match="deletion vectors"):
+        table.delete_matching(spark, "k", [1], snapshot_id="cow")
+
+    # materialize: optimize reads DV-aware and publishes a clean version
+    table.optimize(spark, "k", snapshot_id="compact", n_files=2)
+    final = table.snapshot(table.current_version())
+    assert not final.deletes
+    assert {r.k for r in table.read(spark).collect()} == expected
+    # ...and copy-on-write works again afterwards
+    table.delete_matching(spark, "k", [1], snapshot_id="cow2")
+    assert {r.k for r in table.read(spark).collect()} == expected - {1}
+
+    # vacuum on a DV-bearing history keeps the sidecars alive
+    table2 = ManifestTable(str(table.table_dir) + "_dvkeep")
+    table2.publish(df.repartitionByRange(2, "k"), snapshot_id="b", stats_cols=["k"])
+    table2.delete_matching_mor(
+        spark, "k", df.where("k < 50").select("k"), snapshot_id="d"
+    )
+    assert table2.vacuum() == []
+    assert table2.read(spark).count() == 150

@@ -73,6 +73,10 @@ class Snapshot:
     # {"rows": int, "min": {col: val}, "max": {col: val}}. Absent for
     # snapshots published without stats_cols (backward compatible).
     stats: dict | None = None
+    # Deletion-vector sidecar dirs (merge-on-read deletes): parquet
+    # tables of (_dv_file, _dv_pos) row positions readers must subtract.
+    # Absent/None for copy-on-write-only histories (backward compatible).
+    deletes: list[str] | None = None
 
 
 def _norm_file_path(p: str) -> str:
@@ -251,6 +255,7 @@ class ManifestTable:
             n_rows=m["n_rows"],
             schema_ddl=m["schema_ddl"],
             stats=m.get("stats"),
+            deletes=m.get("deletes"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -378,6 +383,7 @@ class ManifestTable:
         snapshot_id: str,
         stats: dict | None,
         base_version: int | None = None,
+        deletes: list[str] | None = None,
     ) -> int | None:
         """Version assignment + pointer flip under the commit lock:
         concurrent writers serialize here (the table-format CAS — in
@@ -402,7 +408,7 @@ class ManifestTable:
                     f"(now v{self.current_version()})"
                 )
             return self._write_manifest_locked(
-                files, n_rows, schema_ddl, snapshot_id, stats
+                files, n_rows, schema_ddl, snapshot_id, stats, deletes=deletes
             )
 
     def _write_manifest_locked(
@@ -412,6 +418,7 @@ class ManifestTable:
         schema_ddl: str,
         snapshot_id: str,
         stats: dict | None,
+        deletes: list[str] | None = None,
     ) -> int:
         """Manifest write + pointer flip. Caller MUST hold the commit
         lock and have performed its validations."""
@@ -432,6 +439,8 @@ class ManifestTable:
         }
         if stats is not None:
             manifest["stats"] = stats
+        if deletes:
+            manifest["deletes"] = deletes
         with open(self._manifest_path(version), "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1)
         # THE atomic publish: readers either see the old pointer or
@@ -471,13 +480,37 @@ class ManifestTable:
         if v is None:
             raise FileNotFoundError(f"no published version in {self.table_dir}")
         snap = self.snapshot(v)
-        return self._read_files(spark, snap.files, snap.schema_ddl)
+        return self._read_snapshot(spark, snap)
 
     @staticmethod
     def _read_files(spark: SparkSession, files: list[str], schema_ddl: str) -> DataFrame:
         if not files:  # an empty publish commits a manifest with no files
             return spark.createDataFrame([], schema_ddl)
         return spark.read.parquet(*files)
+
+    def _read_snapshot(
+        self, spark: SparkSession, snap: Snapshot, files: list[str] | None = None
+    ) -> DataFrame:
+        """Read a snapshot's files (default: all of them), subtracting
+        its deletion vectors if any — the merge-on-read scan: the DV
+        sidecars are joined by (file, row-position) as a LEFT ANTI
+        equi-join, so readers pay O(|DV|) join work instead of writers
+        paying a file rewrite. Position identity comes from the parquet
+        ``_metadata.row_index`` / ``file_path`` columns — the same
+        values the DV writer recorded."""
+        fl = snap.files if files is None else files
+        base = self._read_files(spark, fl, snap.schema_ddl)
+        if not snap.deletes or not fl:
+            return base
+        from pyspark.sql import functions as F
+
+        dv = spark.read.parquet(*snap.deletes)
+        return (
+            base.withColumn("_dv_file", F.col("_metadata.file_path"))
+            .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            .join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+            .drop("_dv_file", "_dv_pos")
+        )
 
     def read_pruned(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Read the current version scanning ONLY files whose recorded
@@ -506,7 +539,7 @@ class ManifestTable:
                 kept.append(f)
             elif not (smax < lo or smin > hi):
                 kept.append(f)
-        return self._read_files(spark, kept, snap.schema_ddl)
+        return self._read_snapshot(spark, snap, files=kept)
 
     # -- append commit + file-level incremental read -----------------
 
@@ -566,6 +599,9 @@ class ManifestTable:
                 staged.schema.simpleString(),
                 snapshot_id,
                 stats,
+                # appended files have no deleted positions; previous
+                # files keep their deletion vectors
+                deletes=(prev.deletes if prev else None),
             )
 
     def _committed_at(self, version: int) -> float:
@@ -589,7 +625,7 @@ class ManifestTable:
             raise FileNotFoundError(
                 f"no version committed at or before {ts} in {self.table_dir}"
             )
-        return self._read_files(spark, best.files, best.schema_ddl)
+        return self._read_snapshot(spark, best)
 
     def read_incremental(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -750,6 +786,15 @@ class ManifestTable:
         if cur is None:
             raise FileNotFoundError(f"no published version in {self.table_dir}")
         snap = self.snapshot(cur)
+        if snap.deletes:
+            # Copy-on-write planning reads files raw and carries
+            # untouched files by path; outstanding deletion vectors
+            # would resurrect deleted rows. Materialize them first —
+            # optimize() reads DV-aware and publishes a DV-free version.
+            raise ValueError(
+                "table has outstanding deletion vectors; run optimize() "
+                "to materialize them before copy-on-write MERGE/DELETE"
+            )
 
         nn_keys = keys_df.where(F.col(key_col).isNotNull())
         bounds = nn_keys.agg(
@@ -903,6 +948,97 @@ class ManifestTable:
             )
         )
 
+    # -- merge-on-read row-level delete (deletion vectors) -----------
+
+    def delete_matching_mor(
+        self, spark: SparkSession, key_col: str, keys_df: DataFrame, snapshot_id: str
+    ) -> int:
+        """Merge-on-read DELETE: instead of rewriting matched files
+        (``delete_matching``'s copy-on-write), record the matched row
+        POSITIONS in a deletion-vector sidecar and commit a manifest
+        carrying the SAME data files plus the DV — the Delta
+        deletion-vectors / Iceberg positional-delete shape. The write
+        is O(matched rows) regardless of file sizes, which is why
+        engines choose it when deletes are small and frequent; the
+        read pays the DV anti-join instead (``_read_snapshot``), and
+        ``optimize()`` materializes outstanding DVs back into clean
+        files. File pruning reuses the stats×keys semi-join, NULL keys
+        never match (SQL equality), positions already deleted are never
+        recorded twice (so visible-row accounting stays exact), and a
+        no-match delete commits nothing. Idempotent per snapshot_id;
+        validate-and-retry under racing commits."""
+        from pyspark.sql import functions as F
+
+        existing = self._find_snapshot_id(snapshot_id)
+        if existing is not None:
+            return existing
+
+        def once() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(f"no published version in {self.table_dir}")
+            snap = self.snapshot(cur)
+            nn_keys = keys_df.where(F.col(key_col).isNotNull())
+            bounds = nn_keys.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(key_col).alias("_lo"),
+                F.max(key_col).alias("_hi"),
+            ).first()
+            if bounds["_n"] == 0:
+                return cur
+            untouched, candidates = _split_files_by_key_frame(
+                spark, snap, key_col, nn_keys, bounds["_lo"], bounds["_hi"]
+            )
+            if not candidates:
+                return cur
+            matched = (
+                self._read_files(spark, candidates, snap.schema_ddl)
+                .select(
+                    F.col(key_col).alias("_k"),
+                    F.col("_metadata.file_path").alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+                .join(
+                    nn_keys.select(F.col(key_col).alias("_k")).distinct(),
+                    "_k",
+                    "left_semi",
+                )
+                .select("_dv_file", "_dv_pos")
+            )
+            if snap.deletes:  # never record a position twice
+                matched = matched.join(
+                    spark.read.parquet(*snap.deletes),
+                    ["_dv_file", "_dv_pos"],
+                    "left_anti",
+                )
+            dv_dir = os.path.join(
+                self.data_dir, f"dv-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+            )
+            matched.repartition(1).write.mode("errorifexists").parquet(dv_dir)
+            n_del = spark.read.parquet(dv_dir).count()
+            if n_del == 0:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                return cur
+            try:
+                committed = self._commit(
+                    list(snap.files),
+                    snap.n_rows - n_del,
+                    snap.schema_ddl,
+                    snapshot_id,
+                    snap.stats,  # per-file bounds stay valid supersets
+                    base_version=cur,
+                    deletes=(snap.deletes or []) + [dv_dir],
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                raise
+            if committed is None:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                return self._find_snapshot_id(snapshot_id)
+            return committed
+
+        return self._retry_rmw(once)
+
     def read_history_harmonized(self, spark: SparkSession) -> DataFrame:
         """Every surviving version unioned under schema evolution:
         columns added in later snapshots read as NULL for earlier ones
@@ -953,10 +1089,13 @@ class ManifestTable:
         cur = self.current_version()
         for v in range(1, (cur or 0) + 1):
             try:
-                for f in self.snapshot(v).files:
-                    live.add(os.path.dirname(f))
+                snap = self.snapshot(v)
             except FileNotFoundError:
                 continue
+            for f in snap.files:
+                live.add(os.path.dirname(f))
+            for d in snap.deletes or []:  # DV sidecars are live data too
+                live.add(d)
         removed = []
         for d in sorted(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, d)
@@ -1193,6 +1332,71 @@ SELECT o_orderpriority, COUNT(*) AS n,
        CAST(1 AS BIGINT) AS n_readable
 FROM orders
 WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def manifest_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE as a driver-checked query — the other side
+    of the lakehouse write-amplification trade (``manifest_delete_rewrite``
+    is the copy-on-write side): two successive deletion-vector commits
+    (orderkey % 7, then % 11 — overlapping keys, so the
+    never-record-twice rule is exercised) leave every base data file
+    byte-identical on disk and subtract the matched positions at scan
+    time. The query aggregates the DV-read CURRENT version; the oracle
+    replays both predicates over the raw table, so a DV that dropped
+    the wrong position — or a reader that missed a sidecar — flips the
+    hash. The companion pytest pins the mechanism claims: base files
+    untouched, O(matched) sidecar bytes, optimize() materializes DVs
+    away, copy-on-write refuses to run over outstanding DVs.
+
+    At 100 TB merge-on-read is what makes small frequent deletes
+    affordable: a GDPR erasure of 10^4 rows writes KBs of positions
+    instead of rewriting TB-scale files, and compaction amortizes the
+    read-side join away on its own schedule."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"mor_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    table.delete_matching_mor(
+        spark,
+        "o_orderkey",
+        orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        snapshot_id="dv1",
+    )
+    table.delete_matching_mor(
+        spark,
+        "o_orderkey",
+        orders.where(F.col("o_orderkey") % 11 == 3).select("o_orderkey"),
+        snapshot_id="dv2",
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        table.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+MANIFEST_MOR_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)
 GROUP BY o_orderpriority
 """
 
