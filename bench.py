@@ -194,6 +194,7 @@ HEADLINE = [
     "manifest_expire_vacuum",
     "stream_chunk_ingest",
     "manifest_merge_on_read",
+    "manifest_schema_evolution",
 ]
 
 

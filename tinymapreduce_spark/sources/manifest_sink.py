@@ -1401,6 +1401,61 @@ GROUP BY o_orderpriority
 """
 
 
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution as a driver-checked query: day-1
+    publishes orders WITHOUT the priority column, day-2 publishes the
+    widened schema (the add-column migration). Each snapshot records
+    its own schema verbatim (``schema_ddl``), and the harmonized
+    history read unions the versions with the missing column as NULL —
+    the evolving-table read semantics of Iceberg/Delta (new columns are
+    NULL for data written before they existed). The oracle replays both
+    versions' aggregates, including the NULL-vs-populated split of the
+    evolved column, so a reader that misattributed the new column to
+    old rows (or dropped old rows for lacking it) flips the hash.
+
+    At 100 TB schema evolution is a metadata-only operation — no file
+    is rewritten when a column is added; the cost is exactly this NULL
+    harmonization at read time."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(os.path.join(SCRATCH, f"evo_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table.publish(
+        orders.select("o_orderkey", "o_totalprice"), snapshot_id="narrow"
+    )
+    table.publish(orders, snapshot_id="widened")
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    hist = table.read_history_harmonized(spark)
+    return hist.groupBy(F.col("_version").cast("long").alias("version")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+MANIFEST_SCHEMA_EVOLUTION_SQL = """
+SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+       CAST(0 AS BIGINT) AS n_with_priority,
+       CAST(0 AS BIGINT) AS n_priorities,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+       COUNT(o_orderpriority) AS n_with_priority,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+"""
+
+
 def manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE as a driver query: orders land HASH-partitioned (every
     file spans the full date range — the trickle-ingest layout where
