@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chunk_ingest": stream_sinks.stream_chunk_ingest,
         "manifest_merge_on_read": manifest_sink.manifest_merge_on_read,
         "manifest_schema_evolution": manifest_sink.manifest_schema_evolution,
+        "stream_dv_erasure": stream_sinks.stream_dv_erasure,
     }
     window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -580,6 +581,7 @@ GROUP BY word
         "stream_chunk_ingest": dedup.CONTENT_CHUNK_SQL,
         "manifest_merge_on_read": manifest_sink.MANIFEST_MOR_SQL,
         "manifest_schema_evolution": manifest_sink.MANIFEST_SCHEMA_EVOLUTION_SQL,
+        "stream_dv_erasure": stream_sinks.STREAM_DV_ERASURE_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,

@@ -195,6 +195,7 @@ HEADLINE = [
     "stream_chunk_ingest",
     "manifest_merge_on_read",
     "manifest_schema_evolution",
+    "stream_dv_erasure",
 ]
 
 

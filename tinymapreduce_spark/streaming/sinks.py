@@ -794,3 +794,86 @@ def stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table.table_dir, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+def stream_dv_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR-style erasure through deletion vectors — the
+    merge-on-read counterpart of ``stream_cdc_upsert``'s copy-on-write
+    MERGE: erase requests (order keys of customers divisible by 13)
+    arrive as micro-batches, RANGE-split on the key into 4 files and
+    streamed one per trigger, and each batch commits a deletion-vector
+    sidecar via ``delete_matching_mor`` — O(matched positions) written
+    per batch, ZERO data files rewritten across the whole feed (the
+    base files stay byte-identical; the pytest companion on the batch
+    path pins that). The query aggregates the DV-read final state.
+
+    Exactly-once: each batch commits under ``snapshot_id=dv-{batch_id}``,
+    so a replayed batch re-derives its positions against the current
+    version — already-deleted positions are skipped by the
+    never-record-twice rule — and hits the idempotent no-op publish.
+    Erase keys are disjoint across batches (range split), so the final
+    state is order-independent and equals the one-shot batch delete:
+    the oracle replays the erase predicate over the raw table.
+
+    At 100 TB this is how continuous right-to-be-forgotten actually
+    ships: the erasure stream writes KBs of positions per batch while
+    compaction (``optimize``) materializes on its own schedule."""
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    run = uuid.uuid4().hex[:8]
+    table = ManifestTable(os.path.join(SCRATCH, f"dverase_tbl_{run}"))
+    table.publish(
+        orders.repartitionByRange(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey"],
+    )
+    erase = orders.where("o_custkey % 13 = 0").select("o_orderkey")
+    feed_dir = os.path.join(SCRATCH, f"dverase_feed_{run}")
+    erase.repartitionByRange(4, "o_orderkey").write.mode("overwrite").parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.delete_matching_mor(
+            batch_df.sparkSession, "o_orderkey", batch_df,
+            snapshot_id=f"dv-{batch_id}",
+        )
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    return out
+
+
+STREAM_DV_ERASURE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_custkey % 13 <> 0
+GROUP BY o_orderstatus
+"""
