@@ -447,6 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_merge_on_read": manifest_sink.manifest_merge_on_read,
         "manifest_schema_evolution": manifest_sink.manifest_schema_evolution,
         "stream_dv_erasure": stream_sinks.stream_dv_erasure,
+        # --- new in round 4 (post-window): quality/privacy tier ---
+        "perplexity_buckets": textstats.perplexity_buckets,
+        "randomized_response_estimate": maintenance.randomized_response_estimate,
+        "stream_quality_filter": stream_sinks.stream_quality_filter,
     }
     window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -582,6 +586,9 @@ GROUP BY word
         "manifest_merge_on_read": manifest_sink.MANIFEST_MOR_SQL,
         "manifest_schema_evolution": manifest_sink.MANIFEST_SCHEMA_EVOLUTION_SQL,
         "stream_dv_erasure": stream_sinks.STREAM_DV_ERASURE_SQL,
+        "perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,
+        "randomized_response_estimate": maintenance.RANDOMIZED_RESPONSE_SQL,
+        "stream_quality_filter": stream_sinks.STREAM_QUALITY_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,

@@ -196,6 +196,9 @@ HEADLINE = [
     "manifest_merge_on_read",
     "manifest_schema_evolution",
     "stream_dv_erasure",
+    "perplexity_buckets",
+    "randomized_response_estimate",
+    "stream_quality_filter",
 ]
 
 

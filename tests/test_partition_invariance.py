@@ -51,6 +51,11 @@ REPRESENTATIVES = [
     # merge must fold to the same cell stats under any fan-out
     "content_chunk_dedup",
     "stream_ann_ingest",
+    # late round-4 quality/privacy tier: the CCNet cutpoint window runs
+    # over a hash sample (tile assignment must not depend on fan-out);
+    # the streaming filter's verdict counters must fold identically
+    "perplexity_buckets",
+    "stream_quality_filter",
 ]
 
 

@@ -964,3 +964,35 @@ def test_sketch_error_bounds_scalar_frames_only(spark, sf_dir):
     assert "CartesianProduct" not in p
     # exact distincts combine map-side before their exchange
     assert "partial_count(distinct" in p or "partial_count" in p
+
+
+def test_perplexity_buckets_no_global_window_and_broadcast_cuts(spark, sf_dir):
+    """The CCNet bucketing must never collapse the corpus into one task:
+    the tercile NTILE runs only over the hash sample partitioned BY
+    LANGUAGE (hash exchange, not SinglePartition), and the O(|lang|)
+    cut table returns as a broadcast join — the two properties that
+    make the design survive 100 TB."""
+    from tinymapreduce_spark.operators.textstats import perplexity_buckets
+
+    p = plan_of(perplexity_buckets(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(lang" in p
+    assert "BroadcastHashJoin" in p
+    # the sample filter reaches the window input, so the ntile frame is
+    # the sample, not the corpus
+    assert "ntile(3)" in p
+
+
+def test_randomized_response_single_aggregate(spark, sf_dir):
+    """One map-side-combined hash aggregate, no joins: the collection
+    mechanism is per-row arithmetic inside the scan projection."""
+    from tinymapreduce_spark.plans.maintenance import randomized_response_estimate
+
+    import re
+
+    p = plan_of(randomized_response_estimate(spark, sf_dir))
+    assert "Join" not in p
+    # exactly the aggregate's shuffle (formatted explain names each node
+    # once in the tree and once as a section — count the sections)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_count" in p  # map-side combine before the exchange

@@ -1098,9 +1098,16 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo-wide convention; rule compares happen on the UNrounded exact
     ratios in both engines.
     """
-    docs = documents_for_cpu(spark, sf_dir)
+    return gopher_rules_df(documents_for_cpu(spark, sf_dir))
+
+
+def gopher_rules_df(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Frame-level rule battery over (doc_id, text [, passthrough...]) —
+    shared by the batch query above and the streaming filter sink
+    (streaming/sinks.py::stream_quality_filter), so both paths evaluate
+    the byte-identical rule expressions."""
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
-    d = docs.select("doc_id", ws.alias("ws"))
+    d = docs.select("doc_id", *passthrough, ws.alias("ws"))
     n_words = F.size("ws")
     sum_len = F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t))
     alpha_words = F.size(F.filter("ws", lambda t: t.rlike("[A-Za-z]")))
@@ -1114,6 +1121,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.select(
         "doc_id",
+        *passthrough,
         n_words.alias("n_words"),
         sum_len.alias("sum_len"),
         alpha_words.alias("alpha_words"),
@@ -1135,6 +1143,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_stops = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
     return d.select(
         "doc_id",
+        *passthrough,
         "n_words",
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(alpha_frac, 6).alias("frac_alpha_words"),
@@ -1237,4 +1246,146 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(MAX(STRLEN(text)) AS BIGINT) AS max_bytes,
        CAST(SUM(CASE WHEN STRLEN(text) > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
 FROM documents GROUP BY source
+"""
+
+
+# CCNet buckets by LM perplexity terciles calibrated on a sample
+# (Wenzek et al., LREC 2020 §4.3 — head/middle/tail per language).
+# SAMPLE_MOD sets the deterministic calibration-sample rate: a doc is
+# in the sample iff h60(doc_id) % SAMPLE_MOD == 0. At test SF the rate
+# is 1/4 so every lang gets a meaningful sample; a 100 TB deployment
+# raises SAMPLE_MOD so the per-lang sample lands ~10^4 docs — the
+# tercile window then runs over a bounded frame. Rate-scaling changes
+# the constant, never the plan.
+PPLX_SAMPLE_MOD = 4
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality bucketing: score every document by its
+    average bigram surprisal under the corpus's own bigram LM, then
+    label it head / middle / tail by per-LANGUAGE tercile cutpoints
+    calibrated on a deterministic hash sample — the exact methodology
+    of CCNet (Wenzek et al. 2020), whose KenLM perplexity terciles
+    decide which web text enters the pretraining mix.
+
+    Float-free surprisal (SURVEY.md §8 determinism convention): the
+    per-bigram score is the DIGIT COUNT of the integer conditional
+    odds floor(c(w1) / c(w1,w2)) — a base-10 ``floor(log10)+1`` bucket
+    computed with integer division + string length, exact in both
+    engines, summed as bigints; only the final per-doc mean is one
+    rounded-at-the-edge division. Every doc bigram was counted into
+    the LM, so c >= 1 and no smoothing branch is needed.
+
+    Scale shape: ONE (w1,w2) hash-aggregate builds the LM (map-side
+    combined), the start-count conditioning reuses it (bigram_lm's
+    shape), the doc re-score joins doc-bigram types to the vocab^2-
+    bounded LM table, and the cutpoint window runs only over the
+    hash-sample per language before returning as a BROADCAST O(|lang|)
+    cut table. No global sort, no all-doc window — the two things a
+    naive NTILE-over-everything bucketing would hit at 100 TB.
+    """
+    from tinymapreduce_spark.functions.hashing import h60
+
+    docs = documents_for_cpu(spark, sf_dir)
+    toks = docs.select("doc_id", "lang", tokens("text").alias("l")).where(
+        F.size("l") >= 2
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(l[i-1] AS w1, l[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lm = bg.groupBy("w1", "w2").agg(F.sum("n").alias("cn"))
+    starts = lm.groupBy("w1").agg(F.sum("cn").alias("c1"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .join(starts, "w1")
+        .withColumn("surp", F.length(F.expr("CAST(c1 DIV cn AS STRING)")).cast("long"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * F.col("surp")).alias("surp_sum"),
+            F.sum("n").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                F.col("surp_sum").cast("double") / F.col("n_bigrams"), 6
+            ).alias("score"),
+        )
+    )
+    sample = scored.where(
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(PPLX_SAMPLE_MOD)) == 0
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("score"), F.asc("doc_id"))
+    tiles = sample.withColumn("tile", F.ntile(3).over(w))
+    cuts = tiles.groupBy("lang").agg(
+        F.max(F.when(F.col("tile") == 1, F.col("score"))).alias("cut1"),
+        F.max(F.when(F.col("tile") == 2, F.col("score"))).alias("cut2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "score",
+        F.when(F.col("cut1").isNotNull() & (F.col("score") <= F.col("cut1")), "head")
+        .when(F.col("cut2").isNotNull() & (F.col("score") <= F.col("cut2")), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL as _H60_TMPL
+
+_PPLX_H60 = _H60_TMPL.format(expr="CAST(doc_id AS VARCHAR)")
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH toklists AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS l
+  FROM documents
+), bg AS MATERIALIZED (
+  SELECT doc_id, lang, w1, w2, COUNT(*) AS n
+  FROM (
+    SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+    FROM (SELECT doc_id, lang, l, UNNEST(range(1, len(l))) AS i
+          FROM toklists WHERE len(l) >= 2)
+  )
+  GROUP BY 1, 2, 3, 4
+), lm AS MATERIALIZED (
+  SELECT w1, w2, SUM(n) AS cn FROM bg GROUP BY 1, 2
+), starts AS MATERIALIZED (
+  SELECT w1, SUM(cn) AS c1 FROM lm GROUP BY 1
+), scored AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(n * length(CAST(c1 // cn AS VARCHAR))) AS DOUBLE)
+               / SUM(n), 6) AS score
+  FROM bg JOIN lm USING (w1, w2) JOIN starts USING (w1)
+  GROUP BY 1, 2
+), tiles AS (
+  SELECT lang, score,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) AS tile
+  FROM scored
+  WHERE {_PPLX_H60} % {PPLX_SAMPLE_MOD} = 0
+), cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN tile = 1 THEN score END) AS cut1,
+         MAX(CASE WHEN tile = 2 THEN score END) AS cut2
+  FROM tiles GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.score,
+       CASE WHEN cut1 IS NOT NULL AND s.score <= cut1 THEN 'head'
+            WHEN cut2 IS NOT NULL AND s.score <= cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN cuts USING (lang)
 """

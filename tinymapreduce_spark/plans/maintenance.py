@@ -771,3 +771,87 @@ FROM customer
 GROUP BY 1, 2
 HAVING COUNT(DISTINCT c_mktsegment) < {L_DIVERSITY_L}
 """
+
+
+# Warner's randomized response (JASA 1965) — the local-DP mechanism:
+# each respondent reports the TRUTH with probability p = 3/4, the
+# opposite otherwise, giving plausible deniability per record
+# (epsilon = ln(p/(1-p)) = ln 3) while the aggregate stays estimable:
+# pi_hat = (lambda + p - 1) / (2p - 1) for reported-yes rate lambda.
+RR_TRUTH_NUM, RR_TRUTH_DEN = 3, 4  # p = 3/4 as an exact rational
+
+
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP telemetry via Warner's randomized response: the
+    sensitive bit is "customer is in debt" (c_acctbal < 0); each
+    record's coin comes from the portable h60 hash of its key (salted),
+    standing in for the recorded per-record randomness a production
+    collector would store only the noised bit of. Per nation the query
+    reports the noised yes-count, the debiased estimate
+    pi_hat = (4*yes - n) / (2n), the true rate (available here because
+    the audit owns the raw table), and the estimation error — the
+    third rung of the privacy tier after ``k_anonymity_risk`` (identity
+    disclosure) and ``l_diversity_audit`` (attribute disclosure): this
+    one PREVENTS disclosure instead of auditing it.
+
+    Determinism: the coin is pmod(h60, 4) < 3, replayed exactly by the
+    SQL oracle; the estimator is a single division of exact bigint
+    counts rounded at the edge. One map-side-combined hash aggregate,
+    O(|nations|) output — the same plan at 100 TB."""
+    from tinymapreduce_spark.functions.hashing import h60
+
+    cust = load_table(spark, sf_dir, "customer")
+    truth = (F.col("c_acctbal") < 0).cast("int")
+    coin_truth = (
+        F.pmod(h60(F.concat(F.lit("rr|"), F.col("c_custkey").cast("string"))), F.lit(RR_TRUTH_DEN))
+        < RR_TRUTH_NUM
+    )
+    reported = F.when(coin_truth, truth).otherwise(1 - truth)
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(truth).cast("long").alias("n_true_sensitive"),
+        F.sum(reported).cast("long").alias("n_reported_yes"),
+    )
+    est_num = 4 * F.col("n_reported_yes") - F.col("n_members")
+    return agg.select(
+        "c_nationkey",
+        "n_members",
+        "n_true_sensitive",
+        "n_reported_yes",
+        F.round(est_num.cast("double") / (2 * F.col("n_members")), 6).alias("est_frac"),
+        F.round(
+            F.col("n_true_sensitive").cast("double") / F.col("n_members"), 6
+        ).alias("true_frac"),
+        F.round(
+            F.abs(est_num - 2 * F.col("n_true_sensitive")).cast("double")
+            / (2 * F.col("n_members")),
+            6,
+        ).alias("est_abs_err"),
+    )
+
+
+from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL as _H60_TMPL_RR
+
+_RR_H60 = _H60_TMPL_RR.format(expr="'rr|' || CAST(c_custkey AS VARCHAR)")
+RANDOMIZED_RESPONSE_SQL = f"""
+WITH noised AS (
+  SELECT c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+         CASE WHEN {_RR_H60} % {RR_TRUTH_DEN} < {RR_TRUTH_NUM}
+              THEN CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END
+              ELSE 1 - CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END END AS reported
+  FROM customer
+), agg AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_members,
+         CAST(SUM(truth) AS BIGINT) AS n_true_sensitive,
+         CAST(SUM(reported) AS BIGINT) AS n_reported_yes
+  FROM noised GROUP BY 1
+)
+SELECT c_nationkey, n_members, n_true_sensitive, n_reported_yes,
+       ROUND(CAST(4 * n_reported_yes - n_members AS DOUBLE) / (2 * n_members), 6) AS est_frac,
+       ROUND(CAST(n_true_sensitive AS DOUBLE) / n_members, 6) AS true_frac,
+       ROUND(CAST(ABS(4 * n_reported_yes - n_members - 2 * n_true_sensitive) AS DOUBLE)
+             / (2 * n_members), 6) AS est_abs_err
+FROM agg
+"""

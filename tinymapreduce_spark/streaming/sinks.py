@@ -877,3 +877,85 @@ FROM orders
 WHERE o_custkey % 13 <> 0
 GROUP BY o_orderstatus
 """
+
+
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document-quality filtering — the incremental form of
+    ``operators/textstats.gopher_rules``: the corpus arrives as
+    micro-batches (pre-split into 8 parquet files, 2 per trigger), each
+    batch runs the SAME Catalyst rule battery (shared
+    ``gopher_rules_df`` expressions) and its per-(lang, verdict)
+    accept/reject counters are ADDED into the versioned table
+    (read current + union + re-sum + publish). The final table equals
+    the one-shot batch aggregate exactly, because counter addition is
+    associative — the shared-SQL oracle the driver hash-checks.
+
+    Exactly-once: the read-modify-write publishes under snapshot_id =
+    batch id, so a replayed batch recomputes the merge against whatever
+    is current and then hits the idempotent no-op publish — counts can
+    never double-add. At 100 TB this is the live curation dashboard:
+    per-batch verdict partials are O(|langs| x 2) rows regardless of
+    batch size, and table history time-travels the acceptance rate."""
+    from tinymapreduce_spark.operators.textstats import gopher_rules_df
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text", "lang")
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"quality_stream_src_{run}")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"quality_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = (
+            gopher_rules_df(batch_df, passthrough=("lang",))
+            .groupBy("lang", "passes")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("lang", "passes")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_words").cast("long").alias("n_words"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = table.read(spark).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _stream_quality_sql() -> str:
+    from tinymapreduce_spark.operators.textstats import GOPHER_RULES_SQL
+
+    return f"""
+SELECT d.lang, r.passes, COUNT(*) AS n_docs,
+       CAST(SUM(r.n_words) AS BIGINT) AS n_words
+FROM ({GOPHER_RULES_SQL}) r JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+STREAM_QUALITY_SQL = _stream_quality_sql()
