@@ -88,6 +88,8 @@ SELECTED = {
     "ann_ivf_topk": "integer centroid distances in codegen (ONE broadcast array-of-arrays row); probes = sorted struct slice, no window; candidates from cid equi-join",
     "ann_pq_topk": "codes = narrow (id,m,code) relation; per-query ADC table broadcast; (m,code) equi-join + hash agg; only the bounded pool sees full-dim math",
     "image_decode_stats": "binary payloads encoded+decoded in two Arrow hops; (doc_id,payload)-only projection keeps text out of the channel",
+    "perplexity_buckets": "LM join vocab^2-bounded; NTILE only over the hash sample per lang; O(|lang|) cut table broadcast — no global sort",
+    "randomized_response_estimate": "local-DP coin + estimator in codegen over the scan; ONE map-side-combined aggregate, no joins",
 }
 
 

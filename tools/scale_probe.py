@@ -44,6 +44,13 @@ PROBES = [
     # should track input growth even though the inflated copies plant
     # massive cross-copy chunk duplication (that's the point)
     "content_chunk_dedup",
+    # late round-4 quality tier: the CCNet bucketing's LM join is
+    # vocab^2-bounded and the cutpoint window runs over the hash sample
+    # only, so the ratio should track the bigram-count growth; the
+    # streaming filter re-streams the inflated corpus through 8-file
+    # micro-batches (per-batch verdict partials stay O(|langs| x 2))
+    "perplexity_buckets",
+    "stream_quality_filter",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
