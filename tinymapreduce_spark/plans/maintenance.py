@@ -801,7 +801,10 @@ def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.functions.hashing import h60
 
     cust = load_table(spark, sf_dir, "customer")
-    truth = (F.col("c_acctbal") < 0).cast("int")
+    # when(...).otherwise(0), not a bare boolean cast: a NULL balance
+    # must count as not-sensitive (0) in BOTH engines — the SQL CASE's
+    # ELSE branch does this, a NULL-propagating cast would not
+    truth = F.when(F.col("c_acctbal") < 0, F.lit(1)).otherwise(F.lit(0))
     coin_truth = (
         F.pmod(h60(F.concat(F.lit("rr|"), F.col("c_custkey").cast("string"))), F.lit(RR_TRUTH_DEN))
         < RR_TRUTH_NUM
