@@ -580,3 +580,103 @@ def test_stream_packer_restart_resumes_open_bin(spark, tmp_path_factory):
         .reset_index(drop=True)
     )
     assert got.astype("int64").equals(expect.astype("int64"))
+
+
+def test_quality_filter_restart_never_double_counts(spark, tmp_path_factory):
+    """The streaming gopher-filter sink under the same crash posture as
+    the CDC tests: kill the query mid-feed, crash-replay the last
+    delivered batch (must no-op via the idempotent snapshot id — a
+    double-ADD of verdict counters would be silent data corruption),
+    restart from the checkpoint, and the final counter table must equal
+    the one-shot batch aggregate over the whole corpus."""
+    from pyspark.sql import functions as SF
+
+    from tinymapreduce_spark.operators.textstats import gopher_rules_df
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+    base = str(tmp_path_factory.mktemp("qf_restart"))
+    src, ckpt = os.path.join(base, "feed"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+
+    def write_feed(name, mod):
+        df = docs.where(SF.pmod("doc_id", SF.lit(4)) == mod)
+        staging = src + f".stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    table = ManifestTable(os.path.join(base, "table"))
+
+    def merge_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        part = (
+            gopher_rules_df(batch_df, passthrough=("lang",))
+            .groupBy("lang", "passes")
+            .agg(
+                SF.count(SF.lit(1)).alias("n_docs"),
+                SF.sum("n_words").cast("long").alias("n_words"),
+            )
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("lang", "passes")
+                .agg(
+                    SF.sum("n_docs").alias("n_docs"),
+                    SF.sum("n_words").cast("long").alias("n_words"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    def start():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_feed("f1", 0)
+    write_feed("f2", 1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    v_after_kill = table.current_version()
+
+    # crash-replay of the last delivered batch: counters must NOT re-add
+    last_batch = spark.read.parquet(os.path.join(src, "f2.parquet"))
+    merge_batch(last_batch, 1)
+    assert table.current_version() == v_after_kill, "replay must no-op"
+
+    write_feed("f3", 2)
+    write_feed("f4", 3)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.lang, r.passes): (r.n_docs, r.n_words)
+        for r in table.read(spark).collect()
+    }
+    expected = {
+        (r.lang, r.passes): (r.n_docs, r.n_words)
+        for r in gopher_rules_df(docs, passthrough=("lang",))
+        .groupBy("lang", "passes")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_docs"),
+            SF.sum("n_words").cast("long").alias("n_words"),
+        )
+        .collect()
+    }
+    assert got == expected, "restarted filter stream must equal the batch aggregate"
+    sids = [s.snapshot_id for s in table.history()]
+    assert sorted(sids) == ["batch-0", "batch-1", "batch-2", "batch-3"]
