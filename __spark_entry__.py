@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": textstats.perplexity_buckets,
         "randomized_response_estimate": maintenance.randomized_response_estimate,
         "stream_quality_filter": stream_sinks.stream_quality_filter,
+        "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
     }
     window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -589,6 +590,7 @@ GROUP BY word
         "perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,
         "randomized_response_estimate": maintenance.RANDOMIZED_RESPONSE_SQL,
         "stream_quality_filter": stream_sinks.STREAM_QUALITY_SQL,
+        "manifest_bloom_skipping": manifest_sink.MANIFEST_BLOOM_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,

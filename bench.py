@@ -199,6 +199,7 @@ HEADLINE = [
     "perplexity_buckets",
     "randomized_response_estimate",
     "stream_quality_filter",
+    "manifest_bloom_skipping",
 ]
 
 

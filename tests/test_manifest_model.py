@@ -238,3 +238,113 @@ def test_bool_stat_key_degrades_to_unpruned(spark, tmp_path):
     table.delete_matching(spark, "flag", [True], snapshot_id="del")
     got = [r.flag for r in table.read(spark).collect()]
     assert len(got) == 10 and not any(got)
+
+
+def _bloom_table(spark, path, n=4000, files=8):
+    """Hash-distributed table: every file's [min, max] spans the whole
+    key domain, so range stats prune nothing — bloom's home turf."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.functions.hashing import h60
+
+    t = ManifestTable(str(path))
+    rows = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("v"),
+        F.pmod(h60(F.col("id").cast("string")), F.lit(files)).alias("b"),
+    )
+    for i in range(files):
+        t.append(
+            rows.where(F.col("b") == i).drop("b").coalesce(1),
+            snapshot_id=f"b{i}",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    bucket_of = {
+        r.k: r.b for r in rows.select("k", "b").collect()
+    }
+    file_of_bucket = {}
+    snap = t.snapshot(t.current_version())
+    for f in snap.files:
+        # each append staged exactly one file; recover its bucket from
+        # the snapshot id embedded in the staging dir name
+        for i in range(files):
+            if f"snap-b{i}-" in f:
+                file_of_bucket[i] = f
+    return t, snap, bucket_of, file_of_bucket
+
+
+def test_bloom_prunes_hash_distributed_files_and_survivors_keep_paths(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t, snap, bucket_of, file_of_bucket = _bloom_table(spark, tmp_path / "bt")
+    del_keys = [3, 77, 1234, 2999, 3777]
+    keys_df = spark.createDataFrame([(k,) for k in del_keys], "k long")
+    unt, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+    hosting = {file_of_bucket[bucket_of[k]] for k in del_keys}
+    # no false negatives: every hosting file is a candidate
+    assert hosting <= set(cand)
+    # bloom actually pruned: candidates are the hosting files plus at
+    # most a fp straggler, NOT all 8 range-overlapping files
+    assert len(cand) <= len(hosting) + 1
+    before_files = set(snap.files)
+    t.delete_by_frame(spark, "k", keys_df, snapshot_id="del")
+    after = t.snapshot(t.current_version())
+    # untouched files survive BY PATH (no rewrite I/O for them)
+    assert set(unt) <= set(after.files)
+    # the rewrite replaced every candidate file
+    assert not (set(cand) & set(after.files))
+    # correctness: exactly the keyed rows are gone
+    remaining = {r.k for r in t.read(spark).select("k").collect()}
+    assert remaining == set(range(4000)) - set(del_keys)
+    assert before_files - set(cand) == set(unt)
+
+
+def test_bloom_never_false_negative_for_present_keys(spark, tmp_path):
+    """Every present key must classify its hosting file as a candidate
+    — the property that makes bloom pruning safe (false positives cost
+    an extra rewrite; a false negative would silently skip a delete)."""
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t, snap, bucket_of, file_of_bucket = _bloom_table(spark, tmp_path / "fn")
+    probe = list(range(0, 4000, 83))  # 49 present keys across buckets
+    keys_df = spark.createDataFrame([(k,) for k in probe], "k long")
+    unt, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+    for k in probe:
+        assert file_of_bucket[bucket_of[k]] in cand, f"key {k} hosting file pruned"
+
+
+def test_bloom_untrusted_for_float_keys(spark, tmp_path):
+    """Float string forms are representation-sensitive ('1' vs '1.0'),
+    so a double-domain key column must NEVER be bloom-pruned — the file
+    stays a candidate whenever its range overlaps, even though its
+    bloom (hashed from the file's own string forms) would say miss."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t = ManifestTable(str(tmp_path / "ft"))
+    df = spark.createDataFrame([(1.0, 1), (2.0, 2)], "k double, v long")
+    t.publish(df.coalesce(1), snapshot_id="s", stats_cols=["k"], bloom_cols=["k"])
+    snap = t.snapshot(t.current_version())
+    keys_df = spark.createDataFrame([(1.5,)], "k double")
+    unt, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 1.0, 2.0)
+    assert len(cand) == 1 and len(unt) == 0
+
+
+def test_files_without_bloom_keep_range_behavior(spark, tmp_path):
+    """A bloomless publish is classified exactly as before the sidecar
+    existed: range-overlapping files are candidates."""
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t = ManifestTable(str(tmp_path / "nb"))
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    t.publish(df.coalesce(1), snapshot_id="s", stats_cols=["k"])
+    snap = t.snapshot(t.current_version())
+    keys_df = spark.createDataFrame([(50,)], "k long")
+    unt, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 50, 50)
+    assert len(cand) == 1 and len(unt) == 0

@@ -115,6 +115,48 @@ def _json_stat(v, widen: str | None = None):
     return str(v)
 
 
+# Per-file Bloom sidecar defaults: M bits sized for ~10 bits/key at a
+# few thousand keys per file, K=4 h60-salted hashes. The bloom is the
+# pruning level min/max stats cannot provide: a table hash-distributed
+# on its key has every file's [min, max] spanning the whole domain, so
+# a point MERGE/DELETE finds every file "overlapping" — while each
+# file's bloom rejects foreign keys with fpp ~ (fill)^K. Iceberg/Delta
+# ship the same mechanism as bloom filter indexes.
+BLOOM_M = 65536
+BLOOM_K = 4
+
+
+def _bloom_salt(i: int) -> str:
+    return f"bloom{i}|"
+
+
+def _bloom_hex(positions, m: int) -> str:
+    """Serialize a set of bit positions as a hex string (one nibble per
+    char, LSB-first within the nibble: bit p lives at char p//4, bit
+    p%4) — JSON-safe, m/4 chars."""
+    nibs = bytearray(m // 4)
+    for p in positions:
+        nibs[p // 4] |= 1 << (p % 4)
+    return "".join(format(x, "x") for x in nibs)
+
+
+def _bloom_hex_test(hex_col, pos_col):
+    """Catalyst expression: is bit ``pos_col`` set in ``hex_col``? Same
+    nibble/bit convention as ``_bloom_hex``. (shiftright needs a literal
+    shift, so the bit extract is a when-chain divisor — exact for
+    nibble-sized ints.)"""
+    from pyspark.sql import functions as F
+
+    nib = F.conv(F.substring(hex_col, (pos_col / 4).cast("int") + 1, 1), 16, 10).cast(
+        "int"
+    )
+    pm = F.pmod(pos_col, F.lit(4))
+    d = (
+        F.when(pm == 0, 1).when(pm == 1, 2).when(pm == 2, 4).otherwise(8)
+    )
+    return F.pmod(F.floor(nib / d).cast("int"), F.lit(2)) == 1
+
+
 def _stat_family(v) -> str:
     """Comparison family of a serialized stat: 'num' (int/float),
     'str' (order-preserving ISO/str forms), or 'other' (bools, legacy
@@ -160,8 +202,22 @@ def _split_files_by_key_frame(
     manifests) makes its file UNPRUNABLE — it goes straight to
     candidates instead of being cross-type compared. Candidates are a
     superset, and the rewrite applies the real predicate, so an
-    imprecise domain can only cost extra rewrites, never correctness."""
+    imprecise domain can only cost extra rewrites, never correctness.
+
+    Level 3. Range-surviving files that carry a Bloom sidecar for the key
+       column (``publish(..., bloom_cols=[key])``) get a third level:
+       a file is a candidate only if at least one key's K salted bit
+       positions are ALL set in its bitmap. This is the level that
+       matters for hash-distributed tables, where every file's range
+       overlaps every key; Bloom false positives only cost an extra
+       rewrite, and false negatives cannot occur for exact-string-form
+       domains — which is why the bloom is consulted ONLY when the
+       serialized stat domain is integer or string (a float's string
+       form is representation-sensitive, so float-keyed blooms are
+       recorded but never trusted for pruning)."""
     from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.functions.hashing import h60
 
     j_lo = _json_stat(key_lo, widen="down")
     j_hi = _json_stat(key_hi, widen="up")
@@ -183,7 +239,10 @@ def _split_files_by_key_frame(
         elif smax < j_lo or smin > j_hi:
             untouched.append(f)
         else:
-            overlapping.append((f, smin, smax))
+            bloom = (s.get("bloom") or {}).get(key_col) if s else None
+            if not (bloom and bloom.get("k") == BLOOM_K and bloom.get("bits")):
+                bloom = None
+            overlapping.append((f, smin, smax, bloom))
     if not overlapping:
         return untouched, candidates
     sample = overlapping[0][1]
@@ -191,31 +250,51 @@ def _split_files_by_key_frame(
         dom = "string"
     elif all(
         isinstance(v, int) and not isinstance(v, bool)
-        for _, a, b in overlapping
+        for _, a, b, _bl in overlapping
         for v in (a, b)
     ):
         dom = "bigint"
     else:
         dom = "double"
+    # blooms hash the value's exact string form: only integer/string
+    # domains are representation-stable, float strings are not
+    use_bloom = dom in ("bigint", "string") and any(
+        bl is not None for _, _, _, bl in overlapping
+    )
     files_df = spark.createDataFrame(
-        overlapping, f"_file string, _fmin {dom}, _fmax {dom}"
+        [
+            (f, a, b, bl["bits"] if use_bloom and bl else None,
+             bl["m"] if use_bloom and bl else None)
+            for f, a, b, bl in overlapping
+        ],
+        f"_file string, _fmin {dom}, _fmax {dom}, _bloom string, _m int",
     )
     probe = (
         keys_df.select(F.col(key_col).cast(dom).alias("_k"))
         .where(F.col("_k").isNotNull())
         .distinct()
     )
+    pairs = F.broadcast(files_df).join(
+        probe,
+        (F.col("_k") >= F.col("_fmin")) & (F.col("_k") <= F.col("_fmax")),
+        "inner",
+    )
+    conj = None
+    for i in range(BLOOM_K):
+        pos = F.pmod(
+            h60(F.concat(F.lit(_bloom_salt(i)), F.col("_k").cast("string"))),
+            F.col("_m"),
+        )
+        t = _bloom_hex_test(F.col("_bloom"), pos)
+        conj = t if conj is None else (conj & t)
     hit = {
         r["_file"]
-        for r in F.broadcast(files_df)
-        .join(
-            probe,
-            (F.col("_k") >= F.col("_fmin")) & (F.col("_k") <= F.col("_fmax")),
-            "left_semi",
-        )
+        for r in pairs.where(F.col("_bloom").isNull() | conj)
+        .select("_file")
+        .distinct()
         .collect()
     }
-    for f, _, _ in overlapping:
+    for f, _, _, _bl in overlapping:
         (candidates if f in hit else untouched).append(f)
     return untouched, candidates
 
@@ -287,6 +366,8 @@ class ManifestTable:
         audit: Callable[[DataFrame], str | None] | None = None,
         stats_cols: list[str] | None = None,
         base_version: int | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_m: int = BLOOM_M,
     ) -> int:
         """Write ``df`` as the table's next version. Returns the version
         serving ``snapshot_id`` — the existing one if this id already
@@ -304,6 +385,15 @@ class ManifestTable:
         driver. Cluster the frame on the stat column first
         (``repartitionByRange``) or the per-file ranges all overlap and
         nothing prunes.
+
+        ``bloom_cols`` additionally records a per-file Bloom bitmap
+        (``bloom_m`` bits, ``BLOOM_K`` h60-salted hashes of each
+        distinct value's string form) for those columns — the pruning
+        level for HASH-distributed keys, where every file's [min, max]
+        spans the domain and range stats prune nothing. O(#files x m/4)
+        hex chars of manifest metadata; the MERGE/DELETE planner tests
+        candidate keys against each overlapping file's bitmap and a
+        file with no maybe-hit is untouched without being read.
         """
         existing = self._find_snapshot_id(snapshot_id)
         if existing is not None:
@@ -316,8 +406,10 @@ class ManifestTable:
         try:
             staged = spark.read.parquet(staging)
             stats = None
-            if stats_cols:
-                stats = self._collect_file_stats(staged, stats_cols)
+            if stats_cols or bloom_cols:
+                stats = self._collect_file_stats(
+                    staged, stats_cols or [], bloom_cols, bloom_m
+                )
                 n_rows = sum(s["rows"] for s in stats.values())
             else:
                 n_rows = staged.count()
@@ -351,7 +443,12 @@ class ManifestTable:
         return committed
 
     @staticmethod
-    def _collect_file_stats(staged: DataFrame, stats_cols: list[str]) -> dict:
+    def _collect_file_stats(
+        staged: DataFrame,
+        stats_cols: list[str],
+        bloom_cols: list[str] | None = None,
+        bloom_m: int = BLOOM_M,
+    ) -> dict:
         from pyspark.sql import functions as F
 
         aggs = [F.count(F.lit(1)).alias("_rows")]
@@ -364,7 +461,7 @@ class ManifestTable:
             .agg(*aggs)
             .collect()
         )
-        return {
+        out = {
             _norm_file_path(r["_file"]): {
                 "rows": r["_rows"],
                 # widen decimal->float conversions outward so the
@@ -374,6 +471,46 @@ class ManifestTable:
             }
             for r in rows
         }
+        for c in bloom_cols or []:
+            # distinct (file, value) -> K salted positions -> per-file
+            # position sets: O(#files) rows reach the driver, each
+            # bounded by m positions (the same class as the stats pass)
+            from tinymapreduce_spark.functions.hashing import h60
+
+            v = F.col(c).cast("string")
+            pos_rows = (
+                staged.withColumn("_file", F.col("_metadata.file_path"))
+                .select("_file", v.alias("_v"))
+                .where(F.col("_v").isNotNull())
+                .distinct()
+                .select(
+                    "_file",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    h60(F.concat(F.lit(_bloom_salt(i)), F.col("_v"))),
+                                    F.lit(bloom_m),
+                                )
+                                for i in range(BLOOM_K)
+                            ]
+                        )
+                    ).alias("_p"),
+                )
+                .groupBy("_file")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            for r in pos_rows:
+                entry = out.setdefault(
+                    _norm_file_path(r["_file"]), {"rows": 0, "min": {}, "max": {}}
+                )
+                entry.setdefault("bloom", {})[c] = {
+                    "m": bloom_m,
+                    "k": BLOOM_K,
+                    "bits": _bloom_hex(r["_ps"], bloom_m),
+                }
+        return out
 
     def _commit(
         self,
@@ -548,6 +685,8 @@ class ManifestTable:
         df: DataFrame,
         snapshot_id: str,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_m: int = BLOOM_M,
     ) -> int:
         """Append-only commit: stage ``df``'s files, then publish a new
         manifest carrying EVERY previous file by path plus the new ones
@@ -568,7 +707,9 @@ class ManifestTable:
         try:
             staged = spark.read.parquet(staging)
             new_stats = (
-                self._collect_file_stats(staged, stats_cols) if stats_cols else None
+                self._collect_file_stats(staged, stats_cols or [], bloom_cols, bloom_m)
+                if (stats_cols or bloom_cols)
+                else None
             )
             n_new = (
                 sum(s["rows"] for s in new_stats.values())
@@ -1749,4 +1890,140 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), COUNT(*),
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
 FROM lineitem
+"""
+
+
+# Demo sizing: the slice holds ~60 customers per file at sf0.1, so a
+# 4096-bit bitmap stays ~6% full (fpp ~ 1.3e-5) — the production
+# sizing rule (~10+ bits/key) at query-testable scale.
+BLOOM_DEMO_M = 4096
+BLOOM_DEMO_FILES = 8
+
+
+def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping for point lookups on a
+    HASH-distributed key — the pruning level min/max stats cannot
+    provide: every file of a customer-hash-distributed orders table
+    spans the whole custkey range, so a 'fetch customer X' (or GDPR
+    'delete customer X') finds all files range-overlapping; each file's
+    Bloom bitmap instead rejects foreign keys with fpp ~ (fill)^K.
+    Iceberg puts the same parquet bloom metadata behind its scan
+    planning; Delta ships it as bloom filter indexes.
+
+    The query publishes the slice as BLOOM_DEMO_FILES appends (one per
+    h60 bucket — deterministic file contents, so the oracle can replay
+    every bitmap), then answers 6 point lookups (3 present custkeys, 3
+    absent) reporting how many files each probe's bloom maybe-hits and
+    the looked-up rows/revenue from the table. Present keys hit exactly
+    their hosting file (+fpp); absent keys hit ~0 files — the case
+    where bloom turns a full-table scan into ZERO file reads. The
+    DELETE/MERGE planner consults the same bitmaps
+    (``_split_files_by_key_frame`` level 3, model-tested); this query
+    pins the metadata math itself against the SQL replay."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.functions.hashing import h60
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"bloom_orders_{tag}_{_src_fp(sf_dir, 'orders')}")
+    )
+    sl = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.pmod(F.col("o_custkey"), F.lit(16)) == 0)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    bucket = F.pmod(h60(F.col("k").cast("string")), F.lit(BLOOM_DEMO_FILES))
+    for i in range(BLOOM_DEMO_FILES):
+        table.append(
+            sl.where(bucket == i).coalesce(1),
+            snapshot_id=f"b{i}",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+            bloom_m=BLOOM_DEMO_M,
+        )
+    snap = table.snapshot(table.current_version())
+    blooms = spark.createDataFrame(
+        [
+            # a bucket with no rows stages an empty file with no stats
+            # entry and no bloom: it can never hit (it holds no keys)
+            (f, ((snap.stats.get(f) or {}).get("bloom") or {}).get("k", {}).get("bits"))
+            for f in snap.files
+        ],
+        "_file string, _bits string",
+    )
+
+    present = sl.select("k").distinct().orderBy("k").limit(3)
+    probes = present.unionByName(present.select((F.col("k") + 1).alias("k")))
+    pairs = probes.crossJoin(F.broadcast(blooms))
+    conj = None
+    for i in range(BLOOM_K):
+        pos = F.pmod(
+            h60(F.concat(F.lit(_bloom_salt(i)), F.col("k").cast("string"))),
+            F.lit(BLOOM_DEMO_M),
+        )
+        t = _bloom_hex_test(F.col("_bits"), pos)
+        conj = t if conj is None else (conj & t)
+    hits = pairs.where(conj).groupBy("k").agg(F.count(F.lit(1)).alias("n_files_hit"))
+
+    vals = (
+        table.read(spark)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("_sum"))
+    )
+    return (
+        probes.join(F.broadcast(hits), "k", "left")
+        .join(F.broadcast(vals), "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_files_hit", F.lit(0).cast("long")).alias("n_files_hit"),
+            F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+            F.col("_sum").cast("double").alias("sum_price"),
+            (F.coalesce("n_rows", F.lit(0).cast("long")) > 0).alias("present"),
+        )
+    )
+
+
+from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL as _H60_B
+
+_BH = lambda e: _H60_B.format(expr=e)  # noqa: E731
+MANIFEST_BLOOM_SQL = f"""
+WITH sl AS MATERIALIZED (
+  SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         {_BH("CAST(o_custkey AS VARCHAR)")} % {BLOOM_DEMO_FILES} AS bucket
+  FROM orders WHERE o_custkey % 16 = 0
+), fbits AS MATERIALIZED (
+  SELECT DISTINCT bucket,
+         {_BH("'bloom' || i || '|' || CAST(k AS VARCHAR)")} % {BLOOM_DEMO_M} AS p
+  FROM (SELECT DISTINCT k, bucket FROM sl), (SELECT UNNEST([0,1,2,3]) AS i)
+), present AS MATERIALIZED (
+  SELECT k FROM (SELECT DISTINCT k FROM sl) ORDER BY k LIMIT 3
+), probes AS MATERIALIZED (
+  SELECT k FROM present UNION ALL SELECT k + 1 FROM present
+), ppos AS MATERIALIZED (
+  SELECT k, i, {_BH("'bloom' || i || '|' || CAST(k AS VARCHAR)")} % {BLOOM_DEMO_M} AS p
+  FROM probes, (SELECT UNNEST([0,1,2,3]) AS i)
+), hits AS (
+  SELECT pp.k, fb.bucket
+  FROM ppos pp JOIN fbits fb ON fb.p = pp.p
+  GROUP BY pp.k, fb.bucket
+  HAVING COUNT(DISTINCT pp.i) = 4
+), nh AS (
+  SELECT k, COUNT(*) AS n_files_hit FROM hits GROUP BY k
+), vals AS (
+  SELECT k, COUNT(*) AS n_rows, SUM(v) AS _sum FROM sl GROUP BY k
+)
+SELECT p.k,
+       COALESCE(nh.n_files_hit, 0) AS n_files_hit,
+       COALESCE(vals.n_rows, 0) AS n_rows,
+       CAST(vals._sum AS DOUBLE) AS sum_price,
+       COALESCE(vals.n_rows, 0) > 0 AS present
+FROM probes p
+LEFT JOIN nh ON nh.k = p.k
+LEFT JOIN vals ON vals.k = p.k
 """
