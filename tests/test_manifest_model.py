@@ -348,3 +348,31 @@ def test_files_without_bloom_keep_range_behavior(spark, tmp_path):
     keys_df = spark.createDataFrame([(50,)], "k long")
     unt, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 50, 50)
     assert len(cand) == 1 and len(unt) == 0
+
+
+def test_bloom_survives_copy_on_write_rewrite(spark, tmp_path):
+    """A MERGE must not silently strip bloom sidecars from the files it
+    rewrites — later point deletes on those files would degrade to
+    range-only pruning. After an upsert, every data-bearing file (both
+    carried-over and rewritten) must still offer a bloom, and a second
+    delete must still prune."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t, snap, bucket_of, file_of_bucket = _bloom_table(spark, tmp_path / "rw", n=2000)
+    up = spark.createDataFrame([(5, 999), (1999, 998)], "k long, v long")
+    t.upsert_matching(spark, "k", up, snapshot_id="up")
+    snap2 = t.snapshot(t.current_version())
+    for f in snap2.files:
+        s = snap2.stats.get(f)
+        if s and s.get("rows", 0) > 0:
+            assert (s.get("bloom") or {}).get("k"), f"file lost its bloom: {f}"
+    keys_df = spark.createDataFrame([(5,), (777,)], "k long")
+    unt, cand = _split_files_by_key_frame(spark, snap2, "k", keys_df, 0, 2000)
+    # still pruning: far fewer candidate files than the table holds
+    assert len(cand) < len(snap2.files)
+    t.delete_by_frame(spark, "k", keys_df, snapshot_id="d2")
+    remaining = {r.k for r in t.read(spark).select("k").collect()}
+    assert remaining == set(range(2000)) - {5, 777}
+    assert {r.v for r in t.read(spark).where(F.col("k") == 1999).collect()} == {998}

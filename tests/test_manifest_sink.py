@@ -599,3 +599,20 @@ def test_merge_on_read_dv_delete_mechanism(spark, table):
     )
     assert table2.vacuum() == []
     assert table2.read(spark).count() == 150
+
+
+def test_expire_vacuum_query_is_stable_across_repeated_runs(spark, sf_dir):
+    """Regression: the retention-lifecycle query interacts with its own
+    expiry — snapshot-id no-ops consult a history that expire_snapshots
+    prunes, so before the done-marker guard the THIRD in-session run
+    re-published day1 alone, no-opped the day2 append (its id survived
+    as the kept snapshot) and compacted a day1-only table, silently
+    dropping the 1997 slice. Three consecutive runs must agree exactly."""
+    from tinymapreduce_spark.sources.manifest_sink import manifest_expire_vacuum
+
+    runs = [
+        sorted(map(tuple, manifest_expire_vacuum(spark, sf_dir).collect()))
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) > 0

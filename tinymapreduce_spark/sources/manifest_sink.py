@@ -795,6 +795,8 @@ class ManifestTable:
         snapshot_id: str,
         n_files: int = 8,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_m: int = BLOOM_M,
     ) -> int:
         """OPTIMIZE (re-cluster): rewrite the CURRENT version into
         ``n_files`` range-clustered files on ``cluster_col`` and commit
@@ -819,6 +821,8 @@ class ManifestTable:
                 snapshot_id,
                 stats_cols=stats_cols or [cluster_col],
                 base_version=cur,
+                bloom_cols=bloom_cols,
+                bloom_m=bloom_m,
             )
 
         return self._retry_rmw(once)
@@ -994,12 +998,26 @@ class ManifestTable:
             stat_cols = (
                 list(next(iter(stats.values()))["min"]) if stats else [key_col]
             )
+            # rewritten files must keep the table's bloom sidecars too,
+            # or one MERGE would silently degrade every later
+            # MERGE/DELETE on those files to range-only pruning
+            bloom_m_of: dict[str, int] = {}
+            for s in stats.values():
+                for c, b in (s.get("bloom") or {}).items():
+                    bloom_m_of.setdefault(c, b["m"])
             try:
-                restats = (
-                    self._collect_file_stats(spark.read.parquet(*new_files), stat_cols)
-                    if new_files
-                    else {}
-                )
+                if new_files:
+                    staged_read = spark.read.parquet(*new_files)
+                    restats = self._collect_file_stats(staged_read, stat_cols)
+                    for c, m in sorted(bloom_m_of.items()):
+                        bl = self._collect_file_stats(staged_read, [], [c], m)
+                        for f, entry in bl.items():
+                            if "bloom" in entry:
+                                restats.setdefault(f, entry).setdefault(
+                                    "bloom", {}
+                                ).update(entry["bloom"])
+                else:
+                    restats = {}
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
@@ -1420,9 +1438,16 @@ def manifest_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed ONLY unreferenced files, because if it had touched a live
     one the post-vacuum read would lose rows and the oracle hash would
     flip. ``n_readable`` carries the retention contract (exactly
-    keep_last versions remain time-travelable). Every step is
-    idempotent (snapshot-id no-ops, FileNotFoundError-tolerant expire,
-    empty re-vacuum), so re-runs return the identical frame.
+    keep_last versions remain time-travelable).
+
+    Re-run safety: snapshot-id no-ops are NOT enough here, because
+    expiry removes ids from the very history they are checked against
+    — on a cached table the 3rd run would find "day2" (the surviving
+    snapshot) but not "day1"/"compact", re-publish day1 alone, no-op
+    the append, and compact a day1-only table (a real bug caught by
+    repeated in-session runs). The whole build is therefore guarded by
+    a done-marker: it executes once per cached table lifetime and
+    every later invocation goes straight to the read.
 
     At 100 TB this is the maintenance job that keeps a manifest table
     from accreting forever: expiry is O(#versions) metadata deletes,
@@ -1435,25 +1460,29 @@ def manifest_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     table = ManifestTable(os.path.join(SCRATCH, f"ret_orders_{tag}_{_src_fp(sf_dir, 'orders')}"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
-    )
-    d97 = F.lit("1997-01-01").cast("timestamp")
-    d98 = F.lit("1998-01-01").cast("timestamp")
-    table.publish(
-        orders.where(F.col("o_orderdate") < d97).repartitionByRange(4, "o_orderdate"),
-        snapshot_id="day1",
-        stats_cols=["o_orderdate"],
-    )
-    table.append(
-        orders.where((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d98))
-        .repartitionByRange(4, "o_orderdate"),
-        snapshot_id="day2",
-        stats_cols=["o_orderdate"],
-    )
-    table.optimize(spark, "o_orderdate", snapshot_id="compact", n_files=8)
-    table.expire_snapshots(keep_last=1)
-    table.vacuum()
+    marker = os.path.join(table.table_dir, "_lifecycle_done")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+        )
+        d97 = F.lit("1997-01-01").cast("timestamp")
+        d98 = F.lit("1998-01-01").cast("timestamp")
+        table.publish(
+            orders.where(F.col("o_orderdate") < d97).repartitionByRange(4, "o_orderdate"),
+            snapshot_id="day1",
+            stats_cols=["o_orderdate"],
+        )
+        table.append(
+            orders.where((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d98))
+            .repartitionByRange(4, "o_orderdate"),
+            snapshot_id="day2",
+            stats_cols=["o_orderdate"],
+        )
+        table.optimize(spark, "o_orderdate", snapshot_id="compact", n_files=8)
+        table.expire_snapshots(keep_last=1)
+        table.vacuum()
+        with open(marker, "w") as fh:
+            fh.write("ok")
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
