@@ -376,3 +376,25 @@ def test_bloom_survives_copy_on_write_rewrite(spark, tmp_path):
     remaining = {r.k for r in t.read(spark).select("k").collect()}
     assert remaining == set(range(2000)) - {5, 777}
     assert {r.v for r in t.read(spark).where(F.col("k") == 1999).collect()} == {998}
+
+
+def test_point_lookup_scans_hosting_file_only(spark, tmp_path):
+    """read_point on a hash-distributed table: a present key's plan
+    lists its hosting file (+fpp stragglers at most), an absent key's
+    plan lists ~zero files, and the returned rows are exactly the
+    key's rows in both cases."""
+    from pyspark.sql import functions as F
+
+    t, snap, bucket_of, file_of_bucket = _bloom_table(spark, tmp_path / "pl")
+    k = 1234
+    files = t.point_lookup_files("k", k)
+    assert file_of_bucket[bucket_of[k]] in files
+    assert len(files) <= 2
+    got = t.read_point(spark, "k", k).where(F.col("k") == k).collect()
+    assert [(r.k, r.v) for r in got] == [(k, k * 7)]
+    # absent key: bloom turns the lookup into (near) zero file reads
+    absent_files = t.point_lookup_files("k", 4001)
+    assert len(absent_files) <= 1
+    assert t.read_point(spark, "k", 4001).where(F.col("k") == 4001).count() == 0
+    # a float probe never trusts the bloom (falls back to range rules)
+    assert isinstance(t.point_lookup_files("k", 1234.5), list)

@@ -678,6 +678,70 @@ class ManifestTable:
                 kept.append(f)
         return self._read_snapshot(spark, snap, files=kept)
 
+    def point_lookup_files(self, col: str, value) -> list[str]:
+        """Scan-planning for a point lookup: the current version's files
+        that may contain ``value`` in ``col``, pruned by range stats AND
+        (for integer/string values, whose string form is
+        representation-stable) the per-file Bloom sidecars — all from
+        O(#files) driver-side manifest entries, no data I/O. A kept
+        superset is always correct; on a hash-distributed table the
+        bloom is what shrinks 'every file overlaps' to the hosting
+        file (+fpp), and an absent key to zero files."""
+        import hashlib
+
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(v)
+        stats = snap.stats or {}
+        jv = _json_stat(value)
+        fam = _stat_family(jv)
+        trust_bloom = isinstance(value, (int, str)) and not isinstance(value, bool)
+
+        def h60_py(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        kept = []
+        for f in snap.files:
+            s = stats.get(f)
+            if s is None:
+                kept.append(f)
+                continue
+            smin, smax = s["min"].get(col), s["max"].get(col)
+            if (
+                smin is not None
+                and smax is not None
+                and fam != "other"
+                and _stat_family(smin) == fam
+                and _stat_family(smax) == fam
+                and (jv < smin or jv > smax)
+            ):
+                continue
+            bl = (s.get("bloom") or {}).get(col)
+            if trust_bloom and bl and bl.get("k") == BLOOM_K and bl.get("bits"):
+                bits, m = bl["bits"], bl["m"]
+                if not all(
+                    (int(bits[p // 4], 16) >> (p % 4)) & 1
+                    for p in (
+                        h60_py(f"{_bloom_salt(i)}{value}") % m
+                        for i in range(BLOOM_K)
+                    )
+                ):
+                    continue
+            kept.append(f)
+        return kept
+
+    def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Read the current version scanning only
+        ``point_lookup_files(col, value)`` — the GDPR-subject-fetch /
+        primary-key-get path. Skipping is an optimization, never a
+        filter: callers still apply ``col = value`` to the result."""
+        v = self.current_version()
+        snap = self.snapshot(v)
+        return self._read_snapshot(
+            spark, snap, files=self.point_lookup_files(col, value)
+        )
+
     # -- append commit + file-level incremental read -----------------
 
     def append(
