@@ -472,13 +472,19 @@ class ManifestTable:
             for r in rows
         }
         for c in bloom_cols or []:
-            # distinct (file, value) -> K salted positions -> per-file
-            # position sets: O(#files) rows reach the driver, each
-            # bounded by m positions (the same class as the stats pass)
+            # distinct (file, value) -> K salted positions, folded to
+            # 64-bit word masks BEFORE leaving the executors (bit_or
+            # partial-aggregates map-side): the driver receives at most
+            # m/64 (word, mask) rows per file — m/8 bytes, the bitmap
+            # itself — never a position list (which a dense file could
+            # blow up to m * 8 bytes). The hex lands inline in the
+            # manifest entry; a deployment with 10^5+ files would move
+            # it to a per-file sidecar like the deletion vectors
+            # (Iceberg's puffin shape) with the manifest holding paths.
             from tinymapreduce_spark.functions.hashing import h60
 
             v = F.col(c).cast("string")
-            pos_rows = (
+            mask_rows = (
                 staged.withColumn("_file", F.col("_metadata.file_path"))
                 .select("_file", v.alias("_v"))
                 .where(F.col("_v").isNotNull())
@@ -497,18 +503,32 @@ class ManifestTable:
                         )
                     ).alias("_p"),
                 )
-                .groupBy("_file")
-                .agg(F.collect_set("_p").alias("_ps"))
+                .select(
+                    "_file",
+                    F.shiftright("_p", 6).alias("_w"),
+                    F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_m"),
+                )
+                .groupBy("_file", "_w")
+                .agg(F.expr("bit_or(_m)").alias("_mask"))
                 .collect()
             )
-            for r in pos_rows:
+            by_file: dict[str, list] = {}
+            for r in mask_rows:
+                by_file.setdefault(r["_file"], []).append((r["_w"], r["_mask"]))
+            for fpath, wm in by_file.items():
+                positions = [
+                    w * 64 + b
+                    for w, mask in wm
+                    for b in range(64)
+                    if (mask >> b) & 1
+                ]
                 entry = out.setdefault(
-                    _norm_file_path(r["_file"]), {"rows": 0, "min": {}, "max": {}}
+                    _norm_file_path(fpath), {"rows": 0, "min": {}, "max": {}}
                 )
                 entry.setdefault("bloom", {})[c] = {
                     "m": bloom_m,
                     "k": BLOOM_K,
-                    "bits": _bloom_hex(r["_ps"], bloom_m),
+                    "bits": _bloom_hex(positions, bloom_m),
                 }
         return out
 
