@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randomized_response_estimate": maintenance.randomized_response_estimate,
         "stream_quality_filter": stream_sinks.stream_quality_filter,
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
+        "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
     window = {k: base[k] for k in _R4_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
@@ -591,6 +592,7 @@ GROUP BY word
         "randomized_response_estimate": maintenance.RANDOMIZED_RESPONSE_SQL,
         "stream_quality_filter": stream_sinks.STREAM_QUALITY_SQL,
         "manifest_bloom_skipping": manifest_sink.MANIFEST_BLOOM_SQL,
+        "stream_perplexity_buckets": stream_sinks.STREAM_PPLX_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,

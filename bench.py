@@ -200,6 +200,7 @@ HEADLINE = [
     "randomized_response_estimate",
     "stream_quality_filter",
     "manifest_bloom_skipping",
+    "stream_perplexity_buckets",
 ]
 
 

@@ -1284,13 +1284,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut table. No global sort, no all-doc window — the two things a
     naive NTILE-over-everything bucketing would hit at 100 TB.
     """
-    from tinymapreduce_spark.functions.hashing import h60
-
     docs = documents_for_cpu(spark, sf_dir)
+    bg = pplx_bigrams_df(docs)
+    lm, starts = pplx_model_df(bg)
+    scored = pplx_score_df(bg, lm, starts)
+    cuts = pplx_cuts_df(scored)
+    return pplx_label_df(scored, cuts)
+
+
+def pplx_bigrams_df(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-type counts over (doc_id, lang, text) — the
+    codegen zip shape shared with ``bigram_novelty``."""
     toks = docs.select("doc_id", "lang", tokens("text").alias("l")).where(
         F.size("l") >= 2
     )
-    bg = (
+    return (
         toks.select(
             "doc_id",
             "lang",
@@ -1304,9 +1312,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def pplx_model_df(bg: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus bigram LM: (w1,w2) counts and per-w1 start counts."""
     lm = bg.groupBy("w1", "w2").agg(F.sum("n").alias("cn"))
     starts = lm.groupBy("w1").agg(F.sum("cn").alias("c1"))
-    scored = (
+    return lm, starts
+
+
+def pplx_score_df(bg: DataFrame, lm: DataFrame, starts: DataFrame) -> DataFrame:
+    """Per-doc mean digit-bucket surprisal under a (possibly frozen) LM.
+    Unseen bigrams cannot occur when the LM was trained on a superset
+    of the scored docs — the batch query trains on the full corpus, and
+    the streaming twin freezes that same full-corpus model."""
+    return (
         bg.join(lm, ["w1", "w2"])
         .join(starts, "w1")
         .withColumn("surp", F.length(F.expr("CAST(c1 DIV cn AS STRING)")).cast("long"))
@@ -1324,15 +1344,26 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+def pplx_cuts_df(scored: DataFrame) -> DataFrame:
+    """Per-language tercile cutpoints from the deterministic hash
+    sample — the bounded calibration window."""
+    from tinymapreduce_spark.functions.hashing import h60
+
     sample = scored.where(
         F.pmod(h60(F.col("doc_id").cast("string")), F.lit(PPLX_SAMPLE_MOD)) == 0
     )
     w = Window.partitionBy("lang").orderBy(F.asc("score"), F.asc("doc_id"))
     tiles = sample.withColumn("tile", F.ntile(3).over(w))
-    cuts = tiles.groupBy("lang").agg(
+    return tiles.groupBy("lang").agg(
         F.max(F.when(F.col("tile") == 1, F.col("score"))).alias("cut1"),
         F.max(F.when(F.col("tile") == 2, F.col("score"))).alias("cut2"),
     )
+
+
+def pplx_label_df(scored: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Label every scored doc head/middle/tail by the broadcast cuts."""
     return scored.join(F.broadcast(cuts), "lang", "left").select(
         "doc_id",
         "lang",

@@ -959,3 +959,95 @@ GROUP BY 1, 2
 
 
 STREAM_QUALITY_SQL = _stream_quality_sql()
+
+
+def stream_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM-quality scoring against a FROZEN model — the
+    continuous-ingestion form of ``textstats.perplexity_buckets``: the
+    bigram LM and the per-language tercile cutpoints are trained ONCE
+    batch-side over the full corpus (CCNet trains offline, scores the
+    crawl as it arrives), frozen via eager localCheckpoint, and every
+    micro-batch scores its documents against the static model
+    (stream-static joins inside foreachBatch), labels them
+    head/middle/tail, and ADDs its per-(lang, bucket) counters into the
+    versioned table under idempotent batch-id publishes. Because the
+    frozen model is exactly the batch query's model, the final counter
+    table equals the batch bucketing aggregated — the shared-SQL oracle
+    the driver hash-checks.
+
+    At 100 TB: the LM is vocab^2-bounded and broadcast once; per-batch
+    partials are O(|lang| x 3) rows regardless of batch bytes; table
+    history time-travels the corpus quality mix as the crawl grows."""
+    from tinymapreduce_spark.operators.textstats import (
+        pplx_bigrams_df,
+        pplx_cuts_df,
+        pplx_label_df,
+        pplx_model_df,
+        pplx_score_df,
+    )
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text", "lang")
+    bg_full = pplx_bigrams_df(docs)
+    lm, starts = pplx_model_df(bg_full)
+    lm = lm.localCheckpoint(eager=True)
+    starts = starts.localCheckpoint(eager=True)
+    cuts = pplx_cuts_df(pplx_score_df(bg_full, lm, starts)).localCheckpoint(eager=True)
+
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"pplx_stream_src_{run}")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"pplx_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        labeled = pplx_label_df(
+            pplx_score_df(pplx_bigrams_df(batch_df), lm, starts), cuts
+        )
+        part = labeled.groupBy("lang", "bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("lang", "bucket")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = table.read(spark).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _stream_pplx_sql() -> str:
+    from tinymapreduce_spark.operators.textstats import PERPLEXITY_BUCKETS_SQL
+
+    return f"""
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+FROM ({PERPLEXITY_BUCKETS_SQL}) GROUP BY 1, 2
+"""
+
+
+STREAM_PPLX_SQL = _stream_pplx_sql()
