@@ -42,10 +42,14 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     # Iceberg/Delta contract no upsert or delete may ever match
     model = {i: i * 3 for i in range(0, 600)}
     model[None] = 999
+    # half the runs carry bloom sidecars from birth, so the whole op
+    # sequence (rewrites, optimize, expiry) exercises bloom carry-over
+    with_bloom = rng.random() < 0.5
     table.publish(
         _df_of(spark, model).repartitionByRange(6, "id"),
         snapshot_id="init",
         stats_cols=["id"],
+        bloom_cols=["id"] if with_bloom else None,
     )
 
     for step in range(12):
@@ -60,6 +64,7 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
                 _df_of(spark, new).repartitionByRange(2, "id"),
                 snapshot_id=sid,
                 stats_cols=["id"],
+                bloom_cols=["id"] if with_bloom else None,
             )
             model.update(new)
         elif op == "upsert":
@@ -107,6 +112,30 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
 
         got = _read_as_dict(spark, table)
         assert got == model, f"divergence after step {step} ({op})"
+
+        if step % 3 == 0:
+            # bloom-planned point lookups must agree with the model for
+            # a live key AND an absent key, whatever sidecar state the
+            # op sequence left behind (post-rewrite, post-optimize,
+            # mixed bloom/bloomless files)
+            live = sorted(k for k in model if k is not None)
+            probe_live = rng.choice(live)
+            probe_absent = KEYSPACE + 10_000 + step
+            from pyspark.sql import functions as SF
+
+            got_live = {
+                r.id: r.v
+                for r in table.read_point(spark, "id", probe_live)
+                .where(SF.col("id") == probe_live)
+                .collect()
+            }
+            assert got_live == {probe_live: model[probe_live]}, (step, op)
+            assert (
+                table.read_point(spark, "id", probe_absent)
+                .where(SF.col("id") == probe_absent)
+                .count()
+                == 0
+            ), (step, op)
 
         snap = table.snapshot(table.current_version())
         assert snap.n_rows == len(model), (step, op, snap.n_rows, len(model))
