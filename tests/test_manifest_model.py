@@ -427,3 +427,65 @@ def test_point_lookup_scans_hosting_file_only(spark, tmp_path):
     assert t.read_point(spark, "k", 4001).where(F.col("k") == 4001).count() == 0
     # a float probe never trusts the bloom (falls back to range rules)
     assert isinstance(t.point_lookup_files("k", 1234.5), list)
+
+
+def test_bloom_only_publish_records_stats_and_prunes(spark, tmp_path):
+    """bloom_cols implies stats: a publish with bloom_cols but no
+    stats_cols must still record min/max for those columns, otherwise
+    the MERGE/DELETE planner's no-stats gate routes every file to
+    candidates and the bitmap is dead weight. The bloom needs the
+    stats-domain witness anyway (string-form hashing is only trusted
+    against a proven int/str domain)."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.manifest_sink import _split_files_by_key_frame
+
+    t = ManifestTable(str(tmp_path / "bo"))
+    rows = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.publish(
+        rows.repartitionByRange(4, "k"),
+        snapshot_id="base",
+        bloom_cols=["k"],  # deliberately no stats_cols
+    )
+    snap = t.snapshot(t.current_version())
+    for f in snap.files:
+        s = snap.stats[f]
+        assert s["min"].get("k") is not None and s["max"].get("k") is not None
+        assert (s.get("bloom") or {}).get("k")
+    # range-clustered + implied stats => the key-frame planner prunes
+    keys_df = spark.createDataFrame([(5,)], "k long")
+    _, cand = _split_files_by_key_frame(spark, snap, "k", keys_df, 5, 5)
+    assert len(cand) < len(snap.files)
+    # and the point-lookup path trusts the bloom (int domain witnessed)
+    assert len(t.point_lookup_files("k", 5)) < len(snap.files)
+    t.delete_by_frame(spark, "k", keys_df, snapshot_id="d1")
+    assert t.read(spark).where(F.col("k") == 5).count() == 0
+    assert t.read(spark).count() == 999
+
+
+def test_point_lookup_bloom_needs_domain_witness(spark, tmp_path):
+    """An int probe against a DOUBLE-keyed bloom column must not trust
+    the bitmap: bits were hashed from '5.0'-style strings, so hashing
+    '5' would miss and prune the hosting file — a silent wrong answer.
+    The stats domain is the witness; cross-domain probes degrade to
+    range pruning only (kept superset, still correct)."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable(str(tmp_path / "dw"))
+    rows = spark.range(0, 100).select(
+        (F.col("id") + F.lit(0.0)).alias("p"), F.col("id").alias("v")
+    )
+    t.publish(
+        rows.coalesce(2),
+        snapshot_id="base",
+        stats_cols=["p"],
+        bloom_cols=["p"],
+    )
+    # present value probed as int: bloom untrusted, row still found
+    got = t.read_point(spark, "p", 5).where(F.col("p") == 5.0).collect()
+    assert [(r.p, r.v) for r in got] == [(5.0, 5)]
+    # probed as the exact float the stats witness: same answer
+    got_f = t.read_point(spark, "p", 5.0).where(F.col("p") == 5.0).collect()
+    assert [(r.p, r.v) for r in got_f] == [(5.0, 5)]

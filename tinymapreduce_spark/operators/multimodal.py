@@ -549,16 +549,22 @@ def _ensure_bmp_files(spark: SparkSession, sf_dir: str) -> str:
     written DISTRIBUTED via foreachPartition with temp+rename commits —
     at 100 TB an image corpus already lives as files in shared/object
     storage, and each task writing its own files is exactly that shape.
-    Idempotent per (session, sf)."""
+    Idempotent per (session, corpus identity): the dir is keyed by the
+    documents table's (size, mtime) fingerprint — the SAME identity the
+    streaming twin keys its checkpoint by — so a regenerated corpus
+    gets a fresh directory instead of leftover img_N.bmp files from the
+    old one leaking into the binaryFile listing."""
     import os
 
+    from tinymapreduce_spark.sources.manifest_sink import _src_fp
     from tinymapreduce_spark.sources.textfiles import SCRATCH
 
     from tinymapreduce_spark.sources.loaders import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(SCRATCH, f"bmp_files_{tag}")
-    marker = f"spark.tinymr.bmp_files_{tag.replace('.', '_')}"
+    fp = _src_fp(sf_dir, "documents")
+    out_dir = os.path.join(SCRATCH, f"bmp_files_{tag}_{fp}")
+    marker = f"spark.tinymr.bmp_files_{tag.replace('.', '_')}_{fp}"
     if not spark.conf.get(marker, None):
         os.makedirs(out_dir, exist_ok=True)
         # id-only column-pruned scan (the text column never leaves the

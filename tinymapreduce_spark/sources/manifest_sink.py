@@ -447,9 +447,18 @@ class ManifestTable:
         staged: DataFrame,
         stats_cols: list[str],
         bloom_cols: list[str] | None = None,
-        bloom_m: int = BLOOM_M,
+        bloom_m: "int | dict[str, int]" = BLOOM_M,
     ) -> dict:
         from pyspark.sql import functions as F
+
+        # bloom_cols implies stats: the MERGE/DELETE planner's level-3
+        # bloom consult requires a stats-domain witness on the same
+        # column (string-form hashing is only representation-stable
+        # when the stored domain proves int/str), and its level-1 gate
+        # routes no-stats files straight to candidates — so a
+        # bloom-only publish without min/max would carry a bitmap no
+        # planner ever reads. Always record min/max for bloom columns.
+        stats_cols = list(dict.fromkeys([*stats_cols, *(bloom_cols or [])]))
 
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in stats_cols:
@@ -471,32 +480,51 @@ class ManifestTable:
             }
             for r in rows
         }
-        for c in bloom_cols or []:
-            # distinct (file, value) -> K salted positions, folded to
-            # 64-bit word masks BEFORE leaving the executors (bit_or
-            # partial-aggregates map-side): the driver receives at most
-            # m/64 (word, mask) rows per file — m/8 bytes, the bitmap
-            # itself — never a position list (which a dense file could
-            # blow up to m * 8 bytes). The hex lands inline in the
-            # manifest entry; a deployment with 10^5+ files would move
-            # it to a per-file sidecar like the deletion vectors
-            # (Iceberg's puffin shape) with the manifest holding paths.
+        if bloom_cols:
+            # ONE scan covers every bloom column (stacked via explode)
+            # instead of a scan per column: distinct (file, col, value)
+            # -> K salted positions, folded to 64-bit word masks BEFORE
+            # leaving the executors (bit_or partial-aggregates
+            # map-side): the driver receives at most m/64 (word, mask)
+            # rows per (file, column) — m/8 bytes, the bitmap itself —
+            # never a position list (which a dense file could blow up
+            # to m * 8 bytes). The hex lands inline in the manifest
+            # entry; a deployment with 10^5+ files would move it to a
+            # per-file sidecar like the deletion vectors (Iceberg's
+            # puffin shape) with the manifest holding paths.
             from tinymapreduce_spark.functions.hashing import h60
 
-            v = F.col(c).cast("string")
+            m_of = {
+                c: bloom_m[c] if isinstance(bloom_m, dict) else bloom_m
+                for c in bloom_cols
+            }
+            stacked = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_c"),
+                            F.col(c).cast("string").alias("_v"),
+                            F.lit(m_of[c]).alias("_bm"),
+                        )
+                        for c in bloom_cols
+                    ]
+                )
+            )
             mask_rows = (
                 staged.withColumn("_file", F.col("_metadata.file_path"))
-                .select("_file", v.alias("_v"))
+                .select("_file", stacked.alias("_cv"))
+                .select("_file", "_cv._c", "_cv._v", "_cv._bm")
                 .where(F.col("_v").isNotNull())
                 .distinct()
                 .select(
                     "_file",
+                    "_c",
                     F.explode(
                         F.array(
                             *[
                                 F.pmod(
                                     h60(F.concat(F.lit(_bloom_salt(i)), F.col("_v"))),
-                                    F.lit(bloom_m),
+                                    F.col("_bm"),
                                 )
                                 for i in range(BLOOM_K)
                             ]
@@ -505,17 +533,20 @@ class ManifestTable:
                 )
                 .select(
                     "_file",
+                    "_c",
                     F.shiftright("_p", 6).alias("_w"),
                     F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_m"),
                 )
-                .groupBy("_file", "_w")
+                .groupBy("_file", "_c", "_w")
                 .agg(F.expr("bit_or(_m)").alias("_mask"))
                 .collect()
             )
-            by_file: dict[str, list] = {}
+            by_fc: dict[tuple[str, str], list] = {}
             for r in mask_rows:
-                by_file.setdefault(r["_file"], []).append((r["_w"], r["_mask"]))
-            for fpath, wm in by_file.items():
+                by_fc.setdefault((r["_file"], r["_c"]), []).append(
+                    (r["_w"], r["_mask"])
+                )
+            for (fpath, c), wm in by_fc.items():
                 positions = [
                     w * 64 + b
                     for w, mask in wm
@@ -526,9 +557,9 @@ class ManifestTable:
                     _norm_file_path(fpath), {"rows": 0, "min": {}, "max": {}}
                 )
                 entry.setdefault("bloom", {})[c] = {
-                    "m": bloom_m,
+                    "m": m_of[c],
                     "k": BLOOM_K,
-                    "bits": _bloom_hex(positions, bloom_m),
+                    "bits": _bloom_hex(positions, m_of[c]),
                 }
         return out
 
@@ -694,29 +725,50 @@ class ManifestTable:
             smin, smax = s["min"].get(col), s["max"].get(col)
             if smin is None or smax is None:  # all-NULL or untracked col
                 kept.append(f)
+                continue
+            fam = _stat_family(smin)
+            if (
+                fam == "other"
+                or _stat_family(smax) != fam
+                or _stat_family(_json_stat(lo)) != fam
+                or _stat_family(_json_stat(hi)) != fam
+            ):
+                # cross-family bounds (legacy string-serialized decimals
+                # vs numeric callers, bools): unprunable, keep — the
+                # other planners' guard, applied here too
+                kept.append(f)
             elif not (smax < lo or smin > hi):
                 kept.append(f)
         return self._read_snapshot(spark, snap, files=kept)
 
-    def point_lookup_files(self, col: str, value) -> list[str]:
+    def point_lookup_files(self, col: str, value, snap: "Snapshot | None" = None) -> list[str]:
         """Scan-planning for a point lookup: the current version's files
         that may contain ``value`` in ``col``, pruned by range stats AND
-        (for integer/string values, whose string form is
-        representation-stable) the per-file Bloom sidecars — all from
-        O(#files) driver-side manifest entries, no data I/O. A kept
-        superset is always correct; on a hash-distributed table the
-        bloom is what shrinks 'every file overlaps' to the hosting
-        file (+fpp), and an absent key to zero files."""
+        the per-file Bloom sidecars — all from O(#files) driver-side
+        manifest entries, no data I/O. A kept superset is always
+        correct; on a hash-distributed table the bloom is what shrinks
+        'every file overlaps' to the hosting file (+fpp), and an absent
+        key to zero files.
+
+        Bloom trust mirrors the MERGE/DELETE planner's domain rule:
+        bitmaps hash the column value's exact string form, so they are
+        consulted only when the probe is an int/str AND the file's
+        recorded stats witness the SAME storage family — an int probe
+        against a double-keyed file must NOT trust the bloom ('5' vs
+        '5.0' would be a false negative), and a file with a bloom but
+        no stats has no domain witness, so it is kept unpruned."""
         import hashlib
 
-        v = self.current_version()
-        if v is None:
-            raise FileNotFoundError(f"no published version in {self.table_dir}")
-        snap = self.snapshot(v)
+        if snap is None:
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no published version in {self.table_dir}")
+            snap = self.snapshot(v)
         stats = snap.stats or {}
         jv = _json_stat(value)
         fam = _stat_family(jv)
-        trust_bloom = isinstance(value, (int, str)) and not isinstance(value, bool)
+        probe_is_int = isinstance(value, int) and not isinstance(value, bool)
+        probe_is_str = isinstance(value, str)
 
         def h60_py(s: str) -> int:
             return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -728,17 +780,31 @@ class ManifestTable:
                 kept.append(f)
                 continue
             smin, smax = s["min"].get(col), s["max"].get(col)
+            have_stats = smin is not None and smax is not None
             if (
-                smin is not None
-                and smax is not None
+                have_stats
                 and fam != "other"
                 and _stat_family(smin) == fam
                 and _stat_family(smax) == fam
                 and (jv < smin or jv > smax)
             ):
                 continue
+            # domain witness for the bloom's string-form hashing: the
+            # file's stored stats must be exactly ints (for an int
+            # probe) or strs (for a str probe) — float/bool/mixed
+            # domains, or no stats at all, mean no trust
+            same_domain = have_stats and (
+                (
+                    probe_is_int
+                    and isinstance(smin, int)
+                    and isinstance(smax, int)
+                    and not isinstance(smin, bool)
+                    and not isinstance(smax, bool)
+                )
+                or (probe_is_str and isinstance(smin, str) and isinstance(smax, str))
+            )
             bl = (s.get("bloom") or {}).get(col)
-            if trust_bloom and bl and bl.get("k") == BLOOM_K and bl.get("bits"):
+            if same_domain and bl and bl.get("k") == BLOOM_K and bl.get("bits"):
                 bits, m = bl["bits"], bl["m"]
                 if not all(
                     (int(bits[p // 4], 16) >> (p % 4)) & 1
@@ -755,11 +821,15 @@ class ManifestTable:
         """Read the current version scanning only
         ``point_lookup_files(col, value)`` — the GDPR-subject-fetch /
         primary-key-get path. Skipping is an optimization, never a
-        filter: callers still apply ``col = value`` to the result."""
+        filter: callers still apply ``col = value`` to the result.
+        One snapshot fetch serves both planning and read, so a racing
+        commit cannot mix file lists with another version's schema."""
         v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
         snap = self.snapshot(v)
         return self._read_snapshot(
-            spark, snap, files=self.point_lookup_files(col, value)
+            spark, snap, files=self.point_lookup_files(col, value, snap=snap)
         )
 
     # -- append commit + file-level incremental read -----------------
@@ -1091,15 +1161,12 @@ class ManifestTable:
                     bloom_m_of.setdefault(c, b["m"])
             try:
                 if new_files:
+                    # one stats pass + one stacked bloom pass over the
+                    # rewritten files, regardless of bloom column count
                     staged_read = spark.read.parquet(*new_files)
-                    restats = self._collect_file_stats(staged_read, stat_cols)
-                    for c, m in sorted(bloom_m_of.items()):
-                        bl = self._collect_file_stats(staged_read, [], [c], m)
-                        for f, entry in bl.items():
-                            if "bloom" in entry:
-                                restats.setdefault(f, entry).setdefault(
-                                    "bloom", {}
-                                ).update(entry["bloom"])
+                    restats = self._collect_file_stats(
+                        staged_read, stat_cols, sorted(bloom_m_of), bloom_m_of
+                    )
                 else:
                     restats = {}
             except Exception:
@@ -1811,6 +1878,34 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def cdc_change_feed(orders: DataFrame) -> DataFrame:
+    """The deterministic CDC change set shared by
+    ``manifest_apply_changes`` and its streaming twin
+    ``streaming.sinks.stream_cdc_apply_changes`` — both are
+    hash-checked against MANIFEST_APPLY_CHANGES_SQL, so the op-class
+    predicates must live in exactly one place. Disjoint classes keyed
+    on o_custkey (13 -> 'D' deletes; else 7 -> 'U' price doubled,
+    exact for doubles; else 11 -> 'I' inserts under the negated
+    orderkey) make the final state order-independent."""
+    import pyspark.sql.functions as F
+
+    is_d = F.col("o_custkey") % 13 == 0
+    is_u = (~is_d) & (F.col("o_custkey") % 7 == 0)
+    is_i = (~is_d) & (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 11 == 0)
+    deletes = orders.where(is_d).withColumn("op", F.lit("D"))
+    updates = (
+        orders.where(is_u)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.where(is_i)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
+        .withColumn("op", F.lit("I"))
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
 def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply — MERGE WITH DELETES in one atomic commit — as a
     driver query: publish orders clustered on o_orderkey, build a
@@ -1839,21 +1934,7 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_id="base",
         stats_cols=["o_orderkey"],
     )
-    is_d = F.col("o_custkey") % 13 == 0
-    is_u = (~is_d) & (F.col("o_custkey") % 7 == 0)
-    is_i = (~is_d) & (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 11 == 0)
-    deletes = orders.where(is_d).withColumn("op", F.lit("D"))
-    updates = (
-        orders.where(is_u)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
-        .withColumn("op", F.lit("U"))
-    )
-    inserts = (
-        orders.where(is_i)
-        .withColumn("o_orderkey", -F.col("o_orderkey"))
-        .withColumn("op", F.lit("I"))
-    )
-    changes = deletes.unionByName(updates).unionByName(inserts)
+    changes = cdc_change_feed(orders)
     v = table.apply_changes(spark, "o_orderkey", changes, snapshot_id="cdc-batch")
     # replayed delivery of the same batch must be the no-op path
     assert table.apply_changes(spark, "o_orderkey", changes, snapshot_id="cdc-batch") == v

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from tinymapreduce_spark.operators.multimodal import BINFILE_CAP as _BINFILE_CAP
 from tinymapreduce_spark.sources.loaders import normalize_event_ts
-from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+from tinymapreduce_spark.sources.manifest_sink import ManifestTable, cdc_change_feed
 from tinymapreduce_spark.sources.textfiles import SCRATCH
 
 
@@ -321,12 +321,12 @@ def stream_binary_files_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _ensure_bmp_files(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    # checkpoint keyed by the source documents table's identity: the
-    # file-stream index tracks .bmp paths, so a regenerated corpus must
-    # get a fresh checkpoint (the stream_available_now convention)
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    base = os.path.join(SCRATCH, f"stream_bmp_{tag}_{st.st_size}_{int(st.st_mtime)}")
+    # checkpoint keyed by the .bmp source dir's OWN name — which
+    # _ensure_bmp_files already keys by (tag, corpus fingerprint) — so
+    # the checkpointed file index and the directory it indexes can
+    # never disagree: a regenerated corpus moves BOTH to fresh paths
+    # (the stream_available_now convention)
+    base = os.path.join(SCRATCH, f"stream_{os.path.basename(src)}")
     ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
 
     # the binaryFile source's fixed schema (streaming reads require it)
@@ -546,22 +546,10 @@ def stream_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_id="base",
         stats_cols=["o_orderkey"],
     )
-    is_d = F.col("o_custkey") % 13 == 0
-    is_u = (~is_d) & (F.col("o_custkey") % 7 == 0)
-    is_i = (~is_d) & (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 11 == 0)
-    deletes = orders.where(is_d).withColumn("op", F.lit("D"))
-    updates = (
-        orders.where(is_u)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
-        .withColumn("op", F.lit("U"))
-    )
-    inserts = (
-        orders.where(is_i)
-        .withColumn("o_orderkey", -F.col("o_orderkey"))
-        .withColumn("op", F.lit("I"))
-    )
     feed_dir = os.path.join(SCRATCH, f"cdca_feed_{run}")
-    deletes.unionByName(updates).unionByName(inserts).repartitionByRange(
+    # op-class predicates shared with the batch twin so driver query
+    # and streaming twin can never drift off their common oracle
+    cdc_change_feed(orders).repartitionByRange(
         4, "o_orderkey"
     ).write.mode("overwrite").parquet(feed_dir)
 
