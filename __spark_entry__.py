@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "embedding_quantize": similarity.embedding_quantize,
         "bm25_topk": retrieval.bm25_topk,
+        "hybrid_rrf_retrieval": retrieval.hybrid_rrf_retrieval,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
         "bpe_train_merges": tokenizer.bpe_train_merges,
         "bpe_encode_vocab": tokenizer.bpe_encode_vocab,
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": curation.deterministic_sample,
         "train_val_test_split": curation.train_val_test_split,
         "contamination_check": curation.contamination_check,
+        "stream_decontaminate": stream_sinks.stream_decontaminate,
         "sequence_pack": curation.sequence_pack,
         "doc_chunk_overlap": curation.doc_chunk_overlap,
         "training_shuffle": curation.training_shuffle,
@@ -698,6 +700,10 @@ GROUP BY word
         "stratified_sample": curation.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": curation.TRAIN_VAL_TEST_SQL,
         "contamination_check": curation.CONTAMINATION_SQL,
+        # streaming twin: per-batch partials sum to the one-shot batch
+        # aggregate (static eval-gram set, per-doc predicate), so the
+        # batch oracle IS the streaming oracle
+        "stream_decontaminate": curation.CONTAMINATION_SQL,
         "sequence_pack": curation.SEQUENCE_PACK_SQL,
         "doc_chunk_overlap": curation.DOC_CHUNK_SQL,
         "curation_pipeline": curation.CURATION_PIPELINE_SQL,
@@ -765,6 +771,7 @@ GROUP BY word
         "bfs_hops": graph.BFS_HOPS_SQL,
         "label_propagation": graph.LABEL_PROPAGATION_SQL,
         "bm25_topk": retrieval.BM25_SQL,
+        "hybrid_rrf_retrieval": retrieval.HYBRID_RRF_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,
         "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,

@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_simhash",
     "dup_passage_coverage",
     "bm25_topk",
+    "hybrid_rrf_retrieval",
     "pagerank_trade",
     "bfs_hops",
     "label_propagation",
@@ -199,6 +200,7 @@ HEADLINE = [
     "perplexity_buckets",
     "randomized_response_estimate",
     "stream_quality_filter",
+    "stream_decontaminate",
     "manifest_bloom_skipping",
     "stream_perplexity_buckets",
 ]

@@ -1458,3 +1458,39 @@ def test_content_chunking_survives_prefix_insertion(spark):
     fixed_a = {base[i : i + 64] for i in range(0, len(base), 64)}
     fixed_b = {shifted[i : i + 64] for i in range(0, len(shifted), 64)}
     assert len(fixed_a & fixed_b) == 0
+
+
+class TestHybridRrf:
+    """Fusion semantics of retrieval.hybrid_rrf_retrieval: membership,
+    score reconstruction, and rank monotonicity (the oracle-parity suite
+    hash-checks the values; these pin the RRF contract itself)."""
+
+    def test_fusion_contract(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.retrieval import (
+            RRF_K,
+            RRF_POOL,
+            RRF_TOP_K,
+            hybrid_rrf_retrieval,
+        )
+
+        rows = hybrid_rrf_retrieval(spark, sf_dir).collect()
+        assert rows, "fusion produced no rows"
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+            # membership: reached the fusion through at least one ranker,
+            # and any present rank is within the pool
+            assert r.r_dense is not None or r.r_lex is not None
+            for rk in (r.r_dense, r.r_lex):
+                if rk is not None:
+                    assert 1 <= rk <= RRF_POOL
+            # score reconstruction from the per-ranker ranks
+            want = sum(1.0 / (RRF_K + rk) for rk in (r.r_dense, r.r_lex) if rk)
+            assert abs(r.rrf - round(want, 9)) < 1e-12
+        for q, lst in by_q.items():
+            lst.sort(key=lambda r: r.rank)
+            assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+            assert len(lst) <= RRF_TOP_K
+            # rrf non-increasing with rank; doc_id breaks ties ascending
+            for a, b in zip(lst, lst[1:]):
+                assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)

@@ -680,3 +680,116 @@ def test_quality_filter_restart_never_double_counts(spark, tmp_path_factory):
     assert got == expected, "restarted filter stream must equal the batch aggregate"
     sids = [s.snapshot_id for s in table.history()]
     assert sorted(sids) == ["batch-0", "batch-1", "batch-2", "batch-3"]
+
+
+def test_decontaminate_restart_never_double_counts(spark, tmp_path_factory):
+    """stream_decontaminate's sink under the standard crash posture:
+    kill mid-feed, crash-replay the last delivered batch (idempotent
+    snapshot id must no-op — a double-ADD would inflate contamination
+    counts), restart, and the final table must equal the one-shot batch
+    contamination aggregate."""
+    from pyspark.sql import functions as SF
+
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.operators.curation import (
+        EVAL_MOD,
+        _grams,
+        contamination_check,
+    )
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+
+    base = str(tmp_path_factory.mktemp("decon_restart"))
+    src, ckpt = os.path.join(base, "feed"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    tokked = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    eval_grams = (
+        _grams(tokked.where(SF.col("doc_id") % EVAL_MOD == 0))
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    train = docs.where(SF.col("doc_id") % EVAL_MOD != 0)
+
+    def write_feed(name, mod):
+        df = train.where(SF.pmod("doc_id", SF.lit(4)) == mod)
+        staging = src + f".stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    table = ManifestTable(os.path.join(base, "table"))
+
+    def merge_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        b = batch_df.select("doc_id", "source", tokens("text").alias("toks"))
+        contaminated = (
+            _grams(b)
+            .join(SF.broadcast(eval_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", SF.lit(1))
+        )
+        part = (
+            b.select("doc_id", "source")
+            .join(contaminated, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                SF.count(SF.lit(1)).alias("n_train_docs"),
+                SF.count("hit").alias("n_contaminated"),
+            )
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("source")
+                .agg(
+                    SF.sum("n_train_docs").alias("n_train_docs"),
+                    SF.sum("n_contaminated").alias("n_contaminated"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    def start():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_feed("f1", 0)
+    write_feed("f2", 1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    v_after_kill = table.current_version()
+
+    last_batch = spark.read.parquet(os.path.join(src, "f2.parquet"))
+    merge_batch(last_batch, 1)
+    assert table.current_version() == v_after_kill, "replay must no-op"
+
+    write_feed("f3", 2)
+    write_feed("f4", 3)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.source: (r.n_train_docs, r.n_contaminated)
+        for r in table.read(spark).collect()
+    }
+    expected = {
+        r.source: (r.n_train_docs, r.n_contaminated)
+        for r in contamination_check(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected, "restarted decontam stream must equal the batch check"
+    sids = [s.snapshot_id for s in table.history()]
+    assert sorted(sids) == ["batch-0", "batch-1", "batch-2", "batch-3"]

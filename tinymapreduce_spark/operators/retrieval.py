@@ -205,3 +205,206 @@ WHERE rk <= {BM25_TOPK}
 
 
 BM25_SQL = _bm25_sql()
+
+
+# --- hybrid retrieval: dense + lexical rankers fused by reciprocal rank ----
+#
+# The standard two-tower curation/retrieval shape: a dense ranker (cosine
+# over the signed-feature-hash embeddings of similarity.py — the
+# deterministic stand-in for a neural embedder) and a lexical ranker
+# (token-set Jaccard against the query document's posting lists), fused by
+# Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+# rrf(d) = Σ_rankers 1/(K + rank_r(d)), K = 60.
+RRF_K = 60
+RRF_POOL = 20  # per-ranker candidate depth feeding the fusion
+RRF_TOP_K = 10
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RRF_TOP_K`` documents per query document under RRF fusion of
+    the dense and lexical rankers. Queries = the first ``FH_QUERIES``
+    documents, as in ``doc_ann_topk``.
+
+    Output: (query_id, doc_id, r_dense, r_lex, rrf, rank) — the per-ranker
+    ranks ride along (NULL when a doc reached the fusion through only one
+    ranker), rrf rounded to 9 dp, final rank cut on (rrf desc, doc_id asc).
+
+    Scale shape: two corpus passes (one tokenize+hash-project for the
+    dense side, one tokenize for the posting lists), each reduced by ONE
+    groupBy before anything joins; the 10 query rows broadcast to both
+    sides, so no corpus-sized shuffle keys on the query id. The fusion
+    itself joins two RRF_POOL×|queries| frames — trivially small at any
+    corpus size. Every score is exact-integer arithmetic plus one rounded
+    division, so the whole pipeline (both rankers AND the fusion) replays
+    bit-exactly in the SQL oracle.
+    """
+    from tinymapreduce_spark.operators.similarity import (
+        FH_QUERIES,
+        _doc_hash_embedding_wide,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir)
+
+    # dense ranker: exact cosine over integer hash-embeddings
+    wide = _doc_hash_embedding_wide(docs)
+    norms = wide.select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    emb = wide.join(norms, "doc_id").where(F.col("n2") > 0)
+    q_emb = emb.where(F.col("doc_id") < FH_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    dense_scored = (
+        emb.crossJoin(F.broadcast(q_emb))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qe", "e", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    dense_rank = (
+        dense_scored.withColumn("r_dense", F.row_number().over(wd).cast("long"))
+        .where(F.col("r_dense") <= RRF_POOL)
+        .select("query_id", "doc_id", "r_dense")
+    )
+
+    # lexical ranker: token-set Jaccard vs the query document
+    tokset = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    sizes = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    q_tok = tokset.where(F.col("doc_id") < FH_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    q_sz = sizes.where(F.col("doc_id") < FH_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz")
+    )
+    inter = (
+        tokset.join(F.broadcast(q_tok), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    lex_scored = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(q_sz), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sz") + F.col("qsz") - F.col("inter")).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_rank = (
+        lex_scored.withColumn("r_lex", F.row_number().over(wl).cast("long"))
+        .where(F.col("r_lex") <= RRF_POOL)
+        .select("query_id", "doc_id", "r_lex")
+    )
+
+    # reciprocal-rank fusion: missing ranker contributes 0
+    fused = dense_rank.join(lex_rank, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "r_dense",
+        "r_lex",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= RRF_TOP_K)
+        .select("query_id", "doc_id", "r_dense", "r_lex", "rrf", "rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from tinymapreduce_spark.operators.similarity import _FH_SUMS_CTE, FH_QUERIES
+
+    return f"""
+WITH {_FH_SUMS_CTE},
+norms AS (
+  SELECT doc_id, CAST(SUM(val * val) AS BIGINT) AS n2 FROM sums GROUP BY doc_id
+), q AS (
+  SELECT s.doc_id AS query_id, s.dim, s.val, n.n2 AS qn2
+  FROM sums s JOIN norms n ON s.doc_id = n.doc_id
+  WHERE s.doc_id < {FH_QUERIES} AND n.n2 > 0
+), dots AS (
+  SELECT q.query_id, s.doc_id, CAST(SUM(q.val * s.val) AS BIGINT) AS dot,
+         ANY_VALUE(q.qn2) AS qn2
+  FROM q JOIN sums s ON q.dim = s.dim AND s.doc_id <> q.query_id
+  GROUP BY q.query_id, s.doc_id
+), dense_scored AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / sqrt(CAST(d.qn2 * n.n2 AS DOUBLE)), 6) AS score
+  FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+  WHERE n.n2 > 0
+), dense_rank AS (
+  SELECT query_id, doc_id, r_dense FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r_dense
+    FROM dense_scored
+  ) WHERE r_dense <= {RRF_POOL}
+), tokset AS (
+  SELECT DISTINCT doc_id, tok FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tokset GROUP BY doc_id
+), inter AS (
+  SELECT qt.doc_id AS query_id, t.doc_id, COUNT(*) AS inter
+  FROM tokset t
+  JOIN tokset qt ON t.tok = qt.tok AND qt.doc_id < {FH_QUERIES}
+                AND t.doc_id <> qt.doc_id
+  GROUP BY qt.doc_id, t.doc_id
+), lex_scored AS (
+  SELECT i.query_id, i.doc_id,
+         ROUND(i.inter / CAST(s.sz + qs.sz - i.inter AS DOUBLE), 6) AS score
+  FROM inter i
+  JOIN sizes s ON i.doc_id = s.doc_id
+  JOIN sizes qs ON i.query_id = qs.doc_id
+), lex_rank AS (
+  SELECT query_id, doc_id, r_lex FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r_lex
+    FROM lex_scored
+  ) WHERE r_lex <= {RRF_POOL}
+), fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         d.r_dense, l.r_lex,
+         ROUND(COALESCE(1.0 / ({RRF_K} + d.r_dense), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0), 9) AS rrf
+  FROM dense_rank d
+  FULL OUTER JOIN lex_rank l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, r_dense, r_lex, rrf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOP_K}
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()

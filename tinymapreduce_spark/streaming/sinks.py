@@ -1039,3 +1039,94 @@ FROM ({PERPLEXITY_BUCKETS_SQL}) GROUP BY 1, 2
 
 
 STREAM_PPLX_SQL = _stream_pplx_sql()
+
+
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination — the incremental form of
+    ``operators/curation.contamination_check``: the eval slice's
+    distinct 3-gram set is computed ONCE up front (tiny — ~1/97th of
+    the corpus — and broadcast into every micro-batch), then the
+    training corpus arrives as micro-batches (8 parquet files, 2 per
+    trigger); each batch left-semi joins its grams against the static
+    eval set and ADDS its per-source (n_train_docs, n_contaminated)
+    partials into the versioned table. Because every training doc
+    arrives in exactly one batch and contamination is a per-doc
+    predicate against a STATIC set, per-batch partials sum to exactly
+    the one-shot batch aggregate — the shared oracle the driver
+    hash-checks.
+
+    Exactly-once: read-modify-write published under snapshot_id =
+    batch id (idempotent replay), as every sink in this module. At
+    100 TB this is live leak monitoring for a training-data intake:
+    the eval-gram set stays a broadcast-sized invariant, each batch's
+    cost is one tokenize + one semi-join, and table history
+    time-travels the contamination rate as the crawl streams in."""
+    from tinymapreduce_spark.functions.text import tokens
+    from tinymapreduce_spark.operators.curation import EVAL_MOD, _grams
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "source", "text")
+    tokked = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    eval_grams = (
+        _grams(tokked.where(F.col("doc_id") % EVAL_MOD == 0))
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(SCRATCH, f"decontam_stream_src_{run}")
+    docs.where(F.col("doc_id") % EVAL_MOD != 0).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    table = ManifestTable(os.path.join(SCRATCH, f"decontam_stream_{run}"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        b = batch_df.select("doc_id", "source", tokens("text").alias("toks"))
+        contaminated = (
+            _grams(b)
+            .join(F.broadcast(eval_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        part = (
+            b.select("doc_id", "source")
+            .join(contaminated, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_train_docs"),
+                F.count("hit").alias("n_contaminated"),
+            )
+        )
+        if table.current_version() is not None:
+            part = (
+                table.read(s)
+                .unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_train_docs").alias("n_train_docs"),
+                    F.sum("n_contaminated").alias("n_contaminated"),
+                )
+            )
+        table.publish(part, snapshot_id=f"batch-{batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = table.read(spark).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
