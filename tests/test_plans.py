@@ -996,3 +996,29 @@ def test_randomized_response_single_aggregate(spark, sf_dir):
     # once in the tree and once as a section — count the sections)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "partial_count" in p  # map-side combine before the exchange
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    """hybrid_rrf_retrieval at 100 TB: both corpus passes must reduce
+    via groupBy BEFORE anything joins, the 10-query sides must
+    broadcast, and the only sort-merge join allowed is the fusion
+    full-outer over the two |queries|x|pool|-bounded rank frames —
+    never a corpus-sized shuffle join (the norm is a row-local fold,
+    not a self-join) and never a data x data cartesian."""
+    from tinymapreduce_spark.operators.retrieval import hybrid_rrf_retrieval
+
+    p = plan_of(hybrid_rrf_retrieval(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the dense query side (10 rows) rides a broadcast nested loop;
+    # the lexical query tokens/sizes ride broadcast hash joins
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    # at most two SMJs: the bounded full-outer fusion join plus the
+    # posting-candidates x sizes equi-join on doc_id (both sides
+    # already groupBy-reduced; AQE may further demote it to broadcast
+    # at runtime) — and critically NO join keyed on the raw exploded
+    # token stream (that would be a corpus x corpus token join)
+    assert p.count("SortMergeJoin") <= 2
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "tok" not in line

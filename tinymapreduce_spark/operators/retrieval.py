@@ -245,17 +245,19 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_for_cpu(spark, sf_dir)
 
-    # dense ranker: exact cosine over integer hash-embeddings
+    # dense ranker: exact cosine over integer hash-embeddings. The norm
+    # is a row-local fold over the embedding array — computed with
+    # withColumn, NOT a corpus×corpus self-join (which would add a
+    # full-table shuffle at 100 TB for a value derivable in place).
     wide = _doc_hash_embedding_wide(docs)
-    norms = wide.select(
-        "doc_id",
+    emb = wide.withColumn(
+        "n2",
         F.aggregate(
             F.zip_with("e", "e", lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
-        ).alias("n2"),
-    )
-    emb = wide.join(norms, "doc_id").where(F.col("n2") > 0)
+        ),
+    ).where(F.col("n2") > 0)
     q_emb = emb.where(F.col("doc_id") < FH_QUERIES).select(
         F.col("doc_id").alias("query_id"),
         F.col("e").alias("qe"),

@@ -1068,15 +1068,17 @@ def doc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.loaders import documents_for_cpu
 
     wide = _doc_hash_embedding_wide(documents_for_cpu(spark, sf_dir))
-    norms = wide.select(
-        "doc_id",
+    # row-local norm via withColumn — NOT a corpus×corpus self-join
+    # (that shape would shuffle the whole table to re-attach a value
+    # derivable in place)
+    emb = wide.withColumn(
+        "n2",
         F.aggregate(
             F.zip_with("e", "e", lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
-        ).alias("n2"),
-    )
-    emb = wide.join(norms, "doc_id").where(F.col("n2") > 0)
+        ),
+    ).where(F.col("n2") > 0)
     queries = emb.where(F.col("doc_id") < FH_QUERIES).select(
         F.col("doc_id").alias("query_id"),
         F.col("e").alias("qe"),

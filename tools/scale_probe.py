@@ -51,6 +51,14 @@ PROBES = [
     # micro-batches (per-batch verdict partials stay O(|langs| x 2))
     "perplexity_buckets",
     "stream_quality_filter",
+    # final round-4 additions: hybrid fusion's corpus passes are
+    # groupBy-reduced before any join and the query sides are fixed at
+    # 10 broadcast rows, so the ratio should track input growth; the
+    # streaming decontamination's eval-gram set grows with the eval
+    # slice but stays broadcast-sized, per-batch cost is one tokenize
+    # + one semi-join
+    "hybrid_rrf_retrieval",
+    "stream_decontaminate",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
