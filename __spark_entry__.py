@@ -92,6 +92,65 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-backed, NONE previously driver-checked (cumulative after r3:
 # 149/227; after this window: 199/227). ROTATION.md pins r5 (the final
 # 28 + rows-only re-checks) so the sweep provably terminates.
+# Pre-staged for round 5 (ROTATION.md "Round 5 — planned window"): at
+# r5 start, flip queries() to `window = {k: base[k] for k in
+# _R5_WINDOW}` — that one-line change is the whole of r5's window prep.
+# 50 keys: the two final-r4 additions lead, then every remaining
+# never-driver-checked oracle-backed key except the seven SQL-tier keys
+# ROTATION.md moves to the r6 freshness rotation.
+_R5_WINDOW = [
+    "hybrid_rrf_retrieval",
+    "stream_decontaminate",
+    "perplexity_buckets",
+    "randomized_response_estimate",
+    "stream_quality_filter",
+    "manifest_bloom_skipping",
+    "stream_perplexity_buckets",
+    "pack_nextfit_bins",
+    "length_curriculum",
+    "stream_pack_nextfit",
+    "l_diversity_audit",
+    "stream_ann_ingest",
+    "content_chunk_dedup",
+    "stream_chunk_ingest",
+    "manifest_expire_vacuum",
+    "manifest_merge_on_read",
+    "manifest_schema_evolution",
+    "stream_dv_erasure",
+    "image_decode_stats",
+    "audio_decode_stats",
+    "binary_files_decode",
+    "stream_binary_files_decode",
+    "state_store_read",
+    "manifest_apply_changes",
+    "stream_cdc_apply_changes",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "semdedup_drops",
+    "value_histogram",
+    "funnel_steps",
+    "retention_cohorts",
+    "anomaly_zscore",
+    "time_to_conversion",
+    "event_path_trigrams",
+    "rolling_active_users",
+    "stickiness_ratio",
+    "merge_upsert",
+    "scd2_history",
+    "profile_columns",
+    "dq_checks",
+    "snapshot_diff",
+    "incremental_agg_merge",
+    "distribution_drift",
+    "window_rank_funcs",
+    "window_range_frame",
+    "mode_median_stats",
+    "copurchase_pairs",
+    "trend_slope",
+    "grouped_correlation",
+]
+
 _R4_WINDOW = [
     # r3-new keys (6) — first driver evidence for the newest oracles
     "dsir_importance_weights",
