@@ -63,6 +63,7 @@ SELECTED = {
     "map_functions": "map HOFs ride the per-user aggregate; two shuffles total",
     "image_header_parse": "binary construction + offset parse entirely in codegen, zero shuffle",
     "bm25_topk": "query terms + idf + corpus stats all broadcast; only matching postings shuffle",
+    "hybrid_rrf_retrieval": "dense+lexical fusion: both corpus passes groupBy-reduced pre-join, query sides broadcast, fusion full-outer bounded by |queries|x|pool|",
     "dup_passage_coverage": "window hashes as 8-byte keys; coverage via interval-union windows, O(dup windows)",
     "dedup_minhash_lsh": "banded signatures: one (doc, k*8B) shuffle; candidates from band-bucket equi-join",
     "doc_ann_topk": "hashed-embedding ANN: query docs broadcast, integer dot products in codegen",
