@@ -90,8 +90,10 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining maintenance/sql keys, doc-embedding ANN, the sampling
 # allocators, multimodal, and the events/windows/as-of family. ALL
 # oracle-backed, NONE previously driver-checked (cumulative after r3:
-# 149/227; after this window: 199/227). ROTATION.md pins r5 (the final
-# 28 + rows-only re-checks) so the sweep provably terminates.
+# 149/227; after this window: 199 checked of the final 256
+# oracle-backed). ROTATION.md pins r5 (_R5_WINDOW below, 50 keys) and
+# r6 (the last 7 + rows-only re-checks) so the sweep provably
+# terminates.
 # Pre-staged for round 5 (ROTATION.md "Round 5 — planned window"): at
 # r5 start, flip queries() to `window = {k: base[k] for k in
 # _R5_WINDOW}` — that one-line change is the whole of r5's window prep.
