@@ -92,16 +92,17 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-backed, NONE previously driver-checked (cumulative after r3:
 # 149/227; after this window: 199 checked of the final 256
 # oracle-backed). ROTATION.md pins r5 (_R5_WINDOW below, 50 keys) and
-# r6 (the last 7 + rows-only re-checks) so the sweep provably
+# r6 (the last 8 + rows-only re-checks) so the sweep provably
 # terminates.
 # Pre-staged for round 5 (ROTATION.md "Round 5 — planned window"): at
 # r5 start, flip queries() to `window = {k: base[k] for k in
 # _R5_WINDOW}` — that one-line change is the whole of r5's window prep.
-# 50 keys: the two final-r4 additions lead, then every remaining
-# never-driver-checked oracle-backed key except the seven SQL-tier keys
+# 50 keys: the three final-r4 additions lead, then every remaining
+# never-driver-checked oracle-backed key except the eight keys
 # ROTATION.md moves to the r6 freshness rotation.
 _R5_WINDOW = [
     "hybrid_rrf_retrieval",
+    "hybrid_rrf_ndcg",
     "stream_decontaminate",
     "perplexity_buckets",
     "randomized_response_estimate",
@@ -150,7 +151,6 @@ _R5_WINDOW = [
     "mode_median_stats",
     "copurchase_pairs",
     "trend_slope",
-    "grouped_correlation",
 ]
 
 _R4_WINDOW = [
@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "bm25_topk": retrieval.bm25_topk,
         "hybrid_rrf_retrieval": retrieval.hybrid_rrf_retrieval,
+        "hybrid_rrf_ndcg": retrieval.hybrid_rrf_ndcg,
         "fuzzy_join_levenshtein": similarity.fuzzy_join_levenshtein,
         "bpe_train_merges": tokenizer.bpe_train_merges,
         "bpe_encode_vocab": tokenizer.bpe_encode_vocab,
@@ -833,6 +834,7 @@ GROUP BY word
         "label_propagation": graph.LABEL_PROPAGATION_SQL,
         "bm25_topk": retrieval.BM25_SQL,
         "hybrid_rrf_retrieval": retrieval.HYBRID_RRF_SQL,
+        "hybrid_rrf_ndcg": retrieval.HYBRID_NDCG_SQL,
         "dup_passage_coverage": dedup.DUP_PASSAGE_SQL,
         "kmeans_clusters": clustering.KMEANS_SQL,
         "dedup_incremental_minhash": dedup.DEDUP_INCREMENTAL_MINHASH_SQL,

@@ -65,6 +65,7 @@ HEADLINE = [
     "dup_passage_coverage",
     "bm25_topk",
     "hybrid_rrf_retrieval",
+    "hybrid_rrf_ndcg",
     "pagerank_trade",
     "bfs_hops",
     "label_propagation",

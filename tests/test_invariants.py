@@ -1494,3 +1494,18 @@ class TestHybridRrf:
             # rrf non-increasing with rank; doc_id breaks ties ascending
             for a, b in zip(lst, lst[1:]):
                 assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
+
+    def test_ndcg_bounds(self, spark, sf_dir):
+        """The audit metric is a true nDCG: per query 0 <= dcg <= idcg
+        (ndcg in [0, 1]), and a fusion that admits any dense-graded doc
+        scores strictly above zero."""
+        from tinymapreduce_spark.operators.retrieval import hybrid_rrf_ndcg
+
+        rows = hybrid_rrf_ndcg(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r.ndcg <= 1.0
+            assert r.dcg >= 0.0
+        # on this corpus the dense and fused lists overlap heavily —
+        # an all-zero metric means the fusion lost the dense signal
+        assert max(r.ndcg for r in rows) > 0.0

@@ -218,32 +218,17 @@ BM25_SQL = _bm25_sql()
 RRF_K = 60
 RRF_POOL = 20  # per-ranker candidate depth feeding the fusion
 RRF_TOP_K = 10
+NDCG_K = 10  # fusion-audit depth: graded relevance from the dense top-k
 
 
-def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``RRF_TOP_K`` documents per query document under RRF fusion of
-    the dense and lexical rankers. Queries = the first ``FH_QUERIES``
-    documents, as in ``doc_ann_topk``.
-
-    Output: (query_id, doc_id, r_dense, r_lex, rrf, rank) — the per-ranker
-    ranks ride along (NULL when a doc reached the fusion through only one
-    ranker), rrf rounded to 9 dp, final rank cut on (rrf desc, doc_id asc).
-
-    Scale shape: two corpus passes (one tokenize+hash-project for the
-    dense side, one tokenize for the posting lists), each reduced by ONE
-    groupBy before anything joins; the 10 query rows broadcast to both
-    sides, so no corpus-sized shuffle keys on the query id. The fusion
-    itself joins two RRF_POOL×|queries| frames — trivially small at any
-    corpus size. Every score is exact-integer arithmetic plus one rounded
-    division, so the whole pipeline (both rankers AND the fusion) replays
-    bit-exactly in the SQL oracle.
-    """
+def _hybrid_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(dense_rank, lex_rank, fused) — the two pool-cut ranker frames and
+    the RRF-fused frame carrying its final ``rank`` column (pre-top-k
+    cut). Shared by the retrieval query and the nDCG audit row."""
     from tinymapreduce_spark.operators.similarity import (
         FH_QUERIES,
         _doc_hash_embedding_wide,
     )
-
-    docs = documents_for_cpu(spark, sf_dir)
 
     # dense ranker: exact cosine over integer hash-embeddings. The norm
     # is a row-local fold over the embedding array — computed with
@@ -337,18 +322,102 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
-        .where(F.col("rank") <= RRF_TOP_K)
-        .select("query_id", "doc_id", "r_dense", "r_lex", "rrf", "rank")
+    fused = fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+    return dense_rank, lex_rank, fused
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RRF_TOP_K`` documents per query document under RRF fusion of
+    the dense and lexical rankers. Queries = the first ``FH_QUERIES``
+    documents, as in ``doc_ann_topk``.
+
+    Output: (query_id, doc_id, r_dense, r_lex, rrf, rank) — the per-ranker
+    ranks ride along (NULL when a doc reached the fusion through only one
+    ranker), rrf rounded to 9 dp, final rank cut on (rrf desc, doc_id asc).
+
+    Scale shape: two corpus passes (one tokenize+hash-project for the
+    dense side, one tokenize for the posting lists), each reduced by ONE
+    groupBy before anything joins; the 10 query rows broadcast to both
+    sides, so no corpus-sized shuffle keys on the query id. The fusion
+    itself joins two RRF_POOL×|queries| frames — trivially small at any
+    corpus size. Every score is exact-integer arithmetic plus one rounded
+    division, so the whole pipeline (both rankers AND the fusion) replays
+    bit-exactly in the SQL oracle.
+    """
+    _, _, fused = _hybrid_parts(documents_for_cpu(spark, sf_dir))
+    return fused.where(F.col("rank") <= RRF_TOP_K).select(
+        "query_id", "doc_id", "r_dense", "r_lex", "rrf", "rank"
     )
 
 
-def _hybrid_rrf_sql() -> str:
+def hybrid_rrf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@``NDCG_K`` of the fused ranking per query — the retrieval
+    tier's quality-audit row (the pattern of ``ann_*_recall``): graded
+    relevance gain(d) = 11 - r_dense for the dense ranker's top-10
+    (10..1, 0 otherwise), DCG = Σ gain(d_i)/log2(i+1) over the fused
+    top-10 in rank order, normalized by the ideal DCG of gains 10..1.
+    A broken fusion (lost dense signal, wrong rank arithmetic, a
+    lexical ranker drowning the dense one) drags ndcg down and the
+    driver hash catches it; a healthy fusion keeps most of the dense
+    ranker's graded mass near the top while admitting lexical-only
+    hits at zero gain.
+
+    Determinism: gains are exact integers, each DCG term is one
+    integer/log2 division rounded to 9 dp, summed in rank order
+    (array_sort fold ↔ list ORDER BY), ndcg rounded to 6 dp — the
+    oracle replays both rankers, the fusion AND the metric."""
+    dense_rank, _, fused = _hybrid_parts(documents_for_cpu(spark, sf_dir))
+    grades = dense_rank.where(F.col("r_dense") <= NDCG_K).select(
+        "query_id", "doc_id", (F.lit(NDCG_K + 1) - F.col("r_dense")).alias("gain")
+    )
+    terms = (
+        fused.where(F.col("rank") <= NDCG_K)
+        .join(grades, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.round(
+                F.coalesce(F.col("gain"), F.lit(0)) / F.log2(F.col("rank") + 1), 9
+            ).alias("term"),
+        )
+    )
+    dcg = (
+        terms.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "term"))).alias("ts"))
+        .select(
+            "query_id",
+            F.round(
+                F.aggregate("ts", F.lit(0.0), lambda acc, x: acc + x["term"]), 6
+            ).alias("dcg"),
+        )
+    )
+    spark_sess = dcg.sparkSession
+    ideal = (
+        spark_sess.range(1, NDCG_K + 1)
+        .select(
+            "id",
+            F.round(
+                (F.lit(NDCG_K + 1) - F.col("id")) / F.log2(F.col("id") + 1), 9
+            ).alias("t"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("id", "t"))).alias("ts"))
+        .select(
+            F.round(
+                F.aggregate("ts", F.lit(0.0), lambda acc, x: acc + x["t"]), 6
+            ).alias("idcg")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        "query_id", "dcg", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
+    )
+
+
+def _hybrid_cte_body() -> str:
+    """The WITH-body shared by HYBRID_RRF_SQL and HYBRID_NDCG_SQL —
+    both rankers, the pool cuts, and the RRF fusion."""
     from tinymapreduce_spark.operators.similarity import _FH_SUMS_CTE, FH_QUERIES
 
-    return f"""
-WITH {_FH_SUMS_CTE},
+    return f"""{_FH_SUMS_CTE},
 norms AS (
   SELECT doc_id, CAST(SUM(val * val) AS BIGINT) AS n2 FROM sums GROUP BY doc_id
 ), q AS (
@@ -401,12 +470,38 @@ norms AS (
                + COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0), 9) AS rrf
   FROM dense_rank d
   FULL OUTER JOIN lex_rank l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
-)
-SELECT query_id, doc_id, r_dense, r_lex, rrf, rank FROM (
+), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
   FROM fused
-) WHERE rank <= {RRF_TOP_K}
+)"""
+
+
+HYBRID_RRF_SQL = f"""
+WITH {_hybrid_cte_body()}
+SELECT query_id, doc_id, r_dense, r_lex, rrf, rank
+FROM ranked WHERE rank <= {RRF_TOP_K}
 """
 
-
-HYBRID_RRF_SQL = _hybrid_rrf_sql()
+HYBRID_NDCG_SQL = f"""
+WITH {_hybrid_cte_body()},
+grades AS (
+  SELECT query_id, doc_id, {NDCG_K + 1} - r_dense AS gain
+  FROM dense_rank WHERE r_dense <= {NDCG_K}
+), terms AS (
+  SELECT r.query_id, r.rank,
+         ROUND(COALESCE(g.gain, 0) / log2(r.rank + 1), 9) AS term
+  FROM ranked r
+  LEFT JOIN grades g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+  WHERE r.rank <= {NDCG_K}
+), dcg AS (
+  SELECT query_id,
+         ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY rank)), (a, b) -> a + b), 6) AS dcg
+  FROM terms GROUP BY query_id
+), ideal AS (
+  SELECT ROUND(list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b), 6) AS idcg
+  FROM (SELECT i, ROUND(({NDCG_K + 1} - i) / log2(i + 1), 9) AS t
+        FROM range(1, {NDCG_K + 1}) r(i))
+)
+SELECT query_id, dcg, ROUND(dcg / idcg, 6) AS ndcg
+FROM dcg CROSS JOIN ideal
+"""
