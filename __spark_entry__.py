@@ -90,17 +90,23 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining maintenance/sql keys, doc-embedding ANN, the sampling
 # allocators, multimodal, and the events/windows/as-of family. ALL
 # oracle-backed, NONE previously driver-checked (cumulative after r3:
-# 149/227; after this window: 199 checked of the final 256
+# 149/227; after this window: 199 checked of the final 257
 # oracle-backed). ROTATION.md pins r5 (_R5_WINDOW below, 50 keys) and
-# r6 (the last 8 + rows-only re-checks) so the sweep provably
+# r6 (the last 10 + rows-only re-checks) so the sweep provably
 # terminates.
-# Pre-staged for round 5 (ROTATION.md "Round 5 — planned window"): at
-# r5 start, flip queries() to `window = {k: base[k] for k in
-# _R5_WINDOW}` — that one-line change is the whole of r5's window prep.
-# 50 keys: the three final-r4 additions lead, then every remaining
-# never-driver-checked oracle-backed key except the eight keys
-# ROTATION.md moves to the r6 freshness rotation.
+# Round 5 (ROTATION.md "Round 5 — pinned window"): the two r5-new KV
+# keys (duplicate-request suppression, snapshot/compaction replay —
+# VERDICT r4 #4/#5) lead, then the final-r4 additions and every
+# remaining never-driver-checked oracle-backed key except the ten keys
+# ROTATION.md moves to the r6 freshness rotation (the eight displaced
+# by the late-r4 tier + copurchase_pairs / trend_slope displaced by
+# the KV pair). After r5: 249 of 259 oracle-backed keys checked.
 _R5_WINDOW = [
+    # round-5 verdict items lead (kvraft duplicate-request suppression +
+    # Raft snapshot/log-compaction replay, VERDICT r4 #4/#5); the two
+    # displaced tail keys (copurchase_pairs, trend_slope) move to r6
+    "kv_replay_dedup",
+    "kv_snapshot_replay",
     "hybrid_rrf_retrieval",
     "hybrid_rrf_ndcg",
     "stream_decontaminate",
@@ -149,8 +155,6 @@ _R5_WINDOW = [
     "window_rank_funcs",
     "window_range_frame",
     "mode_median_stats",
-    "copurchase_pairs",
-    "trend_slope",
 ]
 
 _R4_WINDOW = [
@@ -218,11 +222,12 @@ _R4_WINDOW = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver verification priority: the _R4_WINDOW
+    """Registry order = driver verification priority: the _R5_WINDOW
     keys (50, all oracle-backed, none previously driver-checked) come
     first, then every other key in its family order, with the
     cumulatively driver-green entries last. See ROTATION.md for the
-    r5 schedule that completes the sweep.
+    r6 schedule (the last 8 + rows-only re-checks) that completes the
+    sweep.
     """
     base = {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
@@ -446,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_wordcount_shim": _mr_wordcount_shim,
         # --- keyed-state / sharding semantics (SURVEY.md §2.4) ---
         "kv_replay": kv.kv_replay,
+        "kv_replay_dedup": kv.kv_replay_dedup,
+        "kv_snapshot_replay": kv.kv_snapshot_replay,
         "shard_distribution": kv.shard_distribution,
         # --- relational operator coverage (SURVEY.md §2.5) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -518,7 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
-    window = {k: base[k] for k in _R4_WINDOW}
+    window = {k: base[k] for k in _R5_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 
@@ -577,6 +584,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
         """,
         "kv_replay": kv.KV_REPLAY_SQL,
+        # at-least-once retries + dedup rung replayed in SQL
+        "kv_replay_dedup": kv.KV_REPLAY_DEDUP_SQL,
+        # oracle = the FULL-log fold: a hash match proves
+        # snapshot(prefix) + replay(suffix) == replay(full)
+        "kv_snapshot_replay": kv.KV_REPLAY_SQL,
         "shard_rebalance": shards.SHARD_REBALANCE_SQL,
         "shard_distribution": f"""
             WITH ops AS ({kv.OPS_LOG_SQL})

@@ -1497,8 +1497,8 @@ class TestHybridRrf:
 
     def test_ndcg_bounds(self, spark, sf_dir):
         """The audit metric is a true nDCG: per query 0 <= dcg <= idcg
-        (ndcg in [0, 1]), and a fusion that admits any dense-graded doc
-        scores strictly above zero."""
+        (ndcg in [0, 1]), and a fusion that surfaces any bigram-graded
+        doc scores strictly above zero."""
         from tinymapreduce_spark.operators.retrieval import hybrid_rrf_ndcg
 
         rows = hybrid_rrf_ndcg(spark, sf_dir).collect()
@@ -1506,6 +1506,38 @@ class TestHybridRrf:
         for r in rows:
             assert 0.0 <= r.ndcg <= 1.0
             assert r.dcg >= 0.0
-        # on this corpus the dense and fused lists overlap heavily —
-        # an all-zero metric means the fusion lost the dense signal
+        # the bigram judge correlates with both rankers on this corpus —
+        # an all-zero metric means the fusion lost the relevance signal
         assert max(r.ndcg for r in rows) > 0.0
+
+    def test_degraded_dense_lowers_ndcg(self, spark, sf_dir):
+        """The judge signal (bigram overlap) is independent of both
+        rankers, so corrupting the dense ranker MUST drag the audited
+        nDCG down — the property the old dense-top-10-as-truth grading
+        structurally could not detect (it graded the fusion by the very
+        ranker being fused). Corruption = reversing the dense pool
+        order (the worst pool permutation)."""
+        from pyspark.sql import functions as F
+
+        from tinymapreduce_spark.operators.retrieval import (
+            RRF_POOL,
+            _bigram_grades,
+            _fuse,
+            _hybrid_parts,
+            _ndcg_of,
+        )
+        from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+        docs = documents_for_cpu(spark, sf_dir)
+        dense, lex, fused = _hybrid_parts(docs)
+        grades = _bigram_grades(docs)
+        healthy = _ndcg_of(fused, grades).collect()
+        reversed_dense = dense.select(
+            "query_id",
+            "doc_id",
+            (F.lit(RRF_POOL + 1) - F.col("r_dense")).alias("r_dense"),
+        )
+        degraded = _ndcg_of(_fuse(reversed_dense, lex), grades).collect()
+        mean_h = sum(r.ndcg for r in healthy) / len(healthy)
+        mean_d = sum(r.ndcg for r in degraded) / len(degraded)
+        assert mean_d < mean_h, (mean_d, mean_h)

@@ -86,3 +86,145 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {(r.node, r.component) for r in connected_components(df).collect()}
     assert got == expect
+
+
+# --- duplicate-request suppression (kvraft at-least-once contract) --------
+#
+# The reference requires "appends from one client appear exactly once"
+# under RPC retry (/root/reference/src/kvraft/test_test.go:138-155): the
+# state machine applies an op at its FIRST committed occurrence and
+# ignores re-deliveries of the same (client_id, op_id).
+
+OPS_SCHEMA = "seq long, key string, op string, value string, client_id long, op_id long"
+
+
+@st.composite
+def delivered_logs(draw):
+    """(base ops, delivery schedule): base[i] is op_id=i; the schedule is
+    an arbitrary multiset-with-order of op ids — duplicates anywhere,
+    some ops possibly never delivered."""
+    base = draw(st.lists(op_strategy, min_size=0, max_size=12))
+    if not base:
+        return base, []
+    delivered = draw(
+        st.lists(st.integers(0, len(base) - 1), min_size=0, max_size=30)
+    )
+    return base, delivered
+
+
+def model_fold_first_win(
+    base: list[tuple[str, str, str]], delivered: list[int]
+) -> dict[str, str]:
+    """Sequential model with duplicate suppression: apply each op at its
+    first delivery only."""
+    state: dict[str, str] = {}
+    seen: set[int] = set()
+    for idx in delivered:
+        if idx in seen:
+            continue
+        seen.add(idx)
+        key, op, value = base[idx]
+        if op == "put":
+            state[key] = value
+        elif op == "append":
+            state[key] = state.get(key, "") + value
+    return state
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(delivered_logs())
+def test_dedup_replay_matches_first_win_model(spark, data):
+    from tinymapreduce_spark.operators.kv import dedup_client_ops
+
+    base, delivered = data
+    rows = [
+        (pos, base[idx][0], base[idx][1], base[idx][2], idx % 3, idx)
+        for pos, idx in enumerate(delivered)
+    ]
+    ops = (
+        spark.createDataFrame(rows, OPS_SCHEMA)
+        if rows
+        else spark.createDataFrame([], OPS_SCHEMA)
+    )
+    got = {r["key"]: r["value"] for r in replay_ops(dedup_client_ops(ops)).collect()}
+    assert got == model_fold_first_win(base, delivered)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=log_strategy)
+def test_planted_retries_are_invisible(spark, log):
+    """with_retries + dedup_client_ops == the clean log: retries of an
+    already-applied op never change the final state."""
+    from tinymapreduce_spark.operators.kv import dedup_client_ops, with_retries
+
+    rows = [
+        (i, key, op, value, i % 3, i) for i, (key, op, value) in enumerate(log)
+    ]
+    ops = (
+        spark.createDataFrame(rows, OPS_SCHEMA)
+        if rows
+        else spark.createDataFrame([], OPS_SCHEMA)
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in replay_ops(dedup_client_ops(with_retries(ops))).collect()
+    }
+    assert got == model_fold(log)
+
+
+# --- snapshot / log-compaction replay (Raft InstallSnapshot analog) -------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=log_strategy, cut=st.integers(-1, 32))
+def test_snapshot_plus_suffix_equals_full_replay(spark, log, cut):
+    """snapshot(prefix ≤ cut) + replay(suffix) == replay(full) for every
+    history and every cut point (/root/reference/src/raft/raft.go:54-57:
+    state = snapshot + ordered suffix apply)."""
+    from tinymapreduce_spark.operators.kv import replay_from_snapshot
+
+    rows = [(i, key, op, value) for i, (key, op, value) in enumerate(log)]
+    schema = "seq long, key string, op string, value string"
+    ops = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    cutdf = spark.createDataFrame([(cut,)], "cut_seq long")
+    got = {
+        r["key"]: r["value"] for r in replay_from_snapshot(ops, cutdf).collect()
+    }
+    assert got == model_fold(log)
+
+
+def test_suffix_replays_over_nonempty_checkpoint(spark, sf_dir):
+    """On the derived sf log the midpoint cut leaves BOTH a non-empty
+    snapshot and suffix writes on snapshotted keys — the compaction path
+    is genuinely exercised, and equals the full fold."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.kv import (
+        kv_replay,
+        kv_snapshot_replay,
+        ops_log,
+        snapshot_state,
+    )
+
+    ops = ops_log(spark, sf_dir)
+    cut = ops.agg(F.floor(F.max("seq") / 2).cast("long").alias("cut_seq"))
+    snap = snapshot_state(ops, cut)
+    assert snap.count() > 0, "checkpoint is empty — cut too early"
+    suffix_keys = (
+        ops.crossJoin(F.broadcast(cut))
+        .where((F.col("seq") > F.col("cut_seq")) & (F.col("op") != "get"))
+        .select("key")
+        .distinct()
+    )
+    assert snap.join(suffix_keys, "key").count() > 0, (
+        "no suffix write touches a snapshotted key"
+    )
+    full = {r["key"]: r["value"] for r in kv_replay(spark, sf_dir).collect()}
+    compacted = {
+        r["key"]: r["value"] for r in kv_snapshot_replay(spark, sf_dir).collect()
+    }
+    assert compacted == full

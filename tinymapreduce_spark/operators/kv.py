@@ -31,7 +31,10 @@ from tinymapreduce_spark.sources.loaders import load_table
 #       first-byte hash actually spreads them across all 10 shards,
 # op  = signup->put, click/view/purchase->append, error->get,
 # value = 'x <user_id> <event_id> y'   (the kvraft test value shape,
-#         /root/reference/src/kvraft/test_test.go:275).
+#         /root/reference/src/kvraft/test_test.go:275),
+# client_id/op_id = the at-least-once identity a kvraft client stamps on
+#         every RPC so the server can suppress duplicate deliveries
+#         (/root/reference/src/kvraft/test_test.go:138-155).
 OPS_LOG_SQL = """
 SELECT
   event_id AS seq,
@@ -42,9 +45,15 @@ SELECT
     WHEN 'error' THEN 'get'
     ELSE 'append'
   END AS op,
-  'x ' || CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR) || ' y' AS value
+  'x ' || CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR) || ' y' AS value,
+  user_id AS client_id,
+  event_id AS op_id
 FROM events
 """
+
+# Retried deliveries land at a later commit index than the original —
+# any constant above max(seq) keeps retry seqs unique and strictly later.
+RETRY_SEQ_OFFSET = 1 << 40
 
 
 # Batch-replay oracle (K4) — also the oracle for the streaming state form
@@ -81,6 +90,8 @@ def ops_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.lit("x"), F.col("user_id").cast("string"), F.col("event_id").cast("string"), F.lit("y")
         ).alias("value"),
+        F.col("user_id").alias("client_id"),
+        F.col("event_id").alias("op_id"),
     )
 
 
@@ -121,6 +132,125 @@ def replay_ops(ops: DataFrame) -> DataFrame:
             "",
         ).alias("value")
     )
+
+
+def dedup_client_ops(ops: DataFrame) -> DataFrame:
+    """Duplicate-request suppression — the kvraft at-least-once contract
+    ("appends from one client appear exactly once" under RPC retry,
+    ``/root/reference/src/kvraft/test_test.go:138-155``): of all
+    deliveries sharing a (client_id, op_id), only the FIRST committed one
+    (min seq) applies; later re-deliveries are retries of an op the
+    state machine already executed.
+
+    One shuffle on (client_id, op_id); at 100 TB the dedup key is the
+    natural partitioner for an ops feed, so this co-locates with any
+    upstream per-client bucketing."""
+    w = Window.partitionBy("client_id", "op_id").orderBy("seq")
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def with_retries(ops: DataFrame) -> DataFrame:
+    """At-least-once delivery twin of a log: every op whose op_id ≡ 0
+    (mod 7) is re-delivered once at ``seq + RETRY_SEQ_OFFSET`` — same
+    (client_id, op_id, key, op, value), later commit index, exactly the
+    shape a timed-out-then-retried kvraft RPC leaves in the log."""
+    retries = ops.where(F.col("op_id") % 7 == 0).withColumn(
+        "seq", F.col("seq") + F.lit(RETRY_SEQ_OFFSET)
+    )
+    return ops.unionByName(retries)
+
+
+def kv_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's exactly-once face: replay the derived log under at-least-once
+    delivery (planted retries) THROUGH the duplicate-suppression rung —
+    the final state must equal the clean-log replay, which is what the
+    SQL oracle (replaying retries + dedup + fold) certifies."""
+    return replay_ops(dedup_client_ops(with_retries(ops_log(spark, sf_dir))))
+
+
+def snapshot_state(ops: DataFrame, cut: DataFrame) -> DataFrame:
+    """State snapshot at a cut: the K4 fold of the log prefix
+    (seq <= cut_seq) — the analog of the Raft snapshot a server installs
+    before replaying its remaining suffix
+    (``/root/reference/src/raft/raft.go:54-57``, apply loop ``:897-918``).
+    ``cut`` is a 1-row (cut_seq) frame so the threshold never leaves the
+    cluster (no driver collect)."""
+    prefix = (
+        ops.crossJoin(F.broadcast(cut))
+        .where(F.col("seq") <= F.col("cut_seq"))
+        .select("seq", "key", "op", "value")
+    )
+    return replay_ops(prefix)
+
+
+def replay_from_snapshot(ops: DataFrame, cut: DataFrame) -> DataFrame:
+    """Log-compaction replay: fold the prefix into a snapshot, then
+    replay ONLY the suffix over it. A snapshot entry is semantically a
+    put at the cut index (later puts override it, appends concatenate
+    onto it), so the suffix replay reuses ``replay_ops`` unchanged —
+    and the result must equal the full-log fold (the oracle is
+    ``KV_REPLAY_SQL`` itself)."""
+    snap_ops = (
+        snapshot_state(ops, cut)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("cut_seq").alias("seq"),
+            "key",
+            F.lit("put").alias("op"),
+            "value",
+        )
+    )
+    suffix = (
+        ops.crossJoin(F.broadcast(cut))
+        .where(F.col("seq") > F.col("cut_seq"))
+        .select("seq", "key", "op", "value")
+    )
+    return replay_ops(snap_ops.unionByName(suffix))
+
+
+def kv_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 under log compaction: snapshot(prefix at max(seq)/2) + replay
+    of the suffix == replay of the full log. The oracle replays the FULL
+    log (``KV_REPLAY_SQL``), so a driver hash match IS the proof that
+    compaction loses nothing."""
+    ops = ops_log(spark, sf_dir)
+    cut = ops.agg(F.floor(F.max("seq") / 2).cast("long").alias("cut_seq"))
+    return replay_from_snapshot(ops, cut)
+
+
+# Oracle for kv_replay_dedup: re-deliver, suppress, then the K4 fold —
+# the dedup rung replays in SQL so a broken first-win rule hash-fails.
+KV_REPLAY_DEDUP_SQL = f"""
+WITH ops0 AS ({OPS_LOG_SQL}),
+dup AS (
+  SELECT * FROM ops0
+  UNION ALL
+  SELECT seq + {RETRY_SEQ_OFFSET} AS seq, key, op, value, client_id, op_id
+  FROM ops0 WHERE op_id % 7 = 0
+),
+ops AS (
+  SELECT seq, key, op, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY client_id, op_id ORDER BY seq) AS rn
+    FROM dup
+  ) WHERE rn = 1
+),
+writes AS (
+  SELECT *, MAX(CASE WHEN op = 'put' THEN seq END)
+            OVER (PARTITION BY key) AS last_put_seq
+  FROM ops WHERE op <> 'get'
+),
+live AS (
+  SELECT * FROM writes
+  WHERE (op = 'put' AND seq = last_put_seq)
+     OR (op = 'append' AND (last_put_seq IS NULL OR seq > last_put_seq))
+)
+SELECT key, string_agg(value, '' ORDER BY seq) AS value
+FROM live GROUP BY key
+"""
 
 
 def shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

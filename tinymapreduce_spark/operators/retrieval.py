@@ -218,7 +218,7 @@ BM25_SQL = _bm25_sql()
 RRF_K = 60
 RRF_POOL = 20  # per-ranker candidate depth feeding the fusion
 RRF_TOP_K = 10
-NDCG_K = 10  # fusion-audit depth: graded relevance from the dense top-k
+NDCG_K = 10  # fusion-audit depth: graded relevance from bigram overlap
 
 
 def _hybrid_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -309,7 +309,14 @@ def _hybrid_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .select("query_id", "doc_id", "r_lex")
     )
 
-    # reciprocal-rank fusion: missing ranker contributes 0
+    return dense_rank, lex_rank, _fuse(dense_rank, lex_rank)
+
+
+def _fuse(dense_rank: DataFrame, lex_rank: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, r_*) pool frames:
+    a missing ranker contributes 0; final ``rank`` cut on (rrf desc,
+    doc_id asc). Split out so tests can fuse a deliberately degraded
+    ranker and watch the nDCG audit row drop."""
     fused = dense_rank.join(lex_rank, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -322,8 +329,7 @@ def _hybrid_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         ).alias("rrf"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    fused = fused.withColumn("rank", F.row_number().over(wf).cast("long"))
-    return dense_rank, lex_rank, fused
+    return fused.withColumn("rank", F.row_number().over(wf).cast("long"))
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,26 +356,80 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_grades(docs: DataFrame) -> DataFrame:
+    """Graded relevance for the nDCG audit, derived INDEPENDENTLY of
+    both rankers: the judge signal is distinct token-BIGRAM overlap
+    with the query document — a feature space neither ranker consumes
+    (dense = unigram hash-embedding cosine, lexical = unigram token-set
+    Jaccard). Per query, the ``NDCG_K`` docs with the most shared
+    bigrams (ties broken doc_id asc, zero-overlap docs ungraded) get
+    gains ``NDCG_K``..1. Output: (query_id, doc_id, gain).
+
+    Scale shape: one tokenize pass builds the per-doc distinct-bigram
+    relation; only the |queries| query docs' bigrams broadcast to it,
+    so grading touches |matching postings| rows, never corpus²."""
+    from tinymapreduce_spark.operators.similarity import FH_QUERIES
+
+    ts = docs.select("doc_id", tokens("text").alias("ts"))
+    n = F.size("ts")
+    bg = ts.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.array_distinct(
+                    F.zip_with(
+                        F.slice("ts", F.lit(1), n - 1),
+                        F.slice("ts", F.lit(2), n - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    )
+                ),
+            )
+        ).alias("bg"),
+    )
+    q_bg = bg.where(F.col("doc_id") < FH_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "bg"
+    )
+    overlap = (
+        bg.join(F.broadcast(q_bg), "bg")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.desc("ov"), F.asc("doc_id"))
+    return (
+        overlap.withColumn("rg", F.row_number().over(wg))
+        .where(F.col("rg") <= NDCG_K)
+        .select(
+            "query_id", "doc_id", (F.lit(NDCG_K + 1) - F.col("rg")).alias("gain")
+        )
+    )
+
+
 def hybrid_rrf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@``NDCG_K`` of the fused ranking per query — the retrieval
     tier's quality-audit row (the pattern of ``ann_*_recall``): graded
-    relevance gain(d) = 11 - r_dense for the dense ranker's top-10
-    (10..1, 0 otherwise), DCG = Σ gain(d_i)/log2(i+1) over the fused
-    top-10 in rank order, normalized by the ideal DCG of gains 10..1.
-    A broken fusion (lost dense signal, wrong rank arithmetic, a
-    lexical ranker drowning the dense one) drags ndcg down and the
-    driver hash catches it; a healthy fusion keeps most of the dense
-    ranker's graded mass near the top while admitting lexical-only
-    hits at zero gain.
+    relevance comes from ``_bigram_grades`` — a bigram-overlap judge
+    INDEPENDENT of both fused rankers, so a bad dense ranker (or a
+    fusion that loses its signal) genuinely lowers the metric instead
+    of grading itself (test_degraded_dense_lowers_ndcg proves the
+    drop). DCG = Σ gain(d_i)/log2(i+1) over the fused top-10 in rank
+    order, normalized by the ideal DCG of gains 10..1.
 
     Determinism: gains are exact integers, each DCG term is one
     integer/log2 division rounded to 9 dp, summed in rank order
     (array_sort fold ↔ list ORDER BY), ndcg rounded to 6 dp — the
-    oracle replays both rankers, the fusion AND the metric."""
-    dense_rank, _, fused = _hybrid_parts(documents_for_cpu(spark, sf_dir))
-    grades = dense_rank.where(F.col("r_dense") <= NDCG_K).select(
-        "query_id", "doc_id", (F.lit(NDCG_K + 1) - F.col("r_dense")).alias("gain")
-    )
+    oracle replays both rankers, the fusion, the bigram judge AND the
+    metric."""
+    docs = documents_for_cpu(spark, sf_dir)
+    _, _, fused = _hybrid_parts(docs)
+    return _ndcg_of(fused, _bigram_grades(docs))
+
+
+def _ndcg_of(fused: DataFrame, grades: DataFrame) -> DataFrame:
+    """nDCG@``NDCG_K`` of a fused (query_id, doc_id, rank) frame against
+    a (query_id, doc_id, gain) judge. Split out so tests can score a
+    degraded fusion against the same judge."""
     terms = (
         fused.where(F.col("rank") <= NDCG_K)
         .join(grades, ["query_id", "doc_id"], "left")
@@ -482,12 +542,37 @@ SELECT query_id, doc_id, r_dense, r_lex, rrf, rank
 FROM ranked WHERE rank <= {RRF_TOP_K}
 """
 
+def _ndcg_grades_cte() -> str:
+    """The bigram-overlap judge in SQL — replays ``_bigram_grades``
+    exactly (distinct bigrams, overlap counts, rank cut, integer
+    gains); independent of both ranker CTEs by construction."""
+    from tinymapreduce_spark.operators.similarity import FH_QUERIES
+
+    return f"""tarr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS ts
+  FROM documents
+), bg AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM tarr WHERE len(ts) >= 2
+), ov AS (
+  SELECT q.doc_id AS query_id, b.doc_id, COUNT(*) AS ov
+  FROM bg b
+  JOIN bg q ON b.bg = q.bg AND q.doc_id < {FH_QUERIES} AND b.doc_id <> q.doc_id
+  GROUP BY q.doc_id, b.doc_id
+), grades AS (
+  SELECT query_id, doc_id, {NDCG_K + 1} - rg AS gain FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id ASC) AS rg
+    FROM ov
+  ) WHERE rg <= {NDCG_K}
+)"""
+
+
 HYBRID_NDCG_SQL = f"""
 WITH {_hybrid_cte_body()},
-grades AS (
-  SELECT query_id, doc_id, {NDCG_K + 1} - r_dense AS gain
-  FROM dense_rank WHERE r_dense <= {NDCG_K}
-), terms AS (
+{_ndcg_grades_cte()}, terms AS (
   SELECT r.query_id, r.rank,
          ROUND(COALESCE(g.gain, 0) / log2(r.rank + 1), 9) AS term
   FROM ranked r
