@@ -94,13 +94,15 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-backed). ROTATION.md pins r5 (_R5_WINDOW below, 50 keys) and
 # r6 (the last 10 + rows-only re-checks) so the sweep provably
 # terminates.
-# Round 5 (ROTATION.md "Round 5 — pinned window"): the two r5-new KV
-# keys (duplicate-request suppression, snapshot/compaction replay —
-# VERDICT r4 #4/#5) lead, then the final-r4 additions and every
-# remaining never-driver-checked oracle-backed key except the ten keys
-# ROTATION.md moves to the r6 freshness rotation (the eight displaced
-# by the late-r4 tier + copurchase_pairs / trend_slope displaced by
-# the KV pair). After r5: 249 of 259 oracle-backed keys checked.
+# Round 5 (ROTATION.md "Round 5 — pinned window"): the r5-new keys
+# lead or slot into their family (KV duplicate-request suppression +
+# snapshot/compaction replay — VERDICT r4 #4/#5 — and the baseline-
+# JPEG decode rung — VERDICT r4 #7), then the final-r4 additions and
+# every remaining never-driver-checked oracle-backed key except the
+# eleven keys ROTATION.md moves to the r6 freshness rotation (the
+# eight displaced by the late-r4 tier + copurchase_pairs / trend_slope
+# / mode_median_stats displaced by the r5-new keys). After r5: 249 of
+# 260 oracle-backed keys checked.
 _R5_WINDOW = [
     # round-5 verdict items lead (kvraft duplicate-request suppression +
     # Raft snapshot/log-compaction replay, VERDICT r4 #4/#5); the two
@@ -128,6 +130,7 @@ _R5_WINDOW = [
     "stream_dv_erasure",
     "image_decode_stats",
     "audio_decode_stats",
+    "jpeg_decode_stats",
     "binary_files_decode",
     "stream_binary_files_decode",
     "state_store_read",
@@ -154,7 +157,6 @@ _R5_WINDOW = [
     "distribution_drift",
     "window_rank_funcs",
     "window_range_frame",
-    "mode_median_stats",
 ]
 
 _R4_WINDOW = [
@@ -290,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: REAL pure-Python BMP/PPM + WAV decode paths
         "image_decode_stats": multimodal.image_decode_stats,
         "audio_decode_stats": multimodal.audio_decode_stats,
+        "jpeg_decode_stats": multimodal.jpeg_decode_stats,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
         "stream_cdc_apply_changes": stream_sinks.stream_cdc_apply_changes,
@@ -819,6 +822,9 @@ GROUP BY word
         "image_header_parse": multimodal.IMAGE_HEADER_SQL,
         "image_decode_stats": multimodal.IMAGE_DECODE_SQL,
         "audio_decode_stats": multimodal.AUDIO_DECODE_SQL,
+        # dequant + fixed-point integer IDCT replayed in SQL (the
+        # entropy-coded bytes round-trip only on the Spark side)
+        "jpeg_decode_stats": multimodal.JPEG_DECODE_SQL,
         "manifest_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "stream_cdc_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "binary_files_decode": multimodal.BINARY_FILES_SQL,

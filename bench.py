@@ -204,6 +204,10 @@ HEADLINE = [
     "stream_decontaminate",
     "manifest_bloom_skipping",
     "stream_perplexity_buckets",
+    # new in round 5: KV exactly-once/compaction + the JPEG codec rung
+    "kv_replay_dedup",
+    "kv_snapshot_replay",
+    "jpeg_decode_stats",
 ]
 
 

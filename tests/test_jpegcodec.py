@@ -1,0 +1,124 @@
+"""Unit tests for the pure-Python baseline JPEG codec
+(``functions/jpegcodec.py``) — the compressed-codec rung of the
+multimodal tier. No Spark involved: the codec is row-local; the Spark
+plumbing is certified by the oracle-backed ``jpeg_decode_stats`` query.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tinymapreduce_spark.functions.jpegcodec import (
+    IDCT_T,
+    ZIGZAG,
+    _BitWriter,
+    decode_jpeg,
+    encode_jpeg_gray,
+    idct_block,
+)
+
+QT = [1 + r + c for r in range(8) for c in range(8)]
+
+
+def _random_blocks(rng: random.Random, n: int) -> list[list[list[int]]]:
+    blocks = []
+    for _ in range(n):
+        blk = [[0] * 8 for _ in range(8)]
+        blk[0][0] = rng.randint(-16, 15)
+        for _ in range(rng.randint(0, 8)):
+            blk[rng.randint(0, 7)][rng.randint(0, 7)] = rng.randint(-7, 7)
+        blocks.append(blk)
+    return blocks
+
+
+def _expected_pixels(w, h, blocks):
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = [[0] * w for _ in range(h)]
+    for by in range(bh):
+        for bx in range(bw):
+            blk = blocks[by * bw + bx]
+            coef = [[blk[r][c] * QT[r * 8 + c] for c in range(8)] for r in range(8)]
+            px = idct_block(coef)
+            for y in range(8):
+                if by * 8 + y >= h:
+                    break
+                for x in range(8):
+                    if bx * 8 + x >= w:
+                        break
+                    out[by * 8 + y][bx * 8 + x] = px[y][x]
+    return out
+
+
+def test_zigzag_is_the_t81_scan():
+    # first ten and last entries of T.81 figure A.6
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert ZIGZAG[-1] == (7, 7)
+    assert len(set(ZIGZAG)) == 64
+
+
+def test_idct_dc_only_block_is_flat():
+    # a DC-only block must decode to a constant plane at the level-shifted
+    # DC value: F(0,0)=d ⇒ f(x,y) = d/8 exactly (alpha0²·d·cos0² / 4)
+    coef = [[0] * 8 for _ in range(8)]
+    coef[0][0] = 80
+    px = idct_block(coef)
+    assert all(v == 138 for row in px for v in row)  # 128 + 80/8
+    coef[0][0] = -2048
+    px = idct_block(coef)
+    assert all(v == 0 for row in px for v in row)  # clamped
+
+
+def test_roundtrip_fuzz_including_crop_and_dc_prediction():
+    rng = random.Random(7)
+    for _ in range(40):
+        w = rng.choice([8, 13, 16, 17, 24])
+        h = rng.choice([8, 9, 16, 22])
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        blocks = _random_blocks(rng, bw * bh)
+        w2, h2, planes = decode_jpeg(encode_jpeg_gray(w, h, QT, blocks))
+        assert (w2, h2) == (w, h)
+        assert planes[0] == _expected_pixels(w, h, blocks)
+
+
+def test_bitwriter_stuffs_ff_bytes():
+    bw = _BitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0xAB, 8)
+    assert bw.flush() == b"\xff\x00\xab"
+
+
+def test_decoder_rejects_non_baseline_frames():
+    blocks = [[[0] * 8 for _ in range(8)]]
+    payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+
+
+def test_decoder_rejects_subsampling_and_truncation():
+    blocks = [[[0] * 8 for _ in range(8)]]
+    payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x22  # 2x2 sampling on the only component
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg_gray(8, 8, QT, blocks)[:-4])  # lost EOI+data
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+
+
+def test_idct_table_is_the_documented_fixed_point_spec():
+    import math
+
+    for u in range(8):
+        alpha = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            want = round(alpha * math.cos((2 * x + 1) * u * math.pi / 16) * 2048)
+            assert IDCT_T[u][x] == want

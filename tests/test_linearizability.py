@@ -1,0 +1,176 @@
+"""Porcupine-style linearizability checking of concurrent KV histories
+(VERDICT r4 stretch item: the reference certifies its store with
+porcupine — ``/root/reference/src/porcupine/checker.go`` — against the
+sequential KV model ``/root/reference/src/models/kv.go:40-54``; this is
+the same methodology as a pytest: a Wing&Gong DFS checker over
+call/return intervals with the identical Get/Put/Append model).
+
+The engine tie-in: the commit order (``seq``) the batch log assigns to a
+concurrent history must BE a legal linearization — the checker verifies
+real-time order and operation results against the model, and
+``replay_ops`` folded over the committed order must land on the same
+final state the checker's linearization reaches.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class HistOp:
+    """One client operation with its concurrent envelope: invoked at
+    ``call``, response received at ``ret`` (porcupine's Operation)."""
+
+    client: int
+    op: str  # put | append | get
+    key: str
+    arg: str  # put/append payload, "" for get
+    result: str  # get's observed value, "" for writes
+    call: int
+    ret: int
+
+
+def _apply(state: dict[str, str], op: HistOp) -> tuple[dict[str, str], bool]:
+    """The sequential model step (models/kv.go:40-54): returns the next
+    state and whether the op's observed result is consistent."""
+    if op.op == "put":
+        s = dict(state)
+        s[op.key] = op.arg
+        return s, True
+    if op.op == "append":
+        s = dict(state)
+        s[op.key] = s.get(op.key, "") + op.arg
+        return s, True
+    return state, state.get(op.key, "") == op.result  # get
+
+
+def linearizable(history: list[HistOp]) -> bool:
+    """Wing & Gong DFS with memoization (what porcupine implements with
+    bitsets): search for a total order that (a) respects real-time
+    precedence — an op returning before another is called must precede
+    it — and (b) walks the sequential model reproducing every observed
+    Get result."""
+    n = len(history)
+    memo: set[tuple[frozenset[int], tuple[tuple[str, str], ...]]] = set()
+
+    def dfs(done: frozenset[int], state: dict[str, str]) -> bool:
+        if len(done) == n:
+            return True
+        key = (done, tuple(sorted(state.items())))
+        if key in memo:
+            return False
+        memo.add(key)
+        pending = [i for i in range(n) if i not in done]
+        # real-time rule: i may linearize next only if no other pending
+        # op RETURNED before i was CALLED
+        horizon = min(history[i].ret for i in pending)
+        for i in pending:
+            if history[i].call > horizon:
+                continue
+            nxt, ok = _apply(state, history[i])
+            if ok and dfs(done | {i}, nxt):
+                return True
+        return False
+
+    return dfs(frozenset(), {})
+
+
+def _concurrent_history(rng: random.Random, n_clients: int, ops_per_client: int):
+    """A random concurrent run: each client issues sequential ops; the
+    server commits each op at a linearization point drawn INSIDE its
+    [call, ret] window (so the commit order is valid by construction),
+    and Gets observe the model state at their point."""
+    events = []  # (lin_point, client, op, key, arg)
+    t = 0
+    clocks = [0] * n_clients
+    for c in range(n_clients):
+        for _ in range(ops_per_client):
+            call = clocks[c] + rng.randint(0, 3)
+            dur = rng.randint(1, 6)
+            ret = call + dur
+            clocks[c] = ret + rng.randint(0, 2)
+            op = rng.choice(["put", "append", "append", "get"])
+            key = rng.choice(["a", "b"])
+            arg = "" if op == "get" else f"{c}.{t}/"
+            lin = call + rng.randint(0, dur)
+            events.append((lin, call, ret, c, op, key, arg))
+            t += 1
+    events.sort(key=lambda e: (e[0], e[3]))
+    state: dict[str, str] = {}
+    history, committed = [], []
+    for seq, (lin, call, ret, c, op, key, arg) in enumerate(events):
+        result = state.get(key, "") if op == "get" else ""
+        history.append(HistOp(c, op, key, arg, result, call, ret))
+        committed.append((seq, key, op, arg))
+        state, ok = _apply(state, history[-1])
+        assert ok
+    return history, committed, state
+
+
+def test_generated_histories_are_linearizable():
+    rng = random.Random(1234)
+    for _ in range(25):
+        history, _, _ = _concurrent_history(rng, n_clients=3, ops_per_client=3)
+        assert linearizable(history), history
+
+
+def test_checker_rejects_stale_and_phantom_reads():
+    # stale read: a get strictly AFTER a put (no overlap) that misses it
+    bad = [
+        HistOp(0, "put", "a", "x", "", call=0, ret=1),
+        HistOp(1, "get", "a", "", "", call=2, ret=3),  # saw "" — stale
+    ]
+    assert not linearizable(bad)
+    # reordering its envelope to overlap the put makes it legal
+    ok = [
+        HistOp(0, "put", "a", "x", "", call=0, ret=3),
+        HistOp(1, "get", "a", "", "", call=1, ret=2),  # may precede the put
+    ]
+    assert linearizable(ok)
+    # phantom read: value never written
+    assert not linearizable(
+        [HistOp(0, "get", "a", "", "zzz", call=0, ret=1)]
+    )
+    # duplicated append observed twice (the at-least-once bug the dedup
+    # rung suppresses): no linearization of ONE append explains "vv"
+    assert not linearizable(
+        [
+            HistOp(0, "append", "a", "v", "", call=0, ret=1),
+            HistOp(0, "get", "a", "", "vv", call=2, ret=3),
+        ]
+    )
+
+
+def test_checker_respects_realtime_order_across_clients():
+    # client 1's append returned before client 2's began: order is fixed,
+    # so a get after both must see both in exactly that order
+    h = [
+        HistOp(0, "append", "a", "1", "", call=0, ret=1),
+        HistOp(1, "append", "a", "2", "", call=2, ret=3),
+        HistOp(2, "get", "a", "", "12", call=4, ret=5),
+    ]
+    assert linearizable(h)
+    h_swapped = [h[0], h[1], HistOp(2, "get", "a", "", "21", call=4, ret=5)]
+    assert not linearizable(h_swapped)
+
+
+def test_commit_order_state_matches_replay_ops(spark):
+    """The engine tie-in: folding the committed log with ``replay_ops``
+    reaches exactly the state of the linearization the checker found —
+    the batch replay IS a linearization of the concurrent history."""
+    from tinymapreduce_spark.operators.kv import replay_ops
+
+    rng = random.Random(77)
+    history, committed, model_state = _concurrent_history(
+        rng, n_clients=3, ops_per_client=4
+    )
+    assert linearizable(history)
+    ops = spark.createDataFrame(
+        [(seq, key, op, arg) for seq, key, op, arg in committed],
+        "seq long, key string, op string, value string",
+    )
+    got = {r["key"]: r["value"] for r in replay_ops(ops).collect()}
+    want = {k: v for k, v in model_state.items()}
+    assert got == want

@@ -453,6 +453,41 @@ def test_upsert_large_key_frame_never_collects_keys(spark, table, monkeypatch):
     assert cur.where("id % 2 = 1 AND v <> id * 2").count() == 0
 
 
+def test_mor_large_key_frame_never_collects_keys(spark, table, monkeypatch):
+    """The deletion-vector path honors the same no-collect contract as
+    MERGE: 10⁵ erase keys flow through the stats semi-join + position
+    left-semi join into the DV sidecar without any key-sized driver
+    materialization (VERDICT r4 #2 — the erase feed at 100× is millions
+    of keys)."""
+    from pyspark.sql import DataFrame
+
+    table.publish(
+        _df(spark, 0, 200_000).repartitionByRange(8, "id"),
+        snapshot_id="base",
+        stats_cols=["id"],
+    )
+    erase = spark.range(0, 100_000).selectExpr("id * 2 AS id")
+    orig = DataFrame.collect
+
+    def guarded(self):
+        rows = orig(self)
+        assert len(rows) <= 1_000, (
+            f"driver-side materialization of {len(rows)} rows in the DV path"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    v2 = table.delete_matching_mor(spark, "id", erase, snapshot_id="dv-big")
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert v2 == 2
+    s2 = table.snapshot(2)
+    assert set(s2.files) == set(table.snapshot(1).files)  # MOR: files shared
+    assert s2.n_rows == 100_000
+    cur = table.read(spark)
+    assert cur.count() == 100_000
+    assert cur.where("id % 2 = 0").count() == 0
+
+
 def test_delete_and_upsert_null_key_semantics(spark, table):
     """Iceberg/Delta NULL contract: a NULL key matches nothing — NULL
     erase-list entries are ignored, existing NULL-key rows survive every

@@ -1,9 +1,12 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
-The container has no codec LIBRARIES (PIL/ffmpeg), so compressed
-formats (JPEG/PNG pixels, MP3) stay out of reach — but trivial
-container formats need no library, and ``decode_image`` /
-``decode_wav`` below are REAL pure-Python decoders: uncompressed
+The container has no codec LIBRARIES (PIL/ffmpeg); the compressed
+rung is covered by our own pure-Python baseline JPEG codec
+(``functions/jpegcodec.py`` — Huffman entropy coding, DC prediction,
+zigzag, dequant, fixed-point integer IDCT; exercised end-to-end by
+``jpeg_decode_stats`` below), while PNG/MP3-class codecs remain out of
+scope. Trivial container formats need no library, and ``decode_image``
+/ ``decode_wav`` below are REAL pure-Python decoders: uncompressed
 24-bit BMP (file+info header parse, bottom-up row order, 4-byte row
 padding, top-down negative-height variant), binary PPM (P6 with
 whitespace/comment-tolerant header), and RIFF/WAVE PCM16 (proper chunk
@@ -737,6 +740,160 @@ SELECT doc_id,
 FROM s
 GROUP BY doc_id, n
 """
+
+
+# --- compressed-codec rung: baseline JPEG (functions/jpegcodec.py) -------
+# Image dims and QUANTIZED coefficients are pure functions of doc_id:
+#   w = 8 + d % 11, h = 8 + 3d % 9      (non-multiples of 8 → crop path)
+#   QT(r, c) = 1 + r + c
+#   per block b = by*bw + bx, nonzero quantized coefficients at
+#   (r, c) ∈ {(0,0), (0,1), (1,0), (3,2)}:
+#     (d + 5b) % 32 - 16, (d + 3b) % 15 - 7,
+#     (2d + b) % 11 - 5,  (d·b + d) % 7 - 3
+# Encoding from quantized coefficients is lossless, so the oracle can
+# replay dequant + the fixed-point integer IDCT in SQL while the Spark
+# side must round-trip real entropy-coded JFIF bytes (per-image
+# canonical Huffman tables, DC prediction, byte stuffing, zigzag).
+JPG_W = lambda d: 8 + d % 11  # noqa: E731
+JPG_H = lambda d: 8 + (d * 3) % 9  # noqa: E731
+JPG_QT = [1 + r + c for r in range(8) for c in range(8)]
+JPG_COEF_POS = [(0, 0), (0, 1), (1, 0), (3, 2)]
+
+
+def _jpg_block(d: int, b: int) -> list[list[int]]:
+    blk = [[0] * 8 for _ in range(8)]
+    blk[0][0] = (d + 5 * b) % 32 - 16
+    blk[0][1] = (d + 3 * b) % 15 - 7
+    blk[1][0] = (2 * d + b) % 11 - 5
+    blk[3][2] = (d * b + d) % 7 - 3
+    return blk
+
+
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode over BinaryType: synthesize a
+    baseline JFIF per document (coefficients per the formula above),
+    carry it as a binary column through Arrow, decode it back with the
+    full pure-Python baseline decoder (segment walk, DHT canonical
+    code build, entropy bit-reader with stuffing, DC prediction,
+    EXTEND, dequant, fixed-point integer IDCT, crop) and emit exact
+    pixel statistics. The oracle re-derives them from the coefficient
+    formula + the same integer IDCT table — a Huffman, zigzag,
+    predictor, dequant, IDCT or crop bug all flip the hash.
+
+    Scale shape: same as image_decode_stats — (doc_id, payload) only
+    through two Arrow-batched kernels; the decode is per-row local, so
+    it partitions trivially at 100 TB."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JPG_W(d), JPG_H(d)
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                blocks = [_jpg_block(d, b) for b in range(bw * bh)]
+                payloads.append(encode_jpeg_gray(w, h, JPG_QT, blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+                "min_pixel": [],
+                "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, planes = decode_jpeg(bytes(p))
+                px = planes[0]
+                flat = [v for row in px for v in row]
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, pixel_sum long,"
+            " min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, "
+        + {
+            (0, 0): "(doc_id + 5 * b) % 32 - 16",
+            (0, 1): "(doc_id + 3 * b) % 15 - 7",
+            (1, 0): "(2 * doc_id + b) % 11 - 5",
+            (3, 2): "(doc_id * b + doc_id) % 7 - 3",
+        }[(r, c)]
+        + ")"
+        for (r, c) in JPG_COEF_POS
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 8 + doc_id % 11 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, bx.bx, by.by,
+         by.by * ((d.w + 7) // 8) + bx.bx AS b
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, (d.w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (d.h + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, w, h, bx, by, cf.r, cf.c,
+         cf.val * (1 + cf.r + cf.c) AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val)
+), pix AS (
+  SELECT doc_id, w, h, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, bx, by, xs.x, ys.y
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS BIGINT) AS min_pixel,
+       CAST(MAX(p) AS BIGINT) AS max_pixel
+FROM pix
+WHERE ix < w AND iy < h
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG_DECODE_SQL = _jpeg_decode_sql()
 
 
 IMAGE_HEADER_SQL = """

@@ -1991,14 +1991,15 @@ def manifest_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_id="base",
         stats_cols=["o_custkey"],
     )
-    erase = [
-        r[0]
-        for r in orders.where("o_custkey % 97 = 0")
-        .select("o_custkey")
-        .distinct()
-        .collect()
-    ]
-    table.delete_matching(spark, "o_custkey", erase, snapshot_id="erasure-1")
+    # the erase set stays a DataFrame end-to-end (delete_by_frame) — at
+    # 100× an erasure feed is millions of keys; nothing key-sized may
+    # ever reach the driver (test_delete_rewrite_query_never_collects_keys)
+    table.delete_by_frame(
+        spark,
+        "o_custkey",
+        orders.where("o_custkey % 97 = 0").select("o_custkey").distinct(),
+        snapshot_id="erasure-1",
+    )
 
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
