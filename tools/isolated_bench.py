@@ -53,7 +53,11 @@ spark.read.parquet(os.path.join({sf!r}, "lineitem.parquet")).limit(1).collect()
 q = entrymod.queries()[{name!r}]
 t0 = time.monotonic()
 n = q(spark, {sf!r}).count()
-print("ISOLATED", {name!r}, round(time.monotonic() - t0, 2), n, flush=True)
+cold = round(time.monotonic() - t0, 2)
+t0 = time.monotonic()
+n = q(spark, {sf!r}).count()
+warm = round(time.monotonic() - t0, 2)
+print("ISOLATED", {name!r}, cold, warm, n, flush=True)
 """
 
 
@@ -76,9 +80,9 @@ def main() -> None:
         if line is None:
             print(f"{name} FAILED\n{proc.stderr[-2000:]}", file=sys.stderr)
             continue
-        _, _, wall, nrows = line.split()
-        results[name] = float(wall)
-        print(f"{name} {wall} s ({nrows} rows)", flush=True)
+        _, _, cold, warm, nrows = line.split()
+        results[name] = {"cold": float(cold), "warm": float(warm)}
+        print(f"{name} cold {cold} s / warm {warm} s ({nrows} rows)", flush=True)
     print(json.dumps({"metric": "isolated_query_seconds", "sf": sf, "queries": results}))
 
 
