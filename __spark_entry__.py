@@ -159,6 +159,73 @@ _R5_WINDOW = [
     "window_range_frame",
 ]
 
+# Pre-staged for round 6 (ROTATION.md "Round 6 — planned window"): at
+# r6 start, flip queries() to `window = {k: base[k] for k in
+# _R6_WINDOW}` — that one-line change is the whole of r6's window prep.
+# Composition: the 12 oracle-backed keys never driver-checked after r5
+# (the 8 displaced by the late-r4 tier, the 3 displaced by the r5-new
+# keys, and shard_migration — registered after the r5 pin), then the 5
+# rows-only keys (their weaker rows-only driver evidence refreshed),
+# then the 33 OLDEST-checked keys (the r1 window head, incl. the
+# flagship re-checks word_count / mr_wordcount_shim / kv_replay) —
+# freshness rotation, oldest first. This completes the sweep: after
+# r6 every oracle-backed key has at least one driver CORRECTNESS row.
+_R6_WINDOW = [
+    # never-checked (12)
+    "pivot_counts",
+    "unpivot_stack",
+    "range_join_bucketed",
+    "rfm_segments",
+    "winsorize_stats",
+    "equidepth_deciles",
+    "shuffle_hash_join_control",
+    "grouped_correlation",
+    "copurchase_pairs",
+    "trend_slope",
+    "mode_median_stats",
+    "shard_migration",
+    # rows-only re-checks (5)
+    "approx_aggregates",
+    "compressibility",
+    "equidepth_sampled",
+    "hll_distinct_merge",
+    "kll_quantile_merge",
+    # freshness rotation: the 33 oldest-checked (r1 head, flagships in)
+    "word_count",
+    "inverted_index",
+    "per_source_count",
+    "sorted_group_concat",
+    "mr_wordcount_shim",
+    "kv_replay",
+    "shard_distribution",
+    "shard_rebalance",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_supplier_concentration",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_parts",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "global_sort_range",
+    "semi_anti_join",
+    "outer_join_coverage",
+]
+
 _R4_WINDOW = [
     # r3-new keys (6) — first driver evidence for the newest oracles
     "dsir_importance_weights",
@@ -457,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_replay_dedup": kv.kv_replay_dedup,
         "kv_snapshot_replay": kv.kv_snapshot_replay,
         "shard_distribution": kv.shard_distribution,
+        "shard_migration": shards.shard_migration,
         # --- relational operator coverage (SURVEY.md §2.5) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
@@ -593,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         # snapshot(prefix) + replay(suffix) == replay(full)
         "kv_snapshot_replay": kv.KV_REPLAY_SQL,
         "shard_rebalance": shards.SHARD_REBALANCE_SQL,
+        # K6 data plane: rebalance chain -> lag diff -> per-shard counts
+        "shard_migration": shards.SHARD_MIGRATION_SQL,
         "shard_distribution": f"""
             WITH ops AS ({kv.OPS_LOG_SQL})
             SELECT CAST(CASE WHEN length(key) > 0 THEN ascii(substr(key, 1, 1)) % 10 ELSE 0 END AS INT) AS shard,

@@ -205,9 +205,11 @@ HEADLINE = [
     "manifest_bloom_skipping",
     "stream_perplexity_buckets",
     # new in round 5: KV exactly-once/compaction + the JPEG codec rung
+    # + the K6 shard-migration data plane
     "kv_replay_dedup",
     "kv_snapshot_replay",
     "jpeg_decode_stats",
+    "shard_migration",
 ]
 
 

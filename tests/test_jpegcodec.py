@@ -85,6 +85,25 @@ def test_roundtrip_fuzz_including_crop_and_dc_prediction():
         assert planes[0] == _expected_pixels(w, h, blocks)
 
 
+def test_color_444_roundtrip_interleaved_mcus():
+    """The decoder's multi-component path: 3 planes, interleaved MCUs,
+    one DC predictor per component — each plane decodes to exactly its
+    own coefficients' IDCT (no cross-component bleed)."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(99)
+    for _ in range(10):
+        w = rng.choice([8, 12, 16])
+        h = rng.choice([8, 11, 16])
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        comps = [_random_blocks(rng, bw * bh) for _ in range(3)]
+        w2, h2, planes = decode_jpeg(encode_jpeg(w, h, QT, comps))
+        assert (w2, h2) == (w, h)
+        assert len(planes) == 3
+        for ci in range(3):
+            assert planes[ci] == _expected_pixels(w, h, comps[ci])
+
+
 def test_bitwriter_stuffs_ff_bytes():
     bw = _BitWriter()
     bw.write(0xFF, 8)

@@ -793,3 +793,30 @@ def test_decontaminate_restart_never_double_counts(spark, tmp_path_factory):
     assert got == expected, "restarted decontam stream must equal the batch check"
     sids = [s.snapshot_id for s in table.history()]
     assert sorted(sids) == ["batch-0", "batch-1", "batch-2", "batch-3"]
+
+
+def test_reliable_checkpoint_materialization(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches the sinks' result
+    materialization from localCheckpoint (single-JVM) to a RELIABLE
+    checkpoint in the session checkpoint dir — the cluster-safe posture:
+    the returned frame must survive the deletion of its backing table
+    and equal the default-path result, and the checkpoint dir must
+    actually hold the blocks."""
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+    from tinymapreduce_spark.streaming.sinks import stream_wap_sink
+
+    default = {
+        (r.event_type): (r.n, r.total_value)
+        for r in stream_wap_sink(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    out = stream_wap_sink(spark, sf_dir)
+    # Spark appends a per-context UUID under the configured dir
+    ckpt = spark.sparkContext.getCheckpointDir()
+    assert ckpt is not None and "reliable_ckpt" in ckpt
+    local = ckpt[len("file:"):] if ckpt.startswith("file:") else ckpt
+    assert any(files for _, _, files in os.walk(local)), (
+        "reliable checkpoint dir holds no blocks"
+    )
+    reliable = {(r.event_type): (r.n, r.total_value) for r in out.collect()}
+    assert reliable == default

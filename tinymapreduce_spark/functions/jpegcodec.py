@@ -195,23 +195,47 @@ def encode_jpeg_gray(
     grayscale component, ``qtable`` in natural (row, col) order. Huffman
     tables are canonical per-image tables over the image's own symbol
     set. Lossless by construction given the quantized coefficients."""
+    return encode_jpeg(width, height, qtable, [blocks])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    qtable: list[int],
+    components: list[list[list[list[int]]]],
+) -> bytes:
+    """Generalized baseline JFIF writer: ``components[c]`` is one
+    quantized block list per component (1 = grayscale, 3 = 4:4:4 color
+    written interleaved — MCU = one block of each component, the shape
+    ``decode_jpeg``'s multi-component path consumes). All components
+    share qtable 0 and one canonical DC/AC table pair built from the
+    union of every component's symbols (T.81 allows up to 4 tables;
+    one shared pair keeps the writer small without losing generality
+    on the DECODE side, which still exercises per-component DC
+    predictors and the interleaved MCU walk)."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    assert len(blocks) == bw * bh, (len(blocks), bw, bh)
+    nc = len(components)
+    assert nc in (1, 3), nc
+    for blocks in components:
+        assert len(blocks) == bw * bh, (len(blocks), bw, bh)
 
-    # pass 1: symbol streams per block (with DC prediction)
+    # pass 1: per-block symbol streams, MCU-interleaved, one DC
+    # predictor per component
     streams = []
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
-    pred = 0
-    for blk in blocks:
-        zz = [blk[r][c] for (r, c) in ZIGZAG]
-        diff = zz[0] - pred
-        pred = zz[0]
-        stream = list(_block_symbols(zz, diff))
-        for is_dc, sym, _, _ in stream:
-            (dc_syms if is_dc else ac_syms).add(sym)
-        streams.append(stream)
+    preds = [0] * nc
+    for b in range(bw * bh):
+        for ci in range(nc):
+            blk = components[ci][b]
+            zz = [blk[r][c] for (r, c) in ZIGZAG]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            stream = list(_block_symbols(zz, diff))
+            for is_dc, sym, _, _ in stream:
+                (dc_syms if is_dc else ac_syms).add(sym)
+            streams.append(stream)
 
     dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
     ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
@@ -222,16 +246,20 @@ def encode_jpeg_gray(
     # DQT, table 0, 8-bit, zigzag order
     zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
-    # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
-    out += bytes([1, 0x11, 0])
+    # SOF0: 8-bit, nc components, 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
     # DHT: DC class 0 id 0, AC class 1 id 0
     out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(dc_vals)) + b"\x00"
     out += bytes(dc_bits) + bytes(dc_vals)
     out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(ac_vals)) + b"\x10"
     out += bytes(ac_bits) + bytes(ac_vals)
     # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
     w = _BitWriter()
     for stream in streams:
         for is_dc, sym, extra, esize in stream:
