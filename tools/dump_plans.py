@@ -91,6 +91,11 @@ SELECTED = {
     "image_decode_stats": "binary payloads encoded+decoded in two Arrow hops; (doc_id,payload)-only projection keeps text out of the channel",
     "perplexity_buckets": "LM join vocab^2-bounded; NTILE only over the hash sample per lang; O(|lang|) cut table broadcast — no global sort",
     "randomized_response_estimate": "local-DP coin + estimator in codegen over the scan; ONE map-side-combined aggregate, no joins",
+    "kv_replay_dedup": "one (client_id, op_id) row_number shuffle suppresses retries; then the K4 key-window fold — two shuffles total",
+    "kv_snapshot_replay": "snapshot = prefix fold re-entered as a put at the cut; cut is a 1-row broadcast, never a driver scalar",
+    "jpeg_decode_stats": "entropy encode/decode in two Arrow hops over (doc_id,payload) only; the single Exchange is the deliberate CPU fan-out (one input file -> 32 cores), pixels never leave the row",
+    "shard_migration": "per-shard sizes from ONE map-side-combined aggregate; config diff broadcast; ledger cost independent of table size",
+    "hybrid_rrf_ndcg": "bigram judge: query-doc bigrams broadcast to one tokenize pass; DCG folds over |queries|x10 rows only",
 }
 
 
