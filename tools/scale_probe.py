@@ -59,6 +59,11 @@ PROBES = [
     # + one semi-join
     "hybrid_rrf_retrieval",
     "stream_decontaminate",
+    # round-5: the regraded nDCG adds a bigram pass + broadcast judge
+    # join (should track input growth like the fusion), and the JPEG
+    # codec is row-local Arrow kernel work (should track row count)
+    "hybrid_rrf_ndcg",
+    "jpeg_decode_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
@@ -98,7 +103,19 @@ def build_inflated(spark, out_dir: str) -> None:
     )
 
 
-EVENT_PROBES = ["sessionize", "asof_join", "activity_gaps", "rolling_active_users", "join_skew_profile"]
+EVENT_PROBES = [
+    "sessionize",
+    "asof_join",
+    "activity_gaps",
+    "rolling_active_users",
+    "join_skew_profile",
+    # round-5 KV tier over the derived ops log (events-based): dedup =
+    # one extra (client, op) shuffle; snapshot replay = two fold slices;
+    # the migration ledger is one aggregate + broadcast diff (~flat)
+    "kv_replay_dedup",
+    "kv_snapshot_replay",
+    "shard_migration",
+]
 
 
 def build_inflated_events(spark, out_dir: str) -> None:
