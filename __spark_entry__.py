@@ -162,16 +162,18 @@ _R5_WINDOW = [
 # Pre-staged for round 6 (ROTATION.md "Round 6 — planned window"): at
 # r6 start, flip queries() to `window = {k: base[k] for k in
 # _R6_WINDOW}` — that one-line change is the whole of r6's window prep.
-# Composition: the 12 oracle-backed keys never driver-checked after r5
+# Composition: the 13 oracle-backed keys never driver-checked after r5
 # (the 8 displaced by the late-r4 tier, the 3 displaced by the r5-new
-# keys, and shard_migration — registered after the r5 pin), then the 5
-# rows-only keys (their weaker rows-only driver evidence refreshed),
-# then the 33 OLDEST-checked keys (the r1 window head, incl. the
-# flagship re-checks word_count / mr_wordcount_shim / kv_replay) —
-# freshness rotation, oldest first. This completes the sweep: after
-# r6 every oracle-backed key has at least one driver CORRECTNESS row.
+# keys, plus shard_migration and stream_kv_dedup — registered after
+# the r5 pin), then the 5 rows-only keys (their weaker rows-only
+# driver evidence refreshed), then the 32 OLDEST-checked keys (the r1
+# window head, incl. the flagship re-checks word_count /
+# mr_wordcount_shim / kv_replay) — freshness rotation, oldest first.
+# This completes the sweep: after r6 every oracle-backed key has at
+# least one driver CORRECTNESS row.
 _R6_WINDOW = [
-    # never-checked (12)
+    # never-checked (13)
+    "stream_kv_dedup",
     "pivot_counts",
     "unpivot_stack",
     "range_join_bucketed",
@@ -190,7 +192,7 @@ _R6_WINDOW = [
     "equidepth_sampled",
     "hll_distinct_merge",
     "kll_quantile_merge",
-    # freshness rotation: the 33 oldest-checked (r1 head, flagships in)
+    # freshness rotation: the 32 oldest-checked (r1 head, flagships in)
     "word_count",
     "inverted_index",
     "per_source_count",
@@ -223,7 +225,6 @@ _R6_WINDOW = [
     "q22_idle_customers",
     "global_sort_range",
     "semi_anti_join",
-    "outer_join_coverage",
 ]
 
 _R4_WINDOW = [
@@ -336,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": stream_windows.stream_static_join,
         "stream_tumbling_window": stream_windows.stream_tumbling_window,
         "stream_kv_state": stream_state.stream_kv_state,
+        "stream_kv_dedup": stream_state.stream_kv_dedup,
         "stream_tws_counter": stream_state.stream_tws_counter,
         "stream_session_window": stream_state.stream_session_window,
         "stream_dedup": stream_state.stream_dedup,
@@ -785,6 +787,8 @@ GROUP BY word
         "stream_static_join": stream_windows.STREAM_STATIC_SQL,
         "stream_tumbling_window": stream_windows.STREAM_TUMBLING_SQL,
         "stream_kv_state": kv.KV_REPLAY_SQL,
+        # streaming at-least-once feed + dedup state == the batch rung
+        "stream_kv_dedup": kv.KV_REPLAY_DEDUP_SQL,
         "stream_tws_counter": stream_state.STREAM_TWS_SQL,
         "stream_session_window": stream_state.STREAM_SESSION_SQL,
         "stream_dedup": stream_state.STREAM_DEDUP_SQL,

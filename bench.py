@@ -210,6 +210,7 @@ HEADLINE = [
     "kv_snapshot_replay",
     "jpeg_decode_stats",
     "shard_migration",
+    "stream_kv_dedup",
 ]
 
 

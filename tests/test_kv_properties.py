@@ -228,3 +228,49 @@ def test_suffix_replays_over_nonempty_checkpoint(spark, sf_dir):
         r["key"]: r["value"] for r in kv_snapshot_replay(spark, sf_dir).collect()
     }
     assert compacted == full
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for kernel-level tests: exists/get/
+    update, nothing else."""
+
+    def __init__(self):
+        self._row = None
+
+    @property
+    def exists(self):
+        return self._row is not None
+
+    @property
+    def get(self):
+        return self._row
+
+    def update(self, row):
+        self._row = tuple(row)
+
+
+def test_stream_dedup_state_drops_cross_batch_retries():
+    """The streaming dedup kernel must suppress a retry delivered in a
+    LATER micro-batch than its original — the case a per-batch-only
+    dedup would miss (state carries the seen-set across batches)."""
+    import pandas as pd
+
+    from tinymapreduce_spark.streaming.state import _dedup_client
+
+    state = _FakeGroupState()
+
+    def run_batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["seq", "key", "op", "value", "client_id", "op_id"]
+        )
+        out = list(_dedup_client((0,), iter([pdf]), state))
+        return [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+
+    b1 = run_batch([(1, "a0", "append", "x", 0, 1), (2, "a0", "append", "y", 0, 2)])
+    assert [r[0] for r in b1] == [1, 2]
+    # batch 2: retry of op 1 (later seq) + a genuinely new op 3
+    b2 = run_batch([(900, "a0", "append", "x", 0, 1), (3, "a0", "append", "z", 0, 3)])
+    assert [(r[0], r[3]) for r in b2] == [(3, "z")], b2
+    # batch 3: all retries -> nothing emitted, state intact
+    assert run_batch([(901, "a0", "append", "y", 0, 2)]) == []
+    assert state.get[0] == "1,2,3"

@@ -109,6 +109,146 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT key, value FROM {name}")
 
 
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("key", StringType()),
+        StructField("op", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+# Per-client state: comma-joined op ids this client already executed.
+# Bounded by ops-per-client here; a production server with SEQUENTIAL
+# clients (the kvraft contract) keeps just the last executed op id.
+DEDUP_STATE_SCHEMA = StructType([StructField("seen", StringType())])
+
+
+def _dedup_client(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-client duplicate-request suppression as STREAMING state
+    (the online form of operators/kv.py::dedup_client_ops): an op is
+    executed at its first delivery — in seq order — and every later
+    re-delivery of the same (client_id, op_id) is dropped. Emits only
+    the ops accepted this micro-batch."""
+    seen: set[int] = (
+        set(int(x) for x in state.get[0].split(",") if x) if state.exists else set()
+    )
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+        for row in pdf.itertuples(index=False):
+            op_id = int(row.op_id)
+            if op_id in seen:
+                continue
+            seen.add(op_id)
+            out.append((int(row.seq), row.key, row.op, row.value))
+    if seen:
+        state.update((",".join(str(x) for x in sorted(seen)),))
+    if out:
+        yield pd.DataFrame(out, columns=["seq", "key", "op", "value"])
+
+
+def stream_kv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``kv_replay_dedup`` — exactly-once state from
+    an AT-LEAST-ONCE delivery stream: the ops log streams in with
+    planted retries (op_id ≡ 0 mod 7 re-delivered at seq + 2^40, the
+    same plant as the batch form), flows through per-client streaming
+    dedup state, each micro-batch's ACCEPTED ops are accumulated into a
+    versioned table under idempotent batch-id publishes (a replayed
+    batch can neither double-add nor re-accept — state and commit are
+    both keyed), and the accumulated log batch-folds to final KV state.
+    Shares KV_REPLAY_DEDUP_SQL with the batch rung: the retries must be
+    invisible end to end.
+
+    Scale shape: dedup state is per-client (the natural shard key of a
+    client-request feed); here it stores the full seen-set, bounded by
+    ops-per-client — a production deployment with SEQUENTIAL clients
+    (the kvraft contract) keeps just the last executed op id."""
+    import os
+    import shutil
+
+    from tinymapreduce_spark.operators.kv import RETRY_SEQ_OFFSET, replay_ops
+    from tinymapreduce_spark.sources.manifest_sink import ManifestTable
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def ops_stream() -> DataFrame:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        stream = normalize_event_ts(stream)
+        return stream.select(
+            F.col("event_id").alias("seq"),
+            F.concat(
+                F.substring(
+                    F.lit("abcdefghijklmnopqrst"),
+                    (F.col("user_id") % 20).cast("int") + 1,
+                    1,
+                ),
+                (F.col("user_id") % 20).cast("string"),
+            ).alias("key"),
+            F.when(F.col("event_type") == "signup", F.lit("put"))
+            .when(F.col("event_type") == "error", F.lit("get"))
+            .otherwise(F.lit("append"))
+            .alias("op"),
+            F.concat_ws(
+                " ",
+                F.lit("x"),
+                F.col("user_id").cast("string"),
+                F.col("event_id").cast("string"),
+                F.lit("y"),
+            ).alias("value"),
+            F.col("user_id").alias("client_id"),
+            F.col("event_id").alias("op_id"),
+        ).where(F.col("op") != "get")
+
+    # at-least-once twin: originals ∪ retries (same rows, later seq) —
+    # two readers of the same files, so a retry always shares its
+    # original's trigger and can never win the first-delivery race
+    originals = ops_stream()
+    retries = (
+        ops_stream()
+        .where(F.col("op_id") % 7 == 0)
+        .withColumn("seq", F.col("seq") + F.lit(RETRY_SEQ_OFFSET))
+    )
+    delivered = originals.unionByName(retries)
+
+    accepted = delivered.groupBy("client_id").applyInPandasWithState(
+        _dedup_client,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"kv_dedup_stream_{uuid.uuid4().hex[:8]}")
+    )
+
+    def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ops = batch_df
+        if table.current_version() is not None:
+            ops = table.read(s).unionByName(ops)
+        table.publish(ops, snapshot_id=f"batch-{batch_id}")
+
+    q = accepted.writeStream.outputMode("update").foreachBatch(accumulate).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from tinymapreduce_spark.streaming.sinks import _materialize
+
+    out = replay_ops(table.read(spark)).transform(_materialize)
+    shutil.rmtree(table.table_dir, ignore_errors=True)
+    return out
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows: per user, sessions closed by a
     30-minute inactivity gap (the streaming twin of plans/events.py::
