@@ -56,6 +56,14 @@ REPRESENTATIVES = [
     # the streaming filter's verdict counters must fold identically
     "perplexity_buckets",
     "stream_quality_filter",
+    # round-5 additions: dedup's (client, op) window must pick the same
+    # first delivery at any fan-out; the snapshot cut and the migration
+    # ledger's per-shard counts are fan-out-free aggregates; streaming
+    # dedup state must accept the same ops under any batch partitioning
+    "kv_replay_dedup",
+    "kv_snapshot_replay",
+    "shard_migration",
+    "stream_kv_dedup",
 ]
 
 
