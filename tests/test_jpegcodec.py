@@ -141,3 +141,44 @@ def test_idct_table_is_the_documented_fixed_point_spec():
         for x in range(8):
             want = round(alpha * math.cos((2 * x + 1) * u * math.pi / 16) * 2048)
             assert IDCT_T[u][x] == want
+
+
+def test_restart_interval_roundtrip_and_sequencing():
+    """DRI/RSTm path: byte-aligned restarts every `dri` MCUs with DC
+    predictors reset — roundtrip over several intervals (including >8
+    restarts so the m-cycle wraps), plus out-of-sequence detection."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(31)
+    for dri in (1, 2, 3):
+        w, h = 40, 24  # 5x3 = 15 MCUs -> up to 14 restarts at dri=1
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        blocks = _random_blocks(rng, bw * bh)
+        payload = encode_jpeg(w, h, QT, [blocks], dri=dri)
+        assert b"\xff\xdd" in payload  # DRI segment present
+        w2, h2, planes = decode_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        assert planes[0] == _expected_pixels(w, h, blocks)
+    # corrupt the first restart marker's index -> sequence error
+    payload = bytearray(encode_jpeg(40, 24, QT, [_random_blocks(rng, 15)], dri=1))
+    sos = payload.find(b"\xff\xda")
+    i = payload.find(b"\xff\xd0", sos)
+    if i == -1:  # first marker may be RST0..RST7 depending on content
+        for m in range(8):
+            i = payload.find(bytes([0xFF, 0xD0 + m]), sos)
+            if i != -1:
+                break
+    payload[i + 1] = 0xD0 + ((payload[i + 1] - 0xD0 + 3) % 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(payload))
+
+
+def test_color_restart_resets_all_component_predictors():
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(55)
+    w, h = 24, 16
+    comps = [_random_blocks(rng, 6) for _ in range(3)]
+    w2, h2, planes = decode_jpeg(encode_jpeg(w, h, QT, comps, dri=2))
+    for ci in range(3):
+        assert planes[ci] == _expected_pixels(w, h, comps[ci])

@@ -9,7 +9,9 @@ DHT (length-counts + values, canonical T.81 assignment), an entropy
 bit-reader that strips 0xFF00 byte stuffing, per-component DC
 prediction, EXTEND sign recovery, zigzag de-ordering, dequantization,
 and a FIXED-POINT integer IDCT (spec below). Supported: baseline DCT
-(SOF0), 8-bit precision, single scan, no restart intervals, all
+(SOF0), 8-bit precision, single scan, restart intervals (DRI + RSTm
+with byte alignment, marker-sequence verification and DC-predictor
+reset — the error-resilience shape camera baselines emit), all
 components 1x1 sampling (grayscale, or 4:4:4 color returned as raw
 component planes — no YCbCr→RGB conversion, which would add a second
 rounding convention). Progressive (SOF2), subsampled chroma and
@@ -138,6 +140,15 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
+    def align_and_mark(self, marker: int) -> None:
+        """Byte-align (1-padding, stuffed if it lands on 0xFF) and emit
+        a bare marker — the restart-marker insertion point (T.81 E.1.4:
+        RSTm between entropy-coded segments, not stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, marker])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -203,6 +214,7 @@ def encode_jpeg(
     height: int,
     qtable: list[int],
     components: list[list[list[list[int]]]],
+    dri: int = 0,
 ) -> bytes:
     """Generalized baseline JFIF writer: ``components[c]`` is one
     quantized block list per component (1 = grayscale, 3 = 4:4:4 color
@@ -212,7 +224,10 @@ def encode_jpeg(
     union of every component's symbols (T.81 allows up to 4 tables;
     one shared pair keeps the writer small without losing generality
     on the DECODE side, which still exercises per-component DC
-    predictors and the interleaved MCU walk)."""
+    predictors and the interleaved MCU walk). ``dri`` > 0 writes a DRI
+    segment and a byte-aligned RSTm marker (m cycling 0..7) every
+    ``dri`` MCUs with DC predictors reset — the restart-interval shape
+    camera baselines use for error resilience."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     nc = len(components)
@@ -220,13 +235,16 @@ def encode_jpeg(
     for blocks in components:
         assert len(blocks) == bw * bh, (len(blocks), bw, bh)
 
-    # pass 1: per-block symbol streams, MCU-interleaved, one DC
-    # predictor per component
-    streams = []
+    # pass 1: per-MCU symbol streams (one per component block), DC
+    # predictors reset at every restart boundary
+    mcu_streams: list[list[list[tuple]]] = []
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     preds = [0] * nc
     for b in range(bw * bh):
+        if dri and b and b % dri == 0:
+            preds = [0] * nc  # restart: predictors reset
+        mcu = []
         for ci in range(nc):
             blk = components[ci][b]
             zz = [blk[r][c] for (r, c) in ZIGZAG]
@@ -235,7 +253,8 @@ def encode_jpeg(
             stream = list(_block_symbols(zz, diff))
             for is_dc, sym, _, _ in stream:
                 (dc_syms if is_dc else ac_syms).add(sym)
-            streams.append(stream)
+            mcu.append(stream)
+        mcu_streams.append(mcu)
 
     dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
     ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
@@ -246,6 +265,8 @@ def encode_jpeg(
     # DQT, table 0, 8-bit, zigzag order
     zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)  # DRI
     # SOF0: 8-bit, nc components, 1x1 sampling, qtable 0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for ci in range(nc):
@@ -261,11 +282,16 @@ def encode_jpeg(
         out += bytes([ci + 1, 0x00])
     out += bytes([0, 63, 0])
     w = _BitWriter()
-    for stream in streams:
-        for is_dc, sym, extra, esize in stream:
-            code, length = (dc_codes if is_dc else ac_codes)[sym]
-            w.write(code, length)
-            w.write(extra, esize)
+    rst = 0
+    for b, mcu in enumerate(mcu_streams):
+        if dri and b and b % dri == 0:
+            w.align_and_mark(0xD0 + rst)
+            rst = (rst + 1) % 8
+        for stream in mcu:
+            for is_dc, sym, extra, esize in stream:
+                code, length = (dc_codes if is_dc else ac_codes)[sym]
+                w.write(code, length)
+                w.write(extra, esize)
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -335,6 +361,27 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_restart(self) -> int:
+        """Byte-align (discarding the 1-padding) and consume the next
+        RSTm marker; returns m. A stuffed 0xFF00 pad byte that was
+        never bit-consumed is skipped first."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        m = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return m
+
 
 def _extend(v: int, size: int) -> int:
     """T.81 F.2.2.1 EXTEND: recover the signed value from ``size`` raw
@@ -356,6 +403,7 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
+    dri = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -403,8 +451,8 @@ def decode_jpeg(payload: bytes):
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame type 0xFF{marker:02X} unsupported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart every `dri` MCUs
+            dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — single scan, entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -414,13 +462,13 @@ def decode_jpeg(payload: bytes):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_tables.append((cs, tdta >> 4, tdta & 0xF))
             return _decode_scan(
-                payload, pos + seglen, frame, qtables, huff, scan_tables
+                payload, pos + seglen, frame, qtables, huff, scan_tables, dri
             )
         pos += seglen
     raise ValueError("no scan found")
 
 
-def _decode_scan(payload, pos, frame, qtables, huff, scan_tables):
+def _decode_scan(payload, pos, frame, qtables, huff, scan_tables, dri=0):
     w, h, comps = frame
     if len(scan_tables) != len(comps):
         raise ValueError("multi-scan files unsupported (baseline = 1 scan)")
@@ -434,8 +482,19 @@ def _decode_scan(payload, pos, frame, qtables, huff, scan_tables):
         if not match:
             raise ValueError(f"component {cid} missing from scan")
         order.append((ci, qtables[tq], huff[(0, match[0][1])], huff[(1, match[0][2])]))
+    rst_expect = 0
     for by in range(bh):
         for bx in range(bw):
+            mcu_i = by * bw + bx
+            if dri and mcu_i and mcu_i % dri == 0:
+                m = reader.expect_restart()
+                if m != rst_expect:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{m}, "
+                        f"expected RST{rst_expect}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                preds = [0] * len(comps)  # predictors reset at restart
             for ci, qt, dc_t, ac_t in order:  # MCU = 1 block per comp (1x1)
                 size = dc_t.decode(reader)
                 diff = _extend(reader.receive(size), size)

@@ -785,7 +785,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     it partitions trivially at 100 TB."""
     from tinymapreduce_spark.functions.jpegcodec import (
         decode_jpeg,
-        encode_jpeg_gray,
+        encode_jpeg,
     )
 
     docs = documents_for_cpu(spark, sf_dir).select("doc_id")
@@ -798,7 +798,15 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = JPG_W(d), JPG_H(d)
                 bw, bh = (w + 7) // 8, (h + 7) // 8
                 blocks = [_jpg_block(d, b) for b in range(bw * bh)]
-                payloads.append(encode_jpeg_gray(w, h, JPG_QT, blocks))
+                # every third doc carries restart intervals — the DRI
+                # path decodes through the same driver-checked query
+                # (restarts never change pixels, so the oracle is
+                # unaffected)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, JPG_QT, [blocks], dri=2 if d % 3 == 0 else 0
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
