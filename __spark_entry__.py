@@ -162,18 +162,19 @@ _R5_WINDOW = [
 # Pre-staged for round 6 (ROTATION.md "Round 6 — planned window"): at
 # r6 start, flip queries() to `window = {k: base[k] for k in
 # _R6_WINDOW}` — that one-line change is the whole of r6's window prep.
-# Composition: the 13 oracle-backed keys never driver-checked after r5
+# Composition: the 14 oracle-backed keys never driver-checked after r5
 # (the 8 displaced by the late-r4 tier, the 3 displaced by the r5-new
-# keys, plus shard_migration and stream_kv_dedup — registered after
-# the r5 pin), then the 5 rows-only keys (their weaker rows-only
-# driver evidence refreshed), then the 32 OLDEST-checked keys (the r1
-# window head, incl. the flagship re-checks word_count /
-# mr_wordcount_shim / kv_replay) — freshness rotation, oldest first.
-# This completes the sweep: after r6 every oracle-backed key has at
-# least one driver CORRECTNESS row.
+# keys, plus shard_migration / stream_kv_dedup / image_phash_dedup —
+# registered after the r5 pin), then the 5 rows-only keys (their
+# weaker rows-only driver evidence refreshed), then the 31
+# OLDEST-checked keys (the r1 window head, incl. the flagship
+# re-checks word_count / mr_wordcount_shim / kv_replay) — freshness
+# rotation, oldest first. This completes the sweep: after r6 every
+# oracle-backed key has at least one driver CORRECTNESS row.
 _R6_WINDOW = [
-    # never-checked (13)
+    # never-checked (14)
     "stream_kv_dedup",
+    "image_phash_dedup",
     "pivot_counts",
     "unpivot_stack",
     "range_join_bucketed",
@@ -192,7 +193,7 @@ _R6_WINDOW = [
     "equidepth_sampled",
     "hll_distinct_merge",
     "kll_quantile_merge",
-    # freshness rotation: the 32 oldest-checked (r1 head, flagships in)
+    # freshness rotation: the 31 oldest-checked (r1 head, flagships in)
     "word_count",
     "inverted_index",
     "per_source_count",
@@ -224,7 +225,6 @@ _R6_WINDOW = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "global_sort_range",
-    "semi_anti_join",
 ]
 
 _R4_WINDOW = [
@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": multimodal.image_decode_stats,
         "audio_decode_stats": multimodal.audio_decode_stats,
         "jpeg_decode_stats": multimodal.jpeg_decode_stats,
+        "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
         "stream_cdc_apply_changes": stream_sinks.stream_cdc_apply_changes,
@@ -899,6 +900,9 @@ GROUP BY word
         # dequant + fixed-point integer IDCT replayed in SQL (the
         # entropy-coded bytes round-trip only on the Spark side)
         "jpeg_decode_stats": multimodal.JPEG_DECODE_SQL,
+        # oracle = brute-force all-pairs Hamming from the pixel formula;
+        # the banded join is complete for hamming <= 3 by pigeonhole
+        "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,
         "manifest_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "stream_cdc_apply_changes": manifest_sink.MANIFEST_APPLY_CHANGES_SQL,
         "binary_files_decode": multimodal.BINARY_FILES_SQL,

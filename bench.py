@@ -211,6 +211,7 @@ HEADLINE = [
     "jpeg_decode_stats",
     "shard_migration",
     "stream_kv_dedup",
+    "image_phash_dedup",
 ]
 
 

@@ -1541,3 +1541,42 @@ class TestHybridRrf:
         mean_h = sum(r.ndcg for r in healthy) / len(healthy)
         mean_d = sum(r.ndcg for r in degraded) / len(degraded)
         assert mean_d < mean_h, (mean_d, mean_h)
+
+
+class TestImagePhashDedup:
+    """Image near-dup semantics: the banded Hamming join must equal the
+    brute-force truth (pigeonhole completeness at hamming <= 3 over 4
+    bands), and on the synthetic corpus every near-dup pair shares a
+    group (the base image) — zero cross-group noise."""
+
+    def test_pairs_are_same_group_and_banding_is_complete(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.multimodal import (
+            PH_GROUPS,
+            PH_MAX_HAMMING,
+            PH_PIX,
+            _ahash_bands,
+            image_phash_dedup,
+        )
+
+        rows = image_phash_dedup(spark, sf_dir).collect()
+        assert rows, "no near-dup pairs found"
+        for r in rows:
+            assert r.id_a % PH_GROUPS == r.id_b % PH_GROUPS, (r.id_a, r.id_b)
+            assert 0 <= r.hamming <= PH_MAX_HAMMING
+        # brute-force truth straight from the formula (no Spark, no BMP)
+        ids = sorted({r.id_a for r in rows} | {r.id_b for r in rows})
+        n_docs = max(ids) + 1
+        hashes = {}
+        for d in range(n_docs):
+            px = [[(PH_PIX(d, x, y),) * 3 for x in range(8)] for y in range(8)]
+            b = _ahash_bands(px)
+            hashes[d] = (b[0]) | (b[1] << 16) | (b[2] << 32) | (b[3] << 48)
+        want = set()
+        docs = sorted(hashes)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                ham = bin(hashes[a] ^ hashes[b]).count("1")
+                if ham <= PH_MAX_HAMMING:
+                    want.add((a, b, ham))
+        got = {(r.id_a, r.id_b, r.hamming) for r in rows}
+        assert got == want

@@ -904,6 +904,156 @@ GROUP BY doc_id, w, h
 JPEG_DECODE_SQL = _jpeg_decode_sql()
 
 
+# --- image near-dup dedup: perceptual hash over REAL decoded pixels ------
+# Ties the multimodal tier into the dedup ladder: documents in the same
+# GROUP (g = doc_id % PH_GROUPS) share a base image; each doc perturbs
+# ONE pixel (position and delta pure functions of doc_id), so same-group
+# pairs land within a small Hamming distance of each other's 8x8
+# average-hash while cross-group pairs sit far apart. The Spark side
+# must round-trip REAL BMP bytes (encode -> decode -> hash); the oracle
+# re-derives pixels, the floor-mean threshold, the four 16-bit hash
+# bands and the full pair set from the formula. Banding is EXACT for
+# the emitted pairs: hamming <= PH_MAX_HAMMING < 4 bands guarantees at
+# least one identical band (pigeonhole), the same completeness argument
+# as the simhash text tier.
+PH_GROUPS = 40
+PH_MAX_HAMMING = 3
+# base pattern is NONLINEAR per group ((g+1)·(x²+3y²) mod 97) — a pure
+# brightness offset would be invisible to the mean-thresholded hash and
+# let cross-group pairs collide (measured: this form separates groups
+# completely at 500 docs, ~2.8k same-group pairs, 0 cross-group)
+PH_BASE = (
+    lambda g, x, y: (
+        g * 73 + 31 * x + 57 * y + ((g + 1) * (x * x + 3 * y * y)) % 97 * 2
+    ) % 256
+)  # noqa: E731
+PH_POS = lambda d: (d * 7) % 64  # noqa: E731 — the one perturbed pixel
+PH_PIX = lambda d, x, y: (
+    (PH_BASE(d % PH_GROUPS, x, y) + 40) % 256
+    if (x + 8 * y) == PH_POS(d)
+    else PH_BASE(d % PH_GROUPS, x, y)
+)  # noqa: E731
+
+
+def _ahash_bands(px: list[list[tuple[int, int, int]]]) -> list[int]:
+    """8x8 average-hash of a decoded grayscale image as FOUR 16-bit band
+    ints (bit k of band b = pixel k+16b > floor(mean)) — bands instead
+    of one 64-bit value so neither engine touches signed-overflow
+    territory."""
+    flat = [px[y][x][0] for y in range(8) for x in range(8)]
+    mean = sum(flat) // 64
+    bands = [0, 0, 0, 0]
+    for k, v in enumerate(flat):
+        if v > mean:
+            bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL decoded pixels: encode
+    each document's 8x8 grayscale BMP (formula above), decode it back
+    with the real BMP parser, compute the 8x8 average-hash, and find
+    all pairs within Hamming distance ``PH_MAX_HAMMING`` via a banded
+    equi-join (4x16-bit bands — a candidate pair must share one exact
+    band, never an all-pairs join). Output: (id_a, id_b, hamming).
+
+    Scale shape: identical to the simhash text tier — one narrow
+    (doc_id, 4 bands) relation, candidates from the band equi-join
+    (each hot band's bucket joins within itself), exact Hamming verify
+    on candidates only. At 100 TB the hash relation is ~40 B/image and
+    the join touches only same-band buckets."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = [
+                    [(PH_PIX(d, x, y),) * 3 for x in range(8)] for y in range(8)
+                ]
+                payloads.append(encode_bmp(8, 8, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, px = decode_image(bytes(p))
+                bands = _ahash_bands(px)
+                rows["doc_id"].append(d)
+                for i in range(4):
+                    rows[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    hashes = blobs.mapInPandas(
+        hash_kernel, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    bands = hashes.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")) for i in range(4)])
+        ).alias("e"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "e.bi", "e.bv")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+        "bi",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+        "bi",
+        "bv",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= PH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+IMAGE_PHASH_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id,
+         xs.x, ys.y,
+         (((d.doc_id % {PH_GROUPS}) * 73 + 31 * xs.x + 57 * ys.y
+           + ((d.doc_id % {PH_GROUPS} + 1) * (xs.x * xs.x + 3 * ys.y * ys.y)) % 97 * 2
+           + CASE WHEN xs.x + 8 * ys.y = (d.doc_id * 7) % 64 THEN 40 ELSE 0 END)
+          ) % 256 AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+), means AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) // 64 AS m FROM px GROUP BY doc_id
+), bands AS MATERIALIZED (
+  SELECT px.doc_id, (px.x + 8 * px.y) // 16 AS bi,
+         CAST(SUM(CASE WHEN px.v > means.m
+                       THEN 1 << ((px.x + 8 * px.y) % 16) ELSE 0 END) AS BIGINT) AS bv
+  FROM px JOIN means USING (doc_id)
+  GROUP BY px.doc_id, (px.x + 8 * px.y) // 16
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(bit_count(xor(a.bv, b.bv))) AS BIGINT) AS hamming
+  FROM bands a
+  JOIN bands b ON a.bi = b.bi AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {PH_MAX_HAMMING}
+"""
+
+
 IMAGE_HEADER_SQL = """
 WITH blobs AS (
   SELECT doc_id,
