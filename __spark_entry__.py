@@ -102,7 +102,9 @@ def _mr_wordcount_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eleven keys ROTATION.md moves to the r6 freshness rotation (the
 # eight displaced by the late-r4 tier + copurchase_pairs / trend_slope
 # / mode_median_stats displaced by the r5-new keys). After r5: 249 of
-# 260 oracle-backed keys checked.
+# 263 oracle-backed keys checked (the three post-window registrations
+# shard_migration / stream_kv_dedup / image_phash_dedup lifted the
+# total from 260).
 _R5_WINDOW = [
     # round-5 verdict items lead (kvraft duplicate-request suppression +
     # Raft snapshot/log-compaction replay, VERDICT r4 #4/#5); the two
@@ -599,7 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
-    window = {k: base[k] for k in _R5_WINDOW}
+    window = {k: base[k] for k in _R6_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 

@@ -111,6 +111,46 @@ def test_bitwriter_stuffs_ff_bytes():
     assert bw.flush() == b"\xff\x00\xab"
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; real camera baselines emit them (ADVICE r5). Planting fill
+    runs before every marker must not change the decode."""
+    rng = random.Random(7)
+    blocks = _random_blocks(rng, 4)
+    payload = encode_jpeg_gray(13, 10, QT, blocks)
+    clean = decode_jpeg(payload)
+    # rebuild the byte stream with 1-3 fill bytes before each marker
+    # OUTSIDE entropy data (we pad SOI, APP0, DQT, SOF0, DHT, SOS; the
+    # entropy segment's stuffed 0xFF00s must not be touched)
+    out = bytearray()
+    pos = 0
+    fills = [1, 2, 3]
+    i = 0
+    while pos < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,):
+            if pos > 0:  # fill before every marker except SOI itself
+                out += b"\xff" * fills[i % 3]
+                i += 1
+            out += payload[pos : pos + 2]
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0xD9):
+                continue
+            import struct as _s
+
+            seglen = _s.unpack(">H", payload[pos : pos + 2])[0]
+            out += payload[pos : pos + seglen]
+            pos += seglen
+            if marker == 0xDA:  # entropy data: copy verbatim to EOI
+                eoi = payload.rfind(b"\xff\xd9")
+                out += payload[pos:eoi]
+                pos = eoi
+        else:
+            out += payload[pos : pos + 1]
+            pos += 1
+    assert decode_jpeg(bytes(out)) == clean
+
+
 def test_decoder_rejects_non_baseline_frames():
     blocks = [[[0] * 8 for _ in range(8)]]
     payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))

@@ -252,7 +252,9 @@ class _FakeGroupState:
 def test_stream_dedup_state_drops_cross_batch_retries():
     """The streaming dedup kernel must suppress a retry delivered in a
     LATER micro-batch than its original — the case a per-batch-only
-    dedup would miss (state carries the seen-set across batches)."""
+    dedup would miss. State carries only the LAST executed op id across
+    batches (the kvraft sequential-client contract): O(1) per client,
+    and a retry is exactly an op_id <= last_op_id delivery."""
     import pandas as pd
 
     from tinymapreduce_spark.streaming.state import _dedup_client
@@ -273,4 +275,4 @@ def test_stream_dedup_state_drops_cross_batch_retries():
     assert [(r[0], r[3]) for r in b2] == [(3, "z")], b2
     # batch 3: all retries -> nothing emitted, state intact
     assert run_batch([(901, "a0", "append", "y", 0, 2)]) == []
-    assert state.get[0] == "1,2,3"
+    assert state.get[0] == 3

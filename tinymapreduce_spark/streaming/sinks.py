@@ -54,7 +54,30 @@ def _materialize(df: DataFrame) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(os.path.join(SCRATCH, "reliable_ckpt"))
+            explicit = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            if explicit:
+                sc.setCheckpointDir(explicit)
+            else:
+                # ADVICE r5: a local-scratch default is NOT fault-tolerant
+                # storage — the executor-loss safety this knob claims only
+                # holds when the dir is shared (HDFS/S3/NFS). Warn loudly
+                # instead of silently defaulting, and purge checkpoint
+                # data stranded by previous processes (checkpoint blocks
+                # are never deleted by Spark itself).
+                default_dir = os.path.join(SCRATCH, "reliable_ckpt")
+                import shutil
+                import warnings
+
+                warnings.warn(
+                    "SPARK_GRAFT_RELIABLE_CHECKPOINT=1 with no checkpoint"
+                    " dir configured: defaulting to local scratch"
+                    f" ({default_dir}), which is only fault-tolerant when"
+                    " executor == driver. On a multi-executor cluster set"
+                    " SPARK_GRAFT_CHECKPOINT_DIR to shared storage.",
+                    stacklevel=2,
+                )
+                shutil.rmtree(default_dir, ignore_errors=True)  # stale runs
+                sc.setCheckpointDir(default_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -117,10 +117,13 @@ DEDUP_OUT_SCHEMA = StructType(
         StructField("value", StringType()),
     ]
 )
-# Per-client state: comma-joined op ids this client already executed.
-# Bounded by ops-per-client here; a production server with SEQUENTIAL
-# clients (the kvraft contract) keeps just the last executed op id.
-DEDUP_STATE_SCHEMA = StructType([StructField("seen", StringType())])
+# Per-client state: the LAST executed op id. Clients are SEQUENTIAL
+# (the kvraft contract — a client retries op k until acked before
+# issuing k+1), so an incoming op is a duplicate iff op_id <= last;
+# state is O(1) per client regardless of ops-per-client (ADVICE r5:
+# the earlier comma-joined seen-set was O(ops) state with an
+# O(n log n) rewrite per batch).
+DEDUP_STATE_SCHEMA = StructType([StructField("last_op_id", LongType())])
 
 
 def _dedup_client(
@@ -129,23 +132,24 @@ def _dedup_client(
     """Per-client duplicate-request suppression as STREAMING state
     (the online form of operators/kv.py::dedup_client_ops): an op is
     executed at its first delivery — in seq order — and every later
-    re-delivery of the same (client_id, op_id) is dropped. Emits only
-    the ops accepted this micro-batch."""
-    seen: set[int] = (
-        set(int(x) for x in state.get[0].split(",") if x) if state.exists else set()
-    )
+    re-delivery of the same (client_id, op_id) is dropped. Sequential
+    clients issue op ids in order, so "already executed" ≡
+    ``op_id <= last_op_id`` (reference `src/kvraft/server.go` keeps the
+    same last-applied map). Emits only the ops accepted this
+    micro-batch."""
+    last = int(state.get[0]) if state.exists else -1
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
     out = []
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
         for row in pdf.itertuples(index=False):
             op_id = int(row.op_id)
-            if op_id in seen:
+            if op_id <= last:
                 continue
-            seen.add(op_id)
+            last = op_id
             out.append((int(row.seq), row.key, row.op, row.value))
-    if seen:
-        state.update((",".join(str(x) for x in sorted(seen)),))
+    if last >= 0:
+        state.update((last,))
     if out:
         yield pd.DataFrame(out, columns=["seq", "key", "op", "value"])
 
@@ -163,9 +167,10 @@ def stream_kv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible end to end.
 
     Scale shape: dedup state is per-client (the natural shard key of a
-    client-request feed); here it stores the full seen-set, bounded by
-    ops-per-client — a production deployment with SEQUENTIAL clients
-    (the kvraft contract) keeps just the last executed op id."""
+    client-request feed) and O(1) — just the last executed op id, the
+    kvraft sequential-client contract. Both deliveries of a retried op
+    are exploded from the one source row, so first-delivery-wins holds
+    within every micro-batch by construction."""
     import os
     import shutil
 
@@ -207,16 +212,24 @@ def stream_kv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("op_id"),
         ).where(F.col("op") != "get")
 
-    # at-least-once twin: originals ∪ retries (same rows, later seq) —
-    # two readers of the same files, so a retry always shares its
-    # original's trigger and can never win the first-delivery race
-    originals = ops_stream()
-    retries = (
+    # at-least-once twin: each op_id ≡ 0 mod 7 row is delivered twice
+    # (original, plus a retry at seq + 2^40). Both deliveries are
+    # EXPLODED from the one source row, so they land in the same
+    # micro-batch by construction — no reliance on two independent
+    # readStream sources listing files in the same trigger (ADVICE r5:
+    # Spark guarantees nothing about cross-source batch alignment).
+    delivered = (
         ops_stream()
-        .where(F.col("op_id") % 7 == 0)
-        .withColumn("seq", F.col("seq") + F.lit(RETRY_SEQ_OFFSET))
+        .withColumn(
+            "seq",
+            F.explode(
+                F.when(
+                    F.col("op_id") % 7 == 0,
+                    F.array(F.col("seq"), F.col("seq") + F.lit(RETRY_SEQ_OFFSET)),
+                ).otherwise(F.array(F.col("seq")))
+            ),
+        )
     )
-    delivered = originals.unionByName(retries)
 
     accepted = delivered.groupBy("client_id").applyInPandasWithState(
         _dedup_client,
