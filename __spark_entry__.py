@@ -174,7 +174,11 @@ _R5_WINDOW = [
 # rotation, oldest first. This completes the sweep: after r6 every
 # oracle-backed key has at least one driver CORRECTNESS row.
 _R6_WINDOW = [
-    # never-checked (14)
+    # never-checked: the r6-new compressed-codec rungs lead (4:2:0
+    # subsampled + progressive SOF2 JPEG — VERDICT r5 #2), then the 14
+    # keys pre-staged by ROTATION.md
+    "jpeg420_decode_stats",
+    "jpeg_progressive_decode_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -364,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": multimodal.image_decode_stats,
         "audio_decode_stats": multimodal.audio_decode_stats,
         "jpeg_decode_stats": multimodal.jpeg_decode_stats,
+        "jpeg420_decode_stats": multimodal.jpeg420_decode_stats,
+        "jpeg_progressive_decode_stats": multimodal.jpeg_progressive_decode_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -902,6 +908,11 @@ GROUP BY word
         # dequant + fixed-point integer IDCT replayed in SQL (the
         # entropy-coded bytes round-trip only on the Spark side)
         "jpeg_decode_stats": multimodal.JPEG_DECODE_SQL,
+        # per-PLANE IDCT replay: chroma at its own subsampled resolution
+        "jpeg420_decode_stats": multimodal.JPEG420_DECODE_SQL,
+        # progressive entropy coding is lossless over quantized
+        # coefficients, so the oracle stays the same IDCT replay
+        "jpeg_progressive_decode_stats": multimodal.JPEG_PROGRESSIVE_DECODE_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

@@ -151,22 +151,41 @@ def test_fill_bytes_before_markers_are_skipped():
     assert decode_jpeg(bytes(out)) == clean
 
 
-def test_decoder_rejects_non_baseline_frames():
+def test_decoder_rejects_unsupported_frames():
+    """Arithmetic-coded / lossless / differential frames stay outside
+    the honest boundary (progressive SOF2 and subsampling are now REAL
+    — see test_progressive_* / test_sampling_* below)."""
     blocks = [[[0] * 8 for _ in range(8)]]
+    for marker, why in [(0xC9, "arithmetic"), (0xC3, "lossless"),
+                        (0xC5, "differential")]:
+        payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))
+        sof = payload.find(b"\xff\xc0")
+        payload[sof + 1] = marker
+        with pytest.raises(ValueError, match=why):
+            decode_jpeg(bytes(payload))
+    # a sequential scan inside a declared-progressive frame is malformed
     payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # progressive
-    with pytest.raises(ValueError, match="non-baseline"):
+    payload[sof + 1] = 0xC2  # claim progressive; scan stays Ss=0..Se=63
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(payload))
 
 
-def test_decoder_rejects_subsampling_and_truncation():
-    blocks = [[[0] * 8 for _ in range(8)]]
-    payload = bytearray(encode_jpeg_gray(8, 8, QT, blocks))
+def test_grayscale_sampling_factors_are_relative():
+    """T.81 A.1.1: with a single component, Hmax == hi, so a 2x2-sampled
+    grayscale image decodes identically to the 1x1 encoding — a
+    single-component scan is always non-interleaved."""
+    rng = random.Random(3)
+    blocks = _random_blocks(rng, 4)
+    base = decode_jpeg(encode_jpeg_gray(13, 10, QT, blocks))
+    payload = bytearray(encode_jpeg_gray(13, 10, QT, blocks))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 11] = 0x22  # 2x2 sampling on the only component
-    with pytest.raises(ValueError, match="subsampled"):
-        decode_jpeg(bytes(payload))
+    assert decode_jpeg(bytes(payload)) == base
+
+
+def test_decoder_rejects_truncation_and_non_jpeg():
+    blocks = [[[0] * 8 for _ in range(8)]]
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg_gray(8, 8, QT, blocks)[:-4])  # lost EOI+data
     with pytest.raises(ValueError, match="SOI"):
@@ -222,3 +241,127 @@ def test_color_restart_resets_all_component_predictors():
     w2, h2, planes = decode_jpeg(encode_jpeg(w, h, QT, comps, dri=2))
     for ci in range(3):
         assert planes[ci] == _expected_pixels(w, h, comps[ci])
+
+
+def _expected_plane(xc, yc, blocks, full_bw, qt=None):
+    """Reference render: per-block dequant + IDCT over the render grid
+    (stride = the FULL interleaved grid width), cropped to (xc, yc)."""
+    qt = qt or QT
+    rbw, rbh = (xc + 7) // 8, (yc + 7) // 8
+    plane = [[0] * (rbw * 8) for _ in range(rbh * 8)]
+    for by in range(rbh):
+        for bx in range(rbw):
+            blk = blocks[by * full_bw + bx]
+            coef = [[blk[r][c] * qt[r * 8 + c] for c in range(8)] for r in range(8)]
+            px = idct_block(coef)
+            for y in range(8):
+                for x in range(8):
+                    plane[by * 8 + y][bx * 8 + x] = px[y][x]
+    return [row[:xc] for row in plane[:yc]]
+
+
+def test_progressive_roundtrip_gray_and_color():
+    """SOF2 with the classic scan script (DC Al=1 + refine, AC bands
+    1..5 / 6..63 at Al=1 + full refine): decode(encode(coeffs)) must be
+    bit-identical to the baseline render of the same coefficients —
+    spectral selection, successive approximation, EOB runs and
+    correction bits are all exercised by random dense blocks."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(11)
+    for nc, w, h in [(1, 13, 10), (3, 16, 16), (3, 29, 22), (1, 8, 8)]:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        comps = [_random_blocks(rng, bw * bh) for _ in range(nc)]
+        payload = encode_jpeg(w, h, QT, comps, progressive=True)
+        w2, h2, planes = decode_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        assert planes == [
+            _expected_plane(w, h, comps[ci], bw) for ci in range(nc)
+        ]
+
+
+def test_progressive_equals_baseline_pixels():
+    """Same quantized coefficients through SOF0 and SOF2 must render the
+    same pixels — the property that lets one SQL oracle cover both."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(12)
+    comps = [_random_blocks(rng, 6) for _ in range(3)]
+    base = decode_jpeg(encode_jpeg(17, 14, QT, comps))
+    prog = decode_jpeg(encode_jpeg(17, 14, QT, comps, progressive=True))
+    assert prog == base
+
+
+def test_sampling_420_roundtrip():
+    """4:2:0 color: Y at 2x2 over the full interleaved grid (dummy
+    blocks past the edge included), chroma at 1x1; planes come back at
+    their OWN resolutions (no upsampling)."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(13)
+    for w, h in [(10, 10), (17, 20), (24, 11), (32, 25)]:
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        comps = [
+            _random_blocks(rng, 2 * mcux * 2 * mcuy),
+            _random_blocks(rng, mcux * mcuy),
+            _random_blocks(rng, mcux * mcuy),
+        ]
+        payload = encode_jpeg(
+            w, h, QT, comps, sampling=[(2, 2), (1, 1), (1, 1)]
+        )
+        w2, h2, planes = decode_jpeg(payload)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        assert (w2, h2) == (w, h)
+        assert planes[0] == _expected_plane(w, h, comps[0], 2 * mcux)
+        assert planes[1] == _expected_plane(cw, ch, comps[1], mcux)
+        assert planes[2] == _expected_plane(cw, ch, comps[2], mcux)
+        assert len(planes[1]) == ch and len(planes[1][0]) == cw
+
+
+def test_sampling_422_with_restarts():
+    """4:2:2 + DRI: restart markers interleave with 2x1 MCUs; predictor
+    resets must hold per component."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(14)
+    w, h = 25, 16
+    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+    comps = [
+        _random_blocks(rng, 2 * mcux * mcuy),
+        _random_blocks(rng, mcux * mcuy),
+        _random_blocks(rng, mcux * mcuy),
+    ]
+    payload = encode_jpeg(
+        w, h, QT, comps, sampling=[(2, 1), (1, 1), (1, 1)], dri=3
+    )
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    w2, h2, planes = decode_jpeg(payload)
+    cw = (w + 1) // 2
+    assert (w2, h2) == (w, h)
+    assert planes[0] == _expected_plane(w, h, comps[0], 2 * mcux)
+    assert planes[1] == _expected_plane(cw, h, comps[1], mcux)
+    assert planes[2] == _expected_plane(cw, h, comps[2], mcux)
+
+
+def test_progressive_420_combined():
+    """Progressive + 4:2:0 together: interleaved DC scans over sampled
+    MCUs, non-interleaved AC scans over each component's render grid."""
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+
+    rng = random.Random(15)
+    w, h = 17, 20
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    comps = [
+        _random_blocks(rng, 2 * mcux * 2 * mcuy),
+        _random_blocks(rng, mcux * mcuy),
+        _random_blocks(rng, mcux * mcuy),
+    ]
+    payload = encode_jpeg(
+        w, h, QT, comps, sampling=[(2, 2), (1, 1), (1, 1)], progressive=True
+    )
+    w2, h2, planes = decode_jpeg(payload)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    assert (w2, h2) == (w, h)
+    assert planes[0] == _expected_plane(w, h, comps[0], 2 * mcux)
+    assert planes[1] == _expected_plane(cw, ch, comps[1], mcux)
+    assert planes[2] == _expected_plane(cw, ch, comps[2], mcux)

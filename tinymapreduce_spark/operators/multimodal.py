@@ -904,6 +904,358 @@ GROUP BY doc_id, w, h
 JPEG_DECODE_SQL = _jpeg_decode_sql()
 
 
+# --- 4:2:0 chroma-subsampled baseline JPEG (round 6) ----------------------
+# The dominant real-corpus photographic shape: Y sampled 2x2, Cb/Cr 1x1.
+# Dims and per-(component, block) quantized coefficients are pure
+# functions of doc_id; encoding from quantized coefficients is lossless,
+# so the oracle replays dequant + the fixed-point IDCT per COMPONENT
+# PLANE (chroma at its own ceil(w/2) x ceil(h/2) resolution — the
+# decoder returns raw subsampled planes, no upsampling convention to
+# replicate). The Spark side must get the interleaved sampled MCU walk,
+# the dummy-block columns past the edge, the per-component DC
+# predictors and the restart intervals (every third doc) right, or the
+# hash flips.
+#   w = 10 + d % 15, h = 10 + 3d % 11
+#   mcux = ceil(w/16), mcuy = ceil(h/16)
+#   Y full grid 2·mcux x 2·mcuy (stride 2·mcux); chroma mcux x mcuy
+#   coefficients at {(0,0),(0,1),(1,0),(3,2)} per (d, ci, b):
+#     (d + 5b + 7ci) % 32 - 16, (d + 3b + 11ci) % 15 - 7,
+#     (2d + b + 5ci) % 11 - 5,  (d·b + d + 3ci) % 7 - 3
+J420_W = lambda d: 10 + d % 15  # noqa: E731
+J420_H = lambda d: 10 + (3 * d) % 11  # noqa: E731
+J420_COEF = {
+    (0, 0): lambda d, ci, b: (d + 5 * b + 7 * ci) % 32 - 16,
+    (0, 1): lambda d, ci, b: (d + 3 * b + 11 * ci) % 15 - 7,
+    (1, 0): lambda d, ci, b: (2 * d + b + 5 * ci) % 11 - 5,
+    (3, 2): lambda d, ci, b: (d * b + d + 3 * ci) % 7 - 3,
+}
+J420_COEF_SQL = {
+    (0, 0): "(doc_id + 5 * b + 7 * ci) % 32 - 16",
+    (0, 1): "(doc_id + 3 * b + 11 * ci) % 15 - 7",
+    (1, 0): "(2 * doc_id + b + 5 * ci) % 11 - 5",
+    (3, 2): "(doc_id * b + doc_id + 3 * ci) % 7 - 3",
+}
+
+
+def _j420_blocks(d: int, ci: int, n: int) -> list[list[list[int]]]:
+    out = []
+    for b in range(n):
+        blk = [[0] * 8 for _ in range(8)]
+        for (r, c), f in J420_COEF.items():
+            blk[r][c] = f(d, ci, b)
+        out.append(blk)
+    return out
+
+
+def jpeg420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled baseline JPEG decode over
+    BinaryType: synthesize one color JFIF per document (Y at 2x2 over
+    the full interleaved grid including dummy edge blocks, chroma at
+    1x1; restart intervals every third doc), round-trip it through the
+    full codec, and emit exact per-plane pixel statistics — Y at (w, h),
+    chroma at (ceil(w/2), ceil(h/2)). The oracle re-derives every plane
+    from the coefficient formula + the same integer IDCT table.
+
+    Scale shape: identical to jpeg_decode_stats — (doc_id, payload)
+    through two Arrow-batched kernels, decode row-local, partitions
+    trivially at 100 TB."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = J420_W(d), J420_H(d)
+                mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+                comps = [
+                    _j420_blocks(d, 0, (2 * mcux) * (2 * mcuy)),
+                    _j420_blocks(d, 1, mcux * mcuy),
+                    _j420_blocks(d, 2, mcux * mcuy),
+                ]
+                payloads.append(
+                    encode_jpeg(
+                        w, h, JPG_QT, comps,
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                        dri=2 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "chroma_w": [], "chroma_h": [],
+                "y_sum": [], "cb_sum": [], "cr_sum": [],
+                "y_min": [], "y_max": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, planes = decode_jpeg(bytes(p))
+                yf = [v for row in planes[0] for v in row]
+                cb = [v for row in planes[1] for v in row]
+                cr = [v for row in planes[2] for v in row]
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["chroma_w"].append(len(planes[1][0]))
+                rows["chroma_h"].append(len(planes[1]))
+                rows["y_sum"].append(sum(yf))
+                rows["cb_sum"].append(sum(cb))
+                rows["cr_sum"].append(sum(cr))
+                rows["y_min"].append(min(yf))
+                rows["y_max"].append(max(yf))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, chroma_w long,"
+            " chroma_h long, y_sum long, cb_sum long, cr_sum long,"
+            " y_min long, y_max long"
+        ),
+    )
+
+
+# --- progressive (SOF2) 4:4:4 JPEG (round 6) -------------------------------
+# Spectral selection + successive approximation: DC scan at Al=1 +
+# refinement, per-component AC bands 1..5 / 6..63 at Al=1 + full-band
+# refinement. Decoded pixels equal the baseline render of the same
+# quantized coefficients, so the oracle stays a pure IDCT replay — a
+# bug anywhere in the progressive entropy machinery (EOB runs,
+# correction bits, band bookkeeping, per-scan tables) flips the hash.
+# Coefficients span both AC bands and the band edge (7,7).
+JPROG_W = lambda d: 8 + (5 * d) % 13  # noqa: E731
+JPROG_H = lambda d: 8 + (7 * d) % 11  # noqa: E731
+JPROG_COEF = {
+    (0, 0): lambda d, ci, b: (3 * d + 5 * b + 7 * ci) % 32 - 16,
+    (0, 1): lambda d, ci, b: (d + 4 * b + 9 * ci) % 13 - 6,
+    (1, 0): lambda d, ci, b: (2 * d + 3 * b + 5 * ci) % 11 - 5,
+    (3, 2): lambda d, ci, b: (d * b + 2 * d + 3 * ci) % 7 - 3,
+    (5, 5): lambda d, ci, b: (d + b * ci + 4 * ci) % 9 - 4,
+    (7, 7): lambda d, ci, b: (2 * d + b + ci) % 5 - 2,
+}
+JPROG_COEF_SQL = {
+    (0, 0): "(3 * doc_id + 5 * b + 7 * ci) % 32 - 16",
+    (0, 1): "(doc_id + 4 * b + 9 * ci) % 13 - 6",
+    (1, 0): "(2 * doc_id + 3 * b + 5 * ci) % 11 - 5",
+    (3, 2): "(doc_id * b + 2 * doc_id + 3 * ci) % 7 - 3",
+    (5, 5): "(doc_id + b * ci + 4 * ci) % 9 - 4",
+    (7, 7): "(2 * doc_id + b + ci) % 5 - 2",
+}
+
+
+def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode over BinaryType: synthesize a
+    4:4:4 color progressive JFIF per document (classic scan script —
+    interleaved DC first at Al=1, DC refinement, per-component AC bands
+    at Al=1, full-band AC refinement), round-trip it, and emit exact
+    per-plane statistics. Same oracle shape as the baseline rung: the
+    progressive entropy coding is lossless over quantized coefficients.
+
+    Scale shape: identical to jpeg_decode_stats."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JPROG_W(d), JPROG_H(d)
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                comps = []
+                for ci in range(3):
+                    blocks = []
+                    for b in range(bw * bh):
+                        blk = [[0] * 8 for _ in range(8)]
+                        for (r, c), f in JPROG_COEF.items():
+                            blk[r][c] = f(d, ci, b)
+                        blocks.append(blk)
+                    comps.append(blocks)
+                payloads.append(
+                    encode_jpeg(w, h, JPG_QT, comps, progressive=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "y_sum": [], "cb_sum": [], "cr_sum": [],
+                "min_pixel": [], "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, planes = decode_jpeg(bytes(p))
+                flats = [[v for row in pl for v in row] for pl in planes]
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["y_sum"].append(sum(flats[0]))
+                rows["cb_sum"].append(sum(flats[1]))
+                rows["cr_sum"].append(sum(flats[2]))
+                rows["min_pixel"].append(min(min(f) for f in flats))
+                rows["max_pixel"].append(max(max(f) for f in flats))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, y_sum long,"
+            " cb_sum long, cr_sum long, min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg420_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {J420_COEF_SQL[(r, c)]})" for (r, c) in J420_COEF
+    )
+    # per component: plane dims (xc, yc) and the FULL-grid stride the
+    # encoder indexed blocks with (Y: 2·mcux, chroma: mcux)
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id,
+         10 + doc_id % 15 AS w,
+         10 + (3 * doc_id) % 11 AS h,
+         (10 + doc_id % 15 + 15) // 16 AS mcux
+  FROM documents
+), comps AS (
+  SELECT d.*, c.ci,
+         CASE WHEN c.ci = 0 THEN d.w ELSE (d.w + 1) // 2 END AS xc,
+         CASE WHEN c.ci = 0 THEN d.h ELSE (d.h + 1) // 2 END AS yc,
+         CASE WHEN c.ci = 0 THEN 2 * d.mcux ELSE d.mcux END AS stride
+  FROM dims d, (SELECT UNNEST(range(0, 3)) AS ci) c
+), blocks AS (
+  SELECT c.doc_id, c.ci, c.xc, c.yc, bx.bx, by.by,
+         by.by * c.stride + bx.bx AS b
+  FROM comps c,
+       LATERAL (SELECT UNNEST(range(0, (c.xc + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (c.yc + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, ci, xc, yc, bx, by, cf.r, cf.c,
+         cf.val * (1 + cf.r + cf.c) AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val)
+), pix AS (
+  SELECT doc_id, ci, xc, yc, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, ci, xc, yc, bx, by, xs.x, ys.y
+), per_comp AS (
+  SELECT doc_id, ci, xc, yc,
+         SUM(p) AS s, MIN(p) AS mn, MAX(p) AS mx
+  FROM pix
+  WHERE ix < xc AND iy < yc
+  GROUP BY doc_id, ci, xc, yc
+)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN ci = 0 THEN xc END) AS BIGINT) AS width,
+       CAST(MAX(CASE WHEN ci = 0 THEN yc END) AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN ci = 1 THEN xc END) AS BIGINT) AS chroma_w,
+       CAST(MAX(CASE WHEN ci = 1 THEN yc END) AS BIGINT) AS chroma_h,
+       CAST(MAX(CASE WHEN ci = 0 THEN s END) AS BIGINT) AS y_sum,
+       CAST(MAX(CASE WHEN ci = 1 THEN s END) AS BIGINT) AS cb_sum,
+       CAST(MAX(CASE WHEN ci = 2 THEN s END) AS BIGINT) AS cr_sum,
+       CAST(MAX(CASE WHEN ci = 0 THEN mn END) AS BIGINT) AS y_min,
+       CAST(MAX(CASE WHEN ci = 0 THEN mx END) AS BIGINT) AS y_max
+FROM per_comp
+GROUP BY doc_id
+"""
+
+
+def _jpeg_progressive_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {JPROG_COEF_SQL[(r, c)]})" for (r, c) in JPROG_COEF
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id,
+         8 + (5 * doc_id) % 13 AS w,
+         8 + (7 * doc_id) % 11 AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, c.ci, bx.bx, by.by,
+         by.by * ((d.w + 7) // 8) + bx.bx AS b
+  FROM dims d,
+       (SELECT UNNEST(range(0, 3)) AS ci) c,
+       LATERAL (SELECT UNNEST(range(0, (d.w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (d.h + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, w, h, ci, bx, by, cf.r, cf.c,
+         cf.val * (1 + cf.r + cf.c) AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val)
+), pix AS (
+  SELECT doc_id, w, h, ci, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, ci, bx, by, xs.x, ys.y
+), per_comp AS (
+  SELECT doc_id, w, h, ci,
+         SUM(p) AS s, MIN(p) AS mn, MAX(p) AS mx
+  FROM pix
+  WHERE ix < w AND iy < h
+  GROUP BY doc_id, w, h, ci
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN ci = 0 THEN s END) AS BIGINT) AS y_sum,
+       CAST(MAX(CASE WHEN ci = 1 THEN s END) AS BIGINT) AS cb_sum,
+       CAST(MAX(CASE WHEN ci = 2 THEN s END) AS BIGINT) AS cr_sum,
+       CAST(MIN(mn) AS BIGINT) AS min_pixel,
+       CAST(MAX(mx) AS BIGINT) AS max_pixel
+FROM per_comp
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG420_DECODE_SQL = _jpeg420_decode_sql()
+JPEG_PROGRESSIVE_DECODE_SQL = _jpeg_progressive_decode_sql()
+
+
 # --- image near-dup dedup: perceptual hash over REAL decoded pixels ------
 # Ties the multimodal tier into the dedup ladder: documents in the same
 # GROUP (g = doc_id % PH_GROUPS) share a base image; each doc perturbs
