@@ -626,13 +626,17 @@ def oracle_sql() -> dict[str, str]:
     signatures/bands, as does cms_heavy_hitters whose cell table uses
     the same family), hll_distinct_merge /
     kll_quantile_merge (DataSketches binary sketch internals are
-    engine-specific — tests bound their error vs the exact aggregates;
+    engine-specific — tests bound their error vs the exact aggregates,
+    and sketch_error_bounds pins those bounds as a hash-checked row;
     kmeans_clusters, by contrast, runs Lloyd's on integer-quantized
     coordinates and DOES carry an exact oracle of all 5 rounds) /
-    equidepth_sampled (percentile_approx sketch cutpoints are
-    engine-specific — tests bound bucket-population error vs exact ntile) /
     compressibility (deflate output is zlib-version specific — invariant
     tests pin the signal direction on constructed docs instead).
+    Since r6, approx_aggregates and equidepth_sampled are ORACLE-BACKED:
+    their registered forms return exact values + pinned error-bound
+    booleans driven by the live sketches (approx_aggregates_raw /
+    equidepth_sampled_raw keep the raw one-pass scale path), so only
+    the 3 keys above remain rows-only.
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -901,6 +905,10 @@ GROUP BY word
         "sql_parameterized": analytics.SQL_PARAMETERIZED_SQL,
         "grouped_correlation": analytics.GROUPED_CORR_SQL,
         "equidepth_deciles": analytics.EQUIDEPTH_SQL,
+        # r6: audited forms — exact values + pinned error-bound booleans
+        # driven by the live sketches (raw one-pass forms stay exported)
+        "approx_aggregates": subqueries.APPROX_AGGREGATES_SQL,
+        "equidepth_sampled": analytics.EQUIDEPTH_SAMPLED_SQL,
         "audio_energy_windows": multimodal.AUDIO_ENERGY_SQL,
         "image_header_parse": multimodal.IMAGE_HEADER_SQL,
         "image_decode_stats": multimodal.IMAGE_DECODE_SQL,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from tinymapreduce_spark.operators import dedup, similarity
 from tinymapreduce_spark.operators.multimodal import decode_image
 from tinymapreduce_spark.operators.shards import NSHARDS, ShardController
-from tinymapreduce_spark.plans.subqueries import approx_aggregates
+from tinymapreduce_spark.plans.subqueries import approx_aggregates_raw
 from tinymapreduce_spark.sources.loaders import load_table
 
 
@@ -241,7 +241,7 @@ class TestApproxRecall:
             .agg(F.countDistinct("l_orderkey").alias("n"))
             .collect()
         }
-        approx = {r.l_returnflag: r.approx_orders for r in approx_aggregates(spark, sf_dir).collect()}
+        approx = {r.l_returnflag: r.approx_orders for r in approx_aggregates_raw(spark, sf_dir).collect()}
         for k, exact_n in exact.items():
             assert abs(approx[k] - exact_n) / exact_n < 0.1  # HLL++ rsd default 0.05
 
@@ -1037,10 +1037,10 @@ class TestEquidepthSampled:
         """The sampled two-pass bucketing must approximate the exact
         ntile populations (within 2% of N/10 at accuracy=10k) and keep
         bucket value-ranges ordered and non-overlapping."""
-        from tinymapreduce_spark.plans.analytics import N_DECILES, equidepth_sampled
+        from tinymapreduce_spark.plans.analytics import N_DECILES, equidepth_sampled_raw
 
         rows = sorted(
-            equidepth_sampled(spark, sf_dir).collect(), key=lambda r: r.decile
+            equidepth_sampled_raw(spark, sf_dir).collect(), key=lambda r: r.decile
         )
         n = sum(r.n_orders for r in rows)
         target = n / N_DECILES

@@ -266,6 +266,37 @@ class TestShardMigration:
                 stray = df.where(~df["shard"].isin(list(owned))).count()
                 assert stray == 0, (cfg.num, g)
 
+    def test_untouched_shards_served_unchanged(self, spark, sf_dir):
+        """Serve-during-migration (reference src/shardkv/test_test.go:
+        824-948, Challenge 2's data-plane analog): while OTHER shards
+        migrate between two configs, every untouched shard keeps being
+        answered from a store whose contents for that shard are
+        BIT-IDENTICAL to the previous config's — migration of shard A
+        can neither drop, duplicate nor mutate rows of co-resident
+        shard B, at every intermediate config in the chain."""
+        from pyspark.sql import functions as F
+
+        hist = list(self._stores_through_history(spark, sf_dir))
+        checked = 0
+        for (pcfg, pstores, _), (ccfg, cstores, _) in zip(hist, hist[1:]):
+            untouched = [
+                s
+                for s in range(len(ccfg.shards))
+                if pcfg.shards[s] == ccfg.shards[s]
+            ]
+            if not untouched:
+                continue
+            groups = {ccfg.shards[s] for s in untouched}
+            for g in groups:
+                owned = [s for s in untouched if ccfg.shards[s] == g]
+                before = pstores[g].where(F.col("shard").isin(owned))
+                after = cstores[g].where(F.col("shard").isin(owned))
+                assert before.exceptAll(after).count() == 0, (ccfg.num, g)
+                assert after.exceptAll(before).count() == 0, (ccfg.num, g)
+                checked += after.count() > 0
+        # the property must have bitten on real rows, not vacuous truth
+        assert checked > 0
+
     def test_ledger_matches_config_diff(self, spark, sf_dir):
         from tinymapreduce_spark.operators.shards import (
             config_history,

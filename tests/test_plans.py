@@ -605,7 +605,7 @@ def test_cached_fact_reused_across_aggregates(spark, sf_dir):
 def test_equidepth_sampled_no_global_sort(spark, sf_dir):
     """The sampled two-pass bucketing must not plan a global sort —
     that's the whole point versus the exact ntile form."""
-    p = plan_of(analytics.equidepth_sampled(spark, sf_dir))
+    p = plan_of(analytics.equidepth_sampled_raw(spark, sf_dir))
     assert "rangepartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # cuts broadcast
 

@@ -579,8 +579,8 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a regression in any sketch/merge path flips a value the driver
     hashes. All exact sides are single aggregates; the rank brackets
     cost one extra lineitem scan with two broadcast scalars."""
-    from tinymapreduce_spark.plans.analytics import equidepth_sampled
-    from tinymapreduce_spark.plans.subqueries import approx_aggregates
+    from tinymapreduce_spark.plans.analytics import equidepth_sampled_raw
+    from tinymapreduce_spark.plans.subqueries import approx_aggregates_raw
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -614,14 +614,14 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("price") <= F.col("pa_p50")).cast("long")).alias("pa_hi"),
         )
     )
-    ed = equidepth_sampled(spark, sf_dir).agg(
+    ed = equidepth_sampled_raw(spark, sf_dir).agg(
         F.sum("n_orders").alias("ed_n"),
         F.max("n_orders").alias("ed_max"),
         F.min("n_orders").alias("ed_min"),
         F.count(F.lit(1)).alias("ed_buckets"),
     )
     # approx_aggregates itself must at least be runnable and non-empty
-    aa = approx_aggregates(spark, sf_dir).agg(
+    aa = approx_aggregates_raw(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("aa_groups")
     )
     return (

@@ -2102,13 +2102,16 @@ GROUP BY decile
 """
 
 
-def equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equidepth_sampled_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB scale path for equi-depth bucketing: approximate decile
     cutpoints from ``percentile_approx`` (one pass, mergeable sketch,
     tiny result) broadcast into a width_bucket-style assignment scan —
     two passes total, NO global sort, versus ``equidepth_deciles``'s
     exact ntile (rangepartitioning + full sort), which serves as its
-    gold standard in tests/test_invariants.py.
+    gold standard in tests/test_invariants.py. Bucket contents depend on
+    the sketch's cutpoints (engine-specific), so this raw form has no
+    SQL twin; the registered ``equidepth_sampled`` query below wraps it
+    in hash-checkable audits.
 
     This two-pass shape is how Spark itself computes range-partition
     bounds (sampled), generalized to any bucket count."""
@@ -2135,6 +2138,62 @@ def equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+# the audit bands equidepth_sampled pins (same contract as
+# operators/sketches.py::sketch_error_bounds): a 10k-entry sketch puts
+# every decile within +-20% of n/10, i.e. bucket share in [8%, 12%]
+EQUIDEPTH_SHARE_LO_PCT = 8
+EQUIDEPTH_SHARE_HI_PCT = 12
+
+
+def equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled equi-depth bucketing as a HASH-CHECKABLE audit (r5
+    verdict #6: the raw bucket contents were rows-only driver
+    evidence): per decile, the EXACT total row count — every row lands
+    in exactly one bucket, so the sum is cutpoint-independent and the
+    oracle derives it from COUNT(*) — plus pinned booleans: the bucket
+    holds 8–12% of rows (the 10k-sketch rank-error band), buckets are
+    value-disjoint and ordered (previous hi <= lo <= hi), and exactly
+    N_DECILES buckets exist. The sketch cutpoints still DRIVE every
+    boolean, so a percentile_approx or assignment regression flips a
+    hashed value. Raw form: ``equidepth_sampled_raw`` (the scale path).
+
+    The ordering window runs over the 10-row bucket aggregate, not the
+    data — single-partition is fine at any scale."""
+    raw = equidepth_sampled_raw(spark, sf_dir)
+    tot = raw.agg(
+        F.sum("n_orders").alias("n_total"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    w = Window.orderBy("decile")
+    return (
+        raw.withColumn("prev_hi", F.lag("hi").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_total").cast("long").alias("n_total"),
+            (
+                (F.col("n_orders") * 100 >= F.col("n_total") * EQUIDEPTH_SHARE_LO_PCT)
+                & (F.col("n_orders") * 100 <= F.col("n_total") * EQUIDEPTH_SHARE_HI_PCT)
+            ).alias("share_ok"),
+            (
+                (F.col("lo") <= F.col("hi"))
+                & (F.col("prev_hi").isNull() | (F.col("prev_hi") <= F.col("lo")))
+            ).alias("ordered_ok"),
+            (F.col("n_buckets") == N_DECILES).alias("buckets_ok"),
+        )
+    )
+
+
+EQUIDEPTH_SAMPLED_SQL = """
+SELECT CAST(d.decile AS INT) AS decile,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total,
+       TRUE AS share_ok,
+       TRUE AS ordered_ok,
+       TRUE AS buckets_ok
+FROM (SELECT UNNEST(range(1, 11)) AS decile) d
+"""
 
 
 def sql_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,14 +312,94 @@ LATERAL (
 """
 
 
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation surface: HLL++ approx_count_distinct and
-    t-digest-style approx percentile. No SQL oracle (sketch results are
-    engine-specific by construction); tests bound the error vs the exact
-    forms instead."""
+    t-digest-style approx percentile — the ONE-PASS 100 TB scale path
+    (sketch results are engine-specific by construction, so this raw
+    form has no SQL twin). The registered ``approx_aggregates`` query
+    below wraps it in hash-checkable error-bound audits."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
     )
+
+
+# documented accuracy contracts the audit row pins (same constants as
+# operators/sketches.py::sketch_error_bounds):
+#   approx_count_distinct -> 5% rsd -> 15% bound
+#   percentile_approx/1000 -> 0.1% rank error -> +-5 rank-pct bracket
+APPROX_ACD_ERR_PCT = 15
+APPROX_RANK_LO_PCT = 45
+APPROX_RANK_HI_PCT = 55
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregation surface as a HASH-CHECKABLE audit
+    (r5 verdict #6: the raw sketch estimates were rows-only driver
+    evidence): per group, the exact distinct counts — derived
+    independently by the oracle — plus one pinned error-bound boolean
+    per sketch. The raw estimates still DRIVE every boolean (the
+    sketches run and their outputs are compared against the exact
+    sides), so a regression in approx_count_distinct, percentile_approx
+    or their merge paths flips a hashed value. The raw one-pass form
+    stays available as ``approx_aggregates_raw`` (the scale path; this
+    audit adds exact count-distinct passes by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = approx_aggregates_raw(spark, sf_dir)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # exact rank bracket of each group's approximate median — one scan
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(
+            F.broadcast(raw.select("l_returnflag", "approx_median_price")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median_price")).cast("long")
+            ).alias("below"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median_price")).cast("long")
+            ).alias("at_or_below"),
+        )
+    )
+    return (
+        exact.join(raw, "l_returnflag")
+        .join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders",
+            "n_parts",
+            (
+                F.abs(F.col("approx_orders") - F.col("n_orders")) * 100
+                <= F.col("n_orders") * APPROX_ACD_ERR_PCT
+            ).alias("orders_ok"),
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts")) * 100
+                <= F.col("n_parts") * APPROX_ACD_ERR_PCT
+            ).alias("parts_ok"),
+            (
+                (F.col("below") * 100 <= F.col("n_rows") * APPROX_RANK_HI_PCT)
+                & (F.col("at_or_below") * 100 >= F.col("n_rows") * APPROX_RANK_LO_PCT)
+            ).alias("median_ok"),
+        )
+    )
+
+
+APPROX_AGGREGATES_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       TRUE AS orders_ok,
+       TRUE AS parts_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
