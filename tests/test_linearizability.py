@@ -174,3 +174,149 @@ def test_commit_order_state_matches_replay_ops(spark):
     got = {r["key"]: r["value"] for r in replay_ops(ops).collect()}
     want = {k: v for k, v in model_state.items()}
     assert got == want
+
+
+# --- sharded histories (round 6, VERDICT r5 #8) ----------------------------
+# The reference partitions histories before checking: porcupine's
+# Partition hook splits a KV history per key (src/models/kv.go:18-34),
+# because ops on disjoint keys commute in the sequential model — the
+# whole history is linearizable iff every partition is. The shardkv
+# analog partitions per SHARD (the unit of migration, key2shard =
+# first byte % NSHARDS, functions/hashing.py:39), giving K6's ONLINE
+# semantics the same checker treatment K1-K4 got: a broken handoff
+# (lost or stale store) surfaces as a non-linearizable per-shard
+# history even while every other shard stays clean.
+
+
+def key_shard(key: str, nshards: int = 10) -> int:
+    """Mirror of functions/hashing.py::key2shard for model histories."""
+    return (ord(key[0]) % nshards) if key else 0
+
+
+def partition_by_shard(
+    history: list[HistOp], nshards: int = 10
+) -> dict[int, list[HistOp]]:
+    parts: dict[int, list[HistOp]] = {}
+    for op in history:
+        parts.setdefault(key_shard(op.key, nshards), []).append(op)
+    return parts
+
+
+def linearizable_sharded(history: list[HistOp], nshards: int = 10) -> bool:
+    """Sound AND complete for the KV model: keys never interact, so a
+    per-shard linearization extends to a whole-history one (merge by
+    linearization point) and vice versa (restriction). The win is
+    cost: Wing&Gong is exponential in pending ops, so checking s
+    shards of n/s ops each is exponentially cheaper than one n-op
+    search — the same reason porcupine partitions per key."""
+    return all(
+        linearizable(part) for part in partition_by_shard(history, nshards).values()
+    )
+
+
+def test_sharded_checker_agrees_with_whole_history():
+    """Soundness/completeness spot check: on histories small enough to
+    check whole, the per-shard verdict equals the whole-history verdict
+    — for both legal histories and ones broken inside a single shard."""
+    rng = random.Random(4321)
+    for _ in range(15):
+        history, _, _ = _concurrent_history(rng, n_clients=3, ops_per_client=3)
+        assert linearizable_sharded(history) and linearizable(history)
+        # break one get (first get found) -> both checkers must reject
+        for i, op in enumerate(history):
+            if op.op == "get":
+                broken = list(history)
+                broken[i] = HistOp(
+                    op.client, op.op, op.key, op.arg,
+                    op.result + "phantom", op.call, op.ret,
+                )
+                assert not linearizable(broken)
+                assert not linearizable_sharded(broken)
+                break
+
+
+def test_sharded_checker_isolates_the_broken_shard():
+    """A violation in one shard must not poison the others' verdicts:
+    the per-shard map pinpoints WHICH shard's serving history broke —
+    the diagnostic a migration bug needs."""
+    h = [
+        # shard of 'a' (97 % 10 = 7) — clean
+        HistOp(0, "append", "a", "1", "", call=0, ret=1),
+        HistOp(1, "get", "a", "", "1", call=2, ret=3),
+        # shard of 'b' (98 % 10 = 8) — stale read
+        HistOp(0, "put", "b", "x", "", call=0, ret=1),
+        HistOp(1, "get", "b", "", "", call=2, ret=3),
+    ]
+    verdicts = {
+        shard: linearizable(part)
+        for shard, part in partition_by_shard(h).items()
+    }
+    assert verdicts == {7: True, 8: False}
+    assert not linearizable_sharded(h)
+
+
+def test_migration_handoff_histories():
+    """K6 online semantics through the checker: shard 7 ('a…' keys) is
+    served by group A, then handed to group B at a config change. A
+    correct handoff (B continues from A's full store) yields a
+    linearizable per-shard history; a LOST handoff (B starts empty) or
+    a STALE one (B got a pre-append snapshot) is caught — the model
+    form of reference src/shardkv/test_test.go's post-migration
+    check-and-append loops."""
+    served_by_a = [
+        HistOp(0, "append", "a1", "x", "", call=0, ret=1),
+        HistOp(0, "append", "a1", "y", "", call=2, ret=3),
+    ]
+    # correct handoff: B answers with A's full history
+    assert linearizable_sharded(
+        served_by_a + [HistOp(1, "get", "a1", "", "xy", call=10, ret=11)]
+    )
+    # lost handoff: B starts from an empty store
+    assert not linearizable_sharded(
+        served_by_a + [HistOp(1, "get", "a1", "", "", call=10, ret=11)]
+    )
+    # stale handoff: B's snapshot predates the second append
+    assert not linearizable_sharded(
+        served_by_a + [HistOp(1, "get", "a1", "", "x", call=10, ret=11)]
+    )
+    # concurrent-with-migration get: overlaps the second append, so
+    # either serving group may answer first — both results legal
+    for observed in ("x", "xy"):
+        assert linearizable_sharded(
+            served_by_a + [HistOp(1, "get", "a1", "", observed, call=2, ret=11)]
+        )
+
+
+def test_sharded_histories_across_many_shards():
+    """A multi-shard concurrent run: per-client sequential ops over
+    keys spanning 5 shards, commit points drawn inside each envelope —
+    legal by construction, and each shard's sub-history checks
+    independently (the partition sizes sum to the whole)."""
+    rng = random.Random(99)
+    events = []
+    t = 0
+    clocks = [0] * 4
+    keys = ["a0", "b0", "c0", "d0", "e0"]  # shards 7, 8, 9, 0, 1
+    for c in range(4):
+        for _ in range(6):
+            call = clocks[c] + rng.randint(0, 3)
+            dur = rng.randint(1, 6)
+            ret = call + dur
+            clocks[c] = ret + rng.randint(0, 2)
+            op = rng.choice(["put", "append", "append", "get"])
+            key = rng.choice(keys)
+            arg = "" if op == "get" else f"{c}.{t}/"
+            events.append((call + rng.randint(0, dur), call, ret, c, op, key, arg))
+            t += 1
+    events.sort(key=lambda e: (e[0], e[3]))
+    state: dict[str, str] = {}
+    history = []
+    for lin, call, ret, c, op, key, arg in events:
+        result = state.get(key, "") if op == "get" else ""
+        history.append(HistOp(c, op, key, arg, result, call, ret))
+        state, ok = _apply(state, history[-1])
+        assert ok
+    parts = partition_by_shard(history)
+    assert sum(len(p) for p in parts.values()) == len(history)
+    assert len(parts) >= 3  # the keys really spread over shards
+    assert linearizable_sharded(history)
