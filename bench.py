@@ -212,6 +212,12 @@ HEADLINE = [
     "shard_migration",
     "stream_kv_dedup",
     "image_phash_dedup",
+    # new in round 6: subsampled + progressive codec rungs (the audited
+    # approx_aggregates / equidepth_sampled forms replace the raw ones
+    # under their existing entries above)
+    "jpeg420_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "approx_aggregates",
 ]
 
 

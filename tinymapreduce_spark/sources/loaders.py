@@ -67,6 +67,30 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def events_stream_source(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """``readStream`` source for the events table, robust to BOTH
+    physical layouts a corpus dir can ship: a single ``events.parquet``
+    FILE beside its sibling tables (driver testdata — glob-filter the
+    parent dir so the file source lists exactly that file) or an
+    ``events.parquet`` DIRECTORY of part files (Spark-written corpora,
+    e.g. the ×N scale-probe inflations, where a parent-dir glob on the
+    directory NAME matches no leaf file and the stream silently reads
+    zero batches). Returns the RAW frame — callers keep their own
+    ``normalize_event_ts`` / projection chains."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL entry points."""
     for name in TABLES:

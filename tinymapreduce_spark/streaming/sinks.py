@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.operators.multimodal import BINFILE_CAP as _BINFILE_CAP
-from tinymapreduce_spark.sources.loaders import normalize_event_ts
+from tinymapreduce_spark.sources.loaders import events_stream_source, normalize_event_ts
 from tinymapreduce_spark.sources.manifest_sink import ManifestTable, cdc_change_feed
 from tinymapreduce_spark.sources.textfiles import SCRATCH
 
@@ -91,9 +91,7 @@ def stream_wap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op path, so recovery never double-counts."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     agg = stream.groupBy("event_type").agg(
@@ -231,9 +229,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     observed = stream.observe(
@@ -302,9 +298,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(SCRATCH, f"avail_now_{tag}_{fp}")
     ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
     q = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)

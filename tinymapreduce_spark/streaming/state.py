@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tinymapreduce_spark.operators.packing import PACK_CAP, PACK_SHARDS
-from tinymapreduce_spark.sources.loaders import normalize_event_ts
+from tinymapreduce_spark.sources.loaders import events_stream_source, normalize_event_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -73,9 +73,7 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv_replay — that's the correctness contract (same SQL oracle)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     ops = stream.select(
@@ -182,9 +180,7 @@ def stream_kv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ops_stream() -> DataFrame:
         stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            events_stream_source(spark, sf_dir, schema)
         )
         stream = normalize_event_ts(stream)
         return stream.select(
@@ -273,9 +269,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     agg = stream.groupBy(
@@ -331,9 +325,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     deduped = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
@@ -405,9 +397,7 @@ def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     would diverge from the oracle."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
 
@@ -500,9 +490,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     deduped = (
@@ -548,9 +536,7 @@ def state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
 
     stream = normalize_event_ts(
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinymapreduce_spark.sources.loaders import normalize_event_ts
+from tinymapreduce_spark.sources.loaders import events_stream_source, normalize_event_ts
 
 
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,9 +31,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-stream sources need a directory basePath; glob-filter down to
     # the events table within the sf dir.
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     # ts arrives as long nanos (see sources/loaders.py) — convert before
     # event-time operations.
@@ -85,9 +83,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes the final windows."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     agg = (
@@ -126,9 +122,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def src():
         s = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            events_stream_source(spark, sf_dir, schema)
         )
         s = normalize_event_ts(s)
         return s
@@ -198,9 +192,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension size churn."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream_source(spark, sf_dir, schema)
     )
     stream = normalize_event_ts(stream)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")

@@ -64,6 +64,15 @@ PROBES = [
     # codec is row-local Arrow kernel work (should track row count)
     "hybrid_rrf_ndcg",
     "jpeg_decode_stats",
+    # round-6: subsampled + progressive codec rungs (row-local Arrow
+    # kernel work like jpeg_decode_stats — should track row count; the
+    # 4:2:0 images carry ~4x the pixels of the baseline rung) and the
+    # pHash near-dup (banded Hamming equi-join: candidate-bounded, the
+    # x16 corpus grows same-group membership 16x so pair output grows
+    # ~quadratically WITHIN groups while the join stays bucketed)
+    "jpeg420_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "image_phash_dedup",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
@@ -115,6 +124,11 @@ EVENT_PROBES = [
     "kv_replay_dedup",
     "kv_snapshot_replay",
     "shard_migration",
+    # round-6: the streaming dedup twin re-streams the inflated events
+    # through micro-batches; state is O(1) per client (last op id), so
+    # the wall should track input growth plus the fixed streaming
+    # machinery floor
+    "stream_kv_dedup",
 ]
 
 
@@ -160,11 +174,16 @@ def main() -> None:
     # warm python workers / codegen like bench.py does
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
 
+    # optional CLI filter: python tools/scale_probe.py q1 q2 ...
+    selected = sys.argv[1:]
+    names = [
+        n for n in PROBES + EVENT_PROBES if not selected or n in selected
+    ]
     print(
         f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
         f"  rows(base->x{COPIES})"
     )
-    for name in PROBES + EVENT_PROBES:
+    for name in names:
         fn = q[name]
         t0 = time.time()
         n1 = fn(spark, BASE_SF).count()
