@@ -179,6 +179,7 @@ _R6_WINDOW = [
     # keys pre-staged by ROTATION.md
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
+    "png_decode_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -370,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": multimodal.jpeg_decode_stats,
         "jpeg420_decode_stats": multimodal.jpeg420_decode_stats,
         "jpeg_progressive_decode_stats": multimodal.jpeg_progressive_decode_stats,
+        "png_decode_stats": multimodal.png_decode_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -921,6 +923,9 @@ GROUP BY word
         # progressive entropy coding is lossless over quantized
         # coefficients, so the oracle stays the same IDCT replay
         "jpeg_progressive_decode_stats": multimodal.JPEG_PROGRESSIVE_DECODE_SQL,
+        # zlib INFLATE of our own encodes is version-independent, so the
+        # PNG oracle replays the pixel formula directly
+        "png_decode_stats": multimodal.PNG_DECODE_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

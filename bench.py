@@ -217,6 +217,7 @@ HEADLINE = [
     # under their existing entries above)
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
+    "png_decode_stats",
     "approx_aggregates",
 ]
 

@@ -1,0 +1,128 @@
+"""Unit tests for the pure-Python PNG codec (``functions/pngcodec.py``)
+— the PNG rung of the compressed-codec tier. No Spark involved: the
+codec is row-local; the Spark plumbing is certified by the
+oracle-backed ``png_decode_stats`` query.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from tinymapreduce_spark.functions.pngcodec import (
+    ADAM7,
+    _paeth,
+    decode_png,
+    encode_png,
+)
+
+
+def _rand_image(rng: random.Random, w: int, h: int, ct: int):
+    """(pixels-for-encode, expected-rgb-rows, palette)."""
+    if ct == 2:
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        return px, px, None
+    if ct == 0:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        return px, [[(v, v, v) for v in row] for row in px], None
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(16)
+    ]
+    px = [[rng.randrange(16) for _ in range(w)] for _ in range(h)]
+    return px, [[pal[v] for v in row] for row in px], pal
+
+
+def test_paeth_tie_breaking_is_the_spec_order():
+    # ties break left, then up, then up-left (spec 6.6)
+    assert _paeth(1, 1, 1) == 1
+    assert _paeth(10, 10, 0) == 10  # pa == pb -> a
+    # a=0 b=4 c=2 -> p=2, pa=2, pb=2, pc=0 -> pc strictly smallest -> c
+    assert _paeth(0, 4, 2) == 2
+    # pb == pc -> up wins over up-left: a=3 b=0 c=2 -> p=1, pa=2, pb=1, pc=1
+    assert _paeth(3, 0, 2) == 0
+
+
+def test_roundtrip_all_color_types_filters_and_interlace():
+    """decode(encode(pixels)) must be bit-exact across color types 0/2/3,
+    both interlace methods, all five row filters, and edge sizes down to
+    1x1 (which leaves several Adam7 passes empty)."""
+    rng = random.Random(5)
+    for t in range(60):
+        w, h = rng.randint(1, 33), rng.randint(1, 30)
+        ct = rng.choice([0, 2, 3])
+        interlace = rng.choice([0, 1])
+        px, want, pal = _rand_image(rng, w, h, ct)
+        payload = encode_png(
+            w, h, px, color_type=ct, palette=pal, interlace=interlace,
+            filters=lambda y, t=t: (y + t),
+        )
+        assert decode_png(payload) == (w, h, want), (t, w, h, ct, interlace)
+
+
+def test_each_single_filter_type_roundtrips():
+    """Pin every filter independently — a broken Average or Paeth must
+    not hide behind the cycling default."""
+    rng = random.Random(6)
+    px, want, _ = _rand_image(rng, 19, 13, 2)
+    for f in range(5):
+        payload = encode_png(19, 13, px, color_type=2, filters=lambda y, f=f: f)
+        assert decode_png(payload) == (19, 13, want), f
+
+
+def test_adam7_pass_geometry_covers_each_pixel_once():
+    seen = set()
+    w = h = 16
+    for x0, y0, dx, dy in ADAM7:
+        for y in range(y0, h, dy):
+            for x in range(x0, w, dx):
+                assert (x, y) not in seen
+                seen.add((x, y))
+    assert len(seen) == w * h
+
+
+def test_multi_idat_concatenation_and_ancillary_chunks_skipped():
+    rng = random.Random(7)
+    px, want, _ = _rand_image(rng, 12, 9, 0)
+    payload = bytearray(encode_png(12, 9, px, color_type=0))
+    assert payload.count(b"IDAT") == 2  # encoder splits on purpose
+    # inject a tEXt chunk between the IDATs — decoders must skip it
+    body = b"comment\x00hi"
+    chunk = (
+        struct.pack(">I", len(body)) + b"tEXt" + body
+        + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+    )
+    second = payload.index(b"IDAT", payload.index(b"IDAT") + 4) - 4
+    patched = bytes(payload[:second]) + chunk + bytes(payload[second:])
+    assert decode_png(patched) == (12, 9, want)
+
+
+def test_decoder_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + b"\x00" * 20)
+    px = [[1] * 4] * 4
+    good = bytearray(encode_png(4, 4, px, color_type=0))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth / alpha color types are honest boundaries
+    deep = bytearray(good)
+    depth_off = good.index(b"IHDR") + 4 + 8  # IHDR body: w(4) h(4) depth
+    deep[depth_off] = 16
+    # re-CRC the IHDR chunk so the depth error (not CRC) fires
+    body = bytes(deep[good.index(b"IHDR") : good.index(b"IHDR") + 4 + 13])
+    deep[good.index(b"IHDR") + 17 : good.index(b"IHDR") + 21] = struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(deep))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(bytes(good[:-8]))

@@ -1256,6 +1256,157 @@ JPEG420_DECODE_SQL = _jpeg420_decode_sql()
 JPEG_PROGRESSIVE_DECODE_SQL = _jpeg_progressive_decode_sql()
 
 
+# --- PNG rung (round 6): stdlib-zlib inflate + filter reconstruction ------
+# Pixels are pure functions of doc_id; decode(encode(pixels)) is
+# bit-exact REGARDLESS of zlib version (compression changes IDAT bytes,
+# never the inflated stream), so the oracle replays the pixel formula
+# directly. The corpus cycles all three color types, both interlace
+# methods and all five row filters:
+#   w = 9 + d % 14, h = 7 + 3d % 12, filter(y) = (y + d) % 5,
+#   interlace = d % 2 (1 = Adam7), color type by d % 3:
+#     0 (gray):    v = (d + 3x + 7y) % 256, r = g = b = v
+#     1 (rgb):     r = (d + x + 2y) % 256, g = (2d + 3x + y) % 256,
+#                  b = (d + 5x + 3y) % 256
+#     2 (palette): i = (d + x + y) % 16,
+#                  pal[i] = ((d+7i) % 256, (2d+11i) % 256, (3d+13i) % 256)
+PNG_W = lambda d: 9 + d % 14  # noqa: E731
+PNG_H = lambda d: 7 + (3 * d) % 12  # noqa: E731
+
+
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over BinaryType: synthesize one PNG per document
+    (color type / interlacing / row filters cycling per the formulas
+    above), carry it as a binary column, decode it back through the
+    full pure-Python decoder (CRC-checked chunk walk, multi-IDAT
+    inflate, all five filter reconstructions incl. Paeth, palette
+    lookup, Adam7 pass merge) and emit exact per-channel sums. The
+    oracle re-derives them from the pixel formula — a chunk, filter,
+    palette, or interlace bug all flip the hash.
+
+    Scale shape: identical to the JPEG rungs — (doc_id, payload)
+    through two Arrow-batched kernels, decode row-local."""
+    from tinymapreduce_spark.functions.pngcodec import decode_png, encode_png
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = PNG_W(d), PNG_H(d)
+                kind = d % 3
+                if kind == 0:
+                    px = [
+                        [(d + 3 * x + 7 * y) % 256 for x in range(w)]
+                        for y in range(h)
+                    ]
+                    ct, pal = 0, None
+                elif kind == 1:
+                    px = [
+                        [
+                            (
+                                (d + x + 2 * y) % 256,
+                                (2 * d + 3 * x + y) % 256,
+                                (d + 5 * x + 3 * y) % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    ct, pal = 2, None
+                else:
+                    pal = [
+                        (
+                            (d + 7 * i) % 256,
+                            (2 * d + 11 * i) % 256,
+                            (3 * d + 13 * i) % 256,
+                        )
+                        for i in range(16)
+                    ]
+                    px = [
+                        [(d + x + y) % 16 for x in range(w)] for y in range(h)
+                    ]
+                    ct = 3
+                payloads.append(
+                    encode_png(
+                        w, h, px, color_type=ct, palette=pal,
+                        interlace=d % 2,
+                        filters=lambda y, d=d: (y + d) % 5,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "color_type": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png(bytes(p))
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["color_type"].append([0, 2, 3][int(d) % 3])
+                rows["r_sum"].append(sum(v[0] for row in px for v in row))
+                rows["g_sum"].append(sum(v[1] for row in px for v in row))
+                rows["b_sum"].append(sum(v[2] for row in px for v in row))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, color_type long,"
+            " r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
+PNG_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 14 AS w, 7 + (3 * doc_id) % 12 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, xs.x, ys.y,
+         doc_id % 3 AS kind,
+         (doc_id + xs.x + ys.y) % 16 AS pi
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) xs,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) ys
+), chans AS (
+  SELECT doc_id, w, h,
+         CASE kind
+           WHEN 0 THEN (doc_id + 3 * x + 7 * y) % 256
+           WHEN 1 THEN (doc_id + x + 2 * y) % 256
+           ELSE (doc_id + 7 * pi) % 256
+         END AS r,
+         CASE kind
+           WHEN 0 THEN (doc_id + 3 * x + 7 * y) % 256
+           WHEN 1 THEN (2 * doc_id + 3 * x + y) % 256
+           ELSE (2 * doc_id + 11 * pi) % 256
+         END AS g,
+         CASE kind
+           WHEN 0 THEN (doc_id + 3 * x + 7 * y) % 256
+           WHEN 1 THEN (doc_id + 5 * x + 3 * y) % 256
+           ELSE (3 * doc_id + 13 * pi) % 256
+         END AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS BIGINT)
+         AS color_type,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum
+FROM chans
+GROUP BY doc_id, w, h
+"""
+
+
 # --- image near-dup dedup: perceptual hash over REAL decoded pixels ------
 # Ties the multimodal tier into the dedup ladder: documents in the same
 # GROUP (g = doc_id % PH_GROUPS) share a base image; each doc perturbs
