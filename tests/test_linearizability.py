@@ -46,14 +46,16 @@ def _apply(state: dict[str, str], op: HistOp) -> tuple[dict[str, str], bool]:
     return state, state.get(op.key, "") == op.result  # get
 
 
-def linearizable(history: list[HistOp]) -> bool:
+def linearization(history: list[HistOp]) -> list[int] | None:
     """Wing & Gong DFS with memoization (what porcupine implements with
     bitsets): search for a total order that (a) respects real-time
     precedence — an op returning before another is called must precede
     it — and (b) walks the sequential model reproducing every observed
-    Get result."""
+    Get result. Returns the WITNESS order (history indices) when one
+    exists, else None — the visualizer (tools/linviz.py) renders it."""
     n = len(history)
     memo: set[tuple[frozenset[int], tuple[tuple[str, str], ...]]] = set()
+    path: list[int] = []
 
     def dfs(done: frozenset[int], state: dict[str, str]) -> bool:
         if len(done) == n:
@@ -70,11 +72,18 @@ def linearizable(history: list[HistOp]) -> bool:
             if history[i].call > horizon:
                 continue
             nxt, ok = _apply(state, history[i])
-            if ok and dfs(done | {i}, nxt):
-                return True
+            if ok:
+                path.append(i)
+                if dfs(done | {i}, nxt):
+                    return True
+                path.pop()
         return False
 
-    return dfs(frozenset(), {})
+    return list(path) if dfs(frozenset(), {}) else None
+
+
+def linearizable(history: list[HistOp]) -> bool:
+    return linearization(history) is not None
 
 
 def _concurrent_history(rng: random.Random, n_clients: int, ops_per_client: int):
@@ -320,3 +329,27 @@ def test_sharded_histories_across_many_shards():
     assert sum(len(p) for p in parts.values()) == len(history)
     assert len(parts) >= 3  # the keys really spread over shards
     assert linearizable_sharded(history)
+
+
+def test_visualizer_renders_witness_and_broken_shard():
+    """tools/linviz.py (the reference's porcupine visualization.go
+    analog): a linearizable history renders every op with its witness
+    index and in-window tick; a broken shard's ops render red with the
+    shard named in the verdict line."""
+    from tools.linviz import _demo, _lin_points, render_history
+
+    good = [
+        HistOp(0, "append", "a", "1", "", call=0, ret=2),
+        HistOp(1, "get", "a", "", "1", call=3, ret=4),
+    ]
+    page = render_history(good, "good")
+    assert "linearizable — ticks" in page and "#0" in page and "#1" in page
+    order = linearization(good)
+    pts = _lin_points(good, order)
+    for i, op in enumerate(good):
+        assert op.call <= pts[i] <= op.ret
+    bad_page = render_history(_demo(), "demo")
+    assert "NOT linearizable" in bad_page
+    # shard of 'b1' (98 % 10 = 8) is the broken one; 'a1' ops stay green
+    assert "shard(s): 8" in bad_page
+    assert "#9fd49f" in bad_page and "#e09a9a" in bad_page

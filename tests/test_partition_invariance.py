@@ -64,6 +64,15 @@ REPRESENTATIVES = [
     "kv_snapshot_replay",
     "shard_migration",
     "stream_kv_dedup",
+    # round-6 additions: codec rungs are row-local (payload -> stats
+    # must not depend on which task decodes a doc); the audited
+    # approx/equidepth forms embed live sketches whose merge trees DO
+    # vary with fan-out — the pinned error-bound booleans must hold
+    # regardless
+    "jpeg420_decode_stats",
+    "png_decode_stats",
+    "approx_aggregates",
+    "equidepth_sampled",
 ]
 
 
