@@ -218,6 +218,7 @@ HEADLINE = [
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
+    "gif_decode_stats",
     "approx_aggregates",
 ]
 

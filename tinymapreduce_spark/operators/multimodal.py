@@ -1407,6 +1407,105 @@ GROUP BY doc_id, w, h
 """
 
 
+# --- GIF rung (round 6): real LZW, no libraries at all --------------------
+# Third compression family in the codec tier (Huffman/JPEG, DEFLATE/PNG,
+# LZW/GIF). Palette indices are pure functions of doc_id with 2x2 block
+# structure (runs exercise LZW dictionary growth); every other doc is
+# 4-pass interlaced. decode(encode) is exactly lossless, so the oracle
+# replays the formula:
+#   w = 8 + 5d % 17, h = 6 + 7d % 13, npal = 5 + d % 12,
+#   idx(x, y) = (x // 2 + 3 * (y // 2) + d) % npal,
+#   pal[i] = ((3d + 5i) % 256, (d + 9i) % 256, (2d + 7i) % 256)
+GIF_W = lambda d: 8 + (5 * d) % 17  # noqa: E731
+GIF_H = lambda d: 6 + (7 * d) % 13  # noqa: E731
+
+
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode over BinaryType: synthesize one GIF89a per
+    document (variable palette size, a comment extension the decoder
+    must sub-block-walk, interlacing on every other doc), round-trip it
+    through the pure-Python LZW codec and emit exact per-channel sums.
+    The oracle re-derives them from the index/palette formulas — an
+    LZW, bit-packing, sub-block, palette or interlace bug flips the
+    hash.
+
+    Scale shape: identical to the JPEG/PNG rungs — row-local decode
+    through two Arrow-batched kernels."""
+    from tinymapreduce_spark.functions.gifcodec import decode_gif, encode_gif
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = GIF_W(d), GIF_H(d)
+                npal = 5 + d % 12
+                pal = [
+                    ((3 * d + 5 * i) % 256, (d + 9 * i) % 256, (2 * d + 7 * i) % 256)
+                    for i in range(npal)
+                ]
+                idx = [
+                    [(x // 2 + 3 * (y // 2) + d) % npal for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(
+                    encode_gif(w, h, idx, pal, interlace=bool(d % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_gif(bytes(p))
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(sum(v[0] for row in px for v in row))
+                rows["g_sum"].append(sum(v[1] for row in px for v in row))
+                rows["b_sum"].append(sum(v[2] for row in px for v in row))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long,"
+            " r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
+GIF_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (5 * doc_id) % 17 AS w,
+         6 + (7 * doc_id) % 13 AS h,
+         5 + doc_id % 12 AS npal
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (xs.x // 2 + 3 * (ys.y // 2) + doc_id) % npal AS pi
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) xs,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) ys
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM((3 * doc_id + 5 * pi) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((doc_id + 9 * pi) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((2 * doc_id + 7 * pi) % 256) AS BIGINT) AS b_sum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 # --- image near-dup dedup: perceptual hash over REAL decoded pixels ------
 # Ties the multimodal tier into the dedup ladder: documents in the same
 # GROUP (g = doc_id % PH_GROUPS) share a base image; each doc perturbs
