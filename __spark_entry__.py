@@ -181,6 +181,7 @@ _R6_WINDOW = [
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
     "gif_decode_stats",
+    "g711_decode_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -374,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_decode_stats": multimodal.jpeg_progressive_decode_stats,
         "png_decode_stats": multimodal.png_decode_stats,
         "gif_decode_stats": multimodal.gif_decode_stats,
+        "g711_decode_stats": multimodal.g711_decode_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -930,6 +932,8 @@ GROUP BY word
         "png_decode_stats": multimodal.PNG_DECODE_SQL,
         # LZW decode of our own encodes is exactly lossless — formula replay
         "gif_decode_stats": multimodal.GIF_DECODE_SQL,
+        # G.711 expansions are stateless bit formulas — exact SQL replay
+        "g711_decode_stats": multimodal.G711_DECODE_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

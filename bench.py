@@ -219,6 +219,7 @@ HEADLINE = [
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
     "gif_decode_stats",
+    "g711_decode_stats",
     "approx_aggregates",
 ]
 

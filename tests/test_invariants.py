@@ -1580,3 +1580,39 @@ class TestImagePhashDedup:
                     want.add((a, b, ham))
         got = {(r.id_a, r.id_b, r.hamming) for r in rows}
         assert got == want
+
+
+def test_g711_expansions_match_canonical_tables():
+    """The CCITT G.711 anchor points every published table agrees on:
+    u-law spans +-32124 with 0xFF/0x7F the two zero codes; A-law spans
+    +-32256 with 0xD5 -> +8 and 0x55 -> -8 (sign bit 1 = POSITIVE in
+    A-law — the classic trap), and both expansions are odd-symmetric
+    under their sign-bit flip."""
+    from tinymapreduce_spark.operators.multimodal import alaw_expand, ulaw_expand
+
+    u = [ulaw_expand(c) for c in range(256)]
+    a = [alaw_expand(c) for c in range(256)]
+    assert (min(u), max(u)) == (-32124, 32124)
+    assert (min(a), max(a)) == (-32256, 32256)
+    assert ulaw_expand(0xFF) == 0 and ulaw_expand(0x7F) == 0
+    assert alaw_expand(0xD5) == 8 and alaw_expand(0x55) == -8
+    for c in range(256):
+        assert ulaw_expand(c ^ 0x80) == -ulaw_expand(c)
+        assert alaw_expand(c ^ 0x80) == -alaw_expand(c)
+
+
+def test_g711_wav_container_roundtrip():
+    """Format-7/6 RIFF containers decode through the same chunk walker
+    as PCM16 (junk LIST chunk included), expanding to linear PCM."""
+    from tinymapreduce_spark.operators.multimodal import (
+        alaw_expand,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    codes = [(7 * 3 + 13 * i) % 256 for i in range(41)]  # odd length: pad
+    rate, got = decode_wav(encode_wav_g711(codes, "ulaw", 8000))
+    assert rate == 8000 and got == [ulaw_expand(c) for c in codes]
+    rate, got = decode_wav(encode_wav_g711(codes, "alaw", 16000))
+    assert rate == 16000 and got == [alaw_expand(c) for c in codes]

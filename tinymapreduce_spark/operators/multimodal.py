@@ -135,16 +135,55 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def ulaw_expand(c: int) -> int:
+    """G.711 µ-law byte → linear PCM (the CCITT reference expansion:
+    invert, rebuild the biased mantissa, shift by the segment)."""
+    u = (~c) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_expand(c: int) -> int:
+    """G.711 A-law byte → linear PCM (xor 0x55, segment 0 is linear,
+    higher segments shift the 0x108-biased mantissa; sign bit 1 means
+    POSITIVE in A-law — the classic trap)."""
+    a = c ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = (t + 8) if seg == 0 else ((t + 0x108) << (seg - 1))
+    return t if (a & 0x80) else -t
+
+
+def encode_wav_g711(codes, law: str, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE writer for G.711 streams: format code 7 (µ-law) or 6
+    (A-law), 8 bits per sample, the raw code bytes as 'data' — the
+    telephony WAV shape. Keeps the junk LIST chunk so decoders must
+    walk chunks."""
+    import struct
+
+    fmt_code = 7 if law == "ulaw" else 6
+    data = bytes(codes)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, 1, sample_rate, sample_rate, 1, 8
+    )
+    body = b"WAVE" + fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
-    """Real pure-Python RIFF/WAVE decode (PCM16 mono): verify the RIFF
-    container, then walk chunks by declared size — skipping unknown
-    ones — to find 'fmt ' and 'data'. Returns
-    ``(sample_rate, samples)`` with samples as a list of signed ints."""
+    """Real pure-Python RIFF/WAVE decode: verify the RIFF container,
+    then walk chunks by declared size — skipping unknown ones — to find
+    'fmt ' and 'data'. Supports mono PCM16 (format 1) and the G.711
+    telephony codecs µ-law (7) / A-law (6), expanded to linear PCM.
+    Returns ``(sample_rate, samples)`` with samples as signed ints."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, sample_rate, data = 12, None, None
+    pos, sample_rate, data, audio_fmt = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -152,13 +191,17 @@ def decode_wav(payload: bytes):
             audio_fmt, channels, sample_rate = struct.unpack_from(
                 "<HHI", payload, pos + 8
             )
-            if audio_fmt != 1 or channels != 1:
-                raise ValueError("only PCM mono is supported")
+            if audio_fmt not in (1, 6, 7) or channels != 1:
+                raise ValueError("only mono PCM16 / G.711 u-law / A-law supported")
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 7:
+        return sample_rate, [ulaw_expand(b) for b in data]
+    if audio_fmt == 6:
+        return sample_rate, [alaw_expand(b) for b in data]
     n = len(data) // 2
     return sample_rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
 
@@ -1503,6 +1546,101 @@ SELECT doc_id,
        CAST(SUM((2 * doc_id + 7 * pi) % 256) AS BIGINT) AS b_sum
 FROM px
 GROUP BY doc_id, w, h
+"""
+
+
+# --- G.711 rung (round 6): compressed telephony audio ---------------------
+# µ-law / A-law are STATELESS per-byte expansions (CCITT G.711), so the
+# oracle replays the exact bit-level formula in SQL — the audio-side
+# analog of the image codec rungs. Code bytes are pure functions of
+# doc_id: n = 40 + d % 60 samples, c(i) = (7d + 13i) % 256, µ-law on
+# even docs / A-law on odd (format codes 7 / 6 in the WAV container).
+G711_N = lambda d: 40 + d % 60  # noqa: E731
+
+
+def g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode over BinaryType: synthesize one
+    G.711 WAV per document (µ-law or A-law code bytes in a format-7/6
+    RIFF container with a junk LIST chunk), decode it back through the
+    chunk walker + the exact CCITT expansions, and emit linear-PCM
+    statistics. The oracle replays the bit-level expansion formulas —
+    a sign-convention, bias, segment-shift or container bug flips the
+    hash (A-law's inverted sign bit is the classic one).
+
+    Scale shape: identical to the image rungs — row-local decode
+    through two Arrow-batched kernels."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = G711_N(d)
+                codes = [(7 * d + 13 * i) % 256 for i in range(n)]
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                payloads.append(encode_wav_g711(codes, law))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "law": [], "n_samples": [],
+                "sample_sum": [], "min_sample": [], "max_sample": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(p))
+                rows["doc_id"].append(d)
+                rows["law"].append("ulaw" if int(d) % 2 == 0 else "alaw")
+                rows["n_samples"].append(len(samples))
+                rows["sample_sum"].append(sum(samples))
+                rows["min_sample"].append(min(samples))
+                rows["max_sample"].append(max(samples))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, law string, n_samples long, sample_sum long,"
+            " min_sample long, max_sample long"
+        ),
+    )
+
+
+G711_DECODE_SQL = """
+WITH codes AS (
+  SELECT doc_id, (7 * doc_id + 13 * i.i) % 256 AS c
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 40 + doc_id % 60)) AS i) i
+), expanded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           -- u-law: u = ~c; t = ((u & 15) << 3 + 132) << seg; +-(t - 132)
+           CASE WHEN ((255 - c) & 128) <> 0
+             THEN 132 - (((((255 - c) & 15) << 3) + 132) << (((255 - c) >> 4) & 7))
+             ELSE (((((255 - c) & 15) << 3) + 132) << (((255 - c) >> 4) & 7)) - 132
+           END
+         ELSE
+           -- A-law: a = c ^ 85; seg 0 linear, else (t + 264) << (seg-1);
+           -- sign bit 1 = POSITIVE
+           CASE WHEN (xor(c, 85) & 128) <> 0 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+             THEN ((xor(c, 85) & 15) << 4) + 8
+             ELSE (((xor(c, 85) & 15) << 4) + 264)
+                    << (((xor(c, 85) >> 4) & 7) - 1)
+           END
+         END AS s
+  FROM codes
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(MIN(s) AS BIGINT) AS min_sample,
+       CAST(MAX(s) AS BIGINT) AS max_sample
+FROM expanded
+GROUP BY doc_id
 """
 
 
