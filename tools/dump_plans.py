@@ -94,6 +94,9 @@ SELECTED = {
     "kv_replay_dedup": "one (client_id, op_id) row_number shuffle suppresses retries; then the K4 key-window fold — two shuffles total",
     "kv_snapshot_replay": "snapshot = prefix fold re-entered as a put at the cut; cut is a 1-row broadcast, never a driver scalar",
     "jpeg_decode_stats": "entropy encode/decode in two Arrow hops over (doc_id,payload) only; the single Exchange is the deliberate CPU fan-out (one input file -> 32 cores), pixels never leave the row",
+    "jpeg420_decode_stats": "same two-Arrow-hop shape with 4:2:0 sampled MCUs; plane stats reduce row-locally before the final gather",
+    "png_decode_stats": "zlib inflate + filter reconstruction row-local; payload column pruned to (doc_id,payload) at the scan",
+    "gif_decode_stats": "LZW decode row-local; identical plan shape to the other codec rungs — no shuffle touches pixel data",
     "shard_migration": "per-shard sizes from ONE map-side-combined aggregate; config diff broadcast; ledger cost independent of table size",
     "hybrid_rrf_ndcg": "bigram judge: query-doc bigrams broadcast to one tokenize pass; DCG folds over |queries|x10 rows only",
 }
