@@ -73,6 +73,12 @@ PROBES = [
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "image_phash_dedup",
+    # round-6 late additions: PNG (zlib inflate + filters), GIF (LZW)
+    # and G.711 (stateless expansion) — all row-local like the JPEG
+    # rungs, should track row count sub-linearly
+    "png_decode_stats",
+    "gif_decode_stats",
+    "g711_decode_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
