@@ -173,6 +173,66 @@ _R5_WINDOW = [
 # re-checks word_count / mr_wordcount_shim / kv_replay) — freshness
 # rotation, oldest first. This completes the sweep: after r6 every
 # oracle-backed key has at least one driver CORRECTNESS row.
+# Pre-staged for round 7 (pure freshness — the sweep completes with
+# r6's driver run): oldest-checked keys first. The five r1-head keys
+# that fell past r6's 50-row cutoff lead, then the rest of the r1
+# window in its original order, then the oldest r2 keys. Any r7-NEW
+# keys must be inserted at the HEAD of this list when registered
+# (new keys always in-window). Flip queries() to _R7_WINDOW at r7
+# start — the same one-line change as r5/r6.
+_R7_WINDOW = [
+    "q19_disjunctive_parts",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "global_sort_range",
+    "semi_anti_join",
+    "outer_join_coverage",
+    "theta_join_nl",
+    "window_running_sum",
+    "topk_per_group",
+    "rollup_revenue",
+    "cube_orders",
+    "grouping_sets_revenue",
+    "distinct_counts",
+    "set_ops",
+    "set_ops_all",
+    "scalar_functions",
+    "variant_extract",
+    "collated_group",
+    "array_functions",
+    "sort_limit",
+    "correlated_scalar_subquery",
+    "in_subquery",
+    "exact_percentiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_clusters",
+    "boilerplate_spans",
+    "dup_passage_coverage",
+    "tf_cosine_pairs",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "embedding_quantize",
+    "bm25_topk",
+    "fuzzy_join_levenshtein",
+    "bpe_train_merges",
+    "bpe_encode_vocab",
+    "bigram_novelty",
+    "perceptron_quality",
+    "mr_wordcount_combiner",
+    "manifest_wap_roundtrip",
+    "recursive_cte_hierarchy",
+    "lateral_topn_per_group",
+    "observed_metrics",
+    "map_functions",
+    "custom_sink_roundtrip",
+    "text_normalize",
+]
+
 _R6_WINDOW = [
     # never-checked: the r6-new compressed-codec rungs lead (4:2:0
     # subsampled + progressive SOF2 JPEG — VERDICT r5 #2), then the 14
