@@ -39,7 +39,7 @@ from tinymapreduce_spark.operators.mapreduce import (
     wc_reduce,
 )
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
-from tinymapreduce_spark.sources import manifest_sink, textfiles
+from tinymapreduce_spark.sources import manifest_sink, textfiles, warcfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import sinks as stream_sinks
 from tinymapreduce_spark.streaming import state as stream_state
@@ -181,6 +181,9 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
+    # q18 joined the fell-out set when warc_ingest_stats entered the
+    # r6 window head (sixth displaced freshness re-check)
+    "q18_large_orders",
     "q19_disjunctive_parts",
     "q20_promo_heavy_suppliers",
     "q21_waiting_suppliers",
@@ -230,7 +233,6 @@ _R7_WINDOW = [
     "observed_metrics",
     "map_functions",
     "custom_sink_roundtrip",
-    "text_normalize",
 ]
 
 _R6_WINDOW = [
@@ -242,6 +244,7 @@ _R6_WINDOW = [
     "png_decode_stats",
     "gif_decode_stats",
     "g711_decode_stats",
+    "warc_ingest_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -436,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": multimodal.png_decode_stats,
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
+        "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -994,6 +998,8 @@ GROUP BY word
         "gif_decode_stats": multimodal.GIF_DECODE_SQL,
         # G.711 expansions are stateless bit formulas — exact SQL replay
         "g711_decode_stats": multimodal.G711_DECODE_SQL,
+        # WARC framing is exact; gzip-member decode is version-free INFLATE
+        "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

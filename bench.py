@@ -220,6 +220,7 @@ HEADLINE = [
     "png_decode_stats",
     "gif_decode_stats",
     "g711_decode_stats",
+    "warc_ingest_stats",
     "approx_aggregates",
 ]
 
