@@ -181,8 +181,9 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
-    # q18 joined the fell-out set when warc_ingest_stats entered the
-    # r6 window head (sixth displaced freshness re-check)
+    # q17/q18 joined the fell-out set when the WARC pair entered the
+    # r6 window head (sixth/seventh displaced freshness re-checks)
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_parts",
     "q20_promo_heavy_suppliers",
@@ -232,7 +233,6 @@ _R7_WINDOW = [
     "lateral_topn_per_group",
     "observed_metrics",
     "map_functions",
-    "custom_sink_roundtrip",
 ]
 
 _R6_WINDOW = [
@@ -245,6 +245,7 @@ _R6_WINDOW = [
     "gif_decode_stats",
     "g711_decode_stats",
     "warc_ingest_stats",
+    "stream_warc_ingest",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -440,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
+        "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1000,6 +1002,7 @@ GROUP BY word
         "g711_decode_stats": multimodal.G711_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
+        "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

@@ -221,6 +221,7 @@ HEADLINE = [
     "gif_decode_stats",
     "g711_decode_stats",
     "warc_ingest_stats",
+    "stream_warc_ingest",
     "approx_aggregates",
 ]
 

@@ -222,3 +222,161 @@ SELECT doc_id,
 FROM recs
 GROUP BY doc_id
 """
+
+
+# --- file-based crawl segments + streaming twin ---------------------------
+WARC_DOC_CAP = 500  # bounded segment-file count for the file-based path
+WARC_DOCS_PER_FILE = 25  # one .warc.gz "crawl segment" per 25 docs
+
+
+def _ensure_warc_files(spark, sf_dir: str) -> str:
+    """Materialize a directory of REAL .warc.gz crawl segments (25 docs'
+    records per file, per-record gzip members), written DISTRIBUTED via
+    foreachPartition with temp+rename commits — the Common Crawl drop
+    shape. Idempotent per (session, corpus identity): keyed by the
+    documents table's (size, mtime) fingerprint, the same convention as
+    the .bmp corpus (multimodal._ensure_bmp_files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.manifest_sink import _src_fp
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _src_fp(sf_dir, "documents")
+    out_dir = os.path.join(SCRATCH, f"warc_files_{tag}_{fp}")
+    marker = f"spark.tinymr.warc_files_{tag.replace('.', '_')}_{fp}"
+    if not spark.conf.get(marker, None):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") < WARC_DOC_CAP)
+            .withColumn("seg", (F.col("doc_id") / WARC_DOCS_PER_FILE).cast("int"))
+            .repartition("seg")
+        )
+
+        def write_part(rows) -> None:
+            import os as _os
+            from collections import defaultdict
+
+            segs = defaultdict(list)
+            for row in rows:
+                segs[int(row.seg)].append(int(row.doc_id))
+            for seg, ds in segs.items():
+                recs = []
+                for d in sorted(ds):
+                    recs.extend(_doc_records(d))
+                path = _os.path.join(out_dir, f"seg_{seg:04d}.warc.gz")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(write_warc(recs, gzip_members=True))
+                _os.replace(tmp, path)
+
+        docs.foreachPartition(write_part)
+        spark.conf.set(marker, "1")
+    return out_dir
+
+
+def stream_warc_ingest(spark, sf_dir: str):
+    """Incremental crawl ingest — the shape a Common Crawl pipeline
+    schedules: a streaming ``binaryFile`` read over the .warc.gz
+    segment directory (new segments picked up by the checkpointed file
+    index), the FULL record walker running inside the stream (gzip
+    members + framing), per-response rows appended to a parquet sink
+    under Trigger.AvailableNow. Re-running against the same checkpoint
+    ingests nothing, so the aggregate over the sink equals the batch
+    parse no matter how many times the query ran. The oracle aggregates
+    the same payload formulas over doc_id < WARC_DOC_CAP."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    src = _ensure_warc_files(spark, sf_dir)
+    base = os.path.join(SCRATCH, f"stream_{os.path.basename(src)}")
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(src)
+        .select("content")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "plen": []}
+            for p in pdf["content"]:
+                for wtype, headers, body in parse_warc(bytes(p)):
+                    if wtype != "response":
+                        continue
+                    # <urn:uuid:{doc:08d}-{r}> — doc embedded by the writer
+                    rid = headers["WARC-Record-ID"]
+                    rows["doc_id"].append(int(rid[10:18]))
+                    rows["plen"].append(len(body))
+            yield pd.DataFrame(rows)
+
+    q = (
+        blobs.mapInPandas(parse, schema="doc_id long, plen long")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not self-terminate")
+
+    has_parts = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    back = (
+        spark.read.schema("doc_id long, plen long").parquet(sink)
+        if has_parts
+        else spark.createDataFrame([], "doc_id long, plen long")
+    )
+    return back.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("plen").cast("long").alias("response_bytes"),
+    )
+
+
+STREAM_WARC_SQL = f"""
+WITH recs AS (
+  SELECT doc_id, r.r,
+         LENGTH(repeat('payload ' || doc_id || ' ' || r.r || ' ',
+                       1 + (doc_id + r.r) % 5)) AS plen
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 4)) AS r) r
+  WHERE doc_id < {WARC_DOC_CAP}
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_responses,
+       CAST(SUM(plen) AS BIGINT) AS response_bytes
+FROM recs
+"""
