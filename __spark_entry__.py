@@ -181,8 +181,9 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
-    # q17/q18 joined the fell-out set when the WARC pair entered the
-    # r6 window head (sixth/seventh displaced freshness re-checks)
+    # q16-q18 joined the fell-out set as the r6-new WARC/URL keys
+    # entered the r6 window head (displaced freshness re-checks)
+    "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_parts",
@@ -232,7 +233,6 @@ _R7_WINDOW = [
     "recursive_cte_hierarchy",
     "lateral_topn_per_group",
     "observed_metrics",
-    "map_functions",
 ]
 
 _R6_WINDOW = [
@@ -246,6 +246,7 @@ _R6_WINDOW = [
     "g711_decode_stats",
     "warc_ingest_stats",
     "stream_warc_ingest",
+    "url_host_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -442,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_decode_stats": multimodal.g711_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
+        "url_host_stats": textstats.url_host_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1003,6 +1005,7 @@ GROUP BY word
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,
+        "url_host_stats": textstats.URL_HOST_STATS_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

@@ -222,6 +222,7 @@ HEADLINE = [
     "g711_decode_stats",
     "warc_ingest_stats",
     "stream_warc_ingest",
+    "url_host_stats",
     "approx_aggregates",
 ]
 

@@ -1420,3 +1420,83 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.score,
             ELSE 'tail' END AS bucket
 FROM scored s LEFT JOIN cuts USING (lang)
 """
+
+
+# --- URL analytics (round 6): crawl-dedup's canonicalization prerequisite --
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL analytics over a formula-generated crawl frontier —
+    ENTIRELY JVM-side (`parse_url` + string expressions inside
+    whole-stage codegen; no Python touches a row). Each doc contributes
+    one messy URL: mixed-case hosts, a www. prefix on two thirds, an
+    explicit :8080 port on every fifth, utm_ tracking params on every
+    fourth. The Spark side must parse + canonicalize (parse_url HOST
+    excludes the port and preserves case; lowercase + strip www.),
+    detect tracking params and extract the q= value via the
+    three-argument parse_url — the oracle re-derives every column from
+    the generation formula, so a parse or canonicalization bug flips
+    the hash. This is the canonical-URL step crawl dedup runs before
+    exact-hash dedup at 100 TB — pure Catalyst, one hash aggregation."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("Site"), (d % 50).cast("string"), F.lit(".Example.COM")),
+        ).otherwise(
+            F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".example.com"))
+        ),
+        F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.concat(
+            F.lit("/cat"), (d % 7).cast("string"),
+            F.lit("/item"), (d % 13).cast("string"),
+        ),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=x&q="), (d % 11).cast("string")),
+        )
+        .when(d % 4 == 1, F.concat(F.lit("?q="), (d % 11).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    parsed = urls.select(
+        F.regexp_replace(
+            F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", ""
+        ).alias("host"),
+        (F.parse_url("url", F.lit("PROTOCOL")) == "https").alias("secure"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("utm_source")).isNotNull().alias("has_utm"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).cast("long").alias("qv"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("secure").cast("long")).alias("n_secure"),
+        F.sum(F.col("has_utm").cast("long")).alias("n_utm"),
+        F.countDistinct("path").alias("n_paths"),
+        F.max("qv").alias("max_q"),
+    )
+
+
+URL_HOST_STATS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 50) || '.example.com' AS host,
+         doc_id % 2 = 1 AS secure,
+         doc_id % 4 = 0 AS has_utm,
+         '/cat' || (doc_id % 7) || '/item' || (doc_id % 13) AS path,
+         CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 11 END AS qv
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN secure THEN 1 ELSE 0 END) AS BIGINT) AS n_secure,
+       CAST(SUM(CASE WHEN has_utm THEN 1 ELSE 0 END) AS BIGINT) AS n_utm,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(MAX(qv) AS BIGINT) AS max_q
+FROM u
+GROUP BY host
+"""
