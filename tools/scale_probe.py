@@ -79,6 +79,11 @@ PROBES = [
     "png_decode_stats",
     "gif_decode_stats",
     "g711_decode_stats",
+    # round-6 final additions: WARC walker is row-local; the URL rung
+    # is pure Catalyst (one hash aggregation — should be the cheapest
+    # scaler in the table)
+    "warc_ingest_stats",
+    "url_host_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
