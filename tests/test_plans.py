@@ -1022,3 +1022,49 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
     for line in p.splitlines():
         if "SortMergeJoin" in line:
             assert "tok" not in line
+
+
+def test_url_host_stats_is_zero_python_one_shuffle(spark, sf_dir):
+    """The URL canonicalization rung must stay ENTIRELY JVM-side: no
+    Python evaluation node anywhere (parse_url + string exprs live in
+    whole-stage codegen) and exactly one exchange — the partial->final
+    hash aggregation pair on host."""
+    from tinymapreduce_spark.operators.textstats import url_host_stats
+
+    import re as _re
+
+    p = plan_of(url_host_stats(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in p, node
+    # formatted mode repeats node names in the details section — count
+    # unique tree node ids, not substring hits. countDistinct(path)
+    # legitimately expands to the two-phase distinct-agg plan: one
+    # exchange on (host, path), one on host — exactly two, no more
+    assert len(set(_re.findall(r"Exchange \((\d+)\)", p))) == 2, p
+    assert "HashAggregate" in p
+
+
+def test_codec_rungs_never_shuffle_pixels(spark, sf_dir):
+    """Every codec query's plan: scan -> ONE deliberate fan-out
+    exchange -> two Arrow hops. Pixel/sample data must never hit a
+    shuffle (the only exchange sits BEFORE the encode kernel)."""
+    from tinymapreduce_spark.operators.multimodal import (
+        g711_decode_stats,
+        gif_decode_stats,
+        jpeg420_decode_stats,
+        png_decode_stats,
+    )
+    from tinymapreduce_spark.sources.warcfiles import warc_ingest_stats
+
+    import re as _re
+
+    for fn in (jpeg420_decode_stats, png_decode_stats, gif_decode_stats,
+               g711_decode_stats, warc_ingest_stats):
+        p = plan_of(fn(spark, sf_dir))
+        exs = sorted({int(m) for m in _re.findall(r"Exchange \((\d+)\)", p)})
+        hops = sorted({int(m) for m in _re.findall(r"MapInPandas \((\d+)\)", p)})
+        assert len(exs) == 1, (fn.__name__, exs)
+        assert len(hops) == 2, (fn.__name__, hops)
+        # the exchange must precede both kernels (fan-out, not a
+        # post-decode shuffle): node ids number bottom-up
+        assert all(exs[0] < h for h in hops), (fn.__name__, exs, hops)
