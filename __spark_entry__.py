@@ -181,8 +181,9 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
-    # q16-q18 joined the fell-out set as the r6-new WARC/URL keys
+    # q15-q18 joined the fell-out set as the r6-new WARC/URL/HTML keys
     # entered the r6 window head (displaced freshness re-checks)
+    "q15_top_supplier",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
@@ -232,7 +233,6 @@ _R7_WINDOW = [
     "manifest_wap_roundtrip",
     "recursive_cte_hierarchy",
     "lateral_topn_per_group",
-    "observed_metrics",
 ]
 
 _R6_WINDOW = [
@@ -247,6 +247,7 @@ _R6_WINDOW = [
     "warc_ingest_stats",
     "stream_warc_ingest",
     "url_host_stats",
+    "html_extract_stats",
     "stream_kv_dedup",
     "image_phash_dedup",
     "pivot_counts",
@@ -444,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "url_host_stats": textstats.url_host_stats,
+        "html_extract_stats": textstats.html_extract_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1006,6 +1008,7 @@ GROUP BY word
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,
         "url_host_stats": textstats.URL_HOST_STATS_SQL,
+        "html_extract_stats": textstats.HTML_EXTRACT_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

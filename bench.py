@@ -223,6 +223,7 @@ HEADLINE = [
     "warc_ingest_stats",
     "stream_warc_ingest",
     "url_host_stats",
+    "html_extract_stats",
     "approx_aggregates",
 ]
 
