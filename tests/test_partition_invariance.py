@@ -73,6 +73,11 @@ REPRESENTATIVES = [
     "png_decode_stats",
     "approx_aggregates",
     "equidepth_sampled",
+    # late round-6: crawl front door (row-local walkers + the
+    # countDistinct two-phase agg must fold identically at any fan-out)
+    "warc_ingest_stats",
+    "url_host_stats",
+    "html_extract_stats",
 ]
 
 
