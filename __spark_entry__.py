@@ -39,7 +39,7 @@ from tinymapreduce_spark.operators.mapreduce import (
     wc_reduce,
 )
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
-from tinymapreduce_spark.sources import manifest_sink, textfiles, warcfiles
+from tinymapreduce_spark.sources import manifest_sink, tarfiles, textfiles, warcfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import sinks as stream_sinks
 from tinymapreduce_spark.streaming import state as stream_state
@@ -236,9 +236,14 @@ _R7_WINDOW = [
 ]
 
 _R6_WINDOW = [
-    # never-checked: the r6-new compressed-codec rungs lead (4:2:0
-    # subsampled + progressive SOF2 JPEG — VERDICT r5 #2), then the 14
-    # keys pre-staged by ROTATION.md
+    # never-checked: the r6-new ingest/codec rungs lead — the
+    # WebDataset tar-shard walker (odd docs .tar.gz through the
+    # from-scratch RFC 1951/1952 inflate), then the 4:2:0 subsampled +
+    # progressive SOF2 JPEG rungs (VERDICT r5 #2), then the 14 keys
+    # pre-staged by ROTATION.md
+    "tar_shard_ingest",
+    "stream_tar_ingest",
+    "video_decode_stats",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -442,8 +447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": multimodal.png_decode_stats,
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
+        "video_decode_stats": multimodal.video_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
+        "tar_shard_ingest": tarfiles.tar_shard_ingest,
+        "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
         "html_extract_stats": textstats.html_extract_stats,
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -1004,9 +1012,16 @@ GROUP BY word
         "gif_decode_stats": multimodal.GIF_DECODE_SQL,
         # G.711 expansions are stateless bit formulas — exact SQL replay
         "g711_decode_stats": multimodal.G711_DECODE_SQL,
+        # MJPEG frames are baseline JFIFs from quantized coefficients —
+        # the sampled-frame IDCT replays in SQL exactly
+        "video_decode_stats": multimodal.VIDEO_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,
+        # ustar framing is exact; .tar.gz decodes through the
+        # FROM-SCRATCH RFC 1951 inflate — formula replay either way
+        "tar_shard_ingest": tarfiles.TAR_INGEST_SQL,
+        "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,
         "url_host_stats": textstats.URL_HOST_STATS_SQL,
         "html_extract_stats": textstats.HTML_EXTRACT_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;

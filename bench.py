@@ -222,6 +222,9 @@ HEADLINE = [
     "g711_decode_stats",
     "warc_ingest_stats",
     "stream_warc_ingest",
+    "tar_shard_ingest",
+    "stream_tar_ingest",
+    "video_decode_stats",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

@@ -1,0 +1,200 @@
+"""From-scratch DEFLATE/gzip/zlib decoder (functions/inflate.py) vs the
+stdlib: every compressed byte stream the engine can produce must inflate
+to the identical plaintext, and every trailer/framing defect must raise.
+RFC 1950/1951/1952 parity pinned across block types (stored, fixed,
+dynamic), levels 0-9, overlapping LZ77 copies, multi-member gzip, full
+header-flag coverage (FEXTRA/FNAME/FCOMMENT/FHCRC) and the actual PNG
+IDAT / .warc.gz bytes the other codec rungs emit."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from tinymapreduce_spark.functions.inflate import (
+    adler32,
+    crc32,
+    gunzip,
+    inflate,
+    zlib_inflate,
+)
+
+
+def _corpora() -> list[bytes]:
+    rng = random.Random(42)
+    return [
+        b"",
+        b"a",
+        b"hello world",
+        b"abc" * 2000,  # overlapping back-references
+        bytes(rng.randrange(256) for _ in range(5000)),  # incompressible
+        ("the quick brown fox " * 400).encode(),
+        bytes(range(256)) * 40,
+        b"\x00" * 70000,  # > one stored-block max (65535)
+    ]
+
+
+def test_crc32_adler32_match_stdlib():
+    for data in _corpora():
+        assert crc32(data) == zlib.crc32(data)
+        assert adler32(data) == zlib.adler32(data)
+
+
+def test_raw_inflate_all_levels():
+    for data in _corpora():
+        for level in range(10):  # 0 = stored blocks, 1-9 = huffman
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            blob = co.compress(data) + co.flush()
+            out, pos = inflate(blob)
+            assert out == data
+            assert pos == len(blob)
+
+
+def test_fixed_huffman_blocks():
+    # Z_FIXED forces BTYPE=01 — the hardwired 288/30 code path
+    for data in _corpora():
+        co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_FIXED)
+        blob = co.compress(data) + co.flush()
+        assert inflate(blob)[0] == data
+
+
+def test_zlib_wrapper_parity_and_trailer():
+    for data in _corpora():
+        blob = zlib.compress(data, 7)
+        assert zlib_inflate(blob) == data
+    bad = bytearray(zlib.compress(b"payload"))
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="Adler-32"):
+        zlib_inflate(bytes(bad))
+
+
+def test_gunzip_single_and_multi_member():
+    for data in _corpora():
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob = co.compress(data) + co.flush()
+        assert gunzip(blob) == data
+    # concatenated members — the .warc.gz convention
+    parts = [b"first member ", b"second " * 100, b""]
+    blob = b"".join(
+        (lambda co: co.compress(p) + co.flush())(zlib.compressobj(6, zlib.DEFLATED, 31))
+        for p in parts
+    )
+    assert gunzip(blob) == b"".join(parts)
+
+
+def test_gzip_header_flags():
+    # hand-built member: FEXTRA + FNAME + FCOMMENT + FHCRC all set
+    payload = b"flagged payload " * 9
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(payload) + co.flush()
+    extra = b"\x04\x00ab\x01\x00"  # one subfield, len 6
+    hdr = bytearray(b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x08 | 0x10]))
+    hdr += b"\x00\x00\x00\x00\x00\xff"  # mtime/xfl/os
+    hdr += struct.pack("<H", len(extra)) + extra
+    hdr += b"name.txt\x00" + b"a comment\x00"
+    hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)
+    blob = bytes(hdr) + raw + struct.pack(
+        "<II", zlib.crc32(payload), len(payload) & 0xFFFFFFFF
+    )
+    assert gunzip(blob) == payload
+    # flip one header byte: the FHCRC check must catch it
+    bad = bytearray(blob)
+    bad[4] ^= 1  # mtime byte, covered by FHCRC
+    with pytest.raises(ValueError, match="header CRC"):
+        gunzip(bytes(bad))
+
+
+def test_framing_defects_raise():
+    blob = zlib.compress(b"x" * 100)[2:-4]  # raw deflate
+    with pytest.raises(ValueError):
+        inflate(blob[:3])  # truncated mid-stream
+    with pytest.raises(ValueError, match="BTYPE"):
+        inflate(b"\x07\x00")  # BFINAL=1, BTYPE=11 reserved
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        inflate(b"\x01\x05\x00\x00\x00xxxxx")  # NLEN not complement
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    g = co.compress(b"payload") + co.flush()
+    with pytest.raises(ValueError, match="magic"):
+        gunzip(b"\x1f\x8c" + g[2:])
+    bad = bytearray(g)
+    bad[-5] ^= 0x40  # corrupt CRC-32 trailer
+    with pytest.raises(ValueError, match="CRC-32"):
+        gunzip(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        gunzip(g[:-3])
+
+
+def test_distance_beyond_window_raises():
+    # hand-rolled fixed-huffman block: literal 'A' then a match with
+    # dist 4 > produced 1 byte. Fixed code: 'A'(65)->0x71 len8,
+    # len-code 257(len 3)->0000001 len7, dist 3 -> 00011 5 bits
+    bits = "01" + "10"[::-1]  # BFINAL=1, BTYPE=01 (LSB-first writing)
+
+    class W:
+        def __init__(self):
+            self.acc, self.n, self.out = 0, 0, bytearray()
+
+        def put(self, val, n):  # LSB-first
+            self.acc |= val << self.n
+            self.n += n
+            while self.n >= 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc >>= 8
+                self.n -= 8
+
+        def put_code(self, code, n):  # huffman codes go MSB-first
+            for i in range(n - 1, -1, -1):
+                self.put((code >> i) & 1, 1)
+
+        def done(self):
+            if self.n:
+                self.out.append(self.acc & 0xFF)
+            return bytes(self.out)
+
+    w = W()
+    w.put(1, 1)  # BFINAL
+    w.put(1, 2)  # BTYPE=01
+    w.put_code(0b00110000 + 65, 8)  # literal 'A'
+    w.put_code(0b0000001, 7)  # length code 257 => len 3
+    w.put_code(3, 5)  # dist code 3 => dist 4 > window(1)
+    w.put_code(0, 7)  # EOB (unreached)
+    with pytest.raises(ValueError, match="window"):
+        inflate(w.done())
+    assert bits  # silence lint on the doc string scratch
+
+
+def test_overlapping_copy_semantics():
+    # 'abc' then a 9-byte copy at distance 3 == 'abc'*4 — byte-serial
+    data = b"abcabcabcabc"
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    blob = co.compress(data) + co.flush()
+    assert inflate(blob)[0] == data
+
+
+def test_parity_on_engine_byte_streams():
+    # the exact compressed streams the other rungs produce
+    from tinymapreduce_spark.functions.pngcodec import encode_png
+    from tinymapreduce_spark.sources.warcfiles import (
+        _doc_records,
+        parse_warc,
+        write_warc,
+    )
+
+    px = [[(x * 7 + y) % 256 for x in range(20)] for y in range(10)]
+    png = encode_png(20, 10, px, color_type=0)
+    idat, pos = bytearray(), 8  # walk chunks: len, tag, body, crc
+    while pos < len(png):
+        n = int.from_bytes(png[pos : pos + 4], "big")
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + n]
+        pos += 12 + n
+    idat = bytes(idat)
+    assert zlib_inflate(idat) == zlib.decompress(idat)
+
+    gz = write_warc(_doc_records(7), gzip_members=True)
+    plain = write_warc(_doc_records(7), gzip_members=False)
+    assert gunzip(gz) == plain
+    assert parse_warc(gz) == parse_warc(plain)

@@ -1811,3 +1811,190 @@ SELECT doc_id,
        CAST(octet_length(payload) AS BIGINT) AS header_bytes
 FROM blobs
 """
+
+
+# --- REAL video decode: AVI/MJPEG container (round 6) ----------------------
+# Per doc: an MJPEG AVI of F = 2 + d % 4 frames at w = 8·(1 + d % 2),
+# h = 8 (block-aligned so the plane replay needs no crop). Frame f,
+# block b carries quantized coefficients at the standard 4 positions:
+#   (d + 5b + 9f) % 32 - 16, (d + 3b + 5f) % 15 - 7,
+#   (2d + b + 3f) % 11 - 5,  (d·b + d + f) % 7 - 3
+# The query SAMPLES every second frame (f % 2 == 0) — the training-
+# pipeline frame-sampling contract — and decodes only those, so the
+# oracle replays the IDCT for sampled frames only. Encoding from
+# quantized coefficients is lossless; a RIFF-framing, idx1, MJPEG
+# chunk-walk, frame-order or sampling bug flips counts or sums.
+VID_W = lambda d: 8 * (1 + d % 2)  # noqa: E731
+VID_H = 8
+VID_FRAMES = lambda d: 2 + d % 4  # noqa: E731
+VID_COEF = {
+    (0, 0): lambda d, f, b: (d + 5 * b + 9 * f) % 32 - 16,
+    (0, 1): lambda d, f, b: (d + 3 * b + 5 * f) % 15 - 7,
+    (1, 0): lambda d, f, b: (2 * d + b + 3 * f) % 11 - 5,
+    (3, 2): lambda d, f, b: (d * b + d + f) % 7 - 3,
+}
+VID_COEF_SQL = {
+    (0, 0): "(doc_id + 5 * b + 9 * f) % 32 - 16",
+    (0, 1): "(doc_id + 3 * b + 5 * f) % 15 - 7",
+    (1, 0): "(2 * doc_id + b + 3 * f) % 11 - 5",
+    (3, 2): "(doc_id * b + doc_id + f) % 7 - 3",
+}
+
+
+def _vid_frame_jpeg(d: int, f: int) -> bytes:
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg_gray
+
+    w, nb = VID_W(d), VID_W(d) // 8
+    blocks = []
+    for b in range(nb):
+        blk = [[0] * 8 for _ in range(8)]
+        for (r, c), fn in VID_COEF.items():
+            blk[r][c] = fn(d, f, b)
+        blocks.append(blk)
+    return encode_jpeg_gray(w, VID_H, JPG_QT, blocks)
+
+
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode over BinaryType: synthesize one MJPEG AVI per
+    document (RIFF tree with real avih/strh/strf headers and an idx1
+    index; every '00dc' chunk a complete baseline JFIF from the
+    from-scratch encoder), walk the container back, SAMPLE every second
+    frame, decode the sampled frames with the full pure-Python baseline
+    JPEG decoder, and emit exact per-doc pixel statistics. The oracle
+    re-derives them from the coefficient formula + the integer IDCT
+    table for the sampled frames only.
+
+    Scale shape: same as the image/audio codec rungs — (doc_id,
+    payload) through two Arrow-batched kernels, row-local decode, no
+    shuffle; frame sampling drops the decode cost of skipped frames
+    BEFORE any pixel work (the container walk is O(bytes), the JPEG
+    decode only runs on sampled chunks) — at 100 TB that is the
+    difference between decoding 1/2 of the corpus and all of it.
+    Closes the multimodal modality list: image, audio, video all
+    decode for real (video was previously a byte-stride stand-in —
+    ``frame_sample``)."""
+    # imports HERE (driver side): the captured function objects pickle
+    # by value to the workers — a lazy import inside the kernel would
+    # fail from a foreign cwd (the verify-recipe pickling trap)
+    from tinymapreduce_spark.functions.avifiles import (
+        parse_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+    coef_fns, qt = VID_COEF, JPG_QT
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, nb = VID_W(d), VID_W(d) // 8
+                frames = []
+                for f in range(VID_FRAMES(d)):
+                    blocks = []
+                    for b in range(nb):
+                        blk = [[0] * 8 for _ in range(8)]
+                        for (r, c), fn in coef_fns.items():
+                            blk[r][c] = fn(d, f, b)
+                        blocks.append(blk)
+                    frames.append(encode_jpeg_gray(w, VID_H, qt, blocks))
+                payloads.append(write_avi_mjpeg(w, VID_H, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "n_sampled": [], "pixel_sum": [], "min_pixel": [],
+                "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = parse_avi_mjpeg(bytes(p))
+                flat: list[int] = []
+                sampled = frames[::2]
+                for jfif in sampled:
+                    fw, fh, planes = decode_jpeg(bytes(jfif))
+                    if (fw, fh) != (w, h):
+                        raise ValueError("frame dims disagree with avih")
+                    flat.extend(v for row in planes[0] for v in row)
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["n_sampled"].append(len(sampled))
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, n_frames long,"
+            " n_sampled long, pixel_sum long, min_pixel long,"
+            " max_pixel long"
+        ),
+    )
+
+
+def _video_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {VID_COEF_SQL[(r, c)]})" for (r, c) in JPG_COEF_POS
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 8 * (1 + doc_id % 2) AS w, {VID_H} AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), sampled AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, fr.f, b.b
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) fr,
+       LATERAL (SELECT UNNEST(range(0, d.w // 8)) AS b) b
+  WHERE fr.f % 2 = 0
+), coefs AS (
+  SELECT doc_id, w, h, nf, f, b, cf.r, cf.c,
+         cf.val * (1 + cf.r + cf.c) AS coef
+  FROM sampled, LATERAL (VALUES {coefs}) cf(r, c, val)
+), pix AS (
+  SELECT doc_id, w, h, nf, f, b, xs.x, ys.y,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, nf, f, b, xs.x, ys.y
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS BIGINT) AS min_pixel,
+       CAST(MAX(p) AS BIGINT) AS max_pixel
+FROM pix
+GROUP BY doc_id, w, h, nf
+"""
+
+
+VIDEO_DECODE_SQL = _video_decode_sql()

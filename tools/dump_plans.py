@@ -98,6 +98,8 @@ SELECTED = {
     "png_decode_stats": "zlib inflate + filter reconstruction row-local; payload column pruned to (doc_id,payload) at the scan",
     "gif_decode_stats": "LZW decode row-local; identical plan shape to the other codec rungs — no shuffle touches pixel data",
     "warc_ingest_stats": "record walker row-local over (doc_id,payload); gzip members inflate inside the Arrow kernel",
+    "tar_shard_ingest": "ustar walker + WebDataset grouping row-local; odd docs .tar.gz through the from-scratch RFC 1951 inflate; no shuffle before the stats",
+    "video_decode_stats": "RIFF/AVI walk + per-sampled-frame JPEG decode row-local; skipped frames never reach the pixel kernel",
     "url_host_stats": "ZERO-Python plan: parse_url + string exprs in whole-stage codegen; two exchanges = the standard distinct-agg expansion of countDistinct(path)",
     "shard_migration": "per-shard sizes from ONE map-side-combined aggregate; config diff broadcast; ledger cost independent of table size",
     "hybrid_rrf_ndcg": "bigram judge: query-doc bigrams broadcast to one tokenize pass; DCG folds over |queries|x10 rows only",
