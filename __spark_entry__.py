@@ -244,6 +244,7 @@ _R6_WINDOW = [
     "tar_shard_ingest",
     "stream_tar_ingest",
     "video_decode_stats",
+    "manifest_change_feed",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -682,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_expire_vacuum": manifest_sink.manifest_expire_vacuum,
         "stream_chunk_ingest": stream_sinks.stream_chunk_ingest,
         "manifest_merge_on_read": manifest_sink.manifest_merge_on_read,
+        "manifest_change_feed": manifest_sink.manifest_change_feed,
         "manifest_schema_evolution": manifest_sink.manifest_schema_evolution,
         "stream_dv_erasure": stream_sinks.stream_dv_erasure,
         # --- new in round 4 (post-window): quality/privacy tier ---
@@ -834,6 +836,9 @@ GROUP BY word
         "manifest_expire_vacuum": manifest_sink.MANIFEST_EXPIRE_VACUUM_SQL,
         "stream_chunk_ingest": dedup.CONTENT_CHUNK_SQL,
         "manifest_merge_on_read": manifest_sink.MANIFEST_MOR_SQL,
+        # version contents are deterministic transforms of customer -- the
+        # per-commit row-level diffs replay as plain CTEs
+        "manifest_change_feed": manifest_sink.MANIFEST_CHANGE_FEED_SQL,
         "manifest_schema_evolution": manifest_sink.MANIFEST_SCHEMA_EVOLUTION_SQL,
         "stream_dv_erasure": stream_sinks.STREAM_DV_ERASURE_SQL,
         "perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,

@@ -225,6 +225,7 @@ HEADLINE = [
     "tar_shard_ingest",
     "stream_tar_ingest",
     "video_decode_stats",
+    "manifest_change_feed",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

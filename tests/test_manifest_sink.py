@@ -651,3 +651,73 @@ def test_expire_vacuum_query_is_stable_across_repeated_runs(spark, sf_dir):
     ]
     assert runs[0] == runs[1] == runs[2]
     assert len(runs[0]) > 0
+
+
+# --- row-level change feed (read_changes) ----------------------------------
+
+
+def _feed(table, spark, **kw):
+    rows = table.read_changes(spark, ["id"], **kw).collect()
+    return sorted((r._commit_version, r._change_type, r.id, r.v) for r in rows)
+
+
+def test_change_feed_insert_update_delete(spark, table):
+    table.publish(_df(spark, 0, 10).repartition(4, "id"), snapshot_id="v1")
+    # v2: upsert — update ids 0-2 (v -> id*2+1), insert 10-12
+    changed = spark.range(0, 3).selectExpr("id", "id * 2 + 1 AS v")
+    fresh = spark.range(10, 13).selectExpr("id", "id * 2 AS v")
+    table.upsert_matching(spark, "id", changed.unionByName(fresh), snapshot_id="v2")
+    # v3: delete ids 4 and 10
+    table.delete_matching(spark, "id", [4, 10], snapshot_id="v3")
+
+    feed = _feed(table, spark)
+    assert [t for t in feed if t[0] == 2 and t[1] == "insert"] == [
+        (2, "insert", 10, 20), (2, "insert", 11, 22), (2, "insert", 12, 24)
+    ]
+    assert [t for t in feed if t[1] == "update_preimage"] == [
+        (2, "update_preimage", 0, 0),
+        (2, "update_preimage", 1, 2),
+        (2, "update_preimage", 2, 4),
+    ]
+    assert [t for t in feed if t[1] == "update_postimage"] == [
+        (2, "update_postimage", 0, 1),
+        (2, "update_postimage", 1, 3),
+        (2, "update_postimage", 2, 5),
+    ]
+    assert [t for t in feed if t[1] == "delete"] == [
+        (3, "delete", 4, 8), (3, "delete", 10, 20)
+    ]
+    # version-range filters: only commit 3
+    assert {t[0] for t in _feed(table, spark, from_version=2)} == {3}
+
+
+def test_change_feed_pure_recluster_emits_nothing(spark, table):
+    table.publish(_df(spark, 0, 200).repartition(6, "id"), snapshot_id="base")
+    table.optimize(spark, "id", n_files=3, snapshot_id="opt")
+    assert _feed(table, spark) == []  # every rewritten row cancels
+
+
+def test_change_feed_scans_only_touched_files(spark, table):
+    # append-only step: the feed must read ONLY the appended files —
+    # carried files never enter the plan (the 100 TB argument)
+    table.publish(_df(spark, 0, 100).repartition(5, "id"), snapshot_id="base")
+    table.append(_df(spark, 100, 120).repartition(1), snapshot_id="more")
+    carried = set(table.snapshot(1).files)
+    added = set(table.snapshot(2).files) - carried
+    feed = table.read_changes(spark, ["id"])
+    read = {os.path.normpath(p.removeprefix("file:")) for p in feed.inputFiles()}
+    assert read and read <= {os.path.normpath(f) for f in added}
+    got = sorted((r._change_type, r.id) for r in feed.collect())
+    assert got == [("insert", i) for i in range(100, 120)]
+
+
+def test_change_feed_sees_dv_deletes(spark, table):
+    # merge-on-read erasure: base files are byte-identical, only a DV
+    # sidecar lands — the feed must still emit the masked rows as
+    # deletes (carried-but-newly-masked files join the scan)
+    table.publish(_df(spark, 0, 50).repartition(2, "id"), snapshot_id="base")
+    keys = spark.createDataFrame([(7,), (33,)], "id long")
+    table.delete_matching_mor(spark, "id", keys, snapshot_id="erase")
+    assert set(table.snapshot(2).files) == set(table.snapshot(1).files)
+    feed = _feed(table, spark)
+    assert feed == [(2, "delete", 7, 14), (2, "delete", 33, 66)]

@@ -940,6 +940,119 @@ class ManifestTable:
         fresh = [f for f in to_snap.files if f not in seen]
         return self._read_files(spark, fresh, to_snap.schema_ddl)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """ROW-level change feed (the Delta CDF / Iceberg changelog-scan
+        shape): for every commit in ``(from_version, to_version]`` emit
+        the rows it inserted, deleted, or updated, tagged
+        ``_change_type`` in {'insert', 'delete', 'update_preimage',
+        'update_postimage'} and ``_commit_version``.
+
+        Scale shape — the point of doing this from the manifest: a step
+        v → v+1 scans ONLY the files the commit ADDED or REMOVED (plus
+        carried files newly masked by a deletion-vector sidecar), never
+        the carried majority — at 100 TB a single-partition commit
+        diffs two file subsets, not two table snapshots. Within the
+        touched files, rows rewritten verbatim (compaction, OPTIMIZE,
+        the untouched rows of a copy-on-write rewrite) cancel via a
+        full-outer key join whose pre/post fingerprints agree, so a
+        pure re-cluster emits NO changes. ``key_cols`` must be a
+        primary key per snapshot and non-NULL (the same contract as
+        ``upsert_matching``); all other columns are the compared
+        payload."""
+        from pyspark.sql import functions as F
+
+        hist = self.history()
+        if not hist:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        lo = from_version if from_version is not None else hist[0].version
+        hi = to_version if to_version is not None else hist[-1].version
+        steps = [
+            (a, b) for a, b in zip(hist, hist[1:]) if lo < b.version <= hi
+        ]
+        out: DataFrame | None = None
+        for a, b in steps:
+            a_set, b_set = set(a.files), set(b.files)
+            added = [f for f in b.files if f not in a_set]
+            removed = [f for f in a.files if f not in b_set]
+            # DV delta: a sidecar added (or dropped) between the two
+            # versions masks rows of CARRIED files — those files must
+            # join the scan on both sides. Sidecars are O(matched
+            # rows); collecting their distinct file paths is manifest-
+            # planning work (O(#touched files)), not data work.
+            dv_a, dv_b = set(a.deletes or []), set(b.deletes or [])
+            if dv_a != dv_b:
+                delta = sorted((dv_a ^ dv_b))
+                masked = {
+                    _norm_file_path(r[0])
+                    for r in spark.read.parquet(*delta)
+                    .select("_dv_file")
+                    .distinct()
+                    .collect()
+                }
+                for f in a.files:
+                    if _norm_file_path(f) in masked and f not in removed and f in b_set:
+                        removed.append(f)
+                for f in b.files:
+                    if _norm_file_path(f) in masked and f not in added and f in a_set:
+                        added.append(f)
+            old = self._read_snapshot(spark, a, files=removed)
+            new = self._read_snapshot(spark, b, files=added)
+            val_cols = [c for c in new.columns if c not in key_cols]
+            fp = lambda df: F.md5(  # noqa: E731
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in val_cols
+                    ],
+                )
+            )
+            o = old.select(
+                *key_cols, F.struct(*val_cols).alias("_old"), fp(old).alias("_ofp")
+            )
+            n = new.select(
+                *key_cols, F.struct(*val_cols).alias("_new"), fp(new).alias("_nfp")
+            )
+            j = o.join(n, list(key_cols), "full_outer")
+            ins = j.where(F.col("_ofp").isNull()).select(
+                *key_cols, *[F.col(f"_new.{c}").alias(c) for c in val_cols],
+                F.lit("insert").alias("_change_type"),
+            )
+            dele = j.where(F.col("_nfp").isNull()).select(
+                *key_cols, *[F.col(f"_old.{c}").alias(c) for c in val_cols],
+                F.lit("delete").alias("_change_type"),
+            )
+            upd = j.where(
+                F.col("_ofp").isNotNull()
+                & F.col("_nfp").isNotNull()
+                & (F.col("_ofp") != F.col("_nfp"))
+            )
+            pre = upd.select(
+                *key_cols, *[F.col(f"_old.{c}").alias(c) for c in val_cols],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            post = upd.select(
+                *key_cols, *[F.col(f"_new.{c}").alias(c) for c in val_cols],
+                F.lit("update_postimage").alias("_change_type"),
+            )
+            step = (
+                ins.unionByName(dele).unionByName(pre).unionByName(post)
+            ).withColumn("_commit_version", F.lit(b.version).cast("long"))
+            out = step if out is None else out.unionByName(step)
+        if out is None:  # empty range: typed empty frame
+            snap = hist[-1]
+            empty = spark.createDataFrame([], snap.schema_ddl)
+            return empty.withColumn(
+                "_change_type", F.lit("")
+            ).withColumn("_commit_version", F.lit(0).cast("long"))
+        return out
+
     # -- OPTIMIZE: re-cluster the current version --------------------
 
     def optimize(
@@ -2221,4 +2334,103 @@ SELECT p.k,
 FROM probes p
 LEFT JOIN nh ON nh.k = p.k
 LEFT JOIN vals ON vals.k = p.k
+"""
+
+
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED as a driver-checked query (Delta CDF /
+    Iceberg changelog scan): a customers table goes through three
+    commits — v1 the initial load (c_custkey % 5 != 0), v2 a CDC-apply
+    (inserts the % 5 == 0 rows, bumps balances of % 3 == 0 survivors by
+    100 cents), v3 an erasure (% 7 == 0 deleted) — and
+    ``read_changes`` reconstructs every commit's row-level changes from
+    ONLY the files each commit touched. The result aggregates per
+    (commit, change_type); the oracle re-derives the same counts and
+    sums from the version formulas, so a missed insert, a phantom
+    change from a carried file, an unchanged-row rewrite leaking
+    through the fingerprint cancel, or a wrong pre/post image flips the
+    hash. Partitioned 8-way on the key so commits rewrite SOME files
+    and carry the rest — the carried majority is never scanned
+    (``read_changes`` docstring has the 100 TB argument)."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"cdf_customer_{tag}_{_src_fp(sf_dir, 'customer')}")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    table.publish(
+        cust.where("c_custkey % 5 != 0").repartition(8, "c_custkey"),
+        snapshot_id="v1-load",
+    )
+    changes = cust.where("c_custkey % 5 = 0").withColumn(
+        "op", F.lit("I")
+    ).unionByName(
+        cust.where("c_custkey % 5 != 0 AND c_custkey % 3 = 0")
+        .withColumn("bal_cents", F.col("bal_cents") + 100)
+        .withColumn("op", F.lit("U"))
+    )
+    table.apply_changes(spark, "c_custkey", changes, snapshot_id="v2-cdc")
+    erase = (
+        cust.where("c_custkey % 7 = 0")
+        .withColumn(
+            "bal_cents",
+            F.col("bal_cents")
+            + F.when(
+                (F.col("c_custkey") % 5 != 0) & (F.col("c_custkey") % 3 == 0), 100
+            ).otherwise(0),
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    table.apply_changes(spark, "c_custkey", erase, snapshot_id="v3-erasure")
+
+    feed = table.read_changes(spark, ["c_custkey"])
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum("bal_cents").cast("long").alias("bal_sum"),
+    )
+
+
+# v1 = custkey % 5 != 0 at base balance; v2 adds % 5 == 0 and bumps
+# (% 3 == 0, % 5 != 0) by 100; v3 deletes % 7 == 0. The feed per commit:
+#   commit 2: insert (% 5 == 0, base), update pre (base) / post (+100)
+#   commit 3: delete (% 7 == 0 at their v2 balance)
+MANIFEST_CHANGE_FEED_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+  FROM customer
+), rows_ AS (
+  SELECT 2 AS commit_version, 'insert' AS change_type, c_custkey, bal
+  FROM cust WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT 2, 'update_preimage', c_custkey, bal
+  FROM cust WHERE c_custkey % 5 != 0 AND c_custkey % 3 = 0
+  UNION ALL
+  SELECT 2, 'update_postimage', c_custkey, bal + 100
+  FROM cust WHERE c_custkey % 5 != 0 AND c_custkey % 3 = 0
+  UNION ALL
+  SELECT 3, 'delete', c_custkey,
+         bal + CASE WHEN c_custkey % 5 != 0 AND c_custkey % 3 = 0
+                    THEN 100 ELSE 0 END
+  FROM cust WHERE c_custkey % 7 = 0
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(bal) AS BIGINT) AS bal_sum
+FROM rows_
+GROUP BY commit_version, change_type
 """
