@@ -245,6 +245,8 @@ _R6_WINDOW = [
     "stream_tar_ingest",
     "video_decode_stats",
     "manifest_change_feed",
+    "manifest_metadata_agg",
+    "cdf_incremental_mv",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -684,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chunk_ingest": stream_sinks.stream_chunk_ingest,
         "manifest_merge_on_read": manifest_sink.manifest_merge_on_read,
         "manifest_change_feed": manifest_sink.manifest_change_feed,
+        "manifest_metadata_agg": manifest_sink.manifest_metadata_agg,
+        "cdf_incremental_mv": manifest_sink.cdf_incremental_mv,
         "manifest_schema_evolution": manifest_sink.manifest_schema_evolution,
         "stream_dv_erasure": stream_sinks.stream_dv_erasure,
         # --- new in round 4 (post-window): quality/privacy tier ---
@@ -839,6 +843,10 @@ GROUP BY word
         # version contents are deterministic transforms of customer -- the
         # per-commit row-level diffs replay as plain CTEs
         "manifest_change_feed": manifest_sink.MANIFEST_CHANGE_FEED_SQL,
+        # the oracle SCANS the table the manifest fold never opens
+        "manifest_metadata_agg": manifest_sink.MANIFEST_METADATA_AGG_SQL,
+        # oracle recomputes the final version; the MV only ever saw v1 + deltas
+        "cdf_incremental_mv": manifest_sink.CDF_INCREMENTAL_MV_SQL,
         "manifest_schema_evolution": manifest_sink.MANIFEST_SCHEMA_EVOLUTION_SQL,
         "stream_dv_erasure": stream_sinks.STREAM_DV_ERASURE_SQL,
         "perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,

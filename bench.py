@@ -226,6 +226,8 @@ HEADLINE = [
     "stream_tar_ingest",
     "video_decode_stats",
     "manifest_change_feed",
+    "manifest_metadata_agg",
+    "cdf_incremental_mv",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

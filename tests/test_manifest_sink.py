@@ -721,3 +721,54 @@ def test_change_feed_sees_dv_deletes(spark, table):
     assert set(table.snapshot(2).files) == set(table.snapshot(1).files)
     feed = _feed(table, spark)
     assert feed == [(2, "delete", 7, 14), (2, "delete", 33, 66)]
+
+
+# --- metadata-only aggregation (metadata_agg) -------------------------------
+
+
+def test_metadata_agg_opens_no_files_and_is_exact(spark, table):
+    table.publish(
+        _df(spark, 5, 105).repartition(4, "id"), snapshot_id="s", stats_cols=["id", "v"]
+    )
+    out = table.metadata_agg(spark, ["id", "v"])
+    assert out.inputFiles() == []  # the manifest fold never touches data
+    row = out.collect()[0]
+    assert (row.n_rows, row.min_id, row.max_id, row.min_v, row.max_v) == (
+        100, 5, 104, 10, 208
+    )
+    # and it answers PER VERSION: append then ask about v1 again
+    table.append(_df(spark, 200, 210), snapshot_id="more", stats_cols=["id", "v"])
+    assert table.metadata_agg(spark, ["id"]).collect()[0].max_id == 209
+    assert table.metadata_agg(spark, ["id"], version=1).collect()[0].max_id == 104
+
+
+def test_metadata_agg_honest_boundaries(spark, table):
+    table.publish(_df(spark, 0, 50).repartition(2, "id"), snapshot_id="nostats")
+    with pytest.raises(ValueError, match="stats"):
+        table.metadata_agg(spark, ["id"])
+    # stats on id only: asking for v must refuse
+    table.publish(
+        _df(spark, 0, 50).repartition(2, "id"), snapshot_id="idonly", stats_cols=["id"]
+    )
+    with pytest.raises(ValueError, match="bounds"):
+        table.metadata_agg(spark, ["v"])
+    # float stats are enclosing (decimal widening), not exact: refuse
+    fdf = spark.range(0, 20).selectExpr("id", "CAST(id AS DOUBLE) / 3 AS f")
+    table.publish(fdf, snapshot_id="floats", stats_cols=["f"])
+    with pytest.raises(ValueError, match="exact"):
+        table.metadata_agg(spark, ["f"])
+    # a DV-masked snapshot must scan (the masked row could be the extreme)
+    table.publish(
+        _df(spark, 0, 30).repartition(2, "id"), snapshot_id="dvbase", stats_cols=["id"]
+    )
+    keys = spark.createDataFrame([(29,)], "id long")
+    table.delete_matching_mor(spark, "id", keys, snapshot_id="dverase")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        table.metadata_agg(spark, ["id"])
+
+
+def test_metadata_agg_detects_statless_append(spark, table):
+    table.publish(_df(spark, 0, 50), snapshot_id="base", stats_cols=["id"])
+    table.append(_df(spark, 50, 60), snapshot_id="nostats-append")
+    with pytest.raises(ValueError, match="lacks stats"):
+        table.metadata_agg(spark, ["id"])

@@ -1053,6 +1053,72 @@ class ManifestTable:
             ).withColumn("_commit_version", F.lit(0).cast("long"))
         return out
 
+    def metadata_agg(
+        self, spark: SparkSession, cols: list[str], version: int | None = None
+    ) -> DataFrame:
+        """COUNT(*) / MIN / MAX answered from the MANIFEST ALONE — zero
+        data files opened (the Iceberg metadata-table / Delta
+        stats-based-query shortcut): the driver folds O(#files) stats
+        entries; at 100 TB that is a KB-scale JSON walk instead of a
+        table scan. Honest-boundary conditions, each raising
+        ``ValueError``: every file must carry min/max for every
+        requested column in an EXACT stat family (int or str — floats
+        may be decimal bounds widened outward at publish, so their
+        extremes are enclosing, not exact), no file may have NULL
+        bounds with rows present (an all-NULL file's min is None —
+        indistinguishable from unrecorded), and the snapshot must carry
+        no deletion vectors (a DV-masked row could BE the extreme, so a
+        MoR snapshot must scan). Returns one row: n_rows plus
+        min_/max_ per column."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        snap = self.snapshot(v)
+        if snap.deletes:
+            raise ValueError("metadata_agg on a snapshot with deletion vectors")
+        if snap.files and snap.stats is None:
+            raise ValueError("snapshot published without stats_cols")
+        n_rows, mins, maxs = 0, {c: [] for c in cols}, {c: [] for c in cols}
+        for f in snap.files:
+            ent = (snap.stats or {}).get(_norm_file_path(f))
+            if ent is None:
+                # zero-row part files produce no stats group at publish
+                # (an empty-table commit); a file WITH rows always has
+                # an entry when stats were recorded
+                continue
+            n_rows += ent["rows"]
+            if not ent["rows"]:
+                continue
+            for c in cols:
+                lo, hi = ent["min"].get(c), ent["max"].get(c)
+                if lo is None or hi is None:
+                    raise ValueError(f"column {c} lacks exact bounds in {f}")
+                for val in (lo, hi):
+                    if isinstance(val, bool) or not isinstance(val, (int, str)):
+                        raise ValueError(
+                            f"column {c} stats family is not exact (int/str)"
+                        )
+                mins[c].append(lo)
+                maxs[c].append(hi)
+        if n_rows != snap.n_rows:
+            # some row-bearing file has no stats entry (e.g. a later
+            # append committed without stats_cols) — metadata cannot
+            # answer exactly; the mismatch against the manifest's own
+            # row total makes the hole detectable instead of silent
+            raise ValueError(
+                f"stats cover {n_rows} rows but the manifest records "
+                f"{snap.n_rows} — a file lacks stats"
+            )
+        names, vals, ddl = ["n_rows"], [n_rows], ["n_rows long"]
+        for c in cols:
+            lo = min(mins[c]) if mins[c] else None
+            hi = max(maxs[c]) if maxs[c] else None
+            t = "string" if isinstance(lo, str) else "long"
+            names += [f"min_{c}", f"max_{c}"]
+            vals += [lo, hi]
+            ddl += [f"min_{c} {t}", f"max_{c} {t}"]
+        return spark.createDataFrame([tuple(vals)], ", ".join(ddl))
+
     # -- OPTIMIZE: re-cluster the current version --------------------
 
     def optimize(
@@ -2337,21 +2403,12 @@ LEFT JOIN vals ON vals.k = p.k
 """
 
 
-def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level CHANGE FEED as a driver-checked query (Delta CDF /
-    Iceberg changelog scan): a customers table goes through three
-    commits — v1 the initial load (c_custkey % 5 != 0), v2 a CDC-apply
-    (inserts the % 5 == 0 rows, bumps balances of % 3 == 0 survivors by
-    100 cents), v3 an erasure (% 7 == 0 deleted) — and
-    ``read_changes`` reconstructs every commit's row-level changes from
-    ONLY the files each commit touched. The result aggregates per
-    (commit, change_type); the oracle re-derives the same counts and
-    sums from the version formulas, so a missed insert, a phantom
-    change from a carried file, an unchanged-row rewrite leaking
-    through the fingerprint cancel, or a wrong pre/post image flips the
-    hash. Partitioned 8-way on the key so commits rewrite SOME files
-    and carry the rest — the carried majority is never scanned
-    (``read_changes`` docstring has the 100 TB argument)."""
+def _cdf_table(spark: SparkSession, sf_dir: str) -> "ManifestTable":
+    """The shared three-commit customers table behind the change-feed
+    rungs: v1 load (c_custkey % 5 != 0), v2 CDC-apply (inserts the
+    % 5 == 0 rows, bumps % 3 == 0 survivors by 100 cents), v3 erasure
+    (% 7 == 0 deleted). Balances are exact integer cents. Idempotent
+    per (session, corpus identity) via snapshot ids."""
     import pyspark.sql.functions as F
 
     from tinymapreduce_spark.sources.loaders import load_table
@@ -2391,7 +2448,27 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("D"))
     )
     table.apply_changes(spark, "c_custkey", erase, snapshot_id="v3-erasure")
+    return table
 
+
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED as a driver-checked query (Delta CDF /
+    Iceberg changelog scan): a customers table goes through three
+    commits — v1 the initial load (c_custkey % 5 != 0), v2 a CDC-apply
+    (inserts the % 5 == 0 rows, bumps balances of % 3 == 0 survivors by
+    100 cents), v3 an erasure (% 7 == 0 deleted) — and
+    ``read_changes`` reconstructs every commit's row-level changes from
+    ONLY the files each commit touched. The result aggregates per
+    (commit, change_type); the oracle re-derives the same counts and
+    sums from the version formulas, so a missed insert, a phantom
+    change from a carried file, an unchanged-row rewrite leaking
+    through the fingerprint cancel, or a wrong pre/post image flips the
+    hash. Partitioned 8-way on the key so commits rewrite SOME files
+    and carry the rest — the carried majority is never scanned
+    (``read_changes`` docstring has the 100 TB argument)."""
+    import pyspark.sql.functions as F
+
+    table = _cdf_table(spark, sf_dir)
     feed = table.read_changes(spark, ["c_custkey"])
     return feed.groupBy(
         F.col("_commit_version").alias("commit_version"),
@@ -2433,4 +2510,122 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
        CAST(SUM(bal) AS BIGINT) AS bal_sum
 FROM rows_
 GROUP BY commit_version, change_type
+"""
+
+
+def manifest_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation as a driver-checked query: orders is
+    published 8-way hash-partitioned with per-file stats on two exact
+    integer columns (o_orderkey; o_totalprice as cents), then COUNT /
+    MIN / MAX come from ``metadata_agg`` — the manifest fold, ZERO data
+    files opened (``tests/test_manifest_sink.py`` pins
+    ``inputFiles() == []``). The oracle computes the same aggregates by
+    actually scanning the table in DuckDB, so a stats-collection bug at
+    publish (wrong grouping, lost file, truncated bound, rows
+    miscounted) flips the hash. At 100 TB this is the difference
+    between a KB of manifest JSON and a full table scan for the
+    commonest profiling query there is."""
+    import pyspark.sql.functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = ManifestTable(
+        os.path.join(SCRATCH, f"meta_orders_{tag}_{_src_fp(sf_dir, 'orders')}")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    table.publish(
+        orders.repartition(8, "o_orderkey"),
+        snapshot_id="base",
+        stats_cols=["o_orderkey", "price_cents"],
+    )
+    return table.metadata_agg(spark, ["o_orderkey", "price_cents"])
+
+
+MANIFEST_METADATA_AGG_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_o_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey,
+       CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS min_price_cents,
+       CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS max_price_cents
+FROM orders
+"""
+
+
+def cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance DRIVEN BY the change
+    feed (the downstream half of CDF — Delta's streaming CDF consumer /
+    classic delta-processing IVM): a per-bucket (c_custkey % 10)
+    aggregate MV is built ONCE from version 1, then maintained purely
+    from ``read_changes`` deltas — +post and +insert, -pre and -delete
+    — without ever re-aggregating version 2 or 3. The oracle computes
+    the FINAL version's aggregate directly, so the maintained MV equals
+    recompute only if the feed is row-exact end to end (a missed
+    update's pre/post pair, a phantom carried row, or a lost delete all
+    unbalance a bucket). Scale shape: the MV update is
+    O(changes) + O(buckets) — the whole point of IVM at 100 TB: the
+    v2/v3 table scans never happen; one plan, two shuffles (base agg +
+    delta agg)."""
+    import pyspark.sql.functions as F
+
+    table = _cdf_table(spark, sf_dir)
+    bucket = (F.col("c_custkey") % 10).alias("bucket")
+    base = (
+        table.read(spark, version=1)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").alias("bal_sum"),
+        )
+    )
+    feed = table.read_changes(spark, ["c_custkey"])
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.withColumn("_sign", sign)
+        .groupBy(bucket)
+        .agg(
+            F.sum("_sign").alias("dn"),
+            F.sum(F.col("_sign") * F.col("bal_cents")).alias("dbal"),
+        )
+    )
+    merged = base.join(delta, "bucket", "full_outer").select(
+        "bucket",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("bal_sum"), F.lit(0))
+            + F.coalesce(F.col("dbal"), F.lit(0))
+        ).alias("bal_sum"),
+    )
+    return merged.where(F.col("n") > 0).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("bal_sum").cast("long").alias("bal_sum"),
+    )
+
+
+# final state = all customers, bumped where (%3==0 AND %5!=0), minus %7==0
+CDF_INCREMENTAL_MV_SQL = """
+WITH v3 AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         + CASE WHEN c_custkey % 5 != 0 AND c_custkey % 3 = 0
+                THEN 100 ELSE 0 END AS bal
+  FROM customer
+  WHERE c_custkey % 7 != 0
+)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bal) AS BIGINT) AS bal_sum
+FROM v3
+GROUP BY c_custkey % 10
 """

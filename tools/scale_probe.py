@@ -84,6 +84,13 @@ PROBES = [
     # scaler in the table)
     "warc_ingest_stats",
     "url_host_stats",
+    # round-6 continuation: tar shards are row-local like WARC but odd
+    # docs run the PURE-PYTHON inflate (the deliberate verification
+    # path — stdlib zlib remains the hot path elsewhere), so this is
+    # the tier's slowest constant; video is row-local with half the
+    # frames skipped before any pixel work
+    "tar_shard_ingest",
+    "video_decode_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
