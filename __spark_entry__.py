@@ -247,6 +247,7 @@ _R6_WINDOW = [
     "manifest_change_feed",
     "manifest_metadata_agg",
     "cdf_incremental_mv",
+    "segment_dedup_clean",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -385,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- north-star LLM pipeline: dedup / similarity (§7.4) ---
         "dedup_exact": dedup.dedup_exact,
+        "segment_dedup_clean": dedup.segment_dedup_clean,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
@@ -918,6 +920,8 @@ GROUP BY word
         "python_udtf_split": udaf.PYTHON_UDTF_SQL,
         "python_udtf_table_arg": udaf.PYTHON_UDTF_TABLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        # the cleaned corpus itself oracle-checks (md5 per doc)
+        "segment_dedup_clean": dedup.SEGMENT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

@@ -228,6 +228,7 @@ HEADLINE = [
     "manifest_change_feed",
     "manifest_metadata_agg",
     "cdf_incremental_mv",
+    "segment_dedup_clean",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

@@ -1616,3 +1616,66 @@ def test_g711_wav_container_roundtrip():
     assert rate == 8000 and got == [ulaw_expand(c) for c in codes]
     rate, got = decode_wav(encode_wav_g711(codes, "alaw", 16000))
     assert rate == 16000 and got == [alaw_expand(c) for c in codes]
+
+
+class TestSegmentDedupClean:
+    def test_kept_segments_are_corpus_unique(self, spark, sf_dir):
+        from tinymapreduce_spark.operators.dedup import (
+            SEG_WORDS,
+            segment_dedup_clean,
+        )
+
+        out = segment_dedup_clean(spark, sf_dir).toPandas()
+        # every doc is accounted for and never gains segments
+        assert (out.n_kept <= out.n_segments).all()
+        assert (out.n_kept >= 0).all()
+        # total kept == number of DISTINCT segments in the corpus (each
+        # distinct segment survives exactly once, in its first home)
+        from pyspark.sql import functions as F
+
+        from tinymapreduce_spark.functions.text import tokens
+        from tinymapreduce_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            tokens("text").alias("t")
+        )
+        t = F.col("t")
+        nseg = F.floor((F.size(t) + SEG_WORDS - 1) / SEG_WORDS).cast("int")
+        segs = docs.select(
+            F.explode(
+                F.transform(
+                    F.when(F.size(t) > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(t, i * SEG_WORDS + 1, SEG_WORDS), " "
+                    ),
+                )
+            ).alias("segment")
+        )
+        assert int(out.n_kept.sum()) == segs.distinct().count()
+
+    def test_constructed_duplicate_loses_second_occurrence(self, spark, tmp_path):
+        import pandas as pd
+
+        seg = "alpha beta gamma delta eps zeta eta theta iota kappa"
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [seg + " tail one two", "prefix words here " + seg],
+            }
+        )
+        # doc 2's tokens don't align 'seg' on a 10-word boundary, so it
+        # keeps everything; doc 1 owns the segment. Build an aligned dup:
+        docs.loc[1, "text"] = seg + " closing words"
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+        from tinymapreduce_spark.operators.dedup import segment_dedup_clean
+
+        out = {
+            r.doc_id: (r.n_segments, r.n_kept)
+            for r in segment_dedup_clean(spark, str(sf)).collect()
+        }
+        assert out[1] == (2, 2)  # first home keeps both segments
+        assert out[2] == (2, 1)  # the aligned duplicate is dropped

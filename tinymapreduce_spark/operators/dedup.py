@@ -1307,3 +1307,98 @@ SELECT source,
        ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) AS dedup_ratio
 FROM g GROUP BY source
 """
+
+
+# --- segment-level dedup TRANSFORM (CCNet/FineWeb line dedup shape) --------
+SEG_WORDS = 10  # fixed word-window "paragraphs" (the corpus has no newlines)
+
+
+def segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup as a TRANSFORM, not a measure (CCNet drops
+    duplicate paragraphs corpus-wide keeping first occurrence; FineWeb
+    repeats the recipe at line level): the text splits into fixed
+    10-word segments, every segment occurrence beyond the corpus-wide
+    FIRST (ordered by (doc_id, idx)) is dropped, and each document's
+    surviving segments reassemble — in order — into the cleaned text.
+    Emits per doc: total segments, kept segments, md5 of the cleaned
+    text, so the oracle checks the actual output corpus byte-for-byte,
+    not just counts. Complements the measure-side rungs
+    (``boilerplate_spans``, ``dup_passage_coverage``): this is the
+    operator that WRITES the deduplicated corpus.
+
+    Scale shape: two shuffles, both hash-partitioned and skew-benign —
+    one by segment text for the first-occurrence window (segments are
+    short strings; a hot segment's window only needs its min, but
+    row_number keeps it exact and the group is bounded by corpus dup
+    count), one by doc_id for reassembly. Tokenize/slice/join are all
+    Catalyst expressions — nothing leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    nseg = F.floor((n + (SEG_WORDS - 1)) / SEG_WORDS).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    seg = F.transform(
+        idx, lambda i: F.array_join(F.slice(t, i * SEG_WORDS + 1, SEG_WORDS), " ")
+    )
+    segs = base.select("doc_id", F.posexplode(seg).alias("idx", "segment"))
+    first = Window.partitionBy("segment").orderBy("doc_id", "idx")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "segment"))),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS t
+  FROM documents
+), segs AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(
+           list_slice(t, i.i * {SEG_WORDS} + 1, i.i * {SEG_WORDS} + {SEG_WORDS}),
+           ' ') AS segment
+  FROM toks,
+       LATERAL (SELECT UNNEST(range(0,
+                  CAST(ceil(len(t) / {SEG_WORDS}.0) AS INT))) AS i) i
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, idx) AS rn
+  FROM segs
+), kept AS (
+  SELECT doc_id, idx, segment FROM ranked WHERE rn = 1
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(segment, ' ' ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_segments AS BIGINT) AS n_segments,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""

@@ -103,6 +103,7 @@ SELECTED = {
     "manifest_change_feed": "row-level CDF from the manifest: each commit diffs ONLY its added/removed files; carried majority never scanned",
     "manifest_metadata_agg": "COUNT/MIN/MAX folded from manifest stats driver-side; the plan reads NO data files",
     "cdf_incremental_mv": "IVM: v1 aggregate + O(changes) feed deltas; v2/v3 table scans never happen",
+    "segment_dedup_clean": "dedup TRANSFORM: two hash shuffles (segment window, doc reassembly); tokenize/slice/join all codegen",
     "url_host_stats": "ZERO-Python plan: parse_url + string exprs in whole-stage codegen; two exchanges = the standard distinct-agg expansion of countDistinct(path)",
     "shard_migration": "per-shard sizes from ONE map-side-combined aggregate; config diff broadcast; ledger cost independent of table size",
     "hybrid_rrf_ndcg": "bigram judge: query-doc bigrams broadcast to one tokenize pass; DCG folds over |queries|x10 rows only",
