@@ -248,6 +248,7 @@ _R6_WINDOW = [
     "manifest_metadata_agg",
     "cdf_incremental_mv",
     "segment_dedup_clean",
+    "custom_stream_sink",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -414,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_metrics": maintenance.observed_metrics,
         "map_functions": analytics.map_functions,
         "custom_sink_roundtrip": textfiles.custom_sink_roundtrip,
+        "custom_stream_sink": textfiles.custom_stream_sink,
         "text_normalize": textstats.text_normalize,
         "arrow_text_stats": textstats.arrow_text_stats,
         "shard_rebalance": shards.shard_rebalance,
@@ -817,6 +819,9 @@ def oracle_sql() -> dict[str, str]:
         "array_functions": analytics.ARRAY_FUNCTIONS_SQL,
         "json_runs_roundtrip": _WORD_COUNT_SQL,
         "custom_sink_roundtrip": _WORD_COUNT_SQL,
+        # the stream sink's multi-epoch output must reassemble to the
+        # straight word count (same oracle as the batch connector)
+        "custom_stream_sink": _WORD_COUNT_SQL,
         "text_normalize": textstats.TEXT_NORMALIZE_SQL,
         "arrow_text_stats": textstats.ARROW_TEXT_STATS_SQL,
         "grouped_arrow_stats": textstats.GROUPED_ARROW_SQL,

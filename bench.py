@@ -229,6 +229,7 @@ HEADLINE = [
     "manifest_metadata_agg",
     "cdf_incremental_mv",
     "segment_dedup_clean",
+    "custom_stream_sink",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

@@ -1679,3 +1679,54 @@ class TestSegmentDedupClean:
         }
         assert out[1] == (2, 2)  # first home keeps both segments
         assert out[2] == (2, 1)  # the aligned duplicate is dropped
+
+
+class TestMrRunsStreamWriter:
+    """Per-epoch exactly-once contract of the connector's streaming
+    sink: batch-id-keyed commits are idempotent under epoch replay,
+    aborts leave no visible files, and uncommitted temps are invisible
+    to the reader (dot-prefix convention)."""
+
+    def _writer(self, tmp_path):
+        from tinymapreduce_spark.sources.mr_runs_source import MrRunsStreamWriter
+
+        return MrRunsStreamWriter({"path": str(tmp_path / "sink")})
+
+    def _temp(self, w, rows):
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(w.path, f".tmp-stream-t-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for k, v in rows:
+                fh.write(json.dumps({"key": k, "value": v}) + "\n")
+        from tinymapreduce_spark.sources.mr_runs_source import RunCommit
+
+        return RunCommit(tmp_file=tmp, n_rows=len(rows))
+
+    def test_replayed_epoch_commits_once(self, tmp_path):
+        import os
+
+        w = self._writer(tmp_path)
+        w.commit([self._temp(w, [("a", "1"), ("b", "1")])], batchId=7)
+        first = sorted(os.listdir(w.path))
+        assert first == ["mr-stream-b00007-00000.json"]
+        # epoch replay after crash-before-offset-commit: same batchId,
+        # fresh temps — must be discarded, not double-committed
+        w.commit([self._temp(w, [("a", "1"), ("b", "1")])], batchId=7)
+        assert sorted(os.listdir(w.path)) == first
+
+    def test_abort_and_temp_invisibility(self, spark, tmp_path):
+        import os
+
+        w = self._writer(tmp_path)
+        w.commit([self._temp(w, [("x", "1")])], batchId=0)
+        dangling = self._temp(w, [("ghost", "1")])  # a crashed attempt
+        w.abort([self._temp(w, [("y", "1")])], batchId=1)
+        from tinymapreduce_spark.sources import mr_runs_source
+
+        mr_runs_source.register(spark)
+        back = spark.read.format("mr_runs").option("path", w.path).load()
+        assert [r.key for r in back.collect()] == ["x"]  # ghost + abort unseen
+        assert os.path.exists(dangling.tmp_file)  # still a dot-temp on disk

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -67,6 +68,9 @@ class MrRunsDataSource(DataSource):
 
     def streamReader(self, schema) -> "MrRunsStreamReader":
         return MrRunsStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "MrRunsStreamWriter":
+        return MrRunsStreamWriter(self.options)
 
 
 class MrRunsReader(DataSourceReader):
@@ -203,6 +207,65 @@ class MrRunsWriter(DataSourceWriter):
                 os.remove(m.tmp_file)
             except (FileNotFoundError, TypeError):
                 pass
+
+
+class MrRunsStreamWriter(DataSourceStreamWriter):
+    """Streaming side of the sink (DataSourceStreamWriter — the fourth
+    and last rung of the Python DataSource API after reader / writer /
+    streamReader): executors write task-attempt temp files exactly like
+    the batch writer; the driver's per-micro-batch ``commit(messages,
+    batchId)`` promotes them under BATCH-ID-KEYED names
+    (``mr-stream-b{batch:05d}-{task:05d}.json``) and is IDEMPOTENT — a
+    replayed batch (checkpoint recovery re-runs the last uncommitted
+    epoch, and a committed epoch can be re-delivered after a crash
+    between sink commit and offset-log write) finds its generation
+    already present and discards the new temps instead of
+    double-writing. That per-epoch transactionality is exactly the
+    contract foreachBatch sinks implement by hand elsewhere in this
+    repo (streaming/sinks.py) — here it lives INSIDE the connector, so
+    any streaming query can write this layout exactly-once."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_runs stream sink requires option 'path'")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows) -> RunCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".tmp-stream-{pid}-{uuid.uuid4().hex[:8]}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps({"key": row[0], "value": row[1]}) + "\n")
+                n += 1
+        return RunCommit(tmp_file=tmp, n_rows=n)
+
+    def _drop_temps(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_file)
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"mr-stream-b{batchId:05d}-"
+        if any(f.startswith(prefix) for f in os.listdir(self.path)):
+            self._drop_temps(messages)  # replayed epoch: already committed
+            return
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                m.tmp_file, os.path.join(self.path, f"{prefix}{i:05d}.json")
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_temps(messages)
 
 
 # The datasource class is shipped to executors by value: the repo is on

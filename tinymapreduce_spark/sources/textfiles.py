@@ -306,3 +306,50 @@ def parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the re-read files must equal the original (shared
     oracle with the CSV/ORC roundtrips)."""
     return _roundtrip_agg(spark, sf_dir, "parquet", compression="zstd")
+
+
+def custom_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector on BOTH ENDS of one streaming query — the full
+    Python DataSource API surface in a single plan: the runs directory
+    streams in through ``MrRunsStreamReader`` (3 files per trigger, so
+    the run takes several micro-batches), flows out through
+    ``MrRunsStreamWriter`` whose per-epoch commits are batch-id-keyed
+    and idempotent (the reference's temp+rename exactly-once output
+    protocol, ``worker.go:160-184``, lifted to streaming epochs), and
+    the sink directory batch-reads back to a word count that must equal
+    the straight word count — multi-epoch output reassembles exactly or
+    the shared oracle flips."""
+    import shutil
+    import uuid as _uuid
+
+    from tinymapreduce_spark.sources import mr_runs_source
+
+    runs_dir = _ensure_json_runs(spark, sf_dir)
+    mr_runs_source.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(SCRATCH, f"custom_stream_sink_{tag}_{_uuid.uuid4().hex[:8]}")
+    sink, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    stream = spark.readStream.format("mr_runs").option("path", runs_dir).load()
+    q = (
+        stream.select("key", "value")
+        .writeStream.format("mr_runs")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.format("mr_runs").option("path", sink).load()
+    out = back.groupBy(F.col("key").alias("word")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from tinymapreduce_spark.streaming.sinks import _materialize
+
+    out = out.transform(_materialize)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
