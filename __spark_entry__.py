@@ -249,6 +249,7 @@ _R6_WINDOW = [
     "cdf_incremental_mv",
     "segment_dedup_clean",
     "custom_stream_sink",
+    "audio_spectral_bins",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -455,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
         "video_decode_stats": multimodal.video_decode_stats,
+        "audio_spectral_bins": multimodal.audio_spectral_bins,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1037,6 +1039,8 @@ GROUP BY word
         # MJPEG frames are baseline JFIFs from quantized coefficients —
         # the sampled-frame IDCT replays in SQL exactly
         "video_decode_stats": multimodal.VIDEO_DECODE_SQL,
+        # integer DFT: quantized tables inlined verbatim in the SQL
+        "audio_spectral_bins": multimodal.AUDIO_SPECTRAL_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

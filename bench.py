@@ -230,6 +230,7 @@ HEADLINE = [
     "cdf_incremental_mv",
     "segment_dedup_clean",
     "custom_stream_sink",
+    "audio_spectral_bins",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

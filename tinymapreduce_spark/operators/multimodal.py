@@ -1998,3 +1998,145 @@ GROUP BY doc_id, w, h, nf
 
 
 VIDEO_DECODE_SQL = _video_decode_sql()
+
+
+# --- frequency-domain audio features (round 6 continuation) ----------------
+# Integer DFT over fixed 32-sample windows: the cos/sin tables are
+# quantized ONCE here (scale 2^14) and the SAME integers are inlined
+# into the SQL oracle, so there is no rounding-mode seam — re/im/power
+# are exact BIGINT arithmetic end to end. The spectral corpus plants a
+# dominant TONE at bin K(d) = SPEC_BINS[d % 4] (synthesized from the
+# same quantized table) on top of a low-frequency parabola floor, so
+# the per-doc argmax genuinely varies and a table-indexing bug
+# ((i*k) mod 32) cannot hide. All divisions run on non-negative
+# operands (Python floor == SQL trunc there). |sample| <= 3584 fits
+# PCM16; |re| <= 32*3584*16384 < 2^31, power < 2^62, <= 3 windows.
+SPEC_W = 32
+SPEC_BINS = (1, 2, 4, 8)
+SPEC_SCALE = 14
+_SPEC_COS = [
+    round(__import__("math").cos(2 * __import__("math").pi * j / SPEC_W) * (1 << SPEC_SCALE))
+    for j in range(SPEC_W)
+]
+_SPEC_SIN = [
+    round(__import__("math").sin(2 * __import__("math").pi * j / SPEC_W) * (1 << SPEC_SCALE))
+    for j in range(SPEC_W)
+]
+SPEC_N = lambda d: 64 + d % 64  # noqa: E731
+
+
+def SPEC_S(d: int, i: int) -> int:
+    """Spectral-corpus sample: parabola floor + tone at bin K(d)."""
+    k = SPEC_BINS[d % 4]
+    tone = ((_SPEC_COS[(i * k) % SPEC_W] + (1 << SPEC_SCALE)) * 3) // 16 - 3072
+    return ((d * 13 + i * i) % 4096) // 4 - 512 + tone
+
+
+def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over REAL decoded WAV bytes: a
+    PCM16 WAV per document (tone at a formula-chosen bin over a
+    parabola floor) round-trips through the chunk-walking RIFF codec,
+    splits into full 32-sample windows, and each window's power at bins
+    {1,2,4,8} comes from an exact integer DFT (quantized cos/sin tables
+    shared verbatim with the oracle). Emits per doc: window count,
+    per-bin total power, and the dominant bin (argmax, ties to the
+    lower bin) — which must recover the planted tone. The oracle
+    replays the whole pipeline; decode bugs, window boundaries, table
+    indexing and the argmax tie rule all flip the hash.
+
+    Scale shape: row-local Arrow kernel (numpy int64 matmul per batch),
+    no shuffle; O(W x |bins|) per window with W fixed — the codec
+    tier's per-byte cost profile. This is the curation signal
+    time-domain energy cannot give: tone-vs-noise and band placement
+    (speech/music heuristics start exactly here)."""
+    import numpy as np
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+    cos_t = np.array(_SPEC_COS, dtype=np.int64)
+    sin_t = np.array(_SPEC_SIN, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_windows": [], "dominant_bin": [],
+                **{f"power_b{k}": [] for k in SPEC_BINS},
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wav = encode_wav([SPEC_S(d, i) for i in range(SPEC_N(d))], WAV_RATE)
+                _, samples = decode_wav(wav)  # the REAL decode path
+                s = np.asarray(samples, dtype=np.int64)
+                nw = len(s) // SPEC_W
+                win = s[: nw * SPEC_W].reshape(nw, SPEC_W)
+                totals = {}
+                for k in SPEC_BINS:
+                    idx = (np.arange(SPEC_W) * k) % SPEC_W
+                    re = win @ cos_t[idx]
+                    im = win @ sin_t[idx]
+                    totals[k] = int((re * re + im * im).sum())
+                dom = max(SPEC_BINS, key=lambda k: (totals[k], -k))
+                rows["doc_id"].append(d)
+                rows["n_windows"].append(nw)
+                rows["dominant_bin"].append(dom)
+                for k in SPEC_BINS:
+                    rows[f"power_b{k}"].append(totals[k])
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id long, n_windows long, dominant_bin long, " + ", ".join(
+        f"power_b{k} long" for k in SPEC_BINS
+    )
+    return docs.mapInPandas(kernel, schema=schema)
+
+
+def _audio_spectral_sql() -> str:
+    table = ", ".join(
+        f"({j}, {_SPEC_COS[j]}, {_SPEC_SIN[j]})" for j in range(SPEC_W)
+    )
+    bins = ", ".join(str(k) for k in SPEC_BINS)
+    kd = " ".join(
+        f"WHEN {m} THEN {SPEC_BINS[m]}" for m in range(4)
+    )
+    powers = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN k = {k} THEN p END) AS BIGINT) AS power_b{k}"
+        for k in SPEC_BINS
+    )
+    return f"""
+WITH t(j, c, s) AS (VALUES {table}),
+dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n,
+         CASE doc_id % 4 {kd} END AS kd
+  FROM documents
+), win AS (
+  SELECT doc_id, w.w, i.i,
+         ((doc_id * 13 + (w.w * {SPEC_W} + i.i) * (w.w * {SPEC_W} + i.i)) % 4096) // 4 - 512
+         + ((tt.c + {1 << SPEC_SCALE}) * 3) // 16 - 3072 AS x
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, n // {SPEC_W})) AS w) w,
+       LATERAL (SELECT UNNEST(range(0, {SPEC_W})) AS i) i
+  JOIN t tt ON tt.j = ((w.w * {SPEC_W} + i.i) * kd) % {SPEC_W}
+), comp AS (
+  SELECT doc_id, w, k.k,
+         SUM(x * t.c) AS re, SUM(x * t.s) AS im
+  FROM win,
+       LATERAL (SELECT UNNEST([{bins}]) AS k) k
+  JOIN t ON t.j = (i * k.k) % {SPEC_W}
+  GROUP BY doc_id, w, k.k
+), tot AS (
+  SELECT doc_id, k, SUM(re * re + im * im) AS p
+  FROM comp GROUP BY doc_id, k
+), dom AS (
+  SELECT doc_id, k AS dominant_bin,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p DESC, k ASC) AS rn
+  FROM tot
+)
+SELECT tot.doc_id,
+       CAST((64 + tot.doc_id % 64) // {SPEC_W} AS BIGINT) AS n_windows,
+       CAST(MAX(dom.dominant_bin) AS BIGINT) AS dominant_bin,
+       {powers}
+FROM tot
+JOIN dom ON dom.doc_id = tot.doc_id AND dom.rn = 1
+GROUP BY tot.doc_id
+"""
+
+
+AUDIO_SPECTRAL_SQL = _audio_spectral_sql()
