@@ -250,6 +250,7 @@ _R6_WINDOW = [
     "segment_dedup_clean",
     "custom_stream_sink",
     "audio_spectral_bins",
+    "wds_image_pipeline",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -460,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
+        "wds_image_pipeline": tarfiles.wds_image_pipeline,
         "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
         "html_extract_stats": textstats.html_extract_stats,
@@ -1047,6 +1049,8 @@ GROUP BY word
         # ustar framing is exact; .tar.gz decodes through the
         # FROM-SCRATCH RFC 1951 inflate — formula replay either way
         "tar_shard_ingest": tarfiles.TAR_INGEST_SQL,
+        # container x codec x label join in one plan — all formulas replay
+        "wds_image_pipeline": tarfiles.WDS_IMAGE_SQL,
         "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,
         "url_host_stats": textstats.URL_HOST_STATS_SQL,
         "html_extract_stats": textstats.HTML_EXTRACT_SQL,

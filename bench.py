@@ -231,6 +231,7 @@ HEADLINE = [
     "segment_dedup_clean",
     "custom_stream_sink",
     "audio_spectral_bins",
+    "wds_image_pipeline",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

@@ -1068,3 +1068,59 @@ def test_codec_rungs_never_shuffle_pixels(spark, sf_dir):
         # the exchange must precede both kernels (fan-out, not a
         # post-decode shuffle): node ids number bottom-up
         assert all(exs[0] < h for h in hops), (fn.__name__, exs, hops)
+
+
+def test_tar_and_video_rungs_never_shuffle_payloads(spark, sf_dir):
+    """The r6-continuation ingest/codec rungs keep the codec-tier plan
+    shape: ONE fan-out exchange BEFORE the Arrow kernels; shard/frame
+    bytes never hit a shuffle. tar runs encode+parse as two hops like
+    WARC; video folds both into one kernel."""
+    import re as _re
+
+    from tinymapreduce_spark.operators.multimodal import (
+        audio_spectral_bins,
+        video_decode_stats,
+    )
+    from tinymapreduce_spark.sources.tarfiles import tar_shard_ingest
+
+    for fn, n_hops in ((tar_shard_ingest, 2), (video_decode_stats, 2),
+                       (audio_spectral_bins, 1)):
+        p = plan_of(fn(spark, sf_dir))
+        exs = sorted({int(m) for m in _re.findall(r"Exchange \((\d+)\)", p)})
+        hops = sorted({int(m) for m in _re.findall(r"MapInPandas \((\d+)\)", p)})
+        assert len(exs) == 1, (fn.__name__, exs)
+        assert len(hops) == n_hops, (fn.__name__, hops)
+        assert all(exs[0] < h for h in hops), (fn.__name__, exs, hops)
+
+
+def test_segment_dedup_clean_is_pure_catalyst_two_shuffles(spark, sf_dir):
+    """The dedup TRANSFORM must stay entirely JVM-side (tokenize /
+    slice / reassemble are Catalyst expressions — no Python node) with
+    exactly the two deliberate hash exchanges: the corpus-wide
+    first-occurrence window (by segment) and the per-doc reassembly
+    aggregate, plus nothing else."""
+    import re as _re
+
+    p = plan_of(dedup.segment_dedup_clean(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in p, node
+    assert "Window" in p and "HashAggregate" in p
+    # window-by-segment, agg-by-doc, join-back-by-doc: the join of
+    # totals to kept_agg reuses the doc_id partitioning, so at most 3
+    # unique exchanges appear (segment + the two doc-side inputs), and
+    # none may be a full-sort exchange beyond the window's own
+    exs = {int(m) for m in _re.findall(r"Exchange \((\d+)\)", p)}
+    assert 2 <= len(exs) <= 4, sorted(exs)
+
+
+def test_metadata_agg_plan_reads_no_files(spark, sf_dir):
+    """manifest_metadata_agg: the returned frame is a LocalTableScan —
+    literally no file source in the plan (the manifest fold happened
+    driver-side on O(#files) JSON entries)."""
+    from tinymapreduce_spark.sources.manifest_sink import manifest_metadata_agg
+
+    df = manifest_metadata_agg(spark, sf_dir)
+    p = plan_of(df)
+    assert "Scan parquet" not in p and "FileScan" not in p, p
+    assert df.inputFiles() == []

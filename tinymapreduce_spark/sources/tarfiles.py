@@ -435,3 +435,114 @@ SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(SUM(bin_sum) AS BIGINT) AS bin_byte_sum
 FROM samples
 """
+
+
+# --- end-to-end WebDataset image pipeline (tar x BMP codec x labels) --------
+# The multimodal training-data front door in ONE plan: shards of
+# ({key}.bmp, {key}.cls) samples — real 24-bit BMPs, odd docs' shards
+# .tar.gz through the from-scratch inflate — are walked, grouped,
+# DECODED with the real BMP parser, and aggregated per class label
+# across the whole corpus. Sample (d, s): w = 4 + (d+s) % 5,
+# h = 3 + (3d+s) % 5, pixel (d + 7x + 13y + 31c + 17s) % 256,
+# label (d + s) % 4.
+WDS_W = lambda d, s: 4 + (d + s) % 5  # noqa: E731
+WDS_H = lambda d, s: 3 + (3 * d + s) % 5  # noqa: E731
+WDS_PIX = lambda d, s, x, y, c: (d + 7 * x + 13 * y + 31 * c + 17 * s) % 256  # noqa: E731
+WDS_LABEL = lambda d, s: (d + s) % 4  # noqa: E731
+
+
+def _wds_members(d: int, encode_bmp=None) -> list[tuple[str, bytes]]:
+    """``encode_bmp`` is injected by the query (imported DRIVER-side and
+    captured — a lazy import here would run on the worker and fail from
+    a foreign cwd, the verify-recipe pickling trap)."""
+    if encode_bmp is None:  # driver-local/test use
+        from tinymapreduce_spark.operators.multimodal import encode_bmp
+
+    members = []
+    for s in range(1 + d % 3):
+        key = f"{d:08d}_{s:04d}"
+        w, h = WDS_W(d, s), WDS_H(d, s)
+        px = [
+            [tuple(WDS_PIX(d, s, x, y, c) for c in range(3)) for x in range(w)]
+            for y in range(h)
+        ]
+        members.append((f"{key}.bmp", encode_bmp(w, h, px)))
+        members.append((f"{key}.cls", str(WDS_LABEL(d, s)).encode()))
+    return members
+
+
+def wds_image_pipeline(spark, sf_dir: str):
+    """WebDataset end to end: tar-shard walk -> sample grouping -> REAL
+    BMP decode -> per-CLASS corpus statistics, one plan. This is the
+    composition the ingest tier exists for — container, codec and
+    label join working together: a framing bug, a sample-grouping slip,
+    a padding/bottom-up decode bug or a label mixup all flip the
+    per-class sums. Odd docs' shards are .tar.gz (the from-scratch
+    RFC 1951 inflate runs inside the kernel).
+
+    Scale shape: one fan-out exchange, one Arrow kernel (walk + decode,
+    row-local), then ONE label shuffle carrying (label, n, sums) —
+    pixels never shuffle; per-class partial aggregation happens
+    map-side. Exactly how a 100 TB labeled-image corpus computes class
+    balance and per-class intensity stats."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.operators.multimodal import decode_image, encode_bmp
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "label": [], "pixel_sum": [], "n_pixels": [], "width": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = write_tar(_wds_members(d, encode_bmp), gzipped=bool(d % 2))
+                for key, files in group_samples(parse_tar(payload)):
+                    w, h, px = decode_image(files["bmp"])
+                    flat = [v for row in px for t in row for v in t]
+                    rows["label"].append(int(files["cls"]))
+                    rows["pixel_sum"].append(sum(flat))
+                    rows["n_pixels"].append(w * h)
+                    rows["width"].append(w)
+            yield pd.DataFrame(rows)
+
+    samples = docs.mapInPandas(
+        kernel, schema="label long, pixel_sum long, n_pixels long, width long"
+    )
+    return samples.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("pixel_sum").cast("long").alias("pixel_sum"),
+        F.sum("n_pixels").cast("long").alias("n_pixels"),
+        F.sum("width").cast("long").alias("width_sum"),
+    )
+
+
+WDS_IMAGE_SQL = """
+WITH samples AS (
+  SELECT doc_id, s.s,
+         (doc_id + s.s) % 4 AS label,
+         4 + (doc_id + s.s) % 5 AS w,
+         3 + (3 * doc_id + s.s) % 5 AS h
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 3)) AS s) s
+), px AS (
+  SELECT doc_id, s, label, w, h,
+         SUM((doc_id + 7 * x.x + 13 * y.y + 31 * c.c + 17 * s) % 256) AS psum
+  FROM samples,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y,
+       LATERAL (SELECT UNNEST(range(0, 3)) AS c) c
+  GROUP BY doc_id, s, label, w, h
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(psum) AS BIGINT) AS pixel_sum,
+       CAST(SUM(w * h) AS BIGINT) AS n_pixels,
+       CAST(SUM(w) AS BIGINT) AS width_sum
+FROM px
+GROUP BY label
+"""

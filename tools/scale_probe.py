@@ -91,6 +91,11 @@ PROBES = [
     # frames skipped before any pixel work
     "tar_shard_ingest",
     "video_decode_stats",
+    # the dedup TRANSFORM shuffles segment strings (bounded by corpus
+    # dup structure — the x16 copies multiply cross-copy dup hits);
+    # the spectral rung is row-local int64 matmul like the codecs
+    "segment_dedup_clean",
+    "audio_spectral_bins",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
