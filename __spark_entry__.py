@@ -251,6 +251,7 @@ _R6_WINDOW = [
     "custom_stream_sink",
     "audio_spectral_bins",
     "wds_image_pipeline",
+    "python_udtf_dynamic_schema",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -614,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_udaf": udaf.grouped_agg_udaf,
         "python_udtf_split": udaf.python_udtf_split,
         "python_udtf_table_arg": udaf.python_udtf_table_arg,
+        "python_udtf_dynamic_schema": udaf.python_udtf_dynamic_schema,
         "csv_roundtrip_agg": textfiles.csv_roundtrip_agg,
         "orc_roundtrip_agg": textfiles.orc_roundtrip_agg,
         "parquet_zstd_roundtrip": textfiles.parquet_zstd_roundtrip,
@@ -928,6 +930,9 @@ GROUP BY word
         "grouped_agg_udaf": udaf.GROUPED_AGG_SQL,
         "python_udtf_split": udaf.PYTHON_UDTF_SQL,
         "python_udtf_table_arg": udaf.PYTHON_UDTF_TABLE_SQL,
+        # schema bound at PLAN time by analyze(); the 2-gram extraction
+        # replays as list indexing
+        "python_udtf_dynamic_schema": udaf.PYTHON_UDTF_DYNAMIC_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         # the cleaned corpus itself oracle-checks (md5 per doc)
         "segment_dedup_clean": dedup.SEGMENT_DEDUP_SQL,

@@ -232,6 +232,7 @@ HEADLINE = [
     "custom_stream_sink",
     "audio_spectral_bins",
     "wds_image_pipeline",
+    "python_udtf_dynamic_schema",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

@@ -1730,3 +1730,19 @@ class TestMrRunsStreamWriter:
         back = spark.read.format("mr_runs").option("path", w.path).load()
         assert [r.key for r in back.collect()] == ["x"]  # ghost + abort unseen
         assert os.path.exists(dangling.tmp_file)  # still a dot-temp on disk
+
+
+def test_udtf_dynamic_schema_rejects_nonconstant_k(spark, sf_dir):
+    """analyze() contract: the schema-driving argument must be a
+    constant literal — a per-row expression cannot bind a plan-time
+    schema and must fail at ANALYSIS, not silently pick one."""
+    from pyspark.sql.utils import AnalysisException
+
+    from tinymapreduce_spark.operators.udaf import python_udtf_dynamic_schema
+
+    python_udtf_dynamic_schema(spark, sf_dir)  # registers ngram_cols
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT * FROM docs_ngram_t, "
+            "LATERAL ngram_cols(text, CAST(doc_id % 2 + 2 AS INT))"
+        ).collect()

@@ -243,3 +243,62 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 
 
 ITERATOR_SCORING_SQL = _iterator_scoring_sql()
+
+
+def python_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with ``analyze()`` (Spark 4 dynamic output schema): the
+    function's column list is computed at PLAN time from a literal
+    argument — ``ngram_cols(text, k)`` emits one row per consecutive
+    k-gram with k columns ``tok_0..tok_{k-1}``, and the schema Spark
+    binds comes from the static ``analyze`` hook, not a declared
+    returnType. This is the last rung of the UDTF ladder (declared
+    schema -> table argument -> analyzed schema); non-constant ``k``
+    is rejected at analysis, pinned in tests. Row-at-a-time Python by
+    design — extension surface, not a hot path (the hot n-gram paths
+    are the Catalyst shingle expressions in operators/dedup.py)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    class NGramCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if k.value is None or not isinstance(k.value, int):
+                raise ValueError("k must be a constant integer literal")
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in _re.split("[^A-Za-z]+", text or "") if t]
+            for i in range(len(toks) - k + 1):
+                yield tuple(toks[i : i + k])
+
+    spark.udtf.register("ngram_cols", udtf(NGramCols))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ngram_t")
+    return spark.sql(
+        """
+        SELECT tok_0, COUNT(*) AS cnt, COUNT(DISTINCT tok_1) AS n_next
+        FROM docs_ngram_t, LATERAL ngram_cols(text, 2)
+        GROUP BY tok_0
+        """
+    )
+
+
+PYTHON_UDTF_DYNAMIC_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT t[i.i] AS tok_0, t[i.i + 1] AS tok_1
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) i
+)
+SELECT tok_0, COUNT(*) AS cnt, COUNT(DISTINCT tok_1) AS n_next
+FROM grams GROUP BY tok_0
+"""
