@@ -198,3 +198,27 @@ def test_parity_on_engine_byte_streams():
     plain = write_warc(_doc_records(7), gzip_members=False)
     assert gunzip(gz) == plain
     assert parse_warc(gz) == parse_warc(plain)
+
+
+def test_deflate_fixed_roundtrips_both_decoders():
+    from tinymapreduce_spark.functions.inflate import deflate_fixed, gzip_compress
+
+    import gzip as _gzip
+
+    for data in _corpora():
+        blob = deflate_fixed(data)
+        assert zlib.decompress(blob, -15) == data  # a REAL inflater accepts it
+        out, pos = inflate(blob)
+        assert out == data and pos == len(blob)
+        assert gunzip(gzip_compress(data)) == data
+        assert _gzip.decompress(gzip_compress(data)) == data
+
+
+def test_deflate_fixed_actually_compresses():
+    from tinymapreduce_spark.functions.inflate import deflate_fixed
+
+    rep = ("spark deflate " * 3000).encode()
+    assert len(deflate_fixed(rep)) < len(rep) // 20  # LZ77 matches fire
+    # window cap respected: a match can never reach past 32768 bytes
+    far = bytes(10) + bytes([1]) * 40000 + bytes(10)
+    assert zlib.decompress(deflate_fixed(far), -15) == far

@@ -1,6 +1,7 @@
-"""From-scratch DEFLATE (RFC 1951) inflate + the gzip (RFC 1952) and
-zlib (RFC 1950) wrappers — no ``zlib`` import anywhere in the decode
-path. Completes the codec tier's spec-derived story: JPEG/PNG/GIF/G.711
+"""From-scratch DEFLATE (RFC 1951) codec — inflate AND a fixed-Huffman
+greedy-LZ77 compressor — plus the gzip (RFC 1952) and zlib (RFC 1950)
+wrappers; no ``zlib`` import anywhere in the decode path. Completes
+the codec tier's spec-derived story: JPEG/PNG/GIF/G.711
 already decode from their specs, but PNG IDAT and .warc.gz members still
 leaned on stdlib zlib for the inflate step. This module removes that
 last dependency for VERIFICATION paths (stdlib zlib stays the default
@@ -326,3 +327,130 @@ def gunzip(data: bytes) -> bytes:
         out += member
         pos = p + 8
     return bytes(out)
+
+
+# --- encode side: from-scratch DEFLATE compressor ---------------------------
+# Fixed-Huffman (BTYPE=01) blocks over a greedy hash-chain LZ77 matcher
+# (RFC 1951 §4 describes exactly this strategy): 3-byte hash heads,
+# bounded chain walk, longest-match with the 258 cap, no lazy matching
+# (greedy is legal — only ratio, never correctness, depends on the
+# matcher). The output is a VALID deflate stream any inflater accepts;
+# roundtrip exactness is pinned against BOTH stdlib zlib and this
+# module's own inflate. This closes the codec tier's encode side: GIF
+# already compresses LZW from scratch; with this, the gzip family
+# (tar shards) compresses from scratch too.
+_FIXED_LIT_CODE: list[tuple[int, int]] = []
+for _sym in range(288):  # RFC 1951 §3.2.6
+    if _sym < 144:
+        _FIXED_LIT_CODE.append((0b00110000 + _sym, 8))
+    elif _sym < 256:
+        _FIXED_LIT_CODE.append((0b110010000 + _sym - 144, 9))
+    elif _sym < 280:
+        _FIXED_LIT_CODE.append((_sym - 256, 7))
+    else:
+        _FIXED_LIT_CODE.append((0b11000000 + _sym - 280, 8))
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def bits(self, val: int, n: int) -> None:  # LSB-first data elements
+        self.acc |= val << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, n: int) -> None:  # Huffman codes go MSB-first
+        for i in range(n - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _len_symbol(length: int) -> tuple[int, int, int]:
+    for i in range(len(_LEN_BASE) - 1, -1, -1):
+        if length >= _LEN_BASE[i]:
+            return 257 + i, length - _LEN_BASE[i], _LEN_EXTRA[i]
+    raise ValueError(length)
+
+
+def _dist_symbol(dist: int) -> tuple[int, int, int]:
+    for i in range(len(_DIST_BASE) - 1, -1, -1):
+        if dist >= _DIST_BASE[i]:
+            return i, dist - _DIST_BASE[i], _DIST_EXTRA[i]
+    raise ValueError(dist)
+
+
+def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
+    """Compress ``data`` as one fixed-Huffman deflate block (BFINAL=1)."""
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(1, 2)  # BTYPE=01
+    heads: dict[int, list[int]] = {}
+    i, n = 0, len(data)
+    while i < n:
+        best_len, best_dist = 0, 0
+        if i + 3 <= n:
+            key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            chain = heads.get(key, ())
+            tried = 0
+            for j in reversed(chain):
+                if i - j > 32768:
+                    break
+                tried += 1
+                if tried > max_chain:
+                    break
+                ln = 0
+                maxl = min(258, n - i)
+                while ln < maxl and data[j + ln] == data[i + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, i - j
+                    if ln >= maxl:
+                        break
+        if best_len >= 3:
+            sym, extra, nbits = _len_symbol(best_len)
+            c, cl = _FIXED_LIT_CODE[sym]
+            w.code(c, cl)
+            w.bits(extra, nbits)
+            dsym, dextra, dnbits = _dist_symbol(best_dist)
+            w.code(dsym, 5)  # fixed dist codes: 5-bit, value == symbol
+            w.bits(dextra, dnbits)
+            end = i + best_len
+            while i < end:
+                if i + 3 <= n:
+                    k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+                    heads.setdefault(k, []).append(i)
+                i += 1
+        else:
+            c, cl = _FIXED_LIT_CODE[data[i]]
+            w.code(c, cl)
+            if i + 3 <= n:
+                k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+                heads.setdefault(k, []).append(i)
+            i += 1
+    c, cl = _FIXED_LIT_CODE[256]  # end of block
+    w.code(c, cl)
+    return w.done()
+
+
+def gzip_compress(data: bytes) -> bytes:
+    """Single-member RFC 1952 gzip around ``deflate_fixed`` — own
+    CRC-32/ISIZE trailer, mtime pinned to 0 (determinism convention)."""
+    hdr = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+    return (
+        hdr
+        + deflate_fixed(data)
+        + crc32(data).to_bytes(4, "little")
+        + (len(data) % (1 << 32)).to_bytes(4, "little")
+    )

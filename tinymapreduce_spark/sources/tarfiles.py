@@ -33,11 +33,10 @@ RFC 1951/1952.
 from __future__ import annotations
 
 import sys
-import zlib
 
 from pyspark import cloudpickle
 
-from tinymapreduce_spark.functions.inflate import gunzip
+from tinymapreduce_spark.functions.inflate import gunzip, gzip_compress
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -96,8 +95,11 @@ def write_tar(members: list[tuple[str, bytes]], gzipped: bool = False) -> bytes:
         out += b"\x00" * pad
     out += _EOF
     if gzipped:
-        co = zlib.compressobj(6, zlib.DEFLATED, 31)
-        return co.compress(bytes(out)) + co.flush()
+        # BOTH directions from scratch: the shard compresses through
+        # the greedy-LZ77 fixed-Huffman deflate and decompresses
+        # through the RFC 1952 walker — the driver-checked tar queries
+        # hash-verify the whole codec, not just the inflate half
+        return gzip_compress(bytes(out))
     return bytes(out)
 
 
