@@ -252,6 +252,7 @@ _R6_WINDOW = [
     "audio_spectral_bins",
     "wds_image_pipeline",
     "python_udtf_dynamic_schema",
+    "autocorrelation_lags",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -581,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_path_trigrams": events.event_path_trigrams,
         "rolling_active_users": events.rolling_active_users,
         "stickiness_ratio": events.stickiness_ratio,
+        "autocorrelation_lags": events.autocorrelation_lags,
         # --- warehouse maintenance ---
         "merge_upsert": maintenance.merge_upsert,
         "scd2_history": maintenance.scd2_history,
@@ -1081,6 +1083,9 @@ GROUP BY word
         "event_path_trigrams": events.EVENT_PATH_SQL,
         "rolling_active_users": events.ROLLING_WAU_SQL,
         "stickiness_ratio": events.STICKINESS_SQL,
+        # exact integer moment algebra at calendar lags (float r never
+        # materializes — grouped_correlation's convention at lag)
+        "autocorrelation_lags": events.ACF_SQL,
         "negative_sampling": similarity.NEGATIVE_SAMPLING_SQL,
         "rfm_segments": analytics.RFM_SQL,
         "cms_heavy_hitters": sketches.CMS_SQL,

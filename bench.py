@@ -233,6 +233,7 @@ HEADLINE = [
     "audio_spectral_bins",
     "wds_image_pipeline",
     "python_udtf_dynamic_schema",
+    "autocorrelation_lags",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

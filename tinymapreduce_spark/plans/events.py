@@ -854,3 +854,122 @@ SELECT user_id,
 FROM o
 WHERE epoch_us(ts) - epoch_us(prev_ts) > CAST({GAP_MIN_MINUTES} AS BIGINT) * 60 * 1000000
 """
+
+
+ACF_LAGS = (1, 2, 7)
+
+
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level autocorrelation of per-user daily activity at
+    calendar lags {1, 2, 7} — the periodicity screen (weekly rhythm vs
+    day-to-day persistence) a time-series tier needs before any
+    forecasting. Everything is EXACT integer moment algebra over the
+    zero-filled per-user daily series: for user u with observed span
+    [lo, hi] and lag L, the n = span - L aligned pairs have
+    sx/sxx = conditional sums over day <= hi - L, sy/syy over
+    day >= lo + L (zero days contribute nothing to sums but DO count
+    in n — that is what the span arithmetic encodes), and sxy comes
+    from a (user, day + L) equi-join of present days only. Per lag the
+    query emits user count and the summed exact covariance/variance
+    numerators (n*sxy - sx*sy etc.) — the float r never materializes,
+    so the oracle hash-checks bigints (grouped_correlation's
+    convention, applied at lag).
+
+    Scale shape: one groupBy to daily counts (events never re-scanned),
+    one broadcast-size per-user bounds join, a 3-way lag explode over
+    the DAILY table (pairs, not events), and one equi-join on
+    (user, day+L) — all hash-partitioned by user; no windows over the
+    full series, no per-day re-scans."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"unix_micros(ts) div {DAY_US}L").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    lags = F.array(*[F.lit(lag) for lag in ACF_LAGS])
+    lagged = daily.select("user_id", "day", "cnt", F.explode(lags).alias("lag"))
+    side = (
+        lagged.join(bounds, "user_id")
+        .groupBy("user_id", "lag")
+        .agg(
+            (F.first("hi") - F.first("lo") + 1 - F.first("lag")).alias("n"),
+            F.sum(F.when(F.col("day") <= F.col("hi") - F.col("lag"), F.col("cnt")).otherwise(0)).alias("sx"),
+            F.sum(F.when(F.col("day") <= F.col("hi") - F.col("lag"), F.col("cnt") * F.col("cnt")).otherwise(0)).alias("sxx"),
+            F.sum(F.when(F.col("day") >= F.col("lo") + F.col("lag"), F.col("cnt")).otherwise(0)).alias("sy"),
+            F.sum(F.when(F.col("day") >= F.col("lo") + F.col("lag"), F.col("cnt") * F.col("cnt")).otherwise(0)).alias("syy"),
+        )
+    )
+    b2 = daily.select(
+        F.col("user_id"), F.col("day").alias("day2"), F.col("cnt").alias("cnt2")
+    )
+    pairs = (
+        lagged.join(
+            b2,
+            (lagged["user_id"] == b2["user_id"])
+            & (b2["day2"] == lagged["day"] + lagged["lag"]),
+        )
+        .groupBy(lagged["user_id"].alias("user_id"), "lag")
+        .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("sxy"))
+    )
+    per_user = side.join(pairs, ["user_id", "lag"], "left").select(
+        "lag",
+        "n",
+        (F.col("n") * F.coalesce(F.col("sxy"), F.lit(0)) - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_num"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_num"),
+    )
+    return (
+        per_user.where(F.col("n") >= 1)
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cov_num").cast("long").alias("cov_num_sum"),
+            F.sum("varx_num").cast("long").alias("varx_num_sum"),
+            F.sum("vary_num").cast("long").alias("vary_num_sum"),
+        )
+        .select(F.col("lag").cast("long").alias("lag"), "n_users", "cov_num_sum", "varx_num_sum", "vary_num_sum")
+    )
+
+
+ACF_SQL = f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, epoch_us(ts) // {DAY_US}
+), bounds AS (
+  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id
+), lagged AS (
+  SELECT user_id, day, cnt, l.lag
+  FROM daily, LATERAL (SELECT UNNEST([{", ".join(str(lag) for lag in ACF_LAGS)}]) AS lag) l
+), side AS (
+  SELECT la.user_id, la.lag,
+         ANY_VALUE(b.hi) - ANY_VALUE(b.lo) + 1 - la.lag AS n,
+         SUM(CASE WHEN la.day <= b.hi - la.lag THEN la.cnt ELSE 0 END) AS sx,
+         SUM(CASE WHEN la.day <= b.hi - la.lag THEN la.cnt * la.cnt ELSE 0 END) AS sxx,
+         SUM(CASE WHEN la.day >= b.lo + la.lag THEN la.cnt ELSE 0 END) AS sy,
+         SUM(CASE WHEN la.day >= b.lo + la.lag THEN la.cnt * la.cnt ELSE 0 END) AS syy
+  FROM lagged la JOIN bounds b USING (user_id)
+  GROUP BY la.user_id, la.lag
+), pairs AS (
+  SELECT la.user_id, la.lag, SUM(la.cnt * d2.cnt) AS sxy
+  FROM lagged la JOIN daily d2
+    ON d2.user_id = la.user_id AND d2.day = la.day + la.lag
+  GROUP BY la.user_id, la.lag
+), per_user AS (
+  SELECT s.lag, s.n,
+         s.n * COALESCE(p.sxy, 0) - s.sx * s.sy AS cov_num,
+         s.n * s.sxx - s.sx * s.sx AS varx_num,
+         s.n * s.syy - s.sy * s.sy AS vary_num
+  FROM side s LEFT JOIN pairs p ON p.user_id = s.user_id AND p.lag = s.lag
+  WHERE s.n >= 1
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cov_num) AS BIGINT) AS cov_num_sum,
+       CAST(SUM(varx_num) AS BIGINT) AS varx_num_sum,
+       CAST(SUM(vary_num) AS BIGINT) AS vary_num_sum
+FROM per_user
+GROUP BY lag
+"""
