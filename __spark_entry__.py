@@ -253,6 +253,7 @@ _R6_WINDOW = [
     "wds_image_pipeline",
     "python_udtf_dynamic_schema",
     "autocorrelation_lags",
+    "image_augment_stats",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -460,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_decode_stats": multimodal.g711_decode_stats,
         "video_decode_stats": multimodal.video_decode_stats,
         "audio_spectral_bins": multimodal.audio_spectral_bins,
+        "image_augment_stats": multimodal.image_augment_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1050,6 +1052,9 @@ GROUP BY word
         "video_decode_stats": multimodal.VIDEO_DECODE_SQL,
         # integer DFT: quantized tables inlined verbatim in the SQL
         "audio_spectral_bins": multimodal.AUDIO_SPECTRAL_SQL,
+        # each variant = a coordinate remap of the pixel formula; the
+        # (x + 3y) weighting is the orientation witness
+        "image_augment_stats": multimodal.IMAGE_AUGMENT_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

@@ -234,6 +234,7 @@ HEADLINE = [
     "wds_image_pipeline",
     "python_udtf_dynamic_schema",
     "autocorrelation_lags",
+    "image_augment_stats",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

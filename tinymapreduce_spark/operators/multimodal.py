@@ -2140,3 +2140,111 @@ GROUP BY tot.doc_id
 
 
 AUDIO_SPECTRAL_SQL = _audio_spectral_sql()
+
+
+# --- deterministic image augmentation (round 6 continuation) ---------------
+# The training-data augmentation step over REAL decoded pixels:
+# horizontal flip, 90-degree clockwise rotation, center crop — each a
+# coordinate remap of the generation formula, so the oracle re-derives
+# every variant's statistics by substituting the INVERSE transform into
+# IMG_PIX. The weighted sum (x + 3y weighting) is orientation-
+# SENSITIVE: a flipped flip, a counter-clockwise rotation or an
+# off-by-one crop offset all flip the hash where a plain pixel_sum
+# (flip-invariant) would not.
+AUG_VARIANTS = ("orig", "hflip", "rot90", "crop")
+
+
+def image_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation over the real BMP decode path: each
+    document's image is decoded, then horizontally flipped, rotated 90
+    degrees clockwise, and center-cropped by a 1-pixel border; every
+    variant emits (width, height, pixel_sum, weighted_sum) where
+    weighted_sum = sum over (x + 3y) * value — the orientation witness.
+    Augmentation is a row-local numpy remap (view-only: flip/rot90/crop
+    never copy until the stats fold), exactly the per-sample cost
+    profile a vision pipeline's aug stage has at 100 TB."""
+    import numpy as np
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "variant": [], "width": [], "height": [],
+                "pixel_sum": [], "weighted_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = IMG_W(d), IMG_H(d)
+                px = [
+                    [tuple(IMG_PIX(d, x, y, c) for c in range(3)) for x in range(w)]
+                    for y in range(h)
+                ]
+                wdec, hdec, pdec = decode_image(encode_bmp(w, h, px))
+                arr = np.array(pdec, dtype=np.int64)  # (h, w, 3)
+                variants = {
+                    "orig": arr,
+                    "hflip": arr[:, ::-1],
+                    "rot90": np.rot90(arr, k=-1),
+                    "crop": arr[1:-1, 1:-1],
+                }
+                for name, a in variants.items():
+                    vh, vw = a.shape[0], a.shape[1]
+                    xs = np.arange(vw).reshape(1, vw, 1)
+                    ys = np.arange(vh).reshape(vh, 1, 1)
+                    rows["doc_id"].append(d)
+                    rows["variant"].append(name)
+                    rows["width"].append(vw)
+                    rows["height"].append(vh)
+                    rows["pixel_sum"].append(int(a.sum()))
+                    rows["weighted_sum"].append(int(((xs + 3 * ys) * a).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, variant string, width long, height long,"
+            " pixel_sum long, weighted_sum long"
+        ),
+    )
+
+
+# inverse maps (out coords -> IMG_PIX args), dims per variant:
+#   orig : (x, y), w x h
+#   hflip: (w-1-x, y), w x h
+#   rot90 (clockwise, np.rot90 k=-1): out (x, y) <- in (y, h-1-x); out dims h x w
+#   crop : (x+1, y+1), (w-2) x (h-2)
+IMAGE_AUGMENT_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + (doc_id * 3) % 5 AS h
+  FROM documents
+), variants AS (
+  SELECT doc_id, w, h, v.variant,
+         CASE v.variant WHEN 'rot90' THEN h WHEN 'crop' THEN w - 2 ELSE w END AS vw,
+         CASE v.variant WHEN 'rot90' THEN w WHEN 'crop' THEN h - 2 ELSE h END AS vh
+  FROM dims,
+       LATERAL (SELECT UNNEST(['orig', 'hflip', 'rot90', 'crop']) AS variant) v
+), px AS (
+  SELECT doc_id, variant, vw, vh, x.x, y.y, c.c,
+         (doc_id
+          + 7 * (CASE variant WHEN 'hflip' THEN vw - 1 - x.x
+                              WHEN 'rot90' THEN y.y
+                              WHEN 'crop'  THEN x.x + 1
+                              ELSE x.x END)
+          + 13 * (CASE variant WHEN 'rot90' THEN h - 1 - x.x
+                               WHEN 'crop'  THEN y.y + 1
+                               ELSE y.y END)
+          + 31 * c.c) % 256 AS val
+  FROM variants,
+       LATERAL (SELECT UNNEST(range(0, vw)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, vh)) AS y) y,
+       LATERAL (SELECT UNNEST(range(0, 3)) AS c) c
+)
+SELECT doc_id, variant,
+       CAST(vw AS BIGINT) AS width,
+       CAST(vh AS BIGINT) AS height,
+       CAST(SUM(val) AS BIGINT) AS pixel_sum,
+       CAST(SUM((x + 3 * y) * val) AS BIGINT) AS weighted_sum
+FROM px
+GROUP BY doc_id, variant, vw, vh
+"""
