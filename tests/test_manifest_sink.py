@@ -772,3 +772,38 @@ def test_metadata_agg_detects_statless_append(spark, table):
     table.append(_df(spark, 50, 60), snapshot_id="nostats-append")
     with pytest.raises(ValueError, match="lacks stats"):
         table.metadata_agg(spark, ["id"])
+
+
+# --- named refs (tags): version names + retention pins -----------------------
+
+
+def test_tags_name_versions_and_pin_retention(spark, table):
+    for i, sid in enumerate(["a", "b", "c", "d"], start=1):
+        table.publish(_df(spark, 0, i * 10), snapshot_id=sid)
+    table.tag("train-2026-08", version=1)
+    assert table.refs() == {"train-2026-08": 1}
+    assert table.read_tag(spark, "train-2026-08").count() == 10
+    # immutability: re-tagging to a different version raises
+    with pytest.raises(ValueError, match="already names"):
+        table.tag("train-2026-08", version=3)
+    table.tag("train-2026-08", version=1)  # same version: idempotent
+    # expiry keeps the tagged version however far the table advances
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [2, 3]  # v1 pinned by the tag, v4 by keep_last
+    assert table.read_tag(spark, "train-2026-08").count() == 10
+    table.vacuum()
+    assert table.read_tag(spark, "train-2026-08").count() == 10  # files kept
+    # dropping the tag releases the pin (expire re-reports the already-
+    # deleted 2/3 — its contract is "not readable after", not a delta)
+    table.drop_tag("train-2026-08")
+    assert 1 in table.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, version=1)
+    with pytest.raises(FileNotFoundError):
+        table.read_tag(spark, "train-2026-08")
+
+
+def test_tag_requires_readable_version(spark, table):
+    table.publish(_df(spark, 0, 5), snapshot_id="only")
+    with pytest.raises(FileNotFoundError):
+        table.tag("ghost", version=9)

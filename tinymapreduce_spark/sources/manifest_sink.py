@@ -1550,19 +1550,73 @@ class ManifestTable:
 
     # -- lifecycle maintenance ---------------------------------------
 
+    # -- named refs (Iceberg tags): version names + retention pins ----
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_refs.json")
+
+    def refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_path(), encoding="utf-8") as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a version (Iceberg tag): an IMMUTABLE ref — re-tagging
+        an existing name to a different version raises (delete first).
+        Tagged versions are protected from ``expire_snapshots``, so a
+        tag is also a retention pin ('the v2026-08 training snapshot'
+        stays time-travelable however far the table advances). Written
+        under the commit lock; readable via ``read_tag``."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version in {self.table_dir}")
+        if not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"version {v} is not readable")
+        with self._commit_lock():
+            refs = self.refs()
+            if name in refs and refs[name] != v:
+                raise ValueError(f"tag {name!r} already names v{refs[name]}")
+            refs[name] = v
+            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(refs, f, indent=1)
+            os.replace(tmp, self._refs_path())
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        with self._commit_lock():
+            refs = self.refs()
+            refs.pop(name, None)
+            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(refs, f, indent=1)
+            os.replace(tmp, self._refs_path())
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        refs = self.refs()
+        if name not in refs:
+            raise FileNotFoundError(f"no tag {name!r} in {self.table_dir}")
+        return self.read(spark, version=refs[name])
+
     def expire_snapshots(self, keep_last: int) -> list[int]:
         """Expire all but the newest ``keep_last`` versions: their
         manifests are deleted so the versions stop being readable
         (the current pointer is untouched — it is always among the
-        kept). Returns the expired version numbers. Data files are NOT
-        touched here; ``vacuum`` reclaims files no kept manifest
-        references — the Iceberg expire-snapshots / remove-orphan-files
-        split, so a reader mid-query on a kept version never loses
-        files."""
+        kept). TAGGED versions are never expired (a tag is a retention
+        pin — drop the tag to release it). Returns the expired version
+        numbers. Data files are NOT touched here; ``vacuum`` reclaims
+        files no kept manifest references — the Iceberg
+        expire-snapshots / remove-orphan-files split, so a reader
+        mid-query on a kept version never loses files."""
         cur = self.current_version()
         if cur is None:
             return []
-        expired = [v for v in range(1, cur + 1) if v <= cur - keep_last]
+        pinned = set(self.refs().values())
+        expired = [
+            v for v in range(1, cur + 1) if v <= cur - keep_last and v not in pinned
+        ]
         for v in expired:
             try:
                 os.remove(self._manifest_path(v))

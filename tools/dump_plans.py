@@ -104,6 +104,10 @@ SELECTED = {
     "manifest_metadata_agg": "COUNT/MIN/MAX folded from manifest stats driver-side; the plan reads NO data files",
     "cdf_incremental_mv": "IVM: v1 aggregate + O(changes) feed deltas; v2/v3 table scans never happen",
     "segment_dedup_clean": "dedup TRANSFORM: two hash shuffles (segment window, doc reassembly); tokenize/slice/join all codegen",
+    "wds_image_pipeline": "container x codec x labels: one fan-out, one Arrow kernel, one label shuffle of (label, sums) — pixels never shuffle",
+    "audio_spectral_bins": "integer DFT row-local (numpy int64 matmul per batch); no shuffle",
+    "image_augment_stats": "aug stage row-local: numpy views, no copies before the stats fold; no shuffle",
+    "autocorrelation_lags": "daily counts once; lag explode + (user, day+L) equi-join over PAIRS, not events; no full-series windows",
     "url_host_stats": "ZERO-Python plan: parse_url + string exprs in whole-stage codegen; two exchanges = the standard distinct-agg expansion of countDistinct(path)",
     "shard_migration": "per-shard sizes from ONE map-side-combined aggregate; config diff broadcast; ledger cost independent of table size",
     "hybrid_rrf_ndcg": "bigram judge: query-doc bigrams broadcast to one tokenize pass; DCG folds over |queries|x10 rows only",
