@@ -254,6 +254,7 @@ _R6_WINDOW = [
     "python_udtf_dynamic_schema",
     "autocorrelation_lags",
     "image_augment_stats",
+    "mojibake_repair",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -469,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
         "html_extract_stats": textstats.html_extract_stats,
+        "mojibake_repair": textstats.mojibake_repair,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1066,6 +1068,9 @@ GROUP BY word
         "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,
         "url_host_stats": textstats.URL_HOST_STATS_SQL,
         "html_extract_stats": textstats.HTML_EXTRACT_SQL,
+        # the oracle hashes the CLEAN text — repair must invert the
+        # double-encoding byte-for-byte
+        "mojibake_repair": textstats.MOJIBAKE_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

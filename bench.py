@@ -235,6 +235,7 @@ HEADLINE = [
     "python_udtf_dynamic_schema",
     "autocorrelation_lags",
     "image_augment_stats",
+    "mojibake_repair",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

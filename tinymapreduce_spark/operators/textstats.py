@@ -1655,3 +1655,75 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN paras p USING (doc_id)
 GROUP BY d.doc_id
 """
+
+
+# --- mojibake detection + repair (round 6 continuation) ---------------------
+# Web corpora are full of DOUBLE-ENCODED text (UTF-8 bytes mis-read as
+# Latin-1 somewhere in a pipeline: 'café' -> 'cafÃ©'). The repair is
+# the exact inverse — re-encode as Latin-1, decode as UTF-8 — and the
+# trial is self-certifying: clean text containing any char outside
+# Latin-1 (here '№') cannot even encode, and genuine mojibake decodes
+# strictly. The corpus plants the corruption on odd docs by applying
+# the forward corruption to a deterministic non-ASCII suffix, so the
+# oracle is the md5 of the CLEAN text — the repair must invert the
+# corruption byte-for-byte or the hash flips.
+MOJIBAKE_SUFFIX = " café naïve №"
+
+
+def _try_repair_mojibake(s: str) -> tuple[str, bool]:
+    """One repair pass: returns (text, was_mojibake)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s, False  # chars outside Latin-1: cannot be double-encoded
+    try:
+        return raw.decode("utf-8"), True
+    except UnicodeDecodeError:
+        return s, False  # Latin-1-able but not valid UTF-8: already clean
+
+
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake screening + repair over the corpus: every document
+    carries a non-ASCII suffix; odd documents arrive DOUBLE-ENCODED
+    (the utf-8-read-as-latin-1 accident). The kernel trial-repairs each
+    row — strict Latin-1 re-encode then strict UTF-8 decode, accepted
+    only if both succeed — and emits the repaired text's md5 plus the
+    detection flag. The oracle hashes the clean text directly, so a
+    missed repair, a false positive on a clean doc, or a lossy inverse
+    all flip the hash. Row-local Arrow kernel, no shuffle; detection is
+    O(bytes) — the hygiene pass a web corpus runs before tokenization
+    (the ftfy problem, solved for its dominant case)."""
+    import pandas as pd
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "was_mojibake": [], "repaired_md5": []}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                clean = text + MOJIBAKE_SUFFIX
+                wire = (
+                    clean.encode("utf-8").decode("latin-1") if d % 2 else clean
+                )
+                repaired, was = _try_repair_mojibake(wire)
+                import hashlib
+
+                out["doc_id"].append(d)
+                out["was_mojibake"].append(int(was))
+                out["repaired_md5"].append(
+                    hashlib.md5(repaired.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id long, was_mojibake long, repaired_md5 string"
+    )
+
+
+MOJIBAKE_SQL = f"""
+SELECT doc_id,
+       CAST(doc_id % 2 AS BIGINT) AS was_mojibake,
+       md5(text || '{MOJIBAKE_SUFFIX}') AS repaired_md5
+FROM documents
+"""
