@@ -255,6 +255,7 @@ _R6_WINDOW = [
     "autocorrelation_lags",
     "image_augment_stats",
     "mojibake_repair",
+    "robots_url_filter",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -471,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": textstats.url_host_stats,
         "html_extract_stats": textstats.html_extract_stats,
         "mojibake_repair": textstats.mojibake_repair,
+        "robots_url_filter": textstats.robots_url_filter,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1071,6 +1073,9 @@ GROUP BY word
         # the oracle hashes the CLEAN text — repair must invert the
         # double-encoding byte-for-byte
         "mojibake_repair": textstats.MOJIBAKE_SQL,
+        # the oracle rebuilds the per-host rules and replays the
+        # longest-match / allow-wins-ties precedence as a window
+        "robots_url_filter": textstats.ROBOTS_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

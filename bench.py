@@ -236,6 +236,7 @@ HEADLINE = [
     "autocorrelation_lags",
     "image_augment_stats",
     "mojibake_repair",
+    "robots_url_filter",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

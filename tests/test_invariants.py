@@ -1746,3 +1746,18 @@ def test_udtf_dynamic_schema_rejects_nonconstant_k(spark, sf_dir):
             "SELECT * FROM docs_ngram_t, "
             "LATERAL ngram_cols(text, CAST(doc_id % 2 + 2 AS INT))"
         ).collect()
+
+
+def test_robots_parser_group_selection():
+    """RFC 9309 group selection: exact agent match beats '*'; the decoy
+    group never leaks; noise directives and case variance are inert."""
+    from tinymapreduce_spark.operators.textstats import _robots_text, parse_robots
+
+    assert parse_robots(_robots_text(7), "tmsbot") == [
+        ("/private", False), ("/p3", False), ("/p3/ok", True)
+    ]
+    assert parse_robots(_robots_text(7), "evilbot") == [("/", False)]
+    # multiple User-agent lines share one group; empty Disallow dropped
+    text = "User-agent: a\nUser-agent: b\nDisallow:\nDisallow: /x\n"
+    assert parse_robots(text, "B") == [("/x", False)]
+    assert parse_robots(text, "c") == []  # no '*' group -> allow all

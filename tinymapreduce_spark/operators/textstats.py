@@ -1727,3 +1727,186 @@ SELECT doc_id,
        md5(text || '{MOJIBAKE_SUFFIX}') AS repaired_md5
 FROM documents
 """
+
+
+# --- robots.txt URL filtering (round 6 continuation) ------------------------
+# The crawl-curation gate: per-host robots.txt parsed (group selection:
+# exact agent match beats '*'; comments/blank lines/case variance
+# handled), then every URL judged by LONGEST-MATCH precedence (the
+# Google/RFC 9309 rule: the matching pattern with the greatest length
+# wins; Allow wins length ties). Hosts and URLs are pure functions of
+# doc_id; the oracle replays the RULES TABLE and the precedence fold in
+# SQL, so a group-selection, prefix-match or tie-break bug flips
+# per-host verdict counts.
+ROBOTS_AGENT = "tmsbot"
+
+
+def _robots_text(h: int) -> str:
+    """Per-host robots.txt: a decoy group for another agent (must be
+    ignored), then the '*' group with a disallow + a longer allow
+    carve-out; noise lines exercise the parser."""
+    return "\n".join(
+        [
+            "# crawl policy",
+            "User-agent: evilbot",
+            "Disallow: /",
+            "",
+            "user-AGENT: *",
+            "  Disallow: /private",
+            f"Disallow: /p{h % 4}",
+            f"Allow: /p{h % 4}/ok",
+            "Crawl-delay: 2",  # non-rule directive: skipped
+        ]
+    )
+
+
+def parse_robots(text: str, agent: str) -> list[tuple[str, bool]]:
+    """RFC 9309-shaped group selection + rule extraction: groups are
+    runs of User-agent lines followed by rules; the group whose agent
+    token equals ``agent`` (case-insensitive) wins, else the '*' group;
+    returns [(pattern, is_allow)] with empty patterns dropped."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_agents = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            in_agents = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val:
+                rules.append((val, key == "allow"))
+        else:
+            in_agents = False  # other directives end the agent run
+    if agents or rules:
+        groups.append((agents, rules))
+    chosen = [g for g in groups if agent.lower() in g[0]]
+    if not chosen:
+        chosen = [g for g in groups if "*" in g[0]]
+    return chosen[0][1] if chosen else []
+
+
+def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-gated crawl filtering end to end: one robots.txt per host
+    is parsed by the real grammar walker inside an Arrow kernel, the
+    resulting (host, pattern, is_allow) RULES TABLE joins the URL set
+    on host + prefix match, and longest-match precedence (Allow wins
+    ties) yields each URL's verdict; per-host-bucket verdict counts
+    come back. The oracle rebuilds the same rules from the formulas and
+    replays the precedence fold as a window.
+
+    Scale shape: the rules table is O(hosts x rules) — broadcast-sized
+    by nature (robots.txt is per-host metadata); the URL side never
+    shuffles until the final bucket aggregate. Exactly the crawl
+    front-door gate: at 100 TB the URL set is the big side and policy
+    is the broadcast side."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/ok")).otherwise(
+                F.concat(F.lit("/page"), (F.col("doc_id") % 3).cast("string"))
+            ),
+        ).alias("path"),
+    )
+
+    hosts = spark.range(50).select(F.col("id").cast("int").alias("host"))
+
+    def parse_kernel(batches):
+        for pdf in batches:
+            out = {"host": [], "pattern": [], "is_allow": []}
+            for h in pdf["host"]:
+                for pattern, is_allow in parse_robots(
+                    _robots_text(int(h)), ROBOTS_AGENT
+                ):
+                    out["host"].append(int(h))
+                    out["pattern"].append(pattern)
+                    out["is_allow"].append(int(is_allow))
+            yield pd.DataFrame(out)
+
+    rules = hosts.mapInPandas(
+        parse_kernel, schema="host int, pattern string, is_allow long"
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"])
+        & urls["path"].startswith(rules["pattern"]),
+        "left",
+    ).select(
+        urls["doc_id"],
+        urls["host"],
+        rules["pattern"],
+        rules["is_allow"],
+        F.length(rules["pattern"]).alias("plen"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("plen").desc_nulls_last(), F.col("is_allow").desc_nulls_last()
+    )
+    verdicts = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce(F.col("is_allow"), F.lit(1)).alias("allowed"),
+        )
+    )
+    return verdicts.groupBy(
+        (F.col("host") % 10).cast("long").alias("host_bucket"),
+        F.col("allowed").cast("long").alias("allowed"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )
+
+
+ROBOTS_SQL = """
+WITH urls AS (
+  SELECT doc_id, doc_id % 50 AS host,
+         '/p' || (doc_id % 6) ||
+         CASE WHEN doc_id % 5 = 0 THEN '/ok'
+              ELSE '/page' || (doc_id % 3) END AS path
+  FROM documents
+), rules AS (
+  SELECT h.h AS host, r.pattern, r.is_allow
+  FROM (SELECT UNNEST(range(0, 50)) AS h) h,
+       LATERAL (
+         SELECT * FROM (VALUES
+           ('/private', 0),
+           ('/p' || (h.h % 4), 0),
+           ('/p' || (h.h % 4) || '/ok', 1)
+         ) AS v(pattern, is_allow)
+       ) r
+), matched AS (
+  SELECT u.doc_id, u.host, r.is_allow, LENGTH(r.pattern) AS plen
+  FROM urls u LEFT JOIN rules r
+    ON r.host = u.host AND u.path LIKE r.pattern || '%'
+), best AS (
+  SELECT doc_id, host, is_allow,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY plen DESC NULLS LAST,
+                                     is_allow DESC NULLS LAST) AS rn
+  FROM matched
+)
+SELECT CAST(host % 10 AS BIGINT) AS host_bucket,
+       CAST(COALESCE(is_allow, 1) AS BIGINT) AS allowed,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM best
+WHERE rn = 1
+GROUP BY host % 10, COALESCE(is_allow, 1)
+"""
