@@ -256,6 +256,7 @@ _R6_WINDOW = [
     "image_augment_stats",
     "mojibake_repair",
     "robots_url_filter",
+    "crawl_curation_pipeline",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -473,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_stats": textstats.html_extract_stats,
         "mojibake_repair": textstats.mojibake_repair,
         "robots_url_filter": textstats.robots_url_filter,
+        "crawl_curation_pipeline": textstats.crawl_curation_pipeline,
         "image_phash_dedup": multimodal.image_phash_dedup,
         # new in round 4: CDC apply (MERGE with deletes), batch + streaming
         "manifest_apply_changes": manifest_sink.manifest_apply_changes,
@@ -1076,6 +1078,9 @@ GROUP BY word
         # the oracle rebuilds the per-host rules and replays the
         # longest-match / allow-wins-ties precedence as a window
         "robots_url_filter": textstats.ROBOTS_SQL,
+        # WARC -> HTML -> text -> gate in one kernel; the md5 certifies
+        # the actual text handed to tokenization
+        "crawl_curation_pipeline": textstats.CRAWL_CURATION_SQL,
         # oracle = brute-force all-pairs Hamming from the pixel formula;
         # the banded join is complete for hamming <= 3 by pigeonhole
         "image_phash_dedup": multimodal.IMAGE_PHASH_SQL,

@@ -237,6 +237,7 @@ HEADLINE = [
     "image_augment_stats",
     "mojibake_repair",
     "robots_url_filter",
+    "crawl_curation_pipeline",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

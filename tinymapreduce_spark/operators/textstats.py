@@ -1910,3 +1910,116 @@ FROM best
 WHERE rn = 1
 GROUP BY host % 10, COALESCE(is_allow, 1)
 """
+
+
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl tier end to end in ONE plan — Common Crawl bytes to
+    training-ready text: per document a real WARC (warcinfo + response
+    whose payload is the formula HTML page; odd docs as per-record-gzip
+    .warc.gz) is walked by the record parser, the response HTML runs
+    through the event-parser extractor (script/style/comment excluded,
+    entities decoded), the visible text is tokenized and quality-gated
+    (>= 5 letter tokens), and each doc emits its verdict plus the md5
+    of the extracted text — so the oracle certifies the ACTUAL text the
+    pipeline would hand to tokenization, not just counts. A framing,
+    gzip, extraction, entity or gate bug flips the hash.
+
+    Scale shape: one fan-out exchange, one Arrow kernel (WARC walk +
+    HTML parse + gate, all row-local), zero shuffles after — the
+    curation front door as a single declarative stage."""
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from tinymapreduce_spark.sources.warcfiles import (
+        WARC_DATE,
+        parse_warc,
+        write_warc,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+    _extract = _extract_html
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "gzipped": [], "n_tokens": [], "kept": [],
+                "visible_md5": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                paras = "".join(
+                    f"<p class='c{i}'>para {d} {i} &amp; more</p>"
+                    f"<a href='/l{i}'>link{i}</a>"
+                    for i in range(1 + d % 4)
+                )
+                html = (
+                    f"<html><head><title>T{d}</title><script>var x = {d};"
+                    f"</script><style>.c{{color:red}}</style></head><body>"
+                    f"<!-- hidden {d} --><h1>Head&#33; {d}</h1>{paras}"
+                    f"</body></html>"
+                )
+                warc = write_warc(
+                    [
+                        (
+                            "warcinfo",
+                            b"software: tinymapreduce-spark\r\n",
+                            {"WARC-Date": WARC_DATE},
+                        ),
+                        (
+                            "response",
+                            html.encode(),
+                            {
+                                "WARC-Date": WARC_DATE,
+                                "WARC-Target-URI": f"http://site{d % 50}.example/",
+                            },
+                        ),
+                    ],
+                    gzip_members=bool(d % 2),
+                )
+                responses = [
+                    body for t, _, body in parse_warc(warc) if t == "response"
+                ]
+                _, text, _ = _extract(responses[0].decode())
+                toks = [t for t in _re.split("[^A-Za-z]+", text) if t]
+                rows["doc_id"].append(d)
+                rows["gzipped"].append(d % 2)
+                rows["n_tokens"].append(len(toks))
+                rows["kept"].append(int(len(toks) >= 5))
+                rows["visible_md5"].append(
+                    hashlib.md5(text.encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, gzipped long, n_tokens long, kept long,"
+            " visible_md5 string"
+        ),
+    )
+
+
+# visible text = 'Head! {d}' + concat_i('para {d} {i} & more' || 'link{i}');
+# letter tokens = 1 (Head) + 2 per paragraph ('para' and the MERGED
+# 'morelink' run — '& more' concatenates straight into 'link{i}')
+CRAWL_CURATION_SQL = """
+WITH paras AS (
+  SELECT doc_id,
+         string_agg('para ' || doc_id || ' ' || i.i || ' & more'
+                    || 'link' || i.i, '' ORDER BY i.i) AS body,
+         COUNT(*) AS np
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 4)) AS i) i
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % 2 AS BIGINT) AS gzipped,
+       CAST(1 + 2 * p.np AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN 1 + 2 * p.np >= 5 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       md5('Head! ' || d.doc_id || p.body) AS visible_md5
+FROM documents d JOIN paras p USING (doc_id)
+"""
