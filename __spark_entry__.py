@@ -181,8 +181,26 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
-    # q15-q18 joined the fell-out set as the r6-new WARC/URL/HTML keys
-    # entered the r6 window head (displaced freshness re-checks)
+    # freshness rotation, oldest-checked first: the sixteen r6-
+    # continuation keys displaced these re-checks past r6's 50-row
+    # cutoff, so they lead r7 (all green since r1/r2); any r7-NEW
+    # keys must still be inserted at the very head when registered
+    "shard_distribution",
+    "shard_rebalance",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_supplier_concentration",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
