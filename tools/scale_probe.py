@@ -96,6 +96,13 @@ PROBES = [
     # the spectral rung is row-local int64 matmul like the codecs
     "segment_dedup_clean",
     "audio_spectral_bins",
+    # continuation closers: all row-local kernels except robots (its
+    # rules side is fixed at 50 hosts — pure URL-side growth)
+    "wds_image_pipeline",
+    "image_augment_stats",
+    "mojibake_repair",
+    "robots_url_filter",
+    "crawl_curation_pipeline",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
