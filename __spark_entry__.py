@@ -39,7 +39,7 @@ from tinymapreduce_spark.operators.mapreduce import (
     wc_reduce,
 )
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
-from tinymapreduce_spark.sources import manifest_sink, tarfiles, textfiles, warcfiles
+from tinymapreduce_spark.sources import manifest_sink, tarfiles, textfiles, warcfiles, zipfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import sinks as stream_sinks
 from tinymapreduce_spark.streaming import state as stream_state
@@ -181,10 +181,12 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
-    # freshness rotation, oldest-checked first: the sixteen r6-
+    # freshness rotation, oldest-checked first: the seventeen r6-
     # continuation keys displaced these re-checks past r6's 50-row
-    # cutoff, so they lead r7 (all green since r1/r2); any r7-NEW
-    # keys must still be inserted at the very head when registered
+    # cutoff, so they lead r7 (all green since r1/r2; kv_replay is the
+    # flagship re-check zip_shard_ingest pushed out); any r7-NEW keys
+    # must still be inserted at the very head when registered
+    "kv_replay",
     "shard_distribution",
     "shard_rebalance",
     "q1_pricing_summary",
@@ -275,6 +277,7 @@ _R6_WINDOW = [
     "mojibake_repair",
     "robots_url_filter",
     "crawl_curation_pipeline",
+    "zip_shard_ingest",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -486,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
+        "zip_shard_ingest": zipfiles.zip_shard_ingest,
         "wds_image_pipeline": tarfiles.wds_image_pipeline,
         "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
@@ -1085,6 +1089,8 @@ GROUP BY word
         # ustar framing is exact; .tar.gz decodes through the
         # FROM-SCRATCH RFC 1951 inflate — formula replay either way
         "tar_shard_ingest": tarfiles.TAR_INGEST_SQL,
+        # STORE + from-scratch-DEFLATE legs both verified per archive
+        "zip_shard_ingest": zipfiles.ZIP_INGEST_SQL,
         # container x codec x label join in one plan — all formulas replay
         "wds_image_pipeline": tarfiles.WDS_IMAGE_SQL,
         "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,

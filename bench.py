@@ -238,6 +238,7 @@ HEADLINE = [
     "mojibake_repair",
     "robots_url_filter",
     "crawl_curation_pipeline",
+    "zip_shard_ingest",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",
