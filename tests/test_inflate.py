@@ -222,3 +222,22 @@ def test_deflate_fixed_actually_compresses():
     # window cap respected: a match can never reach past 32768 bytes
     far = bytes(10) + bytes([1]) * 40000 + bytes(10)
     assert zlib.decompress(deflate_fixed(far), -15) == far
+
+
+def test_deflate_inflate_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tinymapreduce_spark.functions.inflate import deflate_fixed
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=3000))
+    def check(data):
+        blob = deflate_fixed(data)
+        assert zlib.decompress(blob, -15) == data
+        out, pos = inflate(blob)
+        assert out == data and pos == len(blob)
+        # and our inflate accepts zlib's encoding of the same data
+        assert inflate(zlib.compress(data, 6)[2:-4])[0] == data
+
+    check()

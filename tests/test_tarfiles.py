@@ -114,3 +114,19 @@ def test_query_stats_match_formula():
             sum((d * 3 + s * 5 + i * 7) % 256 for i in range(16 + (d + s) % 17))
             for s in range(n)
         )
+
+
+def test_tar_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.from_regex(r"[A-Za-z][A-Za-z0-9_\-]{0,40}\.[a-z]{1,8}", fullmatch=True)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(name, st.binary(max_size=1500)), min_size=1,
+                    max_size=6, unique_by=lambda kv: kv[0]))
+    def check(members):
+        for gz in (False, True):
+            assert parse_tar(write_tar(members, gzipped=gz)) == members
+
+    check()

@@ -67,3 +67,21 @@ def test_framing_defects_raise():
     raw[cd + 10 : cd + 12] = struct.pack("<H", 12)  # method 12 (bzip2)
     with pytest.raises(ValueError, match="method 12"):
         parse_zip(bytes(raw))
+
+
+def test_zip_property_roundtrip_and_stdlib_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.from_regex(r"[A-Za-z][A-Za-z0-9_\-]{0,40}\.[a-z]{1,8}", fullmatch=True)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(name, st.binary(max_size=1500)), min_size=1,
+                    max_size=6, unique_by=lambda kv: kv[0]))
+    def check(members):
+        blob = write_zip(members)
+        assert parse_zip(blob) == members
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+
+    check()

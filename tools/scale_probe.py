@@ -103,6 +103,7 @@ PROBES = [
     "mojibake_repair",
     "robots_url_filter",
     "crawl_curation_pipeline",
+    "zip_shard_ingest",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
