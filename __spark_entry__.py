@@ -39,7 +39,7 @@ from tinymapreduce_spark.operators.mapreduce import (
     wc_reduce,
 )
 from tinymapreduce_spark.plans import analytics, events, layout, maintenance, subqueries
-from tinymapreduce_spark.sources import manifest_sink, tarfiles, textfiles, warcfiles, zipfiles
+from tinymapreduce_spark.sources import avrofiles, manifest_sink, tarfiles, textfiles, warcfiles, zipfiles
 from tinymapreduce_spark.sources.loaders import text_documents
 from tinymapreduce_spark.streaming import sinks as stream_sinks
 from tinymapreduce_spark.streaming import state as stream_state
@@ -186,6 +186,7 @@ _R7_WINDOW = [
     # cutoff, so they lead r7 (all green since r1/r2; kv_replay is the
     # flagship re-check zip_shard_ingest pushed out); any r7-NEW keys
     # must still be inserted at the very head when registered
+    "mr_wordcount_shim",
     "kv_replay",
     "shard_distribution",
     "shard_rebalance",
@@ -278,6 +279,7 @@ _R6_WINDOW = [
     "robots_url_filter",
     "crawl_curation_pipeline",
     "zip_shard_ingest",
+    "avro_ingest_stats",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -312,6 +314,7 @@ _R6_WINDOW = [
     "inverted_index",
     "per_source_count",
     "sorted_group_concat",
+    "mr_wordcount_shim",
     "mr_wordcount_shim",
     "kv_replay",
     "shard_distribution",
@@ -490,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
         "zip_shard_ingest": zipfiles.zip_shard_ingest,
+        "avro_ingest_stats": avrofiles.avro_ingest_stats,
         "wds_image_pipeline": tarfiles.wds_image_pipeline,
         "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
@@ -1091,6 +1095,8 @@ GROUP BY word
         "tar_shard_ingest": tarfiles.TAR_INGEST_SQL,
         # STORE + from-scratch-DEFLATE legs both verified per archive
         "zip_shard_ingest": zipfiles.ZIP_INGEST_SQL,
+        # zigzag negatives, block framing and both codec legs replay
+        "avro_ingest_stats": avrofiles.AVRO_INGEST_SQL,
         # container x codec x label join in one plan — all formulas replay
         "wds_image_pipeline": tarfiles.WDS_IMAGE_SQL,
         "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,

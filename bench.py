@@ -239,6 +239,7 @@ HEADLINE = [
     "robots_url_filter",
     "crawl_curation_pipeline",
     "zip_shard_ingest",
+    "avro_ingest_stats",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",
