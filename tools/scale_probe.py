@@ -104,6 +104,7 @@ PROBES = [
     "robots_url_filter",
     "crawl_curation_pipeline",
     "zip_shard_ingest",
+    "avro_ingest_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
