@@ -280,6 +280,7 @@ _R6_WINDOW = [
     "crawl_curation_pipeline",
     "zip_shard_ingest",
     "avro_ingest_stats",
+    "tiff_decode_stats",
     "jpeg420_decode_stats",
     "jpeg_progressive_decode_stats",
     "png_decode_stats",
@@ -489,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_stats": multimodal.video_decode_stats,
         "audio_spectral_bins": multimodal.audio_spectral_bins,
         "image_augment_stats": multimodal.image_augment_stats,
+        "tiff_decode_stats": multimodal.tiff_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1087,6 +1089,8 @@ GROUP BY word
         # each variant = a coordinate remap of the pixel formula; the
         # (x + 3y) weighting is the orientation witness
         "image_augment_stats": multimodal.IMAGE_AUGMENT_SQL,
+        # PackBits + endianness axes: decode(encode) exact, formula replay
+        "tiff_decode_stats": multimodal.TIFF_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

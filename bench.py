@@ -240,6 +240,7 @@ HEADLINE = [
     "crawl_curation_pipeline",
     "zip_shard_ingest",
     "avro_ingest_stats",
+    "tiff_decode_stats",
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",

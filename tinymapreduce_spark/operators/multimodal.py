@@ -2248,3 +2248,80 @@ SELECT doc_id, variant,
 FROM px
 GROUP BY doc_id, variant, vw, vh
 """
+
+
+# --- TIFF / PackBits (round 6 continuation) ---------------------------------
+# The tag-directory container family + the RLE compression family:
+# dims/pixels pure functions of doc_id, PackBits on odd docs,
+# BIG-ENDIAN files on every third doc (the byte-order axis no other
+# container exercises), strips of 4 rows so multi-strip assembly is
+# live in every file.
+TIFF_W = lambda d: 6 + d % 7  # noqa: E731
+TIFF_H = lambda d: 5 + (3 * d) % 6  # noqa: E731
+TIFF_PIX = lambda d, x, y: (11 * d + 7 * x + 13 * y) % 256  # noqa: E731
+
+
+def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode over BinaryType: one strip-based grayscale TIFF
+    per document (PackBits-compressed on odd docs, big-endian on every
+    third), walked back through the IFD parser — byte-order mark,
+    SHORT-in-value-field left-justification, strip offset/count arrays,
+    exact strip coverage, PackBits control stream — and reduced to
+    exact pixel statistics the oracle re-derives from the formula. A
+    tag, endianness, strip-assembly or RLE bug flips the hash.
+    Row-local Arrow kernels — the codec-tier scale shape."""
+    from tinymapreduce_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "packbits": [], "big_endian": [],
+                "width": [], "height": [], "pixel_sum": [], "max_pixel": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = TIFF_W(d), TIFF_H(d)
+                px = [[TIFF_PIX(d, x, y) for x in range(w)] for y in range(h)]
+                blob = encode_tiff(
+                    w, h, px, packbits=bool(d % 2), big_endian=d % 3 == 0
+                )
+                w2, h2, back = decode_tiff(blob)
+                flat = [v for row in back for v in row]
+                rows["doc_id"].append(d)
+                rows["packbits"].append(d % 2)
+                rows["big_endian"].append(int(d % 3 == 0))
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["pixel_sum"].append(sum(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, packbits long, big_endian long, width long,"
+            " height long, pixel_sum long, max_pixel long"
+        ),
+    )
+
+
+TIFF_DECODE_SQL = """
+WITH px AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 5 + (3 * doc_id) % 6 AS h,
+         (11 * doc_id + 7 * x.x + 13 * y.y) % 256 AS v
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 6 + doc_id % 7)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, 5 + (3 * doc_id) % 6)) AS y) y
+)
+SELECT doc_id,
+       CAST(doc_id % 2 AS BIGINT) AS packbits,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS big_endian,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MAX(v) AS BIGINT) AS max_pixel
+FROM px
+GROUP BY doc_id, w, h
+"""

@@ -105,6 +105,7 @@ PROBES = [
     "crawl_curation_pipeline",
     "zip_shard_ingest",
     "avro_ingest_stats",
+    "tiff_decode_stats",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
