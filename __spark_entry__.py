@@ -186,6 +186,7 @@ _R7_WINDOW = [
     # cutoff, so they lead r7 (all green since r1/r2; kv_replay is the
     # flagship re-check zip_shard_ingest pushed out); any r7-NEW keys
     # must still be inserted at the very head when registered
+    "sorted_group_concat",
     "mr_wordcount_shim",
     "kv_replay",
     "shard_distribution",
@@ -315,7 +316,7 @@ _R6_WINDOW = [
     "inverted_index",
     "per_source_count",
     "sorted_group_concat",
-    "mr_wordcount_shim",
+    "sorted_group_concat",
     "mr_wordcount_shim",
     "kv_replay",
     "shard_distribution",
