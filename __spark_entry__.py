@@ -316,7 +316,6 @@ _R6_WINDOW = [
     "inverted_index",
     "per_source_count",
     "sorted_group_concat",
-    "sorted_group_concat",
     "mr_wordcount_shim",
     "kv_replay",
     "shard_distribution",
