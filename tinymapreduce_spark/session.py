@@ -32,10 +32,25 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # SPARK_GRAFT_STATE_STORE=rocksdb flips every stateful streaming
+    # operator onto the RocksDB state store — the backend a real cluster
+    # runs (bounded executor heap: state lives off-heap/on-disk with
+    # changelog checkpointing instead of in-memory HashMaps). The full
+    # stream tier is oracle-verified under both providers (BASELINE.md
+    # round-7 notes; tests/test_streaming_rocksdb.py pins a
+    # representative subset in-suite).
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower()
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        if state_store == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    )
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.streaming.stateStore.providerClass", provider)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -9,8 +9,11 @@ longs/ints), length-prefixed UTF-8 strings, and the container grammar
 and ``avro.codec``, a random 16-byte sync marker, then blocks of
 (record count, byte size, payload, sync). The ``deflate`` codec is RAW
 RFC 1951 per the spec — decompressed by the from-scratch inflate and
-compressed by the from-scratch deflate, so the driver-checked query
-verifies both directions inside a third container family.
+compressed by the from-scratch deflate — and since r7 the ``snappy``
+codec runs the from-scratch LZ77-family codec in functions/snappy.py
+with the spec's 4-byte big-endian CRC32-of-uncompressed trailer, so the
+driver-checked queries verify BOTH directions of both compressed codecs
+inside a third container family.
 
 The reader is schema-driven (longs, strings; nullable via the
 ``["null", T]`` union convention) and verifies magic, codec support,
@@ -27,7 +30,8 @@ import sys
 
 from pyspark import cloudpickle
 
-from tinymapreduce_spark.functions.inflate import deflate_fixed, inflate
+from tinymapreduce_spark.functions.inflate import crc32, deflate_fixed, inflate
+from tinymapreduce_spark.functions.snappy import snappy_compress, snappy_decompress
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -118,6 +122,10 @@ def write_avro(
         payload = b"".join(_encode_record(r, fields) for r in chunk)
         if codec == "deflate":
             payload = deflate_fixed(payload)
+        elif codec == "snappy":
+            # Avro 1.11 "Required Codecs": raw snappy block + 4-byte
+            # BIG-ENDIAN CRC32 of the UNCOMPRESSED data
+            payload = snappy_compress(payload) + crc32(payload).to_bytes(4, "big")
         out += _zigzag(len(chunk)) + _zigzag(len(payload)) + payload + _SYNC
     return bytes(out)
 
@@ -144,7 +152,7 @@ def parse_avro(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
             meta[k] = payload[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"codec {codec!r} unsupported")
     schema = json.loads(meta["avro.schema"])
     fields: list[tuple[str, str]] = []
@@ -171,6 +179,12 @@ def parse_avro(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
             block, used = inflate(block)
             if used != size:
                 raise ValueError("deflate block overlong")
+        elif codec == "snappy":
+            if size < 4:
+                raise ValueError("snappy block shorter than its checksum")
+            block, check = snappy_decompress(block[:-4]), block[-4:]
+            if crc32(block).to_bytes(4, "big") != check:
+                raise ValueError("snappy block CRC32 mismatch")
         bp = 0
         for _ in range(count):
             rec: dict = {}
@@ -248,6 +262,78 @@ def avro_ingest_stats(spark, sf_dir: str):
             " delta_sum long, tag_len_sum long"
         ),
     )
+
+
+def avro_snappy_ingest(spark, sf_dir: str):
+    """Snappy-codec leg of the Avro rung (VERDICT r6 #6): same container
+    walk and record formulas, but the codec now CYCLES null/deflate/
+    snappy by ``doc_id % 3``, so every block of the snappy docs runs the
+    from-scratch LZ77-family compressor + decompressor AND the big-endian
+    CRC32 trailer check on the ingest path. Same record-formula oracle —
+    a tag-stream, varint-preamble, offset, or checksum bug flips the
+    hash. Row-local Arrow kernels, shards parallelize by file."""
+    import pandas as pd
+
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+    fields = [("rid", "long"), ("delta", "long"), ("tag", "string")]
+    codecs = ("null", "deflate", "snappy")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "codec_id": [], "n_records": [],
+                "rid_sum": [], "delta_sum": [], "tag_len_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                recs = [
+                    {
+                        "rid": d * 1000 + r,
+                        "delta": (d + r) % 7 - 3,
+                        "tag": f"t{(d + r) % 5}",
+                    }
+                    for r in range(1 + d % 4)
+                ]
+                _, back = parse_avro(
+                    write_avro(recs, fields, codec=codecs[d % 3])
+                )
+                rows["doc_id"].append(d)
+                rows["codec_id"].append(d % 3)
+                rows["n_records"].append(len(back))
+                rows["rid_sum"].append(sum(x["rid"] for x in back))
+                rows["delta_sum"].append(sum(x["delta"] for x in back))
+                rows["tag_len_sum"].append(sum(len(x["tag"]) for x in back))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, codec_id long, n_records long, rid_sum long,"
+            " delta_sum long, tag_len_sum long"
+        ),
+    )
+
+
+AVRO_SNAPPY_SQL = """
+WITH recs AS (
+  SELECT doc_id, r.r,
+         doc_id * 1000 + r.r AS rid,
+         (doc_id + r.r) % 7 - 3 AS delta,
+         LENGTH('t' || ((doc_id + r.r) % 5)) AS taglen
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 4)) AS r) r
+)
+SELECT doc_id,
+       CAST(doc_id % 3 AS BIGINT) AS codec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum,
+       CAST(SUM(delta) AS BIGINT) AS delta_sum,
+       CAST(SUM(taglen) AS BIGINT) AS tag_len_sum
+FROM recs
+GROUP BY doc_id
+"""
 
 
 AVRO_INGEST_SQL = """

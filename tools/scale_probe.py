@@ -312,8 +312,144 @@ def main_tpch() -> None:
         )
 
 
+# -- planted-skew probe (VERDICT r6 #4) --------------------------------
+#
+# A Zipfian hot-key corpus: SKEW_HOT_PCT% of rows carry ONE join key,
+# the rest spread over SKEW_COLD_KEYS. The probe times the same
+# shuffle join three ways at x4 and x64 (a 16x growth step with
+# measurable walls) so the skew mitigations' value is MEASURED, not
+# plan-pinned:
+#   unsalted/AQE-off  — the degenerate control: one task owns the hot
+#                       partition, wall tracks hot-key rows 1-threaded
+#   unsalted/AQE-on   — Spark's runtime skew-join split
+#   salted/AQE-off    — the engine's deterministic salting
+#                       (layout.salted_skew_join's strategy)
+# Reference analog: straggler re-issue (src/mr/coordinator.go:158-186)
+# attacks slow TASKS; salting/AQE attack slow KEYS — the data-skew twin.
+# Run: SPARK_GRAFT_PROBE_MODE=skew python tools/scale_probe.py
+# Results recorded in BASELINE.md round-7 notes.
+
+SKEW_HOT_PCT = 85
+SKEW_COLD_KEYS = 50
+SKEW_SCALES = (4, 64)
+
+
+def build_skewed_events(spark, out_dir: str, copies: int) -> str:
+    """Slim (event_id, event_type, value) corpus, event_type re-keyed
+    Zipfian-style: one planted hot key + a cold tail. Deterministic
+    (xxhash64 of event_id, no rand()) so every run probes identical
+    bytes."""
+    from pyspark.sql import functions as F
+
+    dest = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return out_dir
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet").select(
+        "event_id", "value"
+    )
+    parts = []
+    for i in range(copies):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "value",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    h = F.pmod(F.xxhash64("event_id"), F.lit(100))
+    big = big.withColumn(
+        "event_type",
+        F.when(h < F.lit(SKEW_HOT_PCT), F.lit("hot")).otherwise(
+            F.concat(
+                F.lit("cold_"),
+                F.pmod(F.xxhash64(F.col("event_id") + F.lit(1)), F.lit(SKEW_COLD_KEYS)).cast("string"),
+            )
+        ),
+    )
+    big.repartition(8).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
+def _skew_probe_join(spark, sf_dir: str, salted: bool):
+    """The probe join, mirroring layout.salted_skew_join's shape on the
+    slim corpus: big (Zipfian event_type) x dim (one row per key),
+    merge-hinted so the shuffle actually happens (broadcast would be the
+    right plan for a 51-row dim — the probe deliberately forecloses it
+    to exercise the mitigation, the same reason the registered query
+    does)."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.plans.layout import SALT_BUCKETS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    if salted:
+        big = ev.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int"),
+        )
+        dim = dim.select(
+            "event_type",
+            "type_avg",
+            F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+        ).hint("merge")
+        joined = big.join(dim, ["event_type", "salt"])
+    else:
+        joined = ev.join(dim.hint("merge"), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("value") > F.col("type_avg"), 1)).alias("n_above"),
+    )
+
+
+def main_skew() -> None:
+    from tinymapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-skew", cpus="32")
+    dirs = {}
+    for c in SKEW_SCALES:
+        d = os.path.join(REPO, ".tmp", f"skewx{c}")
+        os.makedirs(d, exist_ok=True)
+        dirs[c] = build_skewed_events(spark, d, c)
+    spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+
+    legs = [
+        ("unsalted_aqe_off", False, "false"),
+        ("unsalted_aqe_on", False, "true"),
+        ("salted_aqe_off", True, "false"),
+    ]
+    lo, hi = SKEW_SCALES
+    print(f"{'leg':20s} {f'x{lo}':>8s} {f'x{hi}':>8s} {'ratio':>6s}   (16x data growth)")
+    results = {}
+    for name, salted, aqe in legs:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        walls = {}
+        for c in SKEW_SCALES:
+            # one warm-up-free timed run per (leg, scale); counts pin output
+            t0 = time.time()
+            n = _skew_probe_join(spark, dirs[c], salted).count()
+            walls[c] = time.time() - t0
+            results[(name, c)] = (walls[c], n)
+        print(
+            f"{name:20s} {walls[lo]:7.2f}s {walls[hi]:7.2f}s "
+            f"{walls[hi] / max(walls[lo], 1e-9):5.1f}x"
+        )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # row counts must agree across legs at each scale (salting is
+    # result-invariant; a mismatch would invalidate the walls)
+    for c in SKEW_SCALES:
+        ns = {results[(name, c)][1] for name, _, _ in legs}
+        assert len(ns) == 1, f"row-count divergence at x{c}: {ns}"
+    print("row counts agree across legs at every scale")
+
+
 if __name__ == "__main__":
-    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "tpch":
+    mode = os.environ.get("SPARK_GRAFT_PROBE_MODE")
+    if mode == "tpch":
         main_tpch()
+    elif mode == "skew":
+        main_skew()
     else:
         main()
