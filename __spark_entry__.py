@@ -192,8 +192,11 @@ _R7_WINDOW = [
     "hll_distinct_merge",
     "kll_quantile_merge",
     # r7-NEW keys (always in-window): the Avro snappy-codec leg
-    # (from-scratch snappy both directions + BE-CRC32 trailer)
+    # (from-scratch snappy both directions + BE-CRC32 trailer), the
+    # 16-bit/alpha PNG rung, and the 4:2:0 MJPEG + index-less AVI rung
     "avro_snappy_ingest",
+    "png16_decode_stats",
+    "video420_decode_stats",
     # freshness rotation, oldest-checked first: the seventeen r6-
     # continuation keys displaced these re-checks past r6's 50-row
     # cutoff, so they lead r7 (all green since r1/r2; kv_replay is the
@@ -498,9 +501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg420_decode_stats": multimodal.jpeg420_decode_stats,
         "jpeg_progressive_decode_stats": multimodal.jpeg_progressive_decode_stats,
         "png_decode_stats": multimodal.png_decode_stats,
+        "png16_decode_stats": multimodal.png16_decode_stats,
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
         "video_decode_stats": multimodal.video_decode_stats,
+        "video420_decode_stats": multimodal.video420_decode_stats,
         "audio_spectral_bins": multimodal.audio_spectral_bins,
         "image_augment_stats": multimodal.image_augment_stats,
         "tiff_decode_stats": multimodal.tiff_decode_stats,
@@ -1091,6 +1096,7 @@ GROUP BY word
         # zlib INFLATE of our own encodes is version-independent, so the
         # PNG oracle replays the pixel formula directly
         "png_decode_stats": multimodal.PNG_DECODE_SQL,
+        "png16_decode_stats": multimodal.PNG16_DECODE_SQL,
         # LZW decode of our own encodes is exactly lossless — formula replay
         "gif_decode_stats": multimodal.GIF_DECODE_SQL,
         # G.711 expansions are stateless bit formulas — exact SQL replay
@@ -1098,6 +1104,7 @@ GROUP BY word
         # MJPEG frames are baseline JFIFs from quantized coefficients —
         # the sampled-frame IDCT replays in SQL exactly
         "video_decode_stats": multimodal.VIDEO_DECODE_SQL,
+        "video420_decode_stats": multimodal.VIDEO420_DECODE_SQL,
         # integer DFT: quantized tables inlined verbatim in the SQL
         "audio_spectral_bins": multimodal.AUDIO_SPECTRAL_SQL,
         # each variant = a coordinate remap of the pixel formula; the

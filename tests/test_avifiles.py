@@ -90,3 +90,64 @@ def test_sampled_decode_matches_formula():
             want = idct_block(coef)
             got = [row[b * 8 : b * 8 + 8] for row in planes[0]]
             assert got == want
+
+
+def test_indexless_movi_scan_and_flag_consistency():
+    """r7: containers written WITHOUT idx1 (AVIF_HASINDEX cleared) must
+    walk via the 'movi' scan and yield identical frames; a container
+    that PROMISES an index (flag set) but carries none must raise."""
+    frames = [b"\xff\xd8 frame %d \xff\xd9" % i for i in range(4)]
+    with_idx = write_avi_mjpeg(16, 8, frames)
+    without = write_avi_mjpeg(16, 8, frames, with_index=False)
+    assert len(without) < len(with_idx)
+    assert b"idx1" not in without
+    assert parse_avi_mjpeg(without) == parse_avi_mjpeg(with_idx) == (16, 8, frames)
+
+    # flip AVIF_HASINDEX on in the index-less container -> must raise
+    lying = bytearray(without)
+    avih_at = lying.index(b"avih") + 8  # past fourcc+size
+    flags_at = avih_at + 12  # dwMicroSecPerFrame, MaxBytesPerSec, Padding
+    lying[flags_at] |= 0x10
+    with pytest.raises(ValueError, match="AVIF_HASINDEX"):
+        parse_avi_mjpeg(bytes(lying))
+
+
+def test_video420_sampled_frames_match_formula():
+    from tinymapreduce_spark.functions.jpegcodec import decode_jpeg
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+    from tinymapreduce_spark.operators.multimodal import (
+        J420_H,
+        J420_W,
+        V420_COEF,
+    )
+    from tinymapreduce_spark.functions.jpegcodec import encode_jpeg
+    from tinymapreduce_spark.operators.multimodal import JPG_QT
+
+    for d in (3, 4, 10):  # odd d -> index-less leg
+        w, h = J420_W(d), J420_H(d)
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        frames = []
+        for f in range(2 + d % 4):
+            comps = []
+            for ci, n in ((0, 4 * mcux * mcuy), (1, mcux * mcuy), (2, mcux * mcuy)):
+                blocks = []
+                for b in range(n):
+                    blk = [[0] * 8 for _ in range(8)]
+                    for (r, c), fn in V420_COEF.items():
+                        blk[r][c] = fn(d, f, ci, b)
+                    blocks.append(blk)
+                comps.append(blocks)
+            frames.append(
+                encode_jpeg(w, h, JPG_QT, comps, sampling=[(2, 2), (1, 1), (1, 1)])
+            )
+        blob = write_avi_mjpeg(w, h, frames, with_index=(d % 2 == 0))
+        W, H, got = parse_avi_mjpeg(blob)
+        assert (W, H) == (w, h) and got == frames
+        # sampled frames decode to per-plane dims of the j420 geometry
+        fw, fh, planes = decode_jpeg(got[0])
+        assert (fw, fh) == (w, h)
+        assert (len(planes[1][0]), len(planes[1])) == ((w + 1) // 2, (h + 1) // 2)

@@ -113,10 +113,10 @@ def test_decoder_rejects_bad_inputs():
     bad[20] ^= 0xFF  # corrupt IHDR body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # 16-bit depth / alpha color types are honest boundaries
+    # sub-byte depths remain honest boundaries (16-bit is real since r7)
     deep = bytearray(good)
     depth_off = good.index(b"IHDR") + 4 + 8  # IHDR body: w(4) h(4) depth
-    deep[depth_off] = 16
+    deep[depth_off] = 2
     # re-CRC the IHDR chunk so the depth error (not CRC) fires
     body = bytes(deep[good.index(b"IHDR") : good.index(b"IHDR") + 4 + 13])
     deep[good.index(b"IHDR") + 17 : good.index(b"IHDR") + 21] = struct.pack(
@@ -126,3 +126,57 @@ def test_decoder_rejects_bad_inputs():
         decode_png(bytes(deep))
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png(bytes(good[:-8]))
+
+
+def test_roundtrip_16bit_and_alpha_types():
+    """r7 rungs: color types 4/6 and bit depth 16 (big-endian samples,
+    widened filter bpp) across both interlace methods and all filters."""
+    rng = random.Random(77)
+    for ct, depth in [(0, 16), (2, 16), (4, 8), (4, 16), (6, 8), (6, 16)]:
+        hi = 65535 if depth == 16 else 255
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        for interlace in (0, 1):
+            w, h = rng.randrange(1, 12), rng.randrange(1, 10)
+            px = [
+                [
+                    rng.randrange(hi + 1)
+                    if nch == 1
+                    else tuple(rng.randrange(hi + 1) for _ in range(nch))
+                    for _ in range(w)
+                ]
+                for _ in range(h)
+            ]
+            blob = encode_png(
+                w, h, px, color_type=ct, depth=depth, interlace=interlace
+            )
+            W, H, out = decode_png(blob)
+            assert (W, H) == (w, h)
+            for y in range(h):
+                for x in range(w):
+                    p = px[y][x]
+                    if ct == 0:
+                        assert out[y][x] == (p, p, p)
+                    elif ct == 2:
+                        assert out[y][x] == p
+                    elif ct == 4:
+                        assert out[y][x] == (p[0], p[0], p[0], p[1])
+                    else:
+                        assert out[y][x] == p
+
+
+def test_16bit_palette_and_bad_depths_raise():
+    with pytest.raises(ValueError, match="palette images are 8-bit"):
+        encode_png(2, 2, [[0, 0], [0, 0]], color_type=3,
+                   palette=[(1, 2, 3)], depth=16)
+    with pytest.raises(ValueError, match="bit depth"):
+        encode_png(2, 2, [[0, 0], [0, 0]], color_type=0, depth=4)
+    # decoder side: a hand-built IHDR with depth 4 must raise
+    blob = bytearray(encode_png(2, 2, [[0, 0], [0, 0]], color_type=0))
+    ihdr_at = blob.index(b"IHDR")
+    body = bytearray(blob[ihdr_at + 4 : ihdr_at + 4 + 13])
+    body[8] = 4  # depth byte
+    crc = zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    blob[ihdr_at + 4 : ihdr_at + 4 + 13] = body
+    blob[ihdr_at + 17 : ihdr_at + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(blob))

@@ -43,18 +43,27 @@ def _list(listtype: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", listtype + body)
 
 
-def write_avi_mjpeg(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+def write_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 25,
+    with_index: bool = True,
+) -> bytes:
     """Emit an MJPEG AVI: each ``frames[i]`` is a complete baseline
     JFIF. Header fields that players actually consult (dims, frame
     count, stream count, rate/scale) are real; idx1 carries one entry
     per frame with offsets relative to the 'movi' fourcc, AVIIF_KEYFRAME
     set (every MJPEG frame is independent — that is the point of the
-    format for seekable training-data scans)."""
+    format for seekable training-data scans). ``with_index=False``
+    omits idx1 AND clears AVIF_HASINDEX — the legacy/streamed-capture
+    shape whose readers must scan 'movi' directly (r7, VERDICT r6 #7);
+    the walker handles both."""
     avih = struct.pack(
         "<10I",
         1_000_000 // fps,  # dwMicroSecPerFrame
         0, 0,  # dwMaxBytesPerSec, dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX
+        0x10 if with_index else 0,  # AVIF_HASINDEX
         len(frames), 0, 1,  # dwTotalFrames, dwInitialFrames, dwStreams
         max((len(f) for f in frames), default=0),  # dwSuggestedBufferSize
         width, height,
@@ -80,7 +89,9 @@ def write_avi_mjpeg(width: int, height: int, frames: list[bytes], fps: int = 25)
         idx += b"00dc" + struct.pack("<3I", 0x10, 4 + len(movi_body), len(f))
         movi_body += _chunk(b"00dc", f)
     movi = _list(b"movi", bytes(movi_body))
-    riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi
+    if with_index:
+        riff_body += _chunk(b"idx1", bytes(idx))
     return _chunk(b"RIFF", riff_body)
 
 
@@ -111,6 +122,7 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[8:12] != b"AVI ":
         raise ValueError(f"form type {payload[8:12]!r} is not 'AVI '")
     width = height = total = stream_len = -1
+    flags = 0
     frames: list[bytes] = []
     idx_entries: list[tuple[bytes, int, int]] = []
     movi_starts: list[int] = []
@@ -122,6 +134,7 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
                     if cc == b"avih":
                         if n < 40:
                             raise ValueError("avih too short")
+                        flags = struct.unpack("<I", payload[s + 12 : s + 16])[0]
                         total = struct.unpack("<I", payload[s + 16 : s + 20])[0]
                         width = struct.unpack("<I", payload[s + 32 : s + 36])[0]
                         height = struct.unpack("<I", payload[s + 36 : s + 40])[0]
@@ -153,6 +166,11 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"avih.dwTotalFrames {total} != {len(frames)} movi frames")
     if stream_len != len(frames):
         raise ValueError(f"strh.dwLength {stream_len} != {len(frames)} movi frames")
+    if flags & 0x10 and not idx_entries:
+        # AVIF_HASINDEX promises an idx1; a reader that silently falls
+        # back here would mask truncation — raise, per the walker's
+        # honest-framing policy (the index-less shape clears the flag)
+        raise ValueError("AVIF_HASINDEX set but idx1 missing")
     if idx_entries:
         if len(idx_entries) != len(frames):
             raise ValueError("idx1 entry count != frame count")

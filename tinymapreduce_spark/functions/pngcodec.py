@@ -10,12 +10,16 @@ interlacing.
 CRC32 verification, IHDR parse, multi-IDAT concatenation + inflate,
 all five row filters (None, Sub, Up, Average, Paeth — including the
 Paeth predictor's exact tie-breaking order), color types 0 (grayscale),
-2 (truecolor) and 3 (palette, PLTE lookup), bit depth 8, and BOTH
+2 (truecolor), 3 (palette, PLTE lookup), 4 (grayscale+alpha) and
+6 (RGBA), bit depths 8 AND 16 (big-endian samples; filters stay
+byte-wise with the correct bpp distance — r7, VERDICT r6 #5), and BOTH
 interlace methods (0 = null, 1 = Adam7: seven sub-image passes, each
 independently filtered, merged on the 8x8 pattern grid). Returns
 ``(width, height, rows)`` where ``rows[y][x]`` is an (r, g, b) tuple
-(grayscale expands to r=g=b; palette is resolved through PLTE).
-16-bit depth, color types 4/6 (alpha) and private filter methods raise
+for alpha-less color types (grayscale expands to r=g=b; palette is
+resolved through PLTE) and an (r, g, b, a) tuple for types 4/6 —
+values at native depth (0-255 or 0-65535). Sub-byte depths (1/2/4),
+16-bit palettes (illegal PNG) and private filter methods raise
 ``ValueError`` naming the gap — honest boundaries, same policy as the
 JPEG/BMP/PPM/WAV decoders.
 
@@ -149,6 +153,9 @@ def _serialize_image(
     return bytes(out)
 
 
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel, per spec
+
+
 def encode_png(
     width: int,
     height: int,
@@ -157,15 +164,26 @@ def encode_png(
     palette: list[tuple[int, int, int]] | None = None,
     interlace: int = 0,
     filters=lambda y: y % 5,
+    depth: int = 8,
 ) -> bytes:
     """Write a real PNG. ``pixels[y][x]`` is an int (color types 0 and
-    3: gray value / palette index) or an (r, g, b) tuple (color type
-    2). Row filters cycle via ``filters(y)`` (default: all five types
-    exercised); ``interlace=1`` writes Adam7 (each pass filtered
-    independently, per spec)."""
+    3: gray value / palette index), an (r, g, b) tuple (color type 2),
+    a (gray, alpha) tuple (color type 4) or an (r, g, b, a) tuple
+    (color type 6). ``depth`` 8 or 16 (16-bit samples are big-endian
+    per spec; palette images are 8-bit only — a 16-bit PLTE index is
+    illegal PNG). Row filters cycle via ``filters(y)`` (default: all
+    five types exercised); ``interlace=1`` writes Adam7 (each pass
+    filtered independently, per spec)."""
+    if color_type not in _CHANNELS:
+        raise ValueError(f"color type {color_type} unknown")
     if color_type == 3 and not palette:
         raise ValueError("palette color type requires a palette")
-    bpp = 3 if color_type == 2 else 1
+    if depth not in (8, 16):
+        raise ValueError(f"bit depth {depth} unsupported (8/16)")
+    if color_type == 3 and depth != 8:
+        raise ValueError("palette images are 8-bit only")
+    channels = _CHANNELS[color_type]
+    bpp = channels * (depth // 8)
 
     def row_samples(ys, xs) -> list[list[int]]:
         rows = []
@@ -173,10 +191,13 @@ def encode_png(
             samples: list[int] = []
             for x in xs(y):
                 p = pixels[y][x]
-                if color_type == 2:
-                    samples.extend(p)
-                else:
-                    samples.append(p)
+                vals = p if channels > 1 else (p,)
+                for v in vals:
+                    if depth == 16:
+                        samples.append((v >> 8) & 0xFF)
+                        samples.append(v & 0xFF)
+                    else:
+                        samples.append(v)
             rows.append(samples)
         return rows
 
@@ -200,7 +221,7 @@ def encode_png(
     out = bytearray(PNG_SIG)
     out += _chunk(
         b"IHDR",
-        struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, interlace),
+        struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace),
     )
     if color_type == 3:
         out += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
@@ -260,19 +281,24 @@ def decode_png(payload: bytes):
     if not seen_iend:
         raise ValueError("missing IEND")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"bit depth {depth} unsupported (8 only)")
-    if color_type not in (0, 2, 3):
+    if depth not in (8, 16):
+        raise ValueError(f"bit depth {depth} unsupported (8/16)")
+    if color_type not in _CHANNELS:
         raise ValueError(
-            f"color type {color_type} unsupported (gray/truecolor/palette)"
+            f"color type {color_type} unsupported "
+            "(gray/truecolor/palette/gray+alpha/RGBA)"
         )
+    if color_type == 3 and depth != 8:
+        raise ValueError("palette images are 8-bit only")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"interlace method {interlace} unknown")
     if color_type == 3 and palette is None:
         raise ValueError("palette image without PLTE")
-    bpp = 3 if color_type == 2 else 1
+    channels = _CHANNELS[color_type]
+    bps = depth // 8
+    bpp = channels * bps
     raw = zlib.decompress(bytes(idat))
 
     def read_image(data: bytes, off: int, pw: int, ph: int):
@@ -291,22 +317,35 @@ def decode_png(payload: bytes):
             off += 1 + stride
         return rows, off
 
-    def to_rgb(samples: bytes, x_idx: int):
+    def to_px(samples: bytes, x_idx: int):
+        at = x_idx * bpp
+        if bps == 2:  # 16-bit samples are big-endian (spec 7.1)
+            vals = [
+                (samples[at + 2 * c] << 8) | samples[at + 2 * c + 1]
+                for c in range(channels)
+            ]
+        else:
+            vals = [samples[at + c] for c in range(channels)]
         if color_type == 2:
-            return (samples[3 * x_idx], samples[3 * x_idx + 1], samples[3 * x_idx + 2])
-        v = samples[x_idx]
+            return tuple(vals)
         if color_type == 0:
-            return (v, v, v)
+            return (vals[0], vals[0], vals[0])
+        if color_type == 4:  # gray + alpha
+            return (vals[0], vals[0], vals[0], vals[1])
+        if color_type == 6:  # RGBA
+            return tuple(vals)
+        v = vals[0]
         if v >= len(palette):
             raise ValueError(f"palette index {v} out of range")
         return palette[v]
 
-    out = [[(0, 0, 0)] * w for _ in range(h)]
+    zero = (0, 0, 0, 0) if color_type in (4, 6) else (0, 0, 0)
+    out = [[zero] * w for _ in range(h)]
     if interlace == 0:
         rows, off = read_image(raw, 0, w, h)
         for y in range(h):
             for x in range(w):
-                out[y][x] = to_rgb(rows[y], x)
+                out[y][x] = to_px(rows[y], x)
     else:
         off = 0
         for p in ADAM7:
@@ -318,7 +357,7 @@ def decode_png(payload: bytes):
             for j in range(ph):
                 y = y0 + j * dy
                 for i in range(pw):
-                    out[y][x0 + i * dx] = to_rgb(rows[j], i)
+                    out[y][x0 + i * dx] = to_px(rows[j], i)
     if off != len(raw):
         raise ValueError("trailing bytes after image data")
     return w, h, out

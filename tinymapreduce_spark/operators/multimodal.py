@@ -1407,6 +1407,175 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# png16_decode_stats formulas (kind = doc_id % 4):
+#  0: gray 16-bit       v = (257d + 1031x + 2003y) % 65536
+#  1: gray+alpha 8-bit  v = (d + 3x + 5y) % 256,  a = (2d + x + y) % 256
+#  2: RGBA 8-bit        r=(d+x+2y)%256 g=(2d+3x+y)%256 b=(d+5x+3y)%256 a=(3d+x+y)%256
+#  3: RGBA 16-bit       r=(513d+999x+7y) g=(257d+11x+777y) b=(129d+31x+63y)
+#                       a=(65d+255x+129y), all % 65536
+_PNG16_CT = (0, 4, 6, 6)
+_PNG16_DEPTH = (16, 8, 8, 16)
+
+
+def png16_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit + alpha PNG rung (VERDICT r6 #5, closing the SURVEY §12.2
+    codec edge): synthesize one PNG per document cycling grayscale-16,
+    gray+alpha-8, RGBA-8 and RGBA-16 (with Adam7 on odd docs and all
+    five row filters cycling), decode through the same pure-Python
+    chunk walk and emit exact per-channel + alpha sums AT NATIVE DEPTH.
+    Big-endian 16-bit samples and the widened filter bpp distance are
+    load-bearing — a byte-order or stride bug flips the hash. Oracle
+    re-derives the sums from the pixel formulas. Row-local Arrow
+    kernels, the codec-tier scale shape."""
+    from tinymapreduce_spark.functions.pngcodec import decode_png, encode_png
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = PNG_W(d), PNG_H(d)
+                kind = d % 4
+                if kind == 0:
+                    px = [
+                        [(257 * d + 1031 * x + 2003 * y) % 65536 for x in range(w)]
+                        for y in range(h)
+                    ]
+                elif kind == 1:
+                    px = [
+                        [
+                            ((d + 3 * x + 5 * y) % 256, (2 * d + x + y) % 256)
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                elif kind == 2:
+                    px = [
+                        [
+                            (
+                                (d + x + 2 * y) % 256,
+                                (2 * d + 3 * x + y) % 256,
+                                (d + 5 * x + 3 * y) % 256,
+                                (3 * d + x + y) % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                else:
+                    px = [
+                        [
+                            (
+                                (513 * d + 999 * x + 7 * y) % 65536,
+                                (257 * d + 11 * x + 777 * y) % 65536,
+                                (129 * d + 31 * x + 63 * y) % 65536,
+                                (65 * d + 255 * x + 129 * y) % 65536,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                payloads.append(
+                    encode_png(
+                        w, h, px,
+                        color_type=_PNG16_CT[kind],
+                        depth=_PNG16_DEPTH[kind],
+                        interlace=d % 2,
+                        filters=lambda y, d=d: (y + d) % 5,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "color_type": [],
+                "bit_depth": [], "r_sum": [], "g_sum": [], "b_sum": [],
+                "a_sum": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                kind = d % 4
+                w, h, px = decode_png(bytes(p))
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["color_type"].append(_PNG16_CT[kind])
+                rows["bit_depth"].append(_PNG16_DEPTH[kind])
+                rows["r_sum"].append(sum(v[0] for row in px for v in row))
+                rows["g_sum"].append(sum(v[1] for row in px for v in row))
+                rows["b_sum"].append(sum(v[2] for row in px for v in row))
+                rows["a_sum"].append(
+                    sum(v[3] for row in px for v in row) if kind else 0
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, color_type long,"
+            " bit_depth long, r_sum long, g_sum long, b_sum long, a_sum long"
+        ),
+    )
+
+
+PNG16_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 14 AS w, 7 + (3 * doc_id) % 12 AS h,
+         doc_id % 4 AS kind
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, kind, xs.x, ys.y
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) xs,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) ys
+), chans AS (
+  SELECT doc_id, w, h, kind,
+         CASE kind
+           WHEN 0 THEN (257 * doc_id + 1031 * x + 2003 * y) % 65536
+           WHEN 1 THEN (doc_id + 3 * x + 5 * y) % 256
+           WHEN 2 THEN (doc_id + x + 2 * y) % 256
+           ELSE (513 * doc_id + 999 * x + 7 * y) % 65536
+         END AS r,
+         CASE kind
+           WHEN 0 THEN (257 * doc_id + 1031 * x + 2003 * y) % 65536
+           WHEN 1 THEN (doc_id + 3 * x + 5 * y) % 256
+           WHEN 2 THEN (2 * doc_id + 3 * x + y) % 256
+           ELSE (257 * doc_id + 11 * x + 777 * y) % 65536
+         END AS g,
+         CASE kind
+           WHEN 0 THEN (257 * doc_id + 1031 * x + 2003 * y) % 65536
+           WHEN 1 THEN (doc_id + 3 * x + 5 * y) % 256
+           WHEN 2 THEN (doc_id + 5 * x + 3 * y) % 256
+           ELSE (129 * doc_id + 31 * x + 63 * y) % 65536
+         END AS b,
+         CASE kind
+           WHEN 0 THEN 0
+           WHEN 1 THEN (2 * doc_id + x + y) % 256
+           WHEN 2 THEN (3 * doc_id + x + y) % 256
+           ELSE (65 * doc_id + 255 * x + 129 * y) % 65536
+         END AS a
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE kind WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 6 END AS BIGINT)
+         AS color_type,
+       CAST(CASE kind WHEN 0 THEN 16 WHEN 3 THEN 16 ELSE 8 END AS BIGINT)
+         AS bit_depth,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum,
+       CAST(SUM(a) AS BIGINT) AS a_sum
+FROM chans
+GROUP BY doc_id, w, h, kind
+"""
+
+
 PNG_DECODE_SQL = """
 WITH dims AS (
   SELECT doc_id, 9 + doc_id % 14 AS w, 7 + (3 * doc_id) % 12 AS h
@@ -1998,6 +2167,210 @@ GROUP BY doc_id, w, h, nf
 
 
 VIDEO_DECODE_SQL = _video_decode_sql()
+
+
+# --- 4:2:0 MJPEG video + index-less AVI fallback (round 7) -----------------
+# The two most common real-world AVI shapes beyond the canonical one
+# (VERDICT r6 #7): frames that are CHROMA-SUBSAMPLED color JFIFs (the
+# jpeg420 rung's geometry, now per-frame), and containers with NO idx1
+# (legacy/streamed captures) where the reader must scan 'movi' directly
+# — odd docs omit the index AND clear AVIF_HASINDEX (the walker raises
+# if the flag promises an index that is missing).
+#   w = 10 + d % 15, h = 10 + 3d % 11 (the j420 grid), nf = 2 + d % 4,
+#   sample f % 2 == 0; coefficients per (d, f, ci, b):
+V420_COEF = {
+    (0, 0): lambda d, f, ci, b: (d + 5 * b + 7 * ci + 9 * f) % 32 - 16,
+    (0, 1): lambda d, f, ci, b: (d + 3 * b + 11 * ci + 5 * f) % 15 - 7,
+    (1, 0): lambda d, f, ci, b: (2 * d + b + 5 * ci + 3 * f) % 11 - 5,
+    (3, 2): lambda d, f, ci, b: (d * b + d + 3 * ci + f) % 7 - 3,
+}
+V420_COEF_SQL = {
+    (0, 0): "(doc_id + 5 * b + 7 * ci + 9 * f) % 32 - 16",
+    (0, 1): "(doc_id + 3 * b + 11 * ci + 5 * f) % 15 - 7",
+    (1, 0): "(2 * doc_id + b + 5 * ci + 3 * f) % 11 - 5",
+    (3, 2): "(doc_id * b + doc_id + 3 * ci + f) % 7 - 3",
+}
+
+
+def video420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 MJPEG video decode + index-less AVI walk over BinaryType:
+    per document, synthesize an AVI whose frames are chroma-subsampled
+    COLOR JFIFs (Y at 2x2 over the full interleaved grid incl. dummy
+    edge blocks, chroma at 1x1), with odd docs written WITHOUT idx1
+    (AVIF_HASINDEX cleared) so the walker's 'movi'-scan fallback is the
+    live path for half the corpus. Sample every second frame, decode
+    through the full 4:2:0 pipeline, emit exact per-plane sums across
+    sampled frames. Oracle replays dequant + the integer IDCT per
+    component plane per sampled frame — an interleave, subsampling,
+    container-index, or sampling bug flips the hash.
+
+    Scale shape: same as video_decode_stats — row-local Arrow kernels,
+    pixels never shuffle, skipped frames are skipped BEFORE pixel
+    work."""
+    from tinymapreduce_spark.functions.avifiles import (
+        parse_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+    coef_fns, qt = V420_COEF, JPG_QT
+
+    def frame_blocks(d: int, f: int, ci: int, n: int) -> list:
+        out = []
+        for b in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            for (r, c), fn in coef_fns.items():
+                blk[r][c] = fn(d, f, ci, b)
+            out.append(blk)
+        return out
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = J420_W(d), J420_H(d)
+                mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+                frames = []
+                for f in range(2 + d % 4):
+                    comps = [
+                        frame_blocks(d, f, 0, (2 * mcux) * (2 * mcuy)),
+                        frame_blocks(d, f, 1, mcux * mcuy),
+                        frame_blocks(d, f, 2, mcux * mcuy),
+                    ]
+                    frames.append(
+                        encode_jpeg(
+                            w, h, qt, comps,
+                            sampling=[(2, 2), (1, 1), (1, 1)],
+                        )
+                    )
+                payloads.append(
+                    write_avi_mjpeg(w, h, frames, with_index=(d % 2 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "chroma_w": [],
+                "chroma_h": [], "n_frames": [], "n_sampled": [],
+                "has_index": [], "y_sum": [], "cb_sum": [], "cr_sum": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                w, h, frames = parse_avi_mjpeg(bytes(p))
+                sampled = frames[::2]
+                ys = cbs = crs = 0
+                cw = ch = 0
+                for jf in sampled:
+                    fw, fh, planes = decode_jpeg(jf)
+                    ys += sum(v for row in planes[0] for v in row)
+                    cbs += sum(v for row in planes[1] for v in row)
+                    crs += sum(v for row in planes[2] for v in row)
+                    cw, ch = len(planes[1][0]), len(planes[1])
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["chroma_w"].append(cw)
+                rows["chroma_h"].append(ch)
+                rows["n_frames"].append(len(frames))
+                rows["n_sampled"].append(len(sampled))
+                rows["has_index"].append(1 - d % 2)
+                rows["y_sum"].append(ys)
+                rows["cb_sum"].append(cbs)
+                rows["cr_sum"].append(crs)
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, chroma_w long,"
+            " chroma_h long, n_frames long, n_sampled long,"
+            " has_index long, y_sum long, cb_sum long, cr_sum long"
+        ),
+    )
+
+
+def _video420_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {V420_COEF_SQL[(r, c)]})" for (r, c) in V420_COEF
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id,
+         10 + doc_id % 15 AS w,
+         10 + (3 * doc_id) % 11 AS h,
+         (10 + doc_id % 15 + 15) // 16 AS mcux,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), comps AS (
+  SELECT d.*, c.ci,
+         CASE WHEN c.ci = 0 THEN d.w ELSE (d.w + 1) // 2 END AS xc,
+         CASE WHEN c.ci = 0 THEN d.h ELSE (d.h + 1) // 2 END AS yc,
+         CASE WHEN c.ci = 0 THEN 2 * d.mcux ELSE d.mcux END AS stride
+  FROM dims d, (SELECT UNNEST(range(0, 3)) AS ci) c
+), fb AS (
+  SELECT c.doc_id, c.ci, c.xc, c.yc, c.nf, fr.f, bx.bx, by.by,
+         by.by * c.stride + bx.bx AS b
+  FROM comps c,
+       LATERAL (SELECT UNNEST(range(0, c.nf)) AS f) fr,
+       LATERAL (SELECT UNNEST(range(0, (c.xc + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (c.yc + 7) // 8)) AS by) by
+  WHERE fr.f % 2 = 0
+), coefs AS (
+  SELECT doc_id, ci, xc, yc, nf, f, bx, by, cf.r, cf.c,
+         cf.val * (1 + cf.r + cf.c) AS coef
+  FROM fb, LATERAL (VALUES {coefs}) cf(r, c, val)
+), pix AS (
+  SELECT doc_id, ci, xc, yc, nf, f,
+         bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, ci, xc, yc, nf, f, bx, by, xs.x, ys.y
+), per_comp AS (
+  SELECT doc_id, ci, xc, yc, nf, SUM(p) AS s
+  FROM pix
+  WHERE ix < xc AND iy < yc
+  GROUP BY doc_id, ci, xc, yc, nf
+)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN ci = 0 THEN xc END) AS BIGINT) AS width,
+       CAST(MAX(CASE WHEN ci = 0 THEN yc END) AS BIGINT) AS height,
+       CAST(MAX(CASE WHEN ci = 1 THEN xc END) AS BIGINT) AS chroma_w,
+       CAST(MAX(CASE WHEN ci = 1 THEN yc END) AS BIGINT) AS chroma_h,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST((MAX(nf) + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(1 - doc_id % 2 AS BIGINT) AS has_index,
+       CAST(MAX(CASE WHEN ci = 0 THEN s END) AS BIGINT) AS y_sum,
+       CAST(MAX(CASE WHEN ci = 1 THEN s END) AS BIGINT) AS cb_sum,
+       CAST(MAX(CASE WHEN ci = 2 THEN s END) AS BIGINT) AS cr_sum
+FROM per_comp
+GROUP BY doc_id
+"""
+
+
+VIDEO420_DECODE_SQL = _video420_decode_sql()
 
 
 # --- frequency-domain audio features (round 6 continuation) ----------------
