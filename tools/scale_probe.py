@@ -331,7 +331,11 @@ def main_tpch() -> None:
 
 SKEW_HOT_PCT = 85
 SKEW_COLD_KEYS = 50
-SKEW_SCALES = (4, 64)
+# 16x growth step sized so the hot partition genuinely binds: at x256
+# the planted key owns ~21.8M rows — a single unsalted SMJ task sorts
+# all of them 1-threaded while 31 cores idle; at x16 fixed costs still
+# dominate every leg (that is the point of the comparison)
+SKEW_SCALES = (16, 256)
 
 
 def build_skewed_events(spark, out_dir: str, copies: int) -> str:
@@ -384,7 +388,17 @@ def _skew_probe_join(spark, sf_dir: str, salted: bool):
     from tinymapreduce_spark.plans.layout import SALT_BUCKETS
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    # materialize the (51-row) dim: in the registered query the agg is
+    # inline, but AQE's OptimizeSkewedJoin only pattern-matches
+    # SMJ(sort(shuffleStage), sort(shuffleStage)) — an aggregate between
+    # the dim's exchange and the join defeats it, so the AQE leg would
+    # silently measure nothing. A checkpointed dim is also the realistic
+    # shape (dims are tables, not inline subqueries, in a real pipeline).
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.avg("value").alias("type_avg"))
+        .localCheckpoint(eager=True)
+    )
     if salted:
         big = ev.withColumn(
             "salt",
@@ -423,11 +437,33 @@ def main_skew() -> None:
     lo, hi = SKEW_SCALES
     print(f"{'leg':20s} {f'x{lo}':>8s} {f'x{hi}':>8s} {'ratio':>6s}   (16x data growth)")
     results = {}
+    thresh = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    force = "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    saved = {k: spark.conf.get(k) for k in (thresh, advisory, force)}
     for name, salted, aqe in legs:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        if aqe == "true":
+            # the probe corpus is small in BYTES (3 slim columns) even
+            # when the hot key owns 21M rows — at the 256 MB default the
+            # runtime split never fires; a real cluster tunes this to
+            # its partition-size envelope, so the AQE leg does too.
+            # forceOptimizeSkewedJoin: the join output feeds a groupBy
+            # on the same key, so WITHOUT force AQE declines to split
+            # (it would add a shuffle to restore the required hash
+            # distribution); force accepts that extra exchange — the
+            # trade a real skew victim gladly makes
+            spark.conf.set(thresh, "8MB")
+            spark.conf.set(advisory, "8MB")
+            spark.conf.set(force, "true")
+        else:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         walls = {}
         for c in SKEW_SCALES:
-            # one warm-up-free timed run per (leg, scale); counts pin output
+            # warm run first (codegen + scan cache), then the timed run;
+            # counts pin output equality across legs
+            _skew_probe_join(spark, dirs[c], salted).count()
             t0 = time.time()
             n = _skew_probe_join(spark, dirs[c], salted).count()
             walls[c] = time.time() - t0
@@ -437,6 +473,8 @@ def main_skew() -> None:
             f"{walls[hi] / max(walls[lo], 1e-9):5.1f}x"
         )
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    for k, v in saved.items():
+        spark.conf.set(k, v)
     # row counts must agree across legs at each scale (salting is
     # result-invariant; a mismatch would invalidate the walls)
     for c in SKEW_SCALES:
