@@ -193,7 +193,13 @@ _R7_WINDOW = [
     "kll_quantile_merge",
     # r7-NEW keys (always in-window): the Avro snappy-codec leg
     # (from-scratch snappy both directions + BE-CRC32 trailer), the
-    # 16-bit/alpha PNG rung, and the 4:2:0 MJPEG + index-less AVI rung
+    # 16-bit/alpha PNG rung, and the 4:2:0 MJPEG + index-less AVI rung;
+    # then the TIFF-LZW rung (MSB-first early-change LZW + predictor 2)
+    # and the lossless-JPEG rung (SOF3: 7 predictors, 8/12/16-bit)
+    # and the sub-byte PNG rung (depths 1/2/4, gray + palette)
+    "png_subbyte_decode_stats",
+    "jpeg_lossless_decode_stats",
+    "tiff_lzw_decode_stats",
     "avro_snappy_ingest",
     "png16_decode_stats",
     "video420_decode_stats",
@@ -502,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_decode_stats": multimodal.jpeg_progressive_decode_stats,
         "png_decode_stats": multimodal.png_decode_stats,
         "png16_decode_stats": multimodal.png16_decode_stats,
+        "png_subbyte_decode_stats": multimodal.png_subbyte_decode_stats,
         "gif_decode_stats": multimodal.gif_decode_stats,
         "g711_decode_stats": multimodal.g711_decode_stats,
         "video_decode_stats": multimodal.video_decode_stats,
@@ -509,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_bins": multimodal.audio_spectral_bins,
         "image_augment_stats": multimodal.image_augment_stats,
         "tiff_decode_stats": multimodal.tiff_decode_stats,
+        "tiff_lzw_decode_stats": multimodal.tiff_lzw_decode_stats,
+        "jpeg_lossless_decode_stats": multimodal.jpeg_lossless_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1097,6 +1106,7 @@ GROUP BY word
         # PNG oracle replays the pixel formula directly
         "png_decode_stats": multimodal.PNG_DECODE_SQL,
         "png16_decode_stats": multimodal.PNG16_DECODE_SQL,
+        "png_subbyte_decode_stats": multimodal.PNG_SUBBYTE_DECODE_SQL,
         # LZW decode of our own encodes is exactly lossless — formula replay
         "gif_decode_stats": multimodal.GIF_DECODE_SQL,
         # G.711 expansions are stateless bit formulas — exact SQL replay
@@ -1112,6 +1122,8 @@ GROUP BY word
         "image_augment_stats": multimodal.IMAGE_AUGMENT_SQL,
         # PackBits + endianness axes: decode(encode) exact, formula replay
         "tiff_decode_stats": multimodal.TIFF_DECODE_SQL,
+        "tiff_lzw_decode_stats": multimodal.TIFF_LZW_DECODE_SQL,
+        "jpeg_lossless_decode_stats": multimodal.JPEG_LOSSLESS_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

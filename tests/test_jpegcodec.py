@@ -365,3 +365,84 @@ def test_progressive_420_combined():
     assert planes[0] == _expected_plane(w, h, comps[0], 2 * mcux)
     assert planes[1] == _expected_plane(cw, ch, comps[1], mcux)
     assert planes[2] == _expected_plane(cw, ch, comps[2], mcux)
+
+
+class TestLossless:
+    """SOF3 (T.81 Annex H): predictive coding of the samples."""
+
+    def _px(self, w, h, prec, seed=5):
+        mod = 1 << prec
+        return [[(11 * seed + 7 * x + 13 * y + x * y) % mod
+                 for x in range(w)] for y in range(h)]
+
+    def test_roundtrip_matrix(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_lossless, encode_jpeg_lossless)
+
+        for prec in (2, 8, 12, 16):
+            for pred in range(1, 8):
+                for pt in (0, 1):
+                    if pt >= prec:
+                        continue
+                    px = self._px(11, 7, prec)
+                    blob = encode_jpeg_lossless(
+                        11, 7, px, predictor=pred, precision=prec,
+                        point_transform=pt)
+                    w, h, p, pr, pt2, back = decode_jpeg_lossless(blob)
+                    assert (w, h, p, pr, pt2) == (11, 7, prec, pred, pt)
+                    assert back == [[v >> pt for v in row] for row in px]
+
+    def test_category16_no_appended_bits(self):
+        """Alternating 0/65535 at 16-bit forces diff = -32768 mod 2^16
+        (SSSS=16, the lossless-only zero-extra-bits symbol)."""
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_lossless, encode_jpeg_lossless)
+
+        px = [[65535 if (x + y) % 2 else 0 for x in range(8)]
+              for y in range(6)]
+        for pred in (1, 2, 4):
+            blob = encode_jpeg_lossless(8, 6, px, predictor=pred,
+                                        precision=16)
+            assert decode_jpeg_lossless(blob)[5] == px
+
+    def test_predictors_distinct_streams(self):
+        """On a nonlinear surface every predictor yields different
+        compressed bytes (a predictor mix-up cannot alias)."""
+        from tinymapreduce_spark.functions.jpegcodec import (
+            encode_jpeg_lossless)
+
+        px = self._px(16, 12, 8)
+        blobs = {encode_jpeg_lossless(16, 12, px, predictor=p)
+                 for p in range(1, 8)}
+        assert len(blobs) == 7
+
+    def test_defects_raise(self):
+        import pytest
+
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_lossless, encode_jpeg_lossless)
+
+        px = self._px(6, 4, 8)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg_lossless(6, 4, px, precision=17)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg_lossless(6, 4, px, predictor=0)
+        blob = bytearray(encode_jpeg_lossless(6, 4, px))
+        # flip SOF3 to SOF0: decoder must refuse non-lossless frames
+        at = blob.index(b"\xff\xc3")
+        blob[at + 1] = 0xC0
+        with pytest.raises(ValueError, match="SOF3"):
+            decode_jpeg_lossless(bytes(blob))
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg_lossless(b"\x00\x00")
+
+    def test_baseline_decoder_refuses_sof3(self):
+        """The DCT decoder still names lossless an honest boundary."""
+        import pytest
+
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg_lossless)
+
+        blob = encode_jpeg_lossless(6, 4, self._px(6, 4, 8))
+        with pytest.raises(ValueError, match="lossless"):
+            decode_jpeg(blob)

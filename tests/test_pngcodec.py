@@ -113,10 +113,11 @@ def test_decoder_rejects_bad_inputs():
     bad[20] ^= 0xFF  # corrupt IHDR body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # sub-byte depths remain honest boundaries (16-bit is real since r7)
+    # depth 3 is illegal PNG at every color type (sub-byte 1/2/4 and
+    # 16-bit are all real now)
     deep = bytearray(good)
     depth_off = good.index(b"IHDR") + 4 + 8  # IHDR body: w(4) h(4) depth
-    deep[depth_off] = 2
+    deep[depth_off] = 3
     # re-CRC the IHDR chunk so the depth error (not CRC) fires
     body = bytes(deep[good.index(b"IHDR") : good.index(b"IHDR") + 4 + 13])
     deep[good.index(b"IHDR") + 17 : good.index(b"IHDR") + 21] = struct.pack(
@@ -165,18 +166,84 @@ def test_roundtrip_16bit_and_alpha_types():
 
 
 def test_16bit_palette_and_bad_depths_raise():
-    with pytest.raises(ValueError, match="palette images are 8-bit"):
+    with pytest.raises(ValueError, match="depth 16 illegal"):
         encode_png(2, 2, [[0, 0], [0, 0]], color_type=3,
                    palette=[(1, 2, 3)], depth=16)
     with pytest.raises(ValueError, match="bit depth"):
-        encode_png(2, 2, [[0, 0], [0, 0]], color_type=0, depth=4)
-    # decoder side: a hand-built IHDR with depth 4 must raise
-    blob = bytearray(encode_png(2, 2, [[0, 0], [0, 0]], color_type=0))
+        encode_png(2, 2, [[0, 0], [0, 0]], color_type=0, depth=5)
+    # decoder side: a hand-built IHDR with depth 16 palette must raise
+    # (sub-byte gray depths are real since r7; 16-bit PLTE stays illegal)
+    blob = bytearray(encode_png(2, 2, [[0, 0], [0, 0]], color_type=3,
+                                palette=[(1, 2, 3)]))
     ihdr_at = blob.index(b"IHDR")
     body = bytearray(blob[ihdr_at + 4 : ihdr_at + 4 + 13])
-    body[8] = 4  # depth byte
+    body[8] = 16  # depth byte
     crc = zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
     blob[ihdr_at + 4 : ihdr_at + 4 + 13] = body
     blob[ihdr_at + 17 : ihdr_at + 21] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(bytes(blob))
+
+
+class TestSubByte:
+    """Depths 1/2/4 (spec 7.2 bit packing, 7.3 byte-wise filters)."""
+
+    def test_roundtrip_gray_and_palette(self):
+        from tinymapreduce_spark.functions.pngcodec import (
+            decode_png, encode_png)
+
+        pal = [(i * 17 % 256, i * 31 % 256, i * 7 % 256) for i in range(16)]
+        for depth in (1, 2, 4):
+            mod = 1 << depth
+            for il in (0, 1):
+                # widths that leave partial final bytes at every depth
+                for w, h in ((13, 9), (1, 1), (17, 3)):
+                    px = [[(3 * x + 5 * y + 1) % mod for x in range(w)]
+                          for y in range(h)]
+                    blob = encode_png(w, h, px, color_type=0, depth=depth,
+                                      interlace=il)
+                    assert decode_png(blob)[2] == [
+                        [(v, v, v) for v in row] for row in px
+                    ]
+                    blob = encode_png(w, h, px, color_type=3,
+                                      palette=pal[:mod], depth=depth,
+                                      interlace=il)
+                    assert decode_png(blob)[2] == [
+                        [pal[v] for v in row] for row in px
+                    ]
+
+    def test_stride_rounds_up(self):
+        """w=9 at depth 1 needs ceil(9/8)=2 bytes per scanline — a
+        floor-division stride would desync every following row."""
+        from tinymapreduce_spark.functions.pngcodec import (
+            decode_png, encode_png)
+
+        px = [[(x + y) % 2 for x in range(9)] for y in range(6)]
+        assert decode_png(encode_png(9, 6, px, color_type=0, depth=1))[2] == [
+            [(v, v, v) for v in row] for row in px
+        ]
+
+    def test_illegal_combos_refused(self):
+        import pytest
+
+        from tinymapreduce_spark.functions.pngcodec import (
+            decode_png, encode_png)
+
+        for ct, d in ((2, 4), (6, 4), (4, 2), (3, 16), (0, 3)):
+            with pytest.raises(ValueError):
+                encode_png(4, 4, [[0] * 4] * 4, color_type=ct, depth=d,
+                           palette=[(0, 0, 0)])
+        # decoder side: patch a legal file's IHDR to an illegal combo
+        import struct
+        import zlib
+
+        blob = bytearray(encode_png(4, 4, [[0] * 4] * 4, color_type=0,
+                                    depth=4))
+        body = bytearray(blob[16:29])  # IHDR body (13 bytes)
+        body[9] = 2  # truecolor at depth 4: illegal
+        blob[16:29] = body
+        blob[29:33] = struct.pack(
+            ">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(bytes(blob))

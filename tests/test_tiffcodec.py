@@ -55,15 +55,65 @@ def test_defects_raise():
         decode_tiff(bytes(bad))
     with pytest.raises(ValueError):
         decode_tiff(bytes(blob[:-3]))  # last strip truncated
-    # unsupported compression id planted in the IFD
-    lzw = bytearray(encode_tiff(6, 5, px))
+    # unsupported compression id planted in the IFD (LZW is id 5 and
+    # real now; 8 = Deflate-in-TIFF stays an honest boundary)
+    bad_comp = bytearray(encode_tiff(6, 5, px))
     import struct
 
     at = 8 + 2 + 3 * 12  # 4th entry = compression tag
-    assert struct.unpack("<H", lzw[at : at + 2])[0] == 259
-    lzw[at + 8 : at + 10] = struct.pack("<H", 5)  # LZW
-    with pytest.raises(ValueError, match="compression 5"):
-        decode_tiff(bytes(lzw))
+    assert struct.unpack("<H", bad_comp[at : at + 2])[0] == 259
+    bad_comp[at + 8 : at + 10] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="compression 8"):
+        decode_tiff(bytes(bad_comp))
+
+
+def test_lzw_roundtrip_axes():
+    """LZW + predictor across byte orders; multi-strip; exact pixels."""
+    for lzw in (False, True):
+        preds = (False, True) if lzw else (False,)
+        for pred in preds:
+            for be in (False, True):
+                px = _px(21, 17, seed=9)
+                blob = encode_tiff(
+                    21, 17, px, big_endian=be, lzw=lzw, predictor=pred
+                )
+                assert decode_tiff(blob) == (21, 17, px)
+
+
+def test_lzw_stream_conventions():
+    """TIFF §13 conventions: the stream opens with ClearCode at 9 bits
+    MSB-first (first byte 0x80), early-change width bumps and the
+    4094-entry clear roundtrip on a pseudo-random megastream, and
+    KwKwK phrases decode."""
+    from tinymapreduce_spark.functions.tiffcodec import lzw_decode, lzw_encode
+
+    assert lzw_encode(b"\x07\x07\x07")[0] == 0x80
+    # LCG stream long enough to cross 9->10->11->12 bumps AND the clear
+    x, buf = 12345, bytearray()
+    for _ in range(30000):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        buf.append((x >> 16) & 0xFF)
+    data = bytes(buf)
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+    # KwKwK: aba ab ab... classic pattern emits a just-defined code
+    kwk = b"abababababab" * 50
+    assert lzw_decode(lzw_encode(kwk), len(kwk)) == kwk
+    # defects
+    with pytest.raises(ValueError, match="truncated"):
+        lzw_decode(lzw_encode(b"hello")[:-2], 5)
+    with pytest.raises(ValueError, match="short of"):
+        lzw_decode(lzw_encode(b"hi"), 3)
+
+
+def test_predictor_changes_stream_not_pixels():
+    """Predictor 2 must alter the compressed bytes (deltas, smaller on
+    gradients) while decoding to identical pixels."""
+    px = [[(x * 3 + y) % 256 for x in range(40)] for y in range(20)]
+    plain = encode_tiff(40, 20, px, lzw=True)
+    pred = encode_tiff(40, 20, px, lzw=True, predictor=True)
+    assert plain != pred
+    assert len(pred) < len(plain)  # gradient rows become constant deltas
+    assert decode_tiff(pred) == decode_tiff(plain) == (40, 20, px)
 
 
 def test_property_roundtrip():

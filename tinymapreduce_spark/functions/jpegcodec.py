@@ -91,9 +91,11 @@ def _zigzag_order() -> list[tuple[int, int]]:
 ZIGZAG = _zigzag_order()
 
 
-def idct_block(coef: list[list[int]]) -> list[list[int]]:
+def idct_block(coef: list[list[int]], precision: int = 8) -> list[list[int]]:
     """Fixed-point 8x8 IDCT of dequantized coefficients ``coef[v][u]``
-    (row v = vertical frequency) → pixel rows ``out[y][x]`` in 0..255."""
+    (row v = vertical frequency) → pixel rows ``out[y][x]`` in
+    0..2^precision-1 (level shift 2^(precision-1), T.81 A.3.1)."""
+    shift, top = 1 << (precision - 1), (1 << precision) - 1
     out = []
     for y in range(8):
         row = []
@@ -106,8 +108,8 @@ def idct_block(coef: list[list[int]]) -> list[list[int]]:
                     c = crow[u]
                     if c:
                         s += c * IDCT_T[u][x] * tv
-            p = 128 + ((s + IDCT_ROUND) >> IDCT_OUT_SHIFT)
-            row.append(0 if p < 0 else 255 if p > 255 else p)
+            p = shift + ((s + IDCT_ROUND) >> IDCT_OUT_SHIFT)
+            row.append(0 if p < 0 else top if p > top else p)
         out.append(row)
     return out
 
@@ -1022,3 +1024,172 @@ def _ac_refine_block(reader, zz, ac_t, ss, se, al, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# --- Lossless JPEG (SOF3, T.81 Annex H) -------------------------------------
+# The process the DCT tiers can't reach: predictive coding of the
+# SAMPLES themselves. Seven spatial predictors (H.1.2.1), precisions
+# 2..16 (the spec's full lossless range — this is also where 12- and
+# 16-bit samples become real in this codec tier), point transform Al
+# shifting samples right before prediction, differences coded with DC
+# Huffman categories where SSSS=16 means diff=32768 with ZERO appended
+# bits (H.1.2.2, the lossless-only symbol). Single-component grayscale;
+# multi-component interleave and restart intervals stay honest
+# boundaries (ValueError names them).
+
+
+def _lossless_predict(samples, x, y, predictor, precision, pt):
+    """T.81 H.1.2.1: first sample seeds at 2^(P-Pt-1); the rest of the
+    first line predicts from Ra, the first column from Rb; elsewhere
+    the scan-selected predictor 1..7 runs."""
+    if x == 0 and y == 0:
+        return 1 << (precision - pt - 1)
+    if y == 0:
+        return samples[y][x - 1]
+    if x == 0:
+        return samples[y - 1][x]
+    ra, rb, rc = samples[y][x - 1], samples[y - 1][x], samples[y - 1][x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"predictor {predictor} out of range 1..7")
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    pixels: list[list[int]],
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """Single-component lossless JPEG: SOF3 + one scan whose Ss field
+    selects the predictor and Al the point transform. Differences are
+    reduced modulo 2^16 into [-32768, 32767] (H.1.2.2); -32768 is coded
+    as category 16 with no appended bits."""
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision {precision} outside 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} out of range 1..7")
+    pt = point_transform
+    samples = [[pixels[y][x] >> pt for x in range(width)] for y in range(height)]
+
+    diffs: list[int] = []
+    syms: set[int] = set()
+    for y in range(height):
+        for x in range(width):
+            px = _lossless_predict(samples, x, y, predictor, precision, pt)
+            d = samples[y][x] - px
+            d = ((d + 32768) & 0xFFFF) - 32768  # modulo 2^16, signed
+            diffs.append(d)
+            syms.add(16 if d == -32768 else _category(d))
+    bits, vals, codes = _canonical_table(syms)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, precision, height, width, 1)
+    out += bytes([1, 0x11, 0])  # comp id 1, 1x1, Tq 0 (unused in lossless)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + b"\x00"
+    out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss = predictor, Se = 0, Ah:Al
+    w = _BitWriter()
+    for d in diffs:
+        if d == -32768:
+            code, length = codes[16]
+            w.write(code, length)
+            continue  # SSSS=16: zero appended bits
+        size = _category(d)
+        code, length = codes[size]
+        w.write(code, length)
+        w.write(_extend_bits(d, size), size)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_lossless(payload: bytes):
+    """Walk SOI/SOF3/DHT/SOS, decode the difference stream, run the
+    predictor reconstruction modulo 2^16. Returns
+    (width, height, precision, predictor, point_transform, samples) —
+    samples are the Al-shifted values, the application's to rescale
+    (H.2.1). Defects raise ValueError naming them."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    huff: dict[int, _HuffTable] = {}
+    dims = None
+    precision = predictor = pt = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before scan data")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xC3:  # SOF3 lossless
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise ValueError(f"{nc}-component lossless unsupported")
+            dims = (w, h)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a lossless (SOF3) stream")
+        elif marker == 0xC4:  # DHT
+            at = 0
+            while at < len(body):
+                tc_th = body[at]
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(body[at + 17 : at + 17 + n])
+                huff[tc_th] = _HuffTable(bits, vals)
+                at += 17 + n
+        elif marker == 0xDA:  # SOS
+            if dims is None:
+                raise ValueError("SOS before SOF3")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component lossless scan unsupported")
+            td = body[2] >> 4
+            predictor = body[1 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pt = ah_al & 0x0F
+            if not 1 <= predictor <= 7:
+                raise ValueError(f"predictor {predictor} out of range 1..7")
+            table = huff.get(td)
+            if table is None:
+                raise ValueError(f"scan references undefined DC table {td}")
+            w, h = dims
+            reader = _BitReader(payload, pos + seglen)
+            samples: list[list[int]] = [[0] * w for _ in range(h)]
+            for y in range(h):
+                for x in range(w):
+                    size = table.decode(reader)
+                    if size > 16:
+                        raise ValueError(f"difference category {size} > 16")
+                    if size == 16:
+                        d = 32768  # lossless-only: no appended bits
+                    else:
+                        d = _extend(reader.receive(size), size)
+                    px = _lossless_predict(
+                        samples, x, y, predictor, precision, pt
+                    )
+                    samples[y][x] = (px + d) & 0xFFFF
+            return w, h, precision, predictor, pt, samples
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported in lossless")
+        pos += seglen
+    raise ValueError("no scan found")

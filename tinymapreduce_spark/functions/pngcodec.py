@@ -18,10 +18,13 @@ independently filtered, merged on the 8x8 pattern grid). Returns
 ``(width, height, rows)`` where ``rows[y][x]`` is an (r, g, b) tuple
 for alpha-less color types (grayscale expands to r=g=b; palette is
 resolved through PLTE) and an (r, g, b, a) tuple for types 4/6 —
-values at native depth (0-255 or 0-65535). Sub-byte depths (1/2/4),
-16-bit palettes (illegal PNG) and private filter methods raise
-``ValueError`` naming the gap — honest boundaries, same policy as the
-JPEG/BMP/PPM/WAV decoders.
+values at native depth (0-255 or 0-65535), and SUB-BYTE depths 1/2/4
+for grayscale and palette images (MSB-first bit packing per scanline,
+filters byte-wise at bpp=1, each Adam7 pass packed independently —
+spec 7.2/7.3; r7). Illegal depth x color-type combinations (spec
+table 11.1) and private filter methods raise ``ValueError`` naming
+the gap — honest boundaries, same policy as the JPEG/BMP/PPM/WAV
+decoders.
 
 ``encode_png`` writes real PNGs from pixel rows, cycling the row filter
 through all five types (so a decoder bug in ANY filter breaks
@@ -154,6 +157,25 @@ def _serialize_image(
 
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel, per spec
+# legal depth sets per color type (spec 11.2.2, table 11.1)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+           4: (8, 16), 6: (8, 16)}
+
+
+def _pack_bits(values: list[int], depth: int) -> list[int]:
+    """Pack sub-byte samples MSB-first into scanline bytes (spec 7.2);
+    the final byte's unused low bits are zero."""
+    out: list[int] = []
+    acc = nbits = 0
+    for v in values:
+        acc = (acc << depth) | (v & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return out
 
 
 def encode_png(
@@ -178,12 +200,12 @@ def encode_png(
         raise ValueError(f"color type {color_type} unknown")
     if color_type == 3 and not palette:
         raise ValueError("palette color type requires a palette")
-    if depth not in (8, 16):
-        raise ValueError(f"bit depth {depth} unsupported (8/16)")
-    if color_type == 3 and depth != 8:
-        raise ValueError("palette images are 8-bit only")
+    if depth not in _DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {depth} illegal for color type {color_type}"
+        )
     channels = _CHANNELS[color_type]
-    bpp = channels * (depth // 8)
+    bpp = max(1, channels * (depth // 8))  # filter distance, spec 7.3
 
     def row_samples(ys, xs) -> list[list[int]]:
         rows = []
@@ -198,6 +220,8 @@ def encode_png(
                         samples.append(v & 0xFF)
                     else:
                         samples.append(v)
+            if depth < 8:  # each (sub-)image scanline packs independently
+                samples = _pack_bits(samples, depth)
             rows.append(samples)
         return rows
 
@@ -281,15 +305,15 @@ def decode_png(payload: bytes):
     if not seen_iend:
         raise ValueError("missing IEND")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise ValueError(f"bit depth {depth} unsupported (8/16)")
     if color_type not in _CHANNELS:
         raise ValueError(
             f"color type {color_type} unsupported "
             "(gray/truecolor/palette/gray+alpha/RGBA)"
         )
-    if color_type == 3 and depth != 8:
-        raise ValueError("palette images are 8-bit only")
+    if depth not in _DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {depth} illegal for color type {color_type}"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace not in (0, 1):
@@ -298,12 +322,12 @@ def decode_png(payload: bytes):
         raise ValueError("palette image without PLTE")
     channels = _CHANNELS[color_type]
     bps = depth // 8
-    bpp = channels * bps
+    bpp = max(1, channels * bps)  # byte-wise filter distance (spec 7.3)
     raw = zlib.decompress(bytes(idat))
 
     def read_image(data: bytes, off: int, pw: int, ph: int):
         """Unfilter one (sub-)image; returns (rows-of-samples, new off)."""
-        stride = pw * bpp
+        stride = (pw * channels * depth + 7) // 8
         prev = bytes(stride)
         rows = []
         for _ in range(ph):
@@ -318,6 +342,15 @@ def decode_png(payload: bytes):
         return rows, off
 
     def to_px(samples: bytes, x_idx: int):
+        if depth < 8:  # MSB-first packed samples (spec 7.2); 1 channel
+            at_bit = x_idx * depth
+            byte = samples[at_bit >> 3]
+            v = (byte >> (8 - depth - (at_bit & 7))) & ((1 << depth) - 1)
+            if color_type == 0:
+                return (v, v, v)
+            if v >= len(palette):
+                raise ValueError(f"palette index {v} out of range")
+            return palette[v]
         at = x_idx * bpp
         if bps == 2:  # 16-bit samples are big-endian (spec 7.1)
             vals = [

@@ -5,7 +5,12 @@ the byte-order mark) and the RLE compression family the codec tier
 lacked (PackBits, TIFF 6.0 §9: control byte n in [0,127] = literal run
 of n+1 bytes; n in [-127,-1] = the next byte repeated 1-n times; -128
 is a no-op). GIF contributed LZW, functions/inflate.py LZ77+Huffman;
-PackBits completes the classic taxonomy.
+PackBits completes the classic taxonomy. TIFF's OWN LZW variant
+(§13) is implemented too — MSB-first code packing and the
+"early-change" width bumps that differ from GIF's LSB-first late
+change — plus the horizontal-differencing predictor (tag 317 = 2,
+§14) that turns smooth gradients into small-delta streams before
+compression.
 
 Both byte orders are written and read ("II" little, "MM" big — the
 endianness axis none of the other containers exercise), strips split
@@ -29,6 +34,131 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 # the IFD tags we read/write (TIFF 6.0 baseline grayscale)
 _WIDTH, _HEIGHT, _BITS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _STRIP_OFFSETS, _ROWS_PER_STRIP, _STRIP_COUNTS = 262, 273, 278, 279
+_PREDICTOR = 317  # 1 = none, 2 = horizontal differencing (TIFF 6.0 §14)
+
+# TIFF LZW (TIFF 6.0 §13): 8-bit-initial LZW with two conventions that
+# differ from GIF's — codes pack MSB-first into the byte stream, and
+# the code width bumps one table entry EARLY ("early change": encoder
+# widens when the next free code reaches 511/1023/2047, the decoder —
+# which lags the encoder's table by exactly one entry — at
+# 510/1022/2046). ClearCode 256 / EOI 257, first free entry 258,
+# 12-bit cap, encoder emits ClearCode when the table reaches 4094.
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW compressor (MSB-first, early change)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = _LZW_FIRST, 9
+    put(_LZW_CLEAR, width)
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        put(table[omega], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if nxt >= 4094:  # table nearly full: flush dictionary
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = _LZW_FIRST, 9
+        omega = bytes([b])
+    if omega:
+        put(table[omega], width)
+    put(_LZW_EOI, width)
+    if nbits:  # flush the final partial byte, zero-padded low
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode exactly ``expected`` bytes; dictionary/width defects and
+    over/underruns raise ``ValueError`` naming the defect."""
+    out = bytearray()
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    table: list[bytes] = []
+    nxt, width = _LZW_FIRST, 9
+    old: bytes | None = None
+    while True:
+        code = get(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nxt, width, old = _LZW_FIRST, 9, None
+            continue
+        if not table:
+            raise ValueError("LZW code before initial ClearCode")
+        if code < nxt:
+            entry = table[code]
+            if old is not None:
+                table.append(old + entry[:1])
+                nxt += 1
+        elif code == nxt and old is not None:  # KwKwK
+            entry = old + old[:1]
+            table.append(entry)
+            nxt += 1
+        else:
+            raise ValueError(f"LZW code {code} outside table of {nxt}")
+        out += entry
+        # early change, one entry before the encoder (decoder table lag)
+        if nxt == (1 << width) - 2 and width < 12:
+            width += 1
+        old = entry
+        if len(out) > expected:
+            raise ValueError("LZW output overshoots strip size")
+    if len(out) != expected:
+        raise ValueError("LZW output short of strip size")
+    return bytes(out)
+
+
+def _diff_rows(raw: bytes, width: int) -> bytes:
+    """Predictor 2 forward pass: each row keeps its first byte, the
+    rest become horizontal deltas mod 256 (TIFF 6.0 §14)."""
+    out = bytearray()
+    for r0 in range(0, len(raw), width):
+        row = raw[r0 : r0 + width]
+        out.append(row[0])
+        out += bytes((row[x] - row[x - 1]) & 0xFF for x in range(1, len(row)))
+    return bytes(out)
+
+
+def _undiff_rows(raw: bytes, width: int) -> bytes:
+    """Predictor 2 inverse: per-row prefix sum mod 256."""
+    out = bytearray()
+    for r0 in range(0, len(raw), width):
+        acc = 0
+        for x in range(r0, min(r0 + width, len(raw))):
+            acc = (acc + raw[x]) & 0xFF
+            out.append(acc)
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -89,17 +219,28 @@ def encode_tiff(
     packbits: bool = False,
     big_endian: bool = False,
     rows_per_strip: int = 4,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """8-bit grayscale strip-based TIFF; ``pixels[y][x]``. Strips of
     ``rows_per_strip`` rows (so multi-strip assembly is exercised),
-    optional PackBits, either byte order."""
+    optional PackBits or LZW (with optional horizontal-differencing
+    predictor), either byte order."""
+    if packbits and lzw:
+        raise ValueError("choose one of packbits/lzw")
     e = ">" if big_endian else "<"
     strips: list[bytes] = []
     for y0 in range(0, height, rows_per_strip):
         raw = b"".join(
             bytes(pixels[y]) for y in range(y0, min(y0 + rows_per_strip, height))
         )
-        strips.append(packbits_encode(raw) if packbits else raw)
+        if predictor:
+            raw = _diff_rows(raw, width)
+        if packbits:
+            raw = packbits_encode(raw)
+        elif lzw:
+            raw = lzw_encode(raw)
+        strips.append(raw)
     n_strips = len(strips)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -113,7 +254,7 @@ def encode_tiff(
         return struct.pack(f"{e}HHI", tag, typ, count) + field
 
     # layout: header(8) + IFD + [offsets array][counts array] + strips
-    n_entries = 8
+    n_entries = 9 if predictor else 8
     ifd_size = 2 + n_entries * 12 + 4
     arrays_at = 8 + ifd_size
     extra = b""
@@ -138,11 +279,13 @@ def encode_tiff(
     ifd += entry(_WIDTH, 4, 1, width)
     ifd += entry(_HEIGHT, 4, 1, height)
     ifd += entry(_BITS, 3, 1, 8)
-    ifd += entry(_COMPRESSION, 3, 1, 32773 if packbits else 1)
+    ifd += entry(_COMPRESSION, 3, 1, 5 if lzw else (32773 if packbits else 1))
     ifd += entry(_PHOTOMETRIC, 3, 1, 1)  # BlackIsZero
     ifd += entry(_STRIP_OFFSETS, 4, n_strips, off_val)
     ifd += entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip)
     ifd += entry(_STRIP_COUNTS, 4, n_strips, cnt_val)
+    if predictor:  # tags stay ascending: 317 follows 279
+        ifd += entry(_PREDICTOR, 3, 1, 2)
     ifd += struct.pack(f"{e}I", 0)  # next-IFD pointer: none
     header = (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
     return header + ifd + extra + b"".join(strips)
@@ -179,8 +322,11 @@ def decode_tiff(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if tags[_BITS][2] != 8:
         raise ValueError(f"bit depth {tags[_BITS][2]} unsupported")
     comp = tags[_COMPRESSION][2]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"compression {comp} unsupported")
+    pred = tags[_PREDICTOR][2] if _PREDICTOR in tags else 1
+    if pred not in (1, 2):
+        raise ValueError(f"predictor {pred} unsupported")
     rps = tags[_ROWS_PER_STRIP][2]
 
     def array_of(tag: int) -> list[int]:
@@ -202,8 +348,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, list[list[int]]]:
         rows = min(rps, height - k * rps)
         if comp == 32773:
             strip = packbits_decode(strip, rows * width)
+        elif comp == 5:
+            strip = lzw_decode(strip, rows * width)
         elif len(strip) != rows * width:
             raise ValueError(f"strip {k} size != rows*width")
+        if pred == 2:
+            strip = _undiff_rows(strip, width)
         raw += strip
     if len(raw) != width * height:
         raise ValueError("strips do not cover the image exactly")

@@ -2698,3 +2698,279 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id, w, h
 """
+
+
+# --- TIFF LZW + predictor (round 7) -----------------------------------------
+# TIFF's own LZW (§13: MSB-first, early change) and the horizontal-
+# differencing predictor (§14). Dims are ~3x the PackBits query's so
+# LZW strips cross the 9->10-bit width bump in-query; strips of 16
+# rows keep multi-strip assembly live.
+TIFFL_W = lambda d: 24 + d % 9  # noqa: E731
+TIFFL_H = lambda d: 18 + (3 * d) % 10  # noqa: E731
+
+
+def tiff_lzw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF-LZW decode over BinaryType: per document one grayscale
+    TIFF cycling compression none / LZW / LZW+predictor-2 (doc_id % 3)
+    across both byte orders (doc_id % 2), decoded back through the IFD
+    walker + the from-scratch MSB-first early-change LZW + the per-row
+    prefix-sum predictor inverse, reduced to exact pixel statistics the
+    oracle re-derives from the pixel formula. A width-bump off-by-one,
+    KwKwK defect, or predictor direction bug flips the hash. Row-local
+    Arrow kernels; pixels never shuffle."""
+    from tinymapreduce_spark.functions.tiffcodec import decode_tiff, encode_tiff
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "mode": [], "big_endian": [],
+                "width": [], "height": [], "pixel_sum": [], "corner_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = TIFFL_W(d), TIFFL_H(d)
+                px = [[(11 * d + 7 * x + 13 * y) % 256 for x in range(w)]
+                      for y in range(h)]
+                mode = d % 3
+                blob = encode_tiff(
+                    w, h, px,
+                    big_endian=bool(d % 2),
+                    rows_per_strip=16,
+                    lzw=mode > 0,
+                    predictor=mode == 2,
+                )
+                w2, h2, back = decode_tiff(blob)
+                rows["doc_id"].append(d)
+                rows["mode"].append(mode)
+                rows["big_endian"].append(d % 2)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["pixel_sum"].append(sum(v for r in back for v in r))
+                rows["corner_sum"].append(
+                    back[0][0] + back[0][-1] + back[-1][0] + back[-1][-1]
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, mode long, big_endian long, width long,"
+            " height long, pixel_sum long, corner_sum long"
+        ),
+    )
+
+
+TIFF_LZW_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 24 + doc_id % 9 AS w, 18 + (3 * doc_id) % 10 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         (11 * doc_id + 7 * x.x + 13 * y.y) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+)
+SELECT doc_id,
+       CAST(doc_id % 3 AS BIGINT) AS mode,
+       CAST(doc_id % 2 AS BIGINT) AS big_endian,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(CASE WHEN (x = 0 OR x = w - 1) AND (y = 0 OR y = h - 1)
+                     THEN v ELSE 0 END) AS BIGINT) AS corner_sum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+# --- Lossless JPEG (SOF3) (round 7) -----------------------------------------
+# Predictor-coded samples, the codec family where 12- and 16-bit
+# precision become real. The x*y term makes the pixel surface
+# nonlinear so each of the seven predictors produces a distinct
+# difference stream (a predictor mix-up cannot cancel out).
+JLS_PREC = lambda d: (8, 12, 16)[d % 3]  # noqa: E731
+
+
+def jpeg_lossless_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-JPEG decode over BinaryType: per document one SOF3
+    stream cycling precision 8/12/16 (doc_id % 3), predictor 1..7
+    (doc_id % 7) and point transform 0/1 (doc_id % 2), decoded back
+    through the marker walk + Huffman difference stream + modulo-2^16
+    predictor reconstruction, reduced to exact sample statistics the
+    oracle re-derives from the pixel formula (samples are the
+    Al-shifted values, T.81 H.2.1). A predictor, category-16, or
+    first-row/first-column seeding bug flips the hash. Row-local Arrow
+    kernels; pixels never shuffle."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "precision": [], "predictor": [], "pt": [],
+                "width": [], "height": [], "sample_sum": [], "max_sample": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 17 + d % 8, 13 + (3 * d) % 7
+                prec, pred, pt = JLS_PREC(d), 1 + d % 7, d % 2
+                mod = 1 << prec
+                px = [[(11 * d + 7 * x + 13 * y + x * y) % mod
+                       for x in range(w)] for y in range(h)]
+                blob = encode_jpeg_lossless(
+                    w, h, px, predictor=pred, precision=prec,
+                    point_transform=pt,
+                )
+                w2, h2, p2, pr2, pt2, back = decode_jpeg_lossless(blob)
+                flat = [v for row in back for v in row]
+                rows["doc_id"].append(d)
+                rows["precision"].append(p2)
+                rows["predictor"].append(pr2)
+                rows["pt"].append(pt2)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["sample_sum"].append(sum(flat))
+                rows["max_sample"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, precision long, predictor long, pt long,"
+            " width long, height long, sample_sum long, max_sample long"
+        ),
+    )
+
+
+JPEG_LOSSLESS_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 17 + doc_id % 8 AS w, 13 + (3 * doc_id) % 7 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096
+              ELSE 65536 END AS md,
+         doc_id % 2 AS pt
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, md, pt,
+         ((11 * doc_id + 7 * x.x + 13 * y.y + x.x * y.y) % md) >> pt AS s
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+)
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 16 END
+            AS BIGINT) AS precision,
+       CAST(1 + doc_id % 7 AS BIGINT) AS predictor,
+       CAST(pt AS BIGINT) AS pt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(MAX(s) AS BIGINT) AS max_sample
+FROM px
+GROUP BY doc_id, w, h, pt
+"""
+
+
+# --- PNG sub-byte depths (round 7) ------------------------------------------
+# Depths 1/2/4 x {grayscale, palette} (spec table 11.1's remaining
+# legal rows): MSB-first bit packing per scanline, byte-wise filters at
+# bpp=1, each Adam7 pass packed independently. Pixel index formula
+# v = (3x + 5y + d) % 2^depth; palette entry i maps to
+# ((7i + d) % 256, (11i + 3d) % 256, (13i + 5d) % 256).
+_PNGSB_DEPTH = (1, 2, 4, 1, 2, 4)
+
+
+def png_subbyte_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-byte PNG rung: one PNG per document cycling depths 1/2/4 as
+    grayscale (doc_id % 6 in 0..2) and palette (3..5), Adam7 on odd
+    docs, all five filters cycling, decoded back through the chunk walk
+    + bit unpacking and reduced to exact per-channel sums. A bit-order,
+    stride-rounding (ceil(w*depth/8)) or pass-packing bug flips the
+    hash. Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.pngcodec import decode_png, encode_png
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "bit_depth": [], "paletted": [],
+                "width": [], "height": [], "r_sum": [], "g_sum": [],
+                "b_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = PNG_W(d), PNG_H(d)
+                kind = d % 6
+                depth = _PNGSB_DEPTH[kind]
+                mod = 1 << depth
+                px = [[(3 * x + 5 * y + d) % mod for x in range(w)]
+                      for y in range(h)]
+                paletted = kind >= 3
+                pal = [((7 * i + d) % 256, (11 * i + 3 * d) % 256,
+                        (13 * i + 5 * d) % 256) for i in range(mod)]
+                blob = encode_png(
+                    w, h, px,
+                    color_type=3 if paletted else 0,
+                    palette=pal if paletted else None,
+                    depth=depth,
+                    interlace=d % 2,
+                    filters=lambda y, d=d: (y + d) % 5,
+                )
+                w2, h2, back = decode_png(blob)
+                rows["doc_id"].append(d)
+                rows["bit_depth"].append(depth)
+                rows["paletted"].append(int(paletted))
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["r_sum"].append(sum(v[0] for row in back for v in row))
+                rows["g_sum"].append(sum(v[1] for row in back for v in row))
+                rows["b_sum"].append(sum(v[2] for row in back for v in row))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, bit_depth long, paletted long, width long,"
+            " height long, r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
+PNG_SUBBYTE_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 14 AS w, 7 + (3 * doc_id) % 12 AS h,
+         CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+              WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS depth,
+         CASE WHEN doc_id % 6 >= 3 THEN 1 ELSE 0 END AS paletted
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, depth, paletted,
+         (3 * x.x + 5 * y.y + doc_id) % (1 << depth) AS v
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+), ch AS (
+  SELECT doc_id, w, h, depth, paletted,
+         CASE WHEN paletted = 1 THEN (7 * v + doc_id) % 256 ELSE v END AS r,
+         CASE WHEN paletted = 1 THEN (11 * v + 3 * doc_id) % 256 ELSE v END AS g,
+         CASE WHEN paletted = 1 THEN (13 * v + 5 * doc_id) % 256 ELSE v END AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST(depth AS BIGINT) AS bit_depth,
+       CAST(paletted AS BIGINT) AS paletted,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum
+FROM ch
+GROUP BY doc_id, w, h, depth, paletted
+"""
