@@ -197,6 +197,8 @@ _R7_WINDOW = [
     # then the TIFF-LZW rung (MSB-first early-change LZW + predictor 2)
     # and the lossless-JPEG rung (SOF3: 7 predictors, 8/12/16-bit)
     # and the sub-byte PNG rung (depths 1/2/4, gray + palette)
+    # and the 12-bit SOF1 rung (16-bit DQT, 2048/4095 level shift)
+    "jpeg12_decode_stats",
     "png_subbyte_decode_stats",
     "jpeg_lossless_decode_stats",
     "tiff_lzw_decode_stats",
@@ -518,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_decode_stats": multimodal.tiff_decode_stats,
         "tiff_lzw_decode_stats": multimodal.tiff_lzw_decode_stats,
         "jpeg_lossless_decode_stats": multimodal.jpeg_lossless_decode_stats,
+        "jpeg12_decode_stats": multimodal.jpeg12_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1124,6 +1127,7 @@ GROUP BY word
         "tiff_decode_stats": multimodal.TIFF_DECODE_SQL,
         "tiff_lzw_decode_stats": multimodal.TIFF_LZW_DECODE_SQL,
         "jpeg_lossless_decode_stats": multimodal.JPEG_LOSSLESS_DECODE_SQL,
+        "jpeg12_decode_stats": multimodal.JPEG12_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

@@ -446,3 +446,76 @@ class TestLossless:
         blob = encode_jpeg_lossless(6, 4, self._px(6, 4, 8))
         with pytest.raises(ValueError, match="lossless"):
             decode_jpeg(blob)
+
+
+class TestExtended12Bit:
+    """SOF1 extended sequential, precision 12 (T.81 B.2.2/B.2.4.1)."""
+
+    QT12 = [1 + ((3 * i) % 7) * 97 for i in range(64)]
+
+    def _blocks(self, d, w, h):
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        out = []
+        for b in range(bw * bh):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = (d + 5 * b) % 128 - 64
+            blk[0][1] = (d + 3 * b) % 31 - 15
+            blk[1][0] = (2 * d + b) % 21 - 10
+            blk[3][2] = (d * b + d) % 13 - 6
+            out.append(blk)
+        return out
+
+    def test_roundtrip_matches_idct_replay(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg, idct_block)
+
+        w, h, d = 19, 13, 7
+        blocks = self._blocks(d, w, h)
+        blob = encode_jpeg(w, h, self.QT12, [blocks], precision=12)
+        w2, h2, planes = decode_jpeg(blob)
+        assert (w2, h2) == (w, h)
+        bw = (w + 7) // 8
+        plane = [[0] * (bw * 8) for _ in range(((h + 7) // 8) * 8)]
+        for bi, blk in enumerate(blocks):
+            by, bx = divmod(bi, bw)
+            coef = [[blk[r][c] * self.QT12[r * 8 + c] for c in range(8)]
+                    for r in range(8)]
+            pxb = idct_block(coef, 12)
+            for y in range(8):
+                for x in range(8):
+                    plane[by * 8 + y][bx * 8 + x] = pxb[y][x]
+        assert planes[0] == [row[:w] for row in plane[:h]]
+        flat = [v for row in planes[0] for v in row]
+        assert max(flat) > 255  # truly 12-bit output range
+
+    def test_dri_and_16bit_dqt(self):
+        """Restart markers + Pq=1 parse; the DQT segment length is 131."""
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+
+        w, h = 17, 11
+        blocks = self._blocks(3, w, h)
+        plain = encode_jpeg(w, h, self.QT12, [blocks], precision=12)
+        dri = encode_jpeg(w, h, self.QT12, [blocks], precision=12, dri=2)
+        assert decode_jpeg(plain) == decode_jpeg(dri)
+        assert b"\xff\xdb\x00\x83\x10" in plain  # len 131, Pq=1 Tq=0
+
+    def test_guards(self):
+        import pytest
+
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+
+        blocks = self._blocks(1, 8, 8)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg(8, 8, self.QT12, [blocks], precision=10)
+        with pytest.raises(ValueError, match="progressive"):
+            encode_jpeg(8, 8, self.QT12, [blocks], precision=12,
+                        progressive=True)
+        # SOF0 must still reject a 12-bit precision byte
+        blob = bytearray(encode_jpeg(8, 8, self.QT12, [blocks],
+                                     precision=12))
+        at = blob.index(b"\xff\xc1")
+        blob[at + 1] = 0xC0
+        with pytest.raises(ValueError, match="precision 12 invalid"):
+            decode_jpeg(bytes(blob))

@@ -20,7 +20,8 @@ and a FIXED-POINT integer IDCT (spec below). Supported:
   component including the dummy edge blocks, planes returned at their
   OWN subsampled resolutions — no upsampling and no YCbCr→RGB
   conversion, which would add a second rounding convention;
-- 8-bit precision, grayscale or 3-component color.
+- 8- or 12-bit precision (SOF1 extended sequential carries 12-bit
+  samples with 16-bit DQT elements), grayscale or 3-component color.
 Arithmetic coding, 12-bit, lossless and hierarchical frames raise
 ``ValueError`` with the reason — honest boundaries, same policy as the
 BMP/PPM/WAV decoders in ``operators/multimodal.py``.
@@ -254,6 +255,7 @@ def encode_jpeg(
     dri: int = 0,
     sampling: list[tuple[int, int]] | None = None,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Generalized JFIF writer from QUANTIZED coefficient blocks.
 
@@ -279,6 +281,10 @@ def encode_jpeg(
     decode(encode(coeffs)) reproduces the coefficients exactly, so
     pixel oracles stay pure IDCT-formula replays."""
     nc = len(components)
+    if precision not in (8, 12):
+        raise ValueError(f"DCT precision {precision} unsupported (8/12)")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit progressive writer not implemented")
     sampling = list(sampling) if sampling else [(1, 1)] * nc
     assert nc in (1, 3), nc
     assert len(sampling) == nc
@@ -296,14 +302,25 @@ def encode_jpeg(
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    # DQT, table 0, 8-bit, zigzag order
-    zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    # DQT, table 0, zigzag order; 12-bit frames write Pq=1 (16-bit
+    # values, T.81 B.2.4.1 — required whenever any element > 255)
+    if precision == 12:
+        zz_q = b"".join(
+            struct.pack(">H", qtable[r * 8 + c]) for (r, c) in ZIGZAG
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" + zz_q
+    else:
+        zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
     if dri:
         assert not progressive, "DRI + progressive writer not implemented"
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)  # DRI
-    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
-    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    # SOF2 progressive / SOF1 extended (12-bit) / SOF0 baseline
+    sof_marker = (b"\xff\xc2" if progressive
+                  else b"\xff\xc1" if precision == 12 else b"\xff\xc0")
+    out += sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, height, width, nc
+    )
     for ci in range(nc):
         hi, vi = sampling[ci]
         out += bytes([ci + 1, (hi << 4) | vi, 0])
@@ -672,6 +689,8 @@ class _Frame:
     carry past the component's edge); pixels are rendered once, after
     EOI, from the render sub-grid (ceil(xc/8) × ceil(yc/8))."""
 
+    precision = 8  # overwritten from the SOF header (SOF1 may be 12)
+
     def __init__(self, w: int, h: int, comps, progressive: bool) -> None:
         self.w, self.h = w, h
         self.comps = comps  # [(cid, hi, vi, tq)]
@@ -740,14 +759,20 @@ def decode_jpeg(payload: bytes):
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zzq = list(seg[p + 1 : p + 65])
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT element precision {pq} invalid")
+                if pq:  # 16-bit elements (B.2.4.1)
+                    zzq = [
+                        struct.unpack(">H", seg[p + 1 + 2 * k : p + 3 + 2 * k])[0]
+                        for k in range(64)
+                    ]
+                else:
+                    zzq = list(seg[p + 1 : p + 65])
                 nat = [0] * 64
                 for k, (r, c) in enumerate(ZIGZAG):
                     nat[r * 8 + c] = zzq[k]
                 qtables[tq] = nat
-                p += 65
+                p += 65 + (64 if pq else 0)
         elif marker == 0xC4:  # DHT — possibly several tables
             p = 0
             while p < len(seg):
@@ -757,10 +782,13 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 ext / SOF2 prog
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit precision supported")
+            allowed = (8, 12) if marker == 0xC1 else (8,)
+            if precision not in allowed:
+                raise ValueError(
+                    f"precision {precision} invalid for SOF 0xFF{marker:02X}"
+                )
             comps = []
             for i in range(nc):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -769,7 +797,8 @@ def decode_jpeg(payload: bytes):
                     raise ValueError(f"sampling factors {hi}x{vi} out of range")
                 comps.append((cid, hi, vi, tq))
             frame = _Frame(w, h, comps, progressive=(marker == 0xC2))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame.precision = precision
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = {
                 0xC9: "arithmetic-coded",
                 0xCA: "arithmetic-coded progressive",
@@ -819,7 +848,7 @@ def _render(frame: _Frame, qtables: dict[int, list[int]]):
                 for k, (r, c) in enumerate(ZIGZAG):
                     if zz[k]:
                         coef[r][c] = zz[k] * qt[r * 8 + c]
-                px = idct_block(coef)
+                px = idct_block(coef, frame.precision)
                 for y in range(8):
                     row = plane[by * 8 + y]
                     prow = px[y]

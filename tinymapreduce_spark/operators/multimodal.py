@@ -2974,3 +2974,141 @@ SELECT doc_id,
 FROM ch
 GROUP BY doc_id, w, h, depth, paletted
 """
+
+
+# --- 12-bit extended sequential JPEG (SOF1) (round 7) -----------------------
+# The >8-bit DCT path: SOF1 frames with precision 12, Pq=1 16-bit DQT
+# elements (required once any element > 255), level shift 2048 and
+# clamp 0..4095 in the IDCT. Coefficient formulas widened so decoded
+# samples actually leave the 8-bit range.
+J12_W = lambda d: 9 + d % 13  # noqa: E731
+J12_H = lambda d: 9 + (3 * d) % 10  # noqa: E731
+J12_QT = [1 + ((3 * i) % 7) * 97 for i in range(64)]  # elements up to 583
+
+
+def _j12_block(d: int, b: int) -> list[list[int]]:
+    blk = [[0] * 8 for _ in range(8)]
+    blk[0][0] = (d + 5 * b) % 128 - 64
+    blk[0][1] = (d + 3 * b) % 31 - 15
+    blk[1][0] = (2 * d + b) % 21 - 10
+    blk[3][2] = (d * b + d) % 13 - 6
+    return blk
+
+
+def jpeg12_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 12-bit JPEG decode over BinaryType: one SOF1 extended-
+    sequential grayscale frame per document (16-bit DQT elements,
+    restart intervals every third doc), decoded through the same
+    baseline entropy machinery with the 12-bit level shift/clamp, and
+    reduced to exact pixel statistics the oracle re-derives from the
+    coefficient formulas + the shared integer IDCT table at 2048/4095.
+    A Pq parse, precision gate, or level-shift bug flips the hash.
+    Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = J12_W(d), J12_H(d)
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                blocks = [_j12_block(d, b) for b in range(bw * bh)]
+                payloads.append(
+                    encode_jpeg(
+                        w, h, J12_QT, [blocks], precision=12,
+                        dri=2 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "pixel_sum": [], "min_pixel": [], "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, planes = decode_jpeg(bytes(p))
+                flat = [v for row in planes[0] for v in row]
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, pixel_sum long,"
+            " min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg12_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {expr}, {J12_QT[r * 8 + c]})"
+        for (r, c), expr in {
+            (0, 0): "(doc_id + 5 * b) % 128 - 64",
+            (0, 1): "(doc_id + 3 * b) % 31 - 15",
+            (1, 0): "(2 * doc_id + b) % 21 - 10",
+            (3, 2): "(doc_id * b + doc_id) % 13 - 6",
+        }.items()
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 9 + doc_id % 13 AS w, 9 + (doc_id * 3) % 10 AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, bx.bx, by.by,
+         by.by * ((d.w + 7) // 8) + bx.bx AS b
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, (d.w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (d.h + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, w, h, bx, by, cf.r, cf.c, cf.val * cf.q AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val, q)
+), pix AS (
+  SELECT doc_id, w, h, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(4095, GREATEST(0,
+           2048 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                             / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, bx, by, xs.x, ys.y
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS BIGINT) AS min_pixel,
+       CAST(MAX(p) AS BIGINT) AS max_pixel
+FROM pix
+WHERE ix < w AND iy < h
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG12_DECODE_SQL = _jpeg12_decode_sql()
