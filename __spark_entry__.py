@@ -198,6 +198,8 @@ _R7_WINDOW = [
     # and the lossless-JPEG rung (SOF3: 7 predictors, 8/12/16-bit)
     # and the sub-byte PNG rung (depths 1/2/4, gray + palette)
     # and the 12-bit SOF1 rung (16-bit DQT, 2048/4095 level shift)
+    # and the arithmetic-coded rung (SOF9: QM coder + Annex F model)
+    "jpeg_arith_decode_stats",
     "jpeg12_decode_stats",
     "png_subbyte_decode_stats",
     "jpeg_lossless_decode_stats",
@@ -521,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_lzw_decode_stats": multimodal.tiff_lzw_decode_stats,
         "jpeg_lossless_decode_stats": multimodal.jpeg_lossless_decode_stats,
         "jpeg12_decode_stats": multimodal.jpeg12_decode_stats,
+        "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1128,6 +1131,7 @@ GROUP BY word
         "tiff_lzw_decode_stats": multimodal.TIFF_LZW_DECODE_SQL,
         "jpeg_lossless_decode_stats": multimodal.JPEG_LOSSLESS_DECODE_SQL,
         "jpeg12_decode_stats": multimodal.JPEG12_DECODE_SQL,
+        "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

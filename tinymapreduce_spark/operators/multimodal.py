@@ -3112,3 +3112,143 @@ GROUP BY doc_id, w, h
 
 
 JPEG12_DECODE_SQL = _jpeg12_decode_sql()
+
+
+# --- Arithmetic-coded JPEG (SOF9) (round 7) ---------------------------------
+# The QM coder (T.81 Annex D) + Annex F statistics model. Entropy layer
+# is lossless over the quantized coefficients, so the oracle stays a
+# pure dequant + integer-IDCT replay; the Kx conditioning bound cycles
+# so the AC context split (k <= Kx vs >) is exercised at both extremes.
+JA_W = lambda d: 8 + d % 12  # noqa: E731
+JA_H = lambda d: 8 + (5 * d) % 9  # noqa: E731
+JA_QT = [1 + (r + 2 * c) % 5 for r in range(8) for c in range(8)]
+JA_KX = (1, 5, 20, 63)
+
+
+def _ja_block(d: int, b: int) -> list[list[int]]:
+    blk = [[0] * 8 for _ in range(8)]
+    blk[0][0] = (d + 5 * b) % 32 - 16
+    blk[0][1] = (d + 3 * b) % 15 - 7
+    blk[1][0] = (2 * d + b) % 11 - 5
+    blk[3][2] = (d * b + d) % 7 - 3
+    return blk
+
+
+def jpeg_arith_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arithmetic-coded JPEG decode over BinaryType: one SOF9
+    frame per document (DAC conditioning written explicitly, Kx cycling
+    1/5/20/63 by doc_id % 4), decoded through the from-scratch QM coder
+    (Table D.3 state machine, byte stuffing, 0xFF carry stacking,
+    marker zero-padding) and the Annex F DC/AC context model, then
+    dequant + the shared integer IDCT. A Qe-table, conditional-
+    exchange, context-layout or conditioning-split bug flips the hash.
+    Row-local Arrow kernels; pixels never shuffle."""
+    from tinymapreduce_spark.functions.jpegarith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JA_W(d), JA_H(d)
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                blocks = [_ja_block(d, b) for b in range(bw * bh)]
+                payloads.append(
+                    encode_jpeg_arith(w, h, JA_QT, blocks, kx=JA_KX[d % 4])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "kx": [], "width": [], "height": [],
+                "pixel_sum": [], "min_pixel": [], "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                w, h, px = decode_jpeg_arith(bytes(p))
+                flat = [v for row in px for v in row]
+                rows["doc_id"].append(d)
+                rows["kx"].append(JA_KX[d % 4])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, kx long, width long, height long,"
+            " pixel_sum long, min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg_arith_decode_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {expr}, {JA_QT[r * 8 + c]})"
+        for (r, c), expr in {
+            (0, 0): "(doc_id + 5 * b) % 32 - 16",
+            (0, 1): "(doc_id + 3 * b) % 15 - 7",
+            (1, 0): "(2 * doc_id + b) % 11 - 5",
+            (3, 2): "(doc_id * b + doc_id) % 7 - 3",
+        }.items()
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 8 + doc_id % 12 AS w, 8 + (doc_id * 5) % 9 AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, bx.bx, by.by,
+         by.by * ((d.w + 7) // 8) + bx.bx AS b
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, (d.w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (d.h + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, w, h, bx, by, cf.r, cf.c, cf.val * cf.q AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val, q)
+), pix AS (
+  SELECT doc_id, w, h, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, bx, by, xs.x, ys.y
+)
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 20
+            ELSE 63 END AS BIGINT) AS kx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS BIGINT) AS min_pixel,
+       CAST(MAX(p) AS BIGINT) AS max_pixel
+FROM pix
+WHERE ix < w AND iy < h
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG_ARITH_DECODE_SQL = _jpeg_arith_decode_sql()
