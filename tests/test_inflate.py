@@ -293,3 +293,84 @@ def test_deflate_rle_property_roundtrip():
         assert len(blob) == rle_deflate_size(data)
 
     check_runs()
+
+
+class TestDeflateDynamic:
+    """BTYPE=10 emitter: package-merge limited lengths, canonical
+    codes, the §3.2.7 code-length RLE. Stdlib zlib is the independent
+    referee — it rejects malformed tables and wrong streams."""
+
+    def test_roundtrips_vs_both_decoders(self):
+        import random
+        import zlib
+
+        from tinymapreduce_spark.functions.inflate import (
+            deflate_dynamic, inflate)
+
+        rnd = random.Random(3)
+        cases = [b"", b"a", b"ab" * 3000, bytes(range(256)) * 6,
+                 b"the quick brown fox " * 400]
+        for _ in range(12):
+            n = rnd.randrange(0, 12000)
+            alpha = bytes(rnd.randrange(256)
+                          for _ in range(rnd.randrange(2, 40)))
+            cases.append(bytes(rnd.choice(alpha) for _ in range(n)))
+        for data in cases:
+            blob = deflate_dynamic(data)
+            assert inflate(blob)[0] == data
+            assert zlib.decompress(blob, -15) == data
+
+    def test_beats_fixed_on_skewed_text(self):
+        from tinymapreduce_spark.functions.inflate import (
+            deflate_dynamic, deflate_fixed)
+
+        data = (b"aaaaabbbbcccdde" * 800)
+        assert len(deflate_dynamic(data)) < len(deflate_fixed(data))
+
+    def test_length_limit_forced(self):
+        """Fibonacci-weighted frequencies over 24 symbols force an
+        unlimited Huffman tree deeper than 15; package-merge must clamp
+        — zlib would reject an over-deep table outright."""
+        import zlib
+
+        from tinymapreduce_spark.functions.inflate import deflate_dynamic
+
+        fib = [1, 1]
+        while len(fib) < 24:
+            fib.append(fib[-1] + fib[-2])
+        data = b"".join(bytes([i]) * f for i, f in enumerate(fib))
+        blob = deflate_dynamic(data)
+        assert zlib.decompress(blob, -15) == data
+
+    def test_single_symbol_and_no_matches(self):
+        import zlib
+
+        from tinymapreduce_spark.functions.inflate import deflate_dynamic
+
+        # single distinct literal: length-1 incomplete code
+        data = b"z" * 5000
+        assert zlib.decompress(deflate_dynamic(data), -15) == data
+        # all-distinct short input: no LZ77 matches, HDIST=1 with an
+        # all-zero distance table
+        data2 = bytes(range(200))
+        blob = deflate_dynamic(data2)
+        assert zlib.decompress(blob, -15) == data2
+
+    def test_package_merge_is_kraft_tight(self):
+        from tinymapreduce_spark.functions.inflate import _limited_lengths
+
+        import random
+        rnd = random.Random(9)
+        for _ in range(40):
+            n = rnd.randrange(2, 60)
+            freqs = [rnd.randrange(0, 1000) for _ in range(n)]
+            if sum(1 for f in freqs if f) < 2:
+                freqs[0] += 1
+                freqs[1 % n] += 1
+            for lim in (7, 15):
+                ls = _limited_lengths(freqs, lim)
+                used = [l for l in ls if l]
+                assert max(used) <= lim
+                # complete prefix code over the used symbols
+                assert sum(1 << (lim - l) for l in used) == (1 << lim) or \
+                    len(used) == 1

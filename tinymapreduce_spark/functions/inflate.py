@@ -391,11 +391,11 @@ def _dist_symbol(dist: int) -> tuple[int, int, int]:
     raise ValueError(dist)
 
 
-def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
-    """Compress ``data`` as one fixed-Huffman deflate block (BFINAL=1)."""
-    w = _BitWriter()
-    w.bits(1, 1)  # BFINAL
-    w.bits(1, 2)  # BTYPE=01
+def _lz77_tokens(data: bytes, max_chain: int = 32):
+    """Greedy hash-chain LZ77 tokenizer shared by the fixed- and
+    dynamic-Huffman emitters: yields ``(literal_byte, None)`` or
+    ``(length, distance)`` tuples, identical match selection and head
+    insertion order to the original deflate_fixed loop."""
     heads: dict[int, list[int]] = {}
     i, n = 0, len(data)
     while i < n:
@@ -419,13 +419,7 @@ def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
                     if ln >= maxl:
                         break
         if best_len >= 3:
-            sym, extra, nbits = _len_symbol(best_len)
-            c, cl = _FIXED_LIT_CODE[sym]
-            w.code(c, cl)
-            w.bits(extra, nbits)
-            dsym, dextra, dnbits = _dist_symbol(best_dist)
-            w.code(dsym, 5)  # fixed dist codes: 5-bit, value == symbol
-            w.bits(dextra, dnbits)
+            yield best_len, best_dist
             end = i + best_len
             while i < end:
                 if i + 3 <= n:
@@ -433,12 +427,30 @@ def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
                     heads.setdefault(k, []).append(i)
                 i += 1
         else:
-            c, cl = _FIXED_LIT_CODE[data[i]]
-            w.code(c, cl)
+            yield data[i], None
             if i + 3 <= n:
                 k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
                 heads.setdefault(k, []).append(i)
             i += 1
+
+
+def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
+    """Compress ``data`` as one fixed-Huffman deflate block (BFINAL=1)."""
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(1, 2)  # BTYPE=01
+    for a, b in _lz77_tokens(data, max_chain):
+        if b is None:
+            c, cl = _FIXED_LIT_CODE[a]
+            w.code(c, cl)
+        else:
+            sym, extra, nbits = _len_symbol(a)
+            c, cl = _FIXED_LIT_CODE[sym]
+            w.code(c, cl)
+            w.bits(extra, nbits)
+            dsym, dextra, dnbits = _dist_symbol(b)
+            w.code(dsym, 5)  # fixed dist codes: 5-bit, value == symbol
+            w.bits(dextra, dnbits)
     c, cl = _FIXED_LIT_CODE[256]  # end of block
     w.code(c, cl)
     return w.done()
@@ -535,3 +547,159 @@ def gzip_compress(data: bytes) -> bytes:
         + crc32(data).to_bytes(4, "little")
         + (len(data) % (1 << 32)).to_bytes(4, "little")
     )
+
+
+# --------------------------------------------------------------------------
+# dynamic-Huffman deflate (BTYPE=10 emitter) — round 7
+# --------------------------------------------------------------------------
+
+def _limited_lengths(freqs: list[int], max_len: int) -> list[int]:
+    """Package-merge (Larmore-Hirschberg) length-limited Huffman code
+    lengths for the nonzero-frequency symbols; zeros get length 0.
+    A single used symbol gets length 1 (RFC 1951 permits the resulting
+    incomplete code)."""
+    syms = [i for i, f in enumerate(freqs) if f > 0]
+    if not syms:
+        return [0] * len(freqs)
+    if len(syms) == 1:
+        out = [0] * len(freqs)
+        out[syms[0]] = 1
+        return out
+    if len(syms) > (1 << max_len):
+        raise ValueError("alphabet too large for the length limit")
+    # packages[j] = list at level j of (weight, {sym: count}) items
+    items = sorted((freqs[s], (s,)) for s in syms)
+    level = [(w, list(ss)) for w, ss in items]
+    for _ in range(max_len - 1):
+        # package pairs, then merge with the original item list
+        packaged = [
+            (level[k][0] + level[k + 1][0], level[k][1] + level[k + 1][1])
+            for k in range(0, len(level) - 1, 2)
+        ]
+        merged = [(w, list(ss)) for w, ss in items] + packaged
+        merged.sort(key=lambda t: t[0])
+        level = merged
+    # take the 2(n-1) cheapest packages; each symbol appearance adds 1
+    out = [0] * len(freqs)
+    for w, ss in level[: 2 * (len(syms) - 1)]:
+        for s in ss:
+            out[s] += 1
+    return out
+
+
+def _canonical_codes(lengths: list[int]) -> list[int]:
+    """RFC 1951 §3.2.2 canonical code assignment from lengths."""
+    max_len = max(lengths) if lengths else 0
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = [0] * len(lengths)
+    for s, ln in enumerate(lengths):
+        if ln:
+            out[s] = next_code[ln]
+            next_code[ln] += 1
+    return out
+
+
+def _clc_sequence(lengths: list[int]):
+    """Encode a code-length vector as the RLE symbol stream of §3.2.7:
+    yields (symbol, extra_value, extra_bits)."""
+    i, n = 0, len(lengths)
+    while i < n:
+        v = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == v:
+            run += 1
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                yield 18, take - 11, 7
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                yield 17, take - 3, 3
+                run -= take
+            for _ in range(run):
+                yield 0, 0, 0
+        else:
+            yield v, 0, 0
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                yield 16, take - 3, 2
+                run -= take
+            for _ in range(run):
+                yield v, 0, 0
+        # advance past the run we just consumed
+        j = i + 1
+        while j < n and lengths[j] == v:
+            j += 1
+        i = j
+
+
+def deflate_dynamic(data: bytes, max_chain: int = 32) -> bytes:
+    """Compress ``data`` as ONE dynamic-Huffman block (BFINAL=1,
+    BTYPE=10): greedy-LZ77 tokens -> per-block symbol frequencies ->
+    package-merge length-limited codes (15 for literal/distance, 7 for
+    the code-length code) -> canonical assignment -> HLIT/HDIST/HCLEN
+    header with the §3.2.7 RLE'd code-length sequence. Decodable by
+    this module's inflate AND stdlib zlib (raw, wbits=-15)."""
+    tokens = list(_lz77_tokens(data, max_chain))
+    lit_freq = [0] * 286
+    dist_freq = [0] * 30
+    for a, b in tokens:
+        if b is None:
+            lit_freq[a] += 1
+        else:
+            lit_freq[_len_symbol(a)[0]] += 1
+            dist_freq[_dist_symbol(b)[0]] += 1
+    lit_freq[256] += 1  # end-of-block
+    lit_len = _limited_lengths(lit_freq, 15)
+    dist_len = _limited_lengths(dist_freq, 15)
+    lit_code = _canonical_codes(lit_len)
+    dist_code = _canonical_codes(dist_len)
+
+    hlit = max(257, max(i + 1 for i, ln in enumerate(lit_len) if ln))
+    used_d = [i + 1 for i, ln in enumerate(dist_len) if ln]
+    hdist = max(1, used_d[-1] if used_d else 0)
+
+    cl_seq = list(_clc_sequence(lit_len[:hlit] + dist_len[:hdist]))
+    clc_freq = [0] * 19
+    for sym, _, _ in cl_seq:
+        clc_freq[sym] += 1
+    clc_len = _limited_lengths(clc_freq, 7)
+    clc_code = _canonical_codes(clc_len)
+    hclen = 19
+    while hclen > 4 and clc_len[_CLC_ORDER[hclen - 1]] == 0:
+        hclen -= 1
+
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(2, 2)  # BTYPE=10
+    w.bits(hlit - 257, 5)
+    w.bits(hdist - 1, 5)
+    w.bits(hclen - 4, 4)
+    for k in range(hclen):
+        w.bits(clc_len[_CLC_ORDER[k]], 3)
+    for sym, extra, nbits in cl_seq:
+        w.code(clc_code[sym], clc_len[sym])
+        if nbits:
+            w.bits(extra, nbits)
+    for a, b in tokens:
+        if b is None:
+            w.code(lit_code[a], lit_len[a])
+        else:
+            sym, extra, nbits = _len_symbol(a)
+            w.code(lit_code[sym], lit_len[sym])
+            w.bits(extra, nbits)
+            dsym, dextra, dnbits = _dist_symbol(b)
+            w.code(dist_code[dsym], dist_len[dsym])
+            w.bits(dextra, dnbits)
+    w.code(lit_code[256], lit_len[256])
+    return w.done()

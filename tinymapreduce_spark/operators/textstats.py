@@ -869,7 +869,22 @@ def compressibility_audit_df(docs: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    from tinymapreduce_spark.functions.inflate import deflate_fixed, deflate_rle
+    import zlib as _zlib
+
+    from tinymapreduce_spark.functions.inflate import (
+        deflate_dynamic,
+        deflate_fixed,
+        deflate_rle,
+        inflate,
+    )
+
+    def _dyn_ok(b: bytes) -> bool:
+        """Dynamic-Huffman leg (r7): the emitted BTYPE=10 stream must
+        decode to the input through BOTH this engine's inflate and
+        stdlib zlib — two independent decoders agreeing on a
+        from-scratch encoder's output."""
+        blob = deflate_dynamic(b)
+        return inflate(blob)[0] == b and _zlib.decompress(blob, -15) == b
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -884,13 +899,14 @@ def compressibility_audit_df(docs: DataFrame) -> DataFrame:
                     "rle_bytes": rle,
                     "lz_le_rle": lz <= rle,
                     "lz_le_raw": lz <= raw + 2,
+                    "dyn_ok": enc.map(_dyn_ok),
                 }
             )
 
     out = docs.mapInPandas(
         kernel,
         schema="doc_id long, raw_bytes long, rle_bytes long, "
-        "lz_le_rle boolean, lz_le_raw boolean",
+        "lz_le_rle boolean, lz_le_raw boolean, dyn_ok boolean",
     )
     # ratio on the JVM side (long/long division + round, same ops as the
     # oracle's ROUND(CAST(..)/.., 6) — not pandas' half-even rounding)
@@ -989,6 +1005,7 @@ SELECT d.doc_id,
        CAST((3 + COALESCE(p.body_bits, 0) + 7 + 7) // 8 AS BIGINT) AS rle_bytes,
        TRUE AS lz_le_rle,
        TRUE AS lz_le_raw,
+       TRUE AS dyn_ok,
        ROUND(CAST((3 + COALESCE(p.body_bits, 0) + 7 + 7) // 8 AS DOUBLE)
              / strlen(d.text), 6) AS rle_ratio
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
