@@ -199,6 +199,12 @@ _R7_WINDOW = [
     # and the sub-byte PNG rung (depths 1/2/4, gray + palette)
     # and the 12-bit SOF1 rung (16-bit DQT, 2048/4095 level shift)
     # and the arithmetic-coded rung (SOF9: QM coder + Annex F model)
+    # and the block-sorting rung (BWT, rotation-sort SQL oracle)
+    # and the corpus->LM step (exact-rational Kneser-Ney bigram model)
+    # and the hierarchical-JPEG rung (Annex J: DHP/SOF3/EXP/SOF7)
+    "jpeg_hier_decode_stats",
+    "ngram_lm_kneser_ney",
+    "bwt_transform_stats",
     "jpeg_arith_decode_stats",
     "jpeg12_decode_stats",
     "png_subbyte_decode_stats",
@@ -524,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_lossless_decode_stats": multimodal.jpeg_lossless_decode_stats,
         "jpeg12_decode_stats": multimodal.jpeg12_decode_stats,
         "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
+        "jpeg_hier_decode_stats": multimodal.jpeg_hier_decode_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -623,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": textstats.winnow_fingerprints,
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         "compressibility": textstats.compressibility,
+        "bwt_transform_stats": textstats.bwt_transform_stats,
+        "ngram_lm_kneser_ney": textstats.ngram_lm_kneser_ney,
         # --- sketches / graph ---
         "hll_portable_distinct": sketches.hll_portable_distinct,
         "digit_bucket_quantiles": sketches.digit_bucket_quantiles,
@@ -949,6 +958,8 @@ GROUP BY word
         "sketch_error_bounds": sketches.SKETCH_ERROR_BOUNDS_SQL,
         # r7: former rows-only tier, now oracle-backed (VERDICT r6 #1)
         "compressibility": textstats.COMPRESSIBILITY_SQL,
+        "bwt_transform_stats": textstats.BWT_TRANSFORM_SQL,
+        "ngram_lm_kneser_ney": textstats.KN_LM_SQL,
         "hll_distinct_merge": sketches.HLL_DISTINCT_MERGE_SQL,
         "kll_quantile_merge": sketches.KLL_QUANTILE_MERGE_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,
@@ -1132,6 +1143,7 @@ GROUP BY word
         "jpeg_lossless_decode_stats": multimodal.JPEG_LOSSLESS_DECODE_SQL,
         "jpeg12_decode_stats": multimodal.JPEG12_DECODE_SQL,
         "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
+        "jpeg_hier_decode_stats": multimodal.JPEG_HIER_DECODE_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

@@ -1,0 +1,130 @@
+"""Burrows-Wheeler family: forward/inverse, MTF, RUNA/RUNB zero-run
+coding — the block-sorting compression family."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tinymapreduce_spark.functions.bwt import (
+    bwt_forward,
+    bwt_inverse,
+    mtf_decode,
+    mtf_encode,
+    rle0_decode,
+    rle0_encode,
+)
+
+
+def test_published_vector():
+    """The canonical 'banana' example: last column 'nnbaaa', row 3."""
+    assert bwt_forward("banana") == ("nnbaaa", 3)
+    assert bwt_inverse("nnbaaa", 3) == "banana"
+
+
+def test_random_roundtrips_with_full_pipeline():
+    rnd = random.Random(11)
+    for t in range(120):
+        n = rnd.randrange(0, 400)
+        alpha = "".join(chr(97 + i) for i in range(rnd.randrange(1, 9)))
+        s = "".join(rnd.choice(alpha) for _ in range(n))
+        last, p = bwt_forward(s)
+        assert sorted(last) == sorted(s)  # a permutation
+        assert bwt_inverse(last, p) == s, t
+        ab = sorted(set(s))
+        codes = mtf_encode(last, ab)
+        assert mtf_decode(codes, ab) == last
+        assert rle0_decode(rle0_encode(codes)) == codes
+
+
+def test_periodic_tie_break():
+    """Equal rotations (periodic strings) exercise the index
+    tie-break; the inverse must still reproduce the input."""
+    for s in ["aaaa", "abab" * 25, "xyxyxy", "zz", ""]:
+        last, p = bwt_forward(s)
+        assert bwt_inverse(last, p) == s
+
+
+def test_unicode_safe():
+    s = "héllo wörld ünïcode 中文 " * 8
+    last, p = bwt_forward(s)
+    assert bwt_inverse(last, p) == s
+
+
+def test_locality_concentration():
+    """The point of the transform: MTF zeros after BWT vastly exceed
+    MTF zeros on raw text (same-context characters cluster)."""
+    text = "the quick brown fox jumps over the lazy dog. " * 30
+    ab = sorted(set(text))
+    z_bwt = mtf_encode(bwt_forward(text)[0], ab).count(0)
+    z_raw = mtf_encode(text, ab).count(0)
+    assert z_bwt > 2 * max(1, z_raw)
+
+
+def test_runab_bijective_counting():
+    """RUNA/RUNB digits are bijective base 2: run lengths 1..8 map to
+    A, B, AA, BA, AB, BB, AAA, BAA (little-endian digits)."""
+    for z, digits in [(1, [0]), (2, [1]), (3, [0, 0]), (4, [1, 0]),
+                      (5, [0, 1]), (6, [1, 1]), (7, [0, 0, 0]),
+                      (8, [1, 0, 0])]:
+        got = rle0_encode([0] * z)
+        assert got == digits, z
+        assert rle0_decode(got) == [0] * z
+
+
+def test_defects_raise():
+    with pytest.raises(ValueError, match="primary"):
+        bwt_inverse("ab", 5)
+    with pytest.raises(ValueError, match="alphabet"):
+        mtf_decode([3], ["a", "b"])
+
+
+def test_kneser_ney_sql_matches_independent_recompute(duck):
+    """The KN oracle SQL (which the driver uses as ground truth) must
+    agree with a from-scratch Python recomputation of the interpolated
+    KN algebra — counts, continuation/backoff terms and the exact
+    rational encoding. An error in either the SQL or the formula
+    derivation would diverge here."""
+    import collections
+    import re
+
+    from tinymapreduce_spark.operators.textstats import KN_LM_SQL, KN_MIN_COUNT
+
+    df = duck.execute(KN_LM_SQL).df()
+    texts = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    bg: collections.Counter = collections.Counter()
+    for _, t in texts:
+        toks = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    ctx_tot: collections.Counter = collections.Counter()
+    n1s: collections.Counter = collections.Counter()
+    n1p: collections.Counter = collections.Counter()
+    for (a, b), c in bg.items():
+        ctx_tot[a] += c
+        n1s[a] += 1
+        n1p[b] += 1
+    btot = len(bg)
+    want = {
+        (a, b): (c, max(4 * c - 3, 0) * btot + 3 * n1s[a] * n1p[b],
+                 4 * ctx_tot[a] * btot)
+        for (a, b), c in bg.items() if c >= KN_MIN_COUNT
+    }
+    got = {(r.w1, r.w2): (r.bigram_count, r.p_num, r.p_den)
+           for r in df.itertuples()}
+    assert got == want
+
+    # probability-mass sanity: for the heaviest context, the seen-
+    # successor mass must stay <= 1 (the continuation remainder covers
+    # the unseen vocabulary)
+    from fractions import Fraction
+
+    a = max(ctx_tot, key=lambda k: ctx_tot[k])
+    s = sum(
+        (Fraction(max(4 * c - 3, 0) * btot + 3 * n1s[a] * n1p[b],
+                  4 * ctx_tot[a] * btot)
+         for (x, b), c in bg.items() if x == a),
+        Fraction(0),
+    )
+    assert 0 < s <= 1

@@ -519,3 +519,66 @@ class TestExtended12Bit:
         blob[at + 1] = 0xC0
         with pytest.raises(ValueError, match="precision 12 invalid"):
             decode_jpeg(bytes(blob))
+
+
+class TestHierarchical:
+    """Annex J two-level lossless pyramid: DHP / SOF3 / EXP / SOF7."""
+
+    def _px(self, d, w, h):
+        return [[(11 * d + 7 * x + 13 * y + x * y) % 256 for x in range(w)]
+                for y in range(h)]
+
+    def test_exp_expansion_vector(self):
+        from tinymapreduce_spark.functions.jpegcodec import _exp_expand
+
+        # separable (a+b+1)>>1, horizontal pass first, edges replicated
+        assert _exp_expand([[0, 10], [20, 30]], 4, 4) == [
+            [0, 5, 10, 10],
+            [10, 15, 20, 20],
+            [20, 25, 30, 30],
+            [20, 25, 30, 30],
+        ]
+        # odd target dims trim the expansion
+        assert _exp_expand([[4]], 1, 1) == [[4]]
+
+    def test_roundtrip_matrix(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_lossless, encode_jpeg_hier_lossless)
+
+        for d in range(12):
+            w, h = 9 + d % 10, 7 + (3 * d) % 9
+            px = self._px(d, w, h)
+            for pred in (1, 4, 7):
+                blob = encode_jpeg_hier_lossless(w, h, px, predictor=pred)
+                assert decode_jpeg_hier_lossless(blob) == (w, h, px)
+
+    def test_stream_structure(self):
+        """DHP before the reference frame, EXP between frames, SOF7
+        dims equal to DHP's."""
+        from tinymapreduce_spark.functions.jpegcodec import (
+            encode_jpeg_hier_lossless)
+
+        blob = encode_jpeg_hier_lossless(10, 8, self._px(3, 10, 8))
+        order = [blob.index(m) for m in
+                 (b"\xff\xde", b"\xff\xc3", b"\xff\xdf", b"\xff\xc7")]
+        assert order == sorted(order)
+
+    def test_defects_raise(self):
+        import pytest
+
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_lossless, encode_jpeg_hier_lossless)
+
+        px = self._px(1, 10, 8)
+        blob = bytearray(encode_jpeg_hier_lossless(10, 8, px))
+        bad = blob.copy()
+        at = bad.index(b"\xff\xc7")
+        bad[at + 1] = 0xC5  # differential sequential DCT: unsupported
+        with pytest.raises(ValueError, match="unsupported frame"):
+            decode_jpeg_hier_lossless(bytes(bad))
+        # SOF7 dims must match DHP
+        bad2 = blob.copy()
+        at7 = bad2.index(b"\xff\xc7")
+        bad2[at7 + 7] ^= 1  # flip a dim byte in the SOF7 header
+        with pytest.raises(ValueError, match="disagree"):
+            decode_jpeg_hier_lossless(bytes(bad2))

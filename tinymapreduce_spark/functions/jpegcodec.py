@@ -1222,3 +1222,212 @@ def decode_jpeg_lossless(payload: bytes):
             raise ValueError("restart intervals unsupported in lossless")
         pos += seglen
     raise ValueError("no scan found")
+
+
+# --- Hierarchical lossless JPEG (Annex J) -----------------------------------
+# A two-level pyramid in the LOSSLESS hierarchy (the integer-exact
+# branch of T.81's hierarchical mode): DHP defines the full frame, a
+# non-differential SOF3 frame carries the decimated reference
+# (ref[y][x] = target[2y][2x]), EXP(Eh=1, Ev=1) orders the reference
+# expanded by the spec's separable (a+b+1)>>1 interpolation
+# (horizontal pass then vertical, edge samples replicated), and a
+# DIFFERENTIAL lossless frame (SOF7) codes target - expanded modulo
+# 2^16 — sample differences with the DC Huffman category scheme and NO
+# spatial prediction (the reference is the prediction, J.1.1.3).
+# Everything is integer-exact, so a pixel-formula oracle can replay the
+# decimation, both interpolation passes and the differential add.
+
+
+def _exp_expand(ref: list[list[int]], out_w: int, out_h: int) -> list[list[int]]:
+    """J.1.1.2 expansion: 1-D horizontal then 1-D vertical, odd output
+    samples are (a + b + 1) >> 1 of the two nearest inputs (edge
+    replicated); trimmed to (out_w, out_h)."""
+    rh, rw = len(ref), len(ref[0])
+    horiz = []
+    for row in ref:
+        r = []
+        for x in range(2 * rw):
+            if x % 2 == 0:
+                r.append(row[x // 2])
+            else:
+                a = row[x // 2]
+                b = row[min(x // 2 + 1, rw - 1)]
+                r.append((a + b + 1) >> 1)
+        horiz.append(r[:out_w])
+    out = []
+    for y in range(2 * rh):
+        if y % 2 == 0:
+            out.append(horiz[y // 2])
+        else:
+            up = horiz[y // 2]
+            dn = horiz[min(y // 2 + 1, rh - 1)]
+            out.append([(a + b + 1) >> 1 for a, b in zip(up, dn)])
+    return out[:out_h]
+
+
+def _scan_body(values: list[int]) -> bytes:
+    """Entropy body of one scan of raw category-coded values (the SOF7
+    differential frame: no spatial prediction, J.1.1.3)."""
+    syms = set()
+    for d in values:
+        syms.add(16 if d == -32768 else _category(d))
+    bits, vals, codes = _canonical_table(syms)
+    w = _BitWriter()
+    for d in values:
+        if d == -32768:
+            c, ln = codes[16]
+            w.write(c, ln)
+            continue
+        size = _category(d)
+        c, ln = codes[size]
+        w.write(c, ln)
+        w.write(_extend_bits(d, size), size)
+    return w.flush()
+
+
+def encode_jpeg_hier_lossless(
+    width: int, height: int, pixels: list[list[int]], predictor: int = 1
+) -> bytes:
+    """Two-level hierarchical lossless JPEG: DHP, SOF3 reference frame
+    (decimated image, spatially predicted with ``predictor``), EXP,
+    SOF7 differential frame (target - expanded reference, mod 2^16).
+    8-bit samples; decode reproduces ``pixels`` exactly."""
+    rw, rh = (width + 1) // 2, (height + 1) // 2
+    ref = [[pixels[2 * y][2 * x] for x in range(rw)] for y in range(rh)]
+    exp = _exp_expand(ref, width, height)
+    diffs = [
+        ((pixels[y][x] - exp[y][x] + 32768) & 0xFFFF) - 32768
+        for y in range(height)
+        for x in range(width)
+    ]
+    out = bytearray()
+    out += b"\xff\xd8"
+    # DHP: same syntax as SOF (B.3.2), full dims
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    # non-differential reference frame: reuse the SOF3 encoder's body
+    # (without its SOI/EOI) by slicing the standalone stream
+    ref_stream = encode_jpeg_lossless(rw, rh, ref, predictor=predictor)
+    out += ref_stream[2:-2]  # strip SOI / EOI
+    # EXP: expand reference horizontally and vertically (B.3.3)
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    # differential frame: SOF7 + one scan of raw differences (Ss=0)
+    out += b"\xff\xc7" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    diff_syms = set()
+    for d in diffs:
+        diff_syms.add(16 if d == -32768 else _category(d))
+    bits, vals, codes = _canonical_table(diff_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + b"\x00"
+    out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([0, 0, 0])  # Ss=0 (no spatial prediction), Se=0, AhAl=0
+    out += _scan_body(diffs)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_hier_lossless(payload: bytes):
+    """Decode the two-level hierarchical lossless stream -> (width,
+    height, pixels). Walks DHP / SOF3+scan / EXP / SOF7+scan, expands
+    the reference per J.1.1.2 and adds the differentials mod 2^16."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    full = None
+    ref_frame = None  # (w, h, precision)
+    huff: dict[int, _HuffTable] = {}
+    ref_px = None
+    expand_pending = False
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before the differential scan")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDE:  # DHP
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1 or precision != 8:
+                raise ValueError("hierarchical decode: 8-bit single component only")
+            full = (w, h)
+        elif marker == 0xC3:  # non-differential lossless reference
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise ValueError("multi-component hierarchical unsupported")
+            ref_frame = (w, h, precision)
+            huff = {}
+        elif marker == 0xC7:  # differential lossless frame
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if full is None or (w, h) != full:
+                raise ValueError("SOF7 dims disagree with DHP")
+            ref_frame = None
+            huff = {}
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported frame type in hierarchical stream")
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc_th = body[at]
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                huff[tc_th] = _HuffTable(bits, list(body[at + 17 : at + 17 + n]))
+                at += 17 + n
+        elif marker == 0xDF:  # EXP
+            eh_ev = body[0]
+            if eh_ev != 0x11:
+                raise ValueError("only Eh=Ev=1 expansion supported")
+            expand_pending = True
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td = body[2] >> 4
+            ss = body[1 + 2 * ns]
+            table = huff.get(td)
+            if table is None:
+                raise ValueError("scan references undefined table")
+            reader = _BitReader(payload, pos + seglen)
+            if ref_frame is not None:
+                # reference frame scan: standard lossless prediction
+                w, h, precision = ref_frame
+                predictor = ss
+                samples = [[0] * w for _ in range(h)]
+                for y in range(h):
+                    for x in range(w):
+                        size = table.decode(reader)
+                        d = 32768 if size == 16 else _extend(
+                            reader.receive(size), size
+                        )
+                        px = _lossless_predict(samples, x, y, predictor,
+                                               precision, 0)
+                        samples[y][x] = (px + d) & 0xFFFF
+                ref_px = samples
+                pos = reader.pos
+                # skip to next marker (flush padding bits)
+                while pos < len(payload) and payload[pos] != 0xFF:
+                    pos += 1
+                continue
+            # differential scan: needs the (expanded) reference
+            if full is None or ref_px is None:
+                raise ValueError("differential scan before reference")
+            if ss != 0:
+                raise ValueError("differential scan must carry Ss=0")
+            w, h = full
+            base = (
+                _exp_expand(ref_px, w, h) if expand_pending else ref_px
+            )
+            out_px = [[0] * w for _ in range(h)]
+            for y in range(h):
+                for x in range(w):
+                    size = table.decode(reader)
+                    d = 32768 if size == 16 else _extend(
+                        reader.receive(size), size
+                    )
+                    out_px[y][x] = (base[y][x] + d) & 0xFFFF
+            return w, h, out_px
+        pos += seglen
+    raise ValueError("no differential scan found")

@@ -3252,3 +3252,144 @@ GROUP BY doc_id, w, h
 
 
 JPEG_ARITH_DECODE_SQL = _jpeg_arith_decode_sql()
+
+
+# --- Hierarchical lossless JPEG (Annex J) (round 7) -------------------------
+# Two-level pyramid: decimated SOF3 reference, EXP (a+b+1)>>1 separable
+# expansion, SOF7 differential frame. The oracle independently replays
+# decimation + BOTH interpolation passes + the modulo-2^16 difference,
+# so the EXP machinery itself is hash-verified, not just the roundtrip.
+JH_W = lambda d: 9 + d % 10  # noqa: E731
+JH_H = lambda d: 7 + (3 * d) % 9  # noqa: E731
+
+
+def jpeg_hier_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical-JPEG decode over BinaryType: per document one
+    DHP/SOF3/EXP/SOF7 stream (spatial predictor of the reference frame
+    cycling 1..7), decoded through the pyramid walk, with the encoder's
+    differential layer statistics emitted alongside — pixel_sum checks
+    the end-to-end reconstruction, ref_sum the decimation, diff stats
+    the expansion filter (the oracle recomputes all three from the
+    pixel formula alone). Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        _exp_expand,
+        decode_jpeg_hier_lossless,
+        encode_jpeg_hier_lossless,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "pixel_sum": [],
+                "ref_sum": [], "diff_abs_sum": [], "max_abs_diff": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JH_W(d), JH_H(d)
+                px = [[(11 * d + 7 * x + 13 * y + x * y) % 256
+                       for x in range(w)] for y in range(h)]
+                blob = encode_jpeg_hier_lossless(
+                    w, h, px, predictor=1 + d % 7
+                )
+                w2, h2, back = decode_jpeg_hier_lossless(blob)
+                if (w2, h2, back) != (w, h, px):
+                    raise ValueError(f"hierarchical roundtrip broke on {d}")
+                rw, rh = (w + 1) // 2, (h + 1) // 2
+                ref = [[px[2 * y][2 * x] for x in range(rw)]
+                       for y in range(rh)]
+                exp = _exp_expand(ref, w, h)
+                diffs = [
+                    ((px[y][x] - exp[y][x] + 32768) & 0xFFFF) - 32768
+                    for y in range(h) for x in range(w)
+                ]
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(v for r in back for v in r))
+                rows["ref_sum"].append(sum(v for r in ref for v in r))
+                rows["diff_abs_sum"].append(sum(abs(v) for v in diffs))
+                rows["max_abs_diff"].append(max(abs(v) for v in diffs))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, width long, height long, pixel_sum long,"
+            " ref_sum long, diff_abs_sum long, max_abs_diff long"
+        ),
+    )
+
+
+# PIX(x,y) = (11d + 7x + 13y + xy) % 256; ref(a,b) = PIX(2a,2b);
+# hx = horizontal pass, e = vertical pass over hx — all pure formula.
+JPEG_HIER_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 10 AS w, 7 + (3 * doc_id) % 9 AS h,
+         (9 + doc_id % 10 + 1) // 2 AS rw, (7 + (3 * doc_id) % 9 + 1) // 2 AS rh
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, rw, rh, x.x, y.y,
+         (11 * doc_id + 7 * x.x + 13 * y.y + x.x * y.y) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+), expd AS (
+  SELECT doc_id, w, h, x, y, v,
+         -- horizontal pass at the two contributing reference rows,
+         -- then the vertical combine; ref(a,b) inlined as the formula
+         CASE WHEN y % 2 = 0 THEN
+           CASE WHEN x % 2 = 0
+                THEN (11 * doc_id + 7 * (2*(x//2)) + 13 * (2*(y//2))
+                      + (2*(x//2)) * (2*(y//2))) % 256
+                ELSE ((11 * doc_id + 7 * (2*((x-1)//2)) + 13 * (2*(y//2))
+                       + (2*((x-1)//2)) * (2*(y//2))) % 256
+                      + (11 * doc_id + 7 * (2*(LEAST((x+1)//2, rw-1)))
+                         + 13 * (2*(y//2))
+                         + (2*(LEAST((x+1)//2, rw-1))) * (2*(y//2))) % 256
+                      + 1) // 2
+           END
+         ELSE
+           (CASE WHEN x % 2 = 0
+                 THEN (11 * doc_id + 7 * (2*(x//2)) + 13 * (2*((y-1)//2))
+                       + (2*(x//2)) * (2*((y-1)//2))) % 256
+                 ELSE ((11 * doc_id + 7 * (2*((x-1)//2)) + 13 * (2*((y-1)//2))
+                        + (2*((x-1)//2)) * (2*((y-1)//2))) % 256
+                       + (11 * doc_id + 7 * (2*(LEAST((x+1)//2, rw-1)))
+                          + 13 * (2*((y-1)//2))
+                          + (2*(LEAST((x+1)//2, rw-1))) * (2*((y-1)//2))) % 256
+                       + 1) // 2
+            END
+            + CASE WHEN x % 2 = 0
+                 THEN (11 * doc_id + 7 * (2*(x//2))
+                       + 13 * (2*(LEAST((y+1)//2, rh-1)))
+                       + (2*(x//2)) * (2*(LEAST((y+1)//2, rh-1)))) % 256
+                 ELSE ((11 * doc_id + 7 * (2*((x-1)//2))
+                        + 13 * (2*(LEAST((y+1)//2, rh-1)))
+                        + (2*((x-1)//2)) * (2*(LEAST((y+1)//2, rh-1)))) % 256
+                       + (11 * doc_id + 7 * (2*(LEAST((x+1)//2, rw-1)))
+                          + 13 * (2*(LEAST((y+1)//2, rh-1)))
+                          + (2*(LEAST((x+1)//2, rw-1)))
+                            * (2*(LEAST((y+1)//2, rh-1)))) % 256
+                       + 1) // 2
+            END
+            + 1) // 2
+         END AS e
+  FROM px
+), diffs AS (
+  SELECT doc_id, w, h, x, y, v,
+         ((v - e + 32768) % 65536 + 65536) % 65536 - 32768 AS dd
+  FROM expd
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v ELSE 0 END)
+            AS BIGINT) AS ref_sum,
+       CAST(SUM(ABS(dd)) AS BIGINT) AS diff_abs_sum,
+       CAST(MAX(ABS(dd)) AS BIGINT) AS max_abs_diff
+FROM diffs
+GROUP BY doc_id, w, h
+"""

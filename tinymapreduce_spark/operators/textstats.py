@@ -2155,3 +2155,190 @@ SELECT d.doc_id,
        md5('Head! ' || d.doc_id || p.body) AS visible_md5
 FROM documents d JOIN paras p USING (doc_id)
 """
+
+
+# --- Burrows-Wheeler transform rung (round 7) -------------------------------
+
+
+def bwt_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sorting transform over the documents table: per doc the
+    deterministic sorted-rotations BWT (ties broken on rotation start),
+    hashed, with the primary index and a roundtrip audit (LF-mapping
+    inversion must reproduce the text; the full MTF + RUNA/RUNB
+    pipeline is additionally asserted in-kernel — a defect raises and
+    fails the driver run). The oracle REBUILDS every rotation in SQL
+    (substr concatenation), sorts them under binary collation (UTF-8
+    byte order == code-point order, so Python agrees), and hashes the
+    last column — the transform itself is verified, not just its
+    inverse. Row-local Arrow kernel; rotations never leave the row."""
+    from tinymapreduce_spark.functions.bwt import (
+        bwt_forward,
+        bwt_inverse,
+        mtf_decode,
+        mtf_encode,
+        rle0_decode,
+        rle0_encode,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        from collections.abc import Iterator  # noqa: F401
+
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n": [], "primary_index": [],
+                    "bwt_md5": [], "roundtrip_ok": []}
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                last, p = bwt_forward(t)
+                ok = bwt_inverse(last, p) == t
+                alpha = sorted(set(last))
+                codes = mtf_encode(last, alpha)
+                ok = ok and mtf_decode(rle0_decode(rle0_encode(codes)),
+                                       alpha) == last
+                if not ok:
+                    raise ValueError(f"BWT pipeline defect on doc {d}")
+                rows["doc_id"].append(int(d))
+                rows["n"].append(len(t))
+                rows["primary_index"].append(p)
+                rows["bwt_md5"].append(
+                    hashlib.md5(last.encode("utf-8")).hexdigest()
+                )
+                rows["roundtrip_ok"].append(True)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n long, primary_index long, bwt_md5 string,"
+            " roundtrip_ok boolean"
+        ),
+    )
+
+
+BWT_TRANSFORM_SQL = """
+WITH d AS (
+  SELECT doc_id, text AS s, length(text) AS n FROM documents
+), rot AS (
+  SELECT doc_id, n, i.i,
+         substr(s, i.i + 1) || substr(s, 1, i.i) AS r
+  FROM d, LATERAL (SELECT UNNEST(range(0, n)) AS i) i
+), ranked AS (
+  SELECT doc_id, n, i, r,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r, i) AS rk
+  FROM rot
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN i = 0 THEN rk - 1 END) AS BIGINT) AS primary_index,
+       md5(string_agg(substr(r, n, 1), '' ORDER BY rk)) AS bwt_md5,
+       TRUE AS roundtrip_ok
+FROM ranked
+GROUP BY doc_id, n
+"""
+
+
+# --- Kneser-Ney bigram language model (round 7) -----------------------------
+# The training-data -> LM step itself: interpolated Kneser-Ney with
+# absolute discount D = 3/4 over corpus bigrams. Probabilities are
+# emitted as EXACT RATIONALS on the common denominator 4*c(ctx)*B
+# (B = distinct bigram count):
+#   p_num = max(4c - 3, 0) * B + 3 * N1+(ctx,.) * N1+(.,w)
+#   p_den = 4 * c(ctx) * B
+# so the whole model is integer-exact and hash-checkable. Every stage
+# is a JVM-side groupBy/window: tokens -> LEAD bigrams -> three count
+# aggregations -> joins; the only scalar (B) broadcasts.
+KN_MIN_COUNT = 3  # report bigrams seen at least this often
+
+
+def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an interpolated Kneser-Ney bigram LM over the documents
+    table and emit the model rows for bigrams with count >=
+    KN_MIN_COUNT: (w1, w2, bigram count, exact p_num/p_den). The
+    continuation probability uses distinct-predecessor counts and the
+    backoff weight distinct-successor counts — the full KN recipe, not
+    the Katz shortcut. Scale shape: word-keyed shuffles with partial
+    aggregation; per-context state never materializes on the driver."""
+    from pyspark.sql.window import Window
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").alias("cctx"), F.count("*").alias("n1_succ")
+    )
+    pred = counts.groupBy("w2").agg(F.count("*").alias("n1_pred"))
+    total = counts.agg(F.count("*").alias("btot"))
+    model = (
+        counts.join(ctx, "w1")
+        .join(pred, "w2")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("c") >= KN_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("bigram_count"),
+            (
+                F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.col("btot")
+                + 3 * F.col("n1_succ") * F.col("n1_pred")
+            ).alias("p_num"),
+            (4 * F.col("cctx") * F.col("btot")).alias("p_den"),
+        )
+    )
+    return model
+
+
+KN_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z]+'), x -> x <> '')) AS tok,
+                UNNEST(range(1, 1 + length(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> x <> '')))) AS pos
+       ) t
+), bigrams AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bg AS (
+  SELECT w1, w2 FROM bigrams WHERE w2 IS NOT NULL
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c) AS cctx, COUNT(*) AS n1_succ FROM counts GROUP BY w1
+), pred AS (
+  SELECT w2, COUNT(*) AS n1_pred FROM counts GROUP BY w2
+), total AS (
+  SELECT COUNT(*) AS btot FROM counts
+)
+SELECT counts.w1, counts.w2,
+       CAST(c AS BIGINT) AS bigram_count,
+       CAST(GREATEST(4 * c - 3, 0) * btot
+            + 3 * n1_succ * n1_pred AS BIGINT) AS p_num,
+       CAST(4 * cctx * btot AS BIGINT) AS p_den
+FROM counts
+JOIN ctx USING (w1)
+JOIN pred USING (w2)
+CROSS JOIN total
+WHERE c >= {KN_MIN_COUNT}
+"""
