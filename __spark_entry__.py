@@ -202,6 +202,8 @@ _R7_WINDOW = [
     # and the block-sorting rung (BWT, rotation-sort SQL oracle)
     # and the corpus->LM step (exact-rational Kneser-Ney bigram model)
     # and the hierarchical-JPEG rung (Annex J: DHP/SOF3/EXP/SOF7)
+    # and the lossy-audio rung (IMA ADPCM, 8-step unrolled SQL replay)
+    "audio_adpcm_stats",
     "jpeg_hier_decode_stats",
     "ngram_lm_kneser_ney",
     "bwt_transform_stats",
@@ -531,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg12_decode_stats": multimodal.jpeg12_decode_stats,
         "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
         "jpeg_hier_decode_stats": multimodal.jpeg_hier_decode_stats,
+        "audio_adpcm_stats": multimodal.audio_adpcm_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1144,6 +1147,7 @@ GROUP BY word
         "jpeg12_decode_stats": multimodal.JPEG12_DECODE_SQL,
         "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
         "jpeg_hier_decode_stats": multimodal.JPEG_HIER_DECODE_SQL,
+        "audio_adpcm_stats": multimodal.AUDIO_ADPCM_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

@@ -151,3 +151,72 @@ def test_video420_sampled_frames_match_formula():
         fw, fh, planes = decode_jpeg(got[0])
         assert (fw, fh) == (w, h)
         assert (len(planes[1][0]), len(planes[1])) == ((w + 1) // 2, (h + 1) // 2)
+
+
+class TestImaAdpcm:
+    """IMA ADPCM (WAV 0x11): state machine, container, block layout.
+    Lives here with the other A/V container suites."""
+
+    def test_state_machine_lockstep(self):
+        import random
+
+        from tinymapreduce_spark.operators.multimodal import (
+            _ima_encode_nibble, _ima_step, decode_wav_ima, encode_wav_ima)
+
+        rnd = random.Random(5)
+        for _ in range(30):
+            nb = rnd.randrange(1, 12)
+            samples = [rnd.randrange(-32768, 32768) for _ in range(9 * nb)]
+            idxs = [rnd.randrange(0, 89) for _ in range(nb)]
+            sr, got = decode_wav_ima(encode_wav_ima(samples, idxs))
+            assert len(got) == len(samples)
+            for b in range(nb):
+                assert got[9 * b] == samples[9 * b]  # header sample exact
+                pred, idx = samples[9 * b], idxs[b]
+                for k in range(8):
+                    nib = _ima_encode_nibble(samples[9 * b + 1 + k], pred, idx)
+                    pred, idx = _ima_step(pred, idx, nib)
+                    assert got[9 * b + 1 + k] == pred
+
+    def test_tracks_smooth_signal(self):
+        """On a gentle ramp the quantizer error stays within one step
+        of the adapted table — the codec's purpose."""
+        from tinymapreduce_spark.operators.multimodal import (
+            decode_wav_ima, encode_wav_ima)
+
+        ramp = [min(32767, 50 * t) for t in range(9 * 20)]
+        _, got = decode_wav_ima(encode_wav_ima(ramp, [10] * 20))
+        errs = [abs(a - b) for a, b in zip(ramp, got)]
+        assert sum(errs) / len(errs) < 60
+
+    def test_clamps_hit(self):
+        """Full-scale alternation drives both the predictor clamp and
+        the index clamp (0 and 88)."""
+        from tinymapreduce_spark.operators.multimodal import (
+            decode_wav_ima, encode_wav_ima)
+
+        wild = [(-32768 if t % 2 else 32767) for t in range(9 * 4)]
+        _, got = decode_wav_ima(encode_wav_ima(wild, [0, 88, 44, 88]))
+        assert all(-32768 <= v <= 32767 for v in got)
+
+    def test_defects_raise(self):
+        import pytest
+
+        from tinymapreduce_spark.operators.multimodal import (
+            decode_wav_ima, encode_wav_ima)
+
+        with pytest.raises(ValueError, match="whole 9-sample"):
+            encode_wav_ima([0] * 10, [0])
+        blob = bytearray(encode_wav_ima([0] * 9, [0]))
+        at = blob.index(b"data") + 8
+        bad = blob.copy()
+        bad[at + 2] = 120  # index byte > 88
+        with pytest.raises(ValueError, match="corrupt"):
+            decode_wav_ima(bytes(bad))
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav_ima(b"nope")
+        # PCM decoder must refuse the ADPCM format tag
+        from tinymapreduce_spark.operators.multimodal import decode_wav
+
+        with pytest.raises(ValueError, match="only mono PCM16"):
+            decode_wav(bytes(blob))
