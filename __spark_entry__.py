@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressibility": textstats.compressibility,
         "bwt_transform_stats": textstats.bwt_transform_stats,
         "ngram_lm_kneser_ney": textstats.ngram_lm_kneser_ney,
+        "ngram_lm_kn_trigram": textstats.ngram_lm_kn_trigram,
         # --- sketches / graph ---
         "hll_portable_distinct": sketches.hll_portable_distinct,
         "digit_bucket_quantiles": sketches.digit_bucket_quantiles,
@@ -963,6 +964,7 @@ GROUP BY word
         "compressibility": textstats.COMPRESSIBILITY_SQL,
         "bwt_transform_stats": textstats.BWT_TRANSFORM_SQL,
         "ngram_lm_kneser_ney": textstats.KN_LM_SQL,
+        "ngram_lm_kn_trigram": textstats.KN_TRIGRAM_SQL,
         "hll_distinct_merge": sketches.HLL_DISTINCT_MERGE_SQL,
         "kll_quantile_merge": sketches.KLL_QUANTILE_MERGE_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,

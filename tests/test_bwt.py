@@ -128,3 +128,55 @@ def test_kneser_ney_sql_matches_independent_recompute(duck):
         Fraction(0),
     )
     assert 0 < s <= 1
+
+
+def test_kn_trigram_sql_matches_independent_recompute(duck):
+    """Two-layer recursive KN: the trigram oracle must reproduce a
+    from-scratch recompute that builds the UNGATED bigram layer first
+    and discounts the trigram layer into it."""
+    import collections
+    import re
+
+    from tinymapreduce_spark.operators.textstats import (
+        KN_MIN_COUNT, KN_TRIGRAM_SQL)
+
+    df = duck.execute(KN_TRIGRAM_SQL).df()
+    texts = duck.execute("SELECT text FROM documents").fetchall()
+    bg: collections.Counter = collections.Counter()
+    tg: collections.Counter = collections.Counter()
+    for (t,) in texts:
+        toks = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tg[(a, b, c)] += 1
+    ctx2: collections.Counter = collections.Counter()
+    n1s2: collections.Counter = collections.Counter()
+    n1p2: collections.Counter = collections.Counter()
+    for (a, b), c in bg.items():
+        ctx2[a] += c
+        n1s2[a] += 1
+        n1p2[b] += 1
+    btot = len(bg)
+    p2 = {
+        (a, b): (max(4 * c - 3, 0) * btot + 3 * n1s2[a] * n1p2[b],
+                 4 * ctx2[a] * btot)
+        for (a, b), c in bg.items()
+    }
+    ctx3: collections.Counter = collections.Counter()
+    n1s3: collections.Counter = collections.Counter()
+    for (a, b, c), n in tg.items():
+        ctx3[(a, b)] += n
+        n1s3[(a, b)] += 1
+    want = {}
+    for (a, b, c), n in tg.items():
+        if n >= KN_MIN_COUNT:
+            n2, d2 = p2[(b, c)]
+            want[(a, b, c)] = (
+                n,
+                max(4 * n - 3, 0) * d2 + 3 * n1s3[(a, b)] * n2,
+                4 * ctx3[(a, b)] * d2,
+            )
+    got = {(r.w1, r.w2, r.w3): (r.trigram_count, r.p3_num, r.p3_den)
+           for r in df.itertuples()}
+    assert got == want

@@ -2342,3 +2342,145 @@ JOIN pred USING (w2)
 CROSS JOIN total
 WHERE c >= {KN_MIN_COUNT}
 """
+
+
+# --- Recursive trigram Kneser-Ney (round 7) ---------------------------------
+# The full recursive smoothing: the trigram layer discounts into the
+# BIGRAM KN model (which itself discounts into continuation counts).
+# With D = 3/4 throughout, on the common denominator 4*c(uv)*d2 where
+# (n2, d2) is the bigram layer's exact rational for P(w|v):
+#   P3(w|uv) = max(4*c(uvw) - 3, 0) / (4*c(uv))
+#            + (3 * N1+(uv,.) / (4*c(uv))) * P2(w|v)
+#   p3_num = max(4*c(uvw) - 3, 0) * d2 + 3 * N1+(uv,.) * n2
+#   p3_den = 4 * c(uv) * d2
+# Every term is an integer, so the trained trigram model hash-checks
+# like the bigram one. Trigram context counts c(uv) are summed over
+# TRIGRAM continuations (the model's event space), not reused from the
+# bigram table — the standard formulation for the highest order.
+
+
+def ngram_lm_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the recursive interpolated Kneser-Ney TRIGRAM model and
+    emit rows for trigrams with count >= KN_MIN_COUNT: (w1, w2, w3,
+    count, exact p3_num/p3_den). The bigram layer inside the recursion
+    is the same model `ngram_lm_kneser_ney` exports — its (n2, d2)
+    rational is recomputed here for ALL bigrams (no min-count gate:
+    backoff needs every continuation). Word-keyed shuffles with partial
+    aggregation throughout; the two scalars (bigram/trigram distinct
+    totals) broadcast."""
+    from pyspark.sql.window import Window
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("w2", F.lead("tok", 1).over(w))
+        .withColumn("w3", F.lead("tok", 2).over(w))
+        .withColumnRenamed("tok", "w1")
+    )
+    bigrams = grams.where(F.col("w2").isNotNull()).select("w1", "w2")
+    trigrams = (
+        grams.where(F.col("w3").isNotNull()).select("w1", "w2", "w3")
+    )
+    # bigram KN layer (ungated): P2(w|v) = n2/d2 keyed by (v, w)
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx2 = bc.groupBy("w1").agg(
+        F.sum("c2").alias("cctx2"), F.count("*").alias("n1s2")
+    )
+    pred2 = bc.groupBy("w2").agg(F.count("*").alias("n1p2"))
+    btot = bc.agg(F.count("*").alias("btot"))
+    p2 = (
+        bc.join(ctx2, "w1")
+        .join(pred2, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.col("w1").alias("v"),
+            F.col("w2").alias("w"),
+            (
+                F.greatest(4 * F.col("c2") - 3, F.lit(0)) * F.col("btot")
+                + 3 * F.col("n1s2") * F.col("n1p2")
+            ).alias("n2"),
+            (4 * F.col("cctx2") * F.col("btot")).alias("d2"),
+        )
+    )
+    tc = trigrams.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    ctx3 = tc.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("cctx3"), F.count("*").alias("n1s3")
+    )
+    model = (
+        tc.join(ctx3, ["w1", "w2"])
+        .join(
+            p2,
+            (F.col("w2") == F.col("v")) & (F.col("w3") == F.col("w")),
+        )
+        .where(F.col("c3") >= KN_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c3").alias("trigram_count"),
+            (
+                F.greatest(4 * F.col("c3") - 3, F.lit(0)) * F.col("d2")
+                + 3 * F.col("n1s3") * F.col("n2")
+            ).alias("p3_num"),
+            (4 * F.col("cctx3") * F.col("d2")).alias("p3_den"),
+        )
+    )
+    return model
+
+
+KN_TRIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z]+'), x -> x <> '')) AS tok,
+                UNNEST(range(1, 1 + length(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> x <> '')))) AS pos
+       ) t
+), grams AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM toks
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM grams WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+), ctx2 AS (
+  SELECT w1, SUM(c2) AS cctx2, COUNT(*) AS n1s2 FROM bc GROUP BY w1
+), pred2 AS (
+  SELECT w2, COUNT(*) AS n1p2 FROM bc GROUP BY w2
+), btot AS (
+  SELECT COUNT(*) AS btot FROM bc
+), p2 AS (
+  SELECT bc.w1 AS v, bc.w2 AS w,
+         GREATEST(4 * c2 - 3, 0) * btot + 3 * n1s2 * n1p2 AS n2,
+         4 * cctx2 * btot AS d2
+  FROM bc JOIN ctx2 USING (w1) JOIN pred2 USING (w2) CROSS JOIN btot
+), tc AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams WHERE w3 IS NOT NULL
+  GROUP BY w1, w2, w3
+), ctx3 AS (
+  SELECT w1, w2, SUM(c3) AS cctx3, COUNT(*) AS n1s3 FROM tc
+  GROUP BY w1, w2
+)
+SELECT tc.w1, tc.w2, tc.w3,
+       CAST(c3 AS BIGINT) AS trigram_count,
+       CAST(GREATEST(4 * c3 - 3, 0) * d2 + 3 * n1s3 * n2 AS BIGINT)
+         AS p3_num,
+       CAST(4 * cctx3 * d2 AS BIGINT) AS p3_den
+FROM tc
+JOIN ctx3 USING (w1, w2)
+JOIN p2 ON p2.v = tc.w2 AND p2.w = tc.w3
+WHERE c3 >= {KN_MIN_COUNT}
+"""
