@@ -203,6 +203,9 @@ _R7_WINDOW = [
     # and the corpus->LM step (exact-rational Kneser-Ney bigram model)
     # and the hierarchical-JPEG rung (Annex J: DHP/SOF3/EXP/SOF7)
     # and the lossy-audio rung (IMA ADPCM, 8-step unrolled SQL replay)
+    # and the storage-format rung (Parquet RLE-hybrid + delta-binary-
+    # packed, encoded byte lengths replayed in SQL)
+    "columnar_encoding_stats",
     "audio_adpcm_stats",
     "jpeg_hier_decode_stats",
     "ngram_lm_kneser_ney",
@@ -534,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
         "jpeg_hier_decode_stats": multimodal.jpeg_hier_decode_stats,
         "audio_adpcm_stats": multimodal.audio_adpcm_stats,
+        "columnar_encoding_stats": multimodal.columnar_encoding_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
         "tar_shard_ingest": tarfiles.tar_shard_ingest,
@@ -1150,6 +1154,7 @@ GROUP BY word
         "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
         "jpeg_hier_decode_stats": multimodal.JPEG_HIER_DECODE_SQL,
         "audio_adpcm_stats": multimodal.AUDIO_ADPCM_SQL,
+        "columnar_encoding_stats": multimodal.COLUMNAR_ENCODING_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,
         "stream_warc_ingest": warcfiles.STREAM_WARC_SQL,

@@ -3655,3 +3655,195 @@ GROUP BY doc_id
 
 
 AUDIO_ADPCM_SQL = _ima_sql()
+
+
+# --- Parquet encoding layer (round 7) ---------------------------------------
+# The engine's own storage-format encodings, from the public spec,
+# surfaced as a verifiable rung. Value formula mixes phases so both
+# section kinds carry traffic: 32-value constant runs (RLE sections)
+# alternating with within-group variation (bit-packed sections), plus
+# a partial tail group on most docs (final zero-padding path).
+PQ_BW = lambda d: 4 + d % 8  # noqa: E731
+PQ_NG = lambda d: 20 + d % 11  # full groups of 8  # noqa: E731
+PQ_TAIL = lambda d: d % 8  # extra tail values  # noqa: E731
+
+
+def _pq_value(d: int, t: int, bw: int) -> int:
+    phase = (t // 32) % 2
+    return (d * 13 + (((t // 8) % 7) + (t % 8)) * phase) % (1 << bw)
+
+
+def columnar_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL storage-format encode/decode over formula int columns: per
+    document the Parquet RLE/bit-packing hybrid (8-aligned policy) and
+    DELTA_BINARY_PACKED streams are written from scratch, decoded back
+    (roundtrip asserted in-kernel), and their exact byte lengths
+    emitted. The oracle re-derives BOTH lengths in SQL — the hybrid's
+    via gaps-and-islands over 8-value groups (RLE islands, capped
+    bit-packed sections, tail merge), the delta's via per-miniblock
+    max bit widths — so a header, packing or section-policy bug flips
+    the hash. Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.parquet_enc import (
+        delta_binary_packed_decode,
+        delta_binary_packed_encode,
+        rle_hybrid_decode,
+        rle_hybrid_encode,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_values": [], "bit_width": [],
+                "hybrid_bytes": [], "delta_bytes": [], "value_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw = PQ_BW(d)
+                n = 8 * PQ_NG(d) + PQ_TAIL(d)
+                vals = [_pq_value(d, t, bw) for t in range(n)]
+                hyb = rle_hybrid_encode(vals, bw)
+                if rle_hybrid_decode(hyb, bw, n) != vals:
+                    raise ValueError(f"hybrid roundtrip broke on doc {d}")
+                dl = delta_binary_packed_encode(vals)
+                if delta_binary_packed_decode(dl) != vals:
+                    raise ValueError(f"delta roundtrip broke on doc {d}")
+                rows["doc_id"].append(d)
+                rows["n_values"].append(n)
+                rows["bit_width"].append(bw)
+                rows["hybrid_bytes"].append(len(hyb))
+                rows["delta_bytes"].append(len(dl))
+                rows["value_sum"].append(sum(vals))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_values long, bit_width long,"
+            " hybrid_bytes long, delta_bytes long, value_sum long"
+        ),
+    )
+
+
+# SQL replay: uleb(x) lengths inlined as CASE (all quantities < 2^21
+# here); bit lengths via length(bin(v)) (no leading zeros for v > 0).
+COLUMNAR_ENCODING_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 8 AS bw,
+         8 * (20 + doc_id % 11) + doc_id % 8 AS n,
+         20 + doc_id % 11 AS ng
+  FROM documents
+), vals AS (
+  SELECT doc_id, bw, n, ng, t.t,
+         (doc_id * 13 + (((t.t // 8) % 7) + (t.t % 8))
+          * ((t.t // 32) % 2)) % (1 << bw) AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(0, n)) AS t) t
+), grp AS (  -- full 8-groups only; the tail is handled separately
+  SELECT doc_id, bw, ng, t // 8 AS g,
+         CASE WHEN MIN(v) = MAX(v) THEN 1 ELSE 0 END AS uni,
+         MIN(v) AS gv
+  FROM vals WHERE t // 8 < ng
+  GROUP BY doc_id, bw, ng, t // 8
+), isl AS (  -- islands of consecutive groups with same (uni, value)
+  SELECT doc_id, bw, ng, g, uni, gv,
+         g - ROW_NUMBER() OVER (
+           PARTITION BY doc_id, uni, gv ORDER BY g) AS island
+  FROM grp
+), rle_secs AS (  -- one RLE section per uniform island: uleb((8k)<<1)+vbytes
+  SELECT doc_id, COUNT(*) AS k,
+         (CASE WHEN 16 * COUNT(*) < 128 THEN 1 ELSE 2 END)
+         + (bw + 7) // 8 AS bytes
+  FROM isl WHERE uni = 1
+  GROUP BY doc_id, bw, gv, island
+), bp_isl AS (  -- islands of consecutive NON-uniform groups
+  SELECT doc_id, bw, ng, g,
+         g - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g) AS island
+  FROM grp WHERE uni = 0
+), bp_secs AS (
+  SELECT doc_id, bw, island, COUNT(*) AS m, MAX(g) AS last_g, ANY_VALUE(ng) AS ng
+  FROM bp_isl
+  GROUP BY doc_id, bw, island
+), tailinfo AS (
+  SELECT d.doc_id, d.bw, d.ng, d.n - 8 * d.ng AS tail_n,
+         COALESCE((SELECT uni FROM grp
+                   WHERE grp.doc_id = d.doc_id AND grp.g = d.ng - 1), 1)
+           AS last_uni
+  FROM dims d
+), bp_bytes AS (
+  -- each bit-packed island: ceil(m/63) headers + m*bw bytes; the tail
+  -- group joins the LAST island iff it is adjacent (last group
+  -- non-uniform), else forms its own 1-group section
+  SELECT t.doc_id,
+         COALESCE(SUM(
+           CASE WHEN t.tail_n > 0 AND t.last_uni = 0 AND s.last_g = t.ng - 1
+                THEN ((s.m + 1 + 62) // 63) + (s.m + 1) * t.bw
+                ELSE ((s.m + 62) // 63) + s.m * t.bw
+           END), 0)
+         + CASE WHEN t.tail_n > 0 AND t.last_uni = 1
+                THEN 1 + t.bw ELSE 0 END AS bytes
+  FROM tailinfo t LEFT JOIN bp_secs s USING (doc_id)
+  GROUP BY t.doc_id, t.tail_n, t.last_uni, t.ng, t.bw
+), hybrid AS (
+  SELECT d.doc_id,
+         COALESCE((SELECT SUM(bytes) FROM rle_secs r
+                   WHERE r.doc_id = d.doc_id), 0)
+         + COALESCE((SELECT bytes FROM bp_bytes b
+                     WHERE b.doc_id = d.doc_id), 0) AS hybrid_bytes
+  FROM dims d
+), deltas AS (
+  SELECT doc_id, bw, n, t,
+         v - LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS dlt
+  FROM vals
+), blocks AS (
+  SELECT doc_id, (t - 1) // 128 AS blk, MIN(dlt) AS mind,
+         COUNT(*) AS in_block
+  FROM deltas WHERE t > 0
+  GROUP BY doc_id, (t - 1) // 128
+), mini AS (
+  SELECT d.doc_id, (d.t - 1) // 128 AS blk, ((d.t - 1) % 128) // 32 AS mb,
+         MAX(CASE WHEN d.dlt - b.mind = 0 THEN 0
+                  ELSE length(bin(d.dlt - b.mind)) END) AS mbw
+  FROM deltas d JOIN blocks b
+    ON b.doc_id = d.doc_id AND b.blk = (d.t - 1) // 128
+  WHERE d.t > 0
+  GROUP BY d.doc_id, (d.t - 1) // 128, ((d.t - 1) % 128) // 32
+), blockbytes AS (
+  SELECT b.doc_id, b.blk,
+         -- zigzag(mind) uleb length (|mind| < 2^20 here)
+         (CASE WHEN (CASE WHEN b.mind >= 0 THEN 2 * b.mind
+                          ELSE -2 * b.mind - 1 END) < 128 THEN 1
+               WHEN (CASE WHEN b.mind >= 0 THEN 2 * b.mind
+                          ELSE -2 * b.mind - 1 END) < 16384 THEN 2
+               ELSE 3 END)
+         + 4  -- one width byte per miniblock
+         + (SELECT COALESCE(SUM(4 * m.mbw), 0) FROM mini m
+            WHERE m.doc_id = b.doc_id AND m.blk = b.blk
+              AND m.mb < (b.in_block + 31) // 32) AS bytes
+  FROM blocks b
+), delta_len AS (
+  SELECT d.doc_id,
+         3  -- uleb(128) is two bytes + uleb(4) is one
+         + (CASE WHEN d.n < 128 THEN 1 WHEN d.n < 16384 THEN 2
+                 ELSE 3 END)
+         + (CASE WHEN 2 * (SELECT v FROM vals vv
+                           WHERE vv.doc_id = d.doc_id AND vv.t = 0) < 128
+                 THEN 1
+                 WHEN 2 * (SELECT v FROM vals vv
+                           WHERE vv.doc_id = d.doc_id AND vv.t = 0) < 16384
+                 THEN 2 ELSE 3 END)
+         + COALESCE((SELECT SUM(bytes) FROM blockbytes bb
+                     WHERE bb.doc_id = d.doc_id), 0) AS delta_bytes
+  FROM dims d
+)
+SELECT v.doc_id,
+       CAST(ANY_VALUE(v.n) AS BIGINT) AS n_values,
+       CAST(ANY_VALUE(v.bw) AS BIGINT) AS bit_width,
+       CAST(ANY_VALUE(h.hybrid_bytes) AS BIGINT) AS hybrid_bytes,
+       CAST(ANY_VALUE(dl.delta_bytes) AS BIGINT) AS delta_bytes,
+       CAST(SUM(v.v) AS BIGINT) AS value_sum
+FROM vals v
+JOIN hybrid h ON h.doc_id = v.doc_id
+JOIN delta_len dl ON dl.doc_id = v.doc_id
+GROUP BY v.doc_id
+"""
