@@ -205,6 +205,8 @@ _R7_WINDOW = [
     # and the lossy-audio rung (IMA ADPCM, 8-step unrolled SQL replay)
     # and the storage-format rung (Parquet RLE-hybrid + delta-binary-
     # packed, encoded byte lengths replayed in SQL)
+    # and the Heaps-law vocabulary growth curve (scalable offsets form)
+    "vocab_growth_stats",
     "columnar_encoding_stats",
     "audio_adpcm_stats",
     "jpeg_hier_decode_stats",
@@ -640,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bwt_transform_stats": textstats.bwt_transform_stats,
         "ngram_lm_kneser_ney": textstats.ngram_lm_kneser_ney,
         "ngram_lm_kn_trigram": textstats.ngram_lm_kn_trigram,
+        "vocab_growth_stats": textstats.vocab_growth_stats,
         # --- sketches / graph ---
         "hll_portable_distinct": sketches.hll_portable_distinct,
         "digit_bucket_quantiles": sketches.digit_bucket_quantiles,
@@ -969,6 +972,7 @@ GROUP BY word
         "bwt_transform_stats": textstats.BWT_TRANSFORM_SQL,
         "ngram_lm_kneser_ney": textstats.KN_LM_SQL,
         "ngram_lm_kn_trigram": textstats.KN_TRIGRAM_SQL,
+        "vocab_growth_stats": textstats.VOCAB_GROWTH_SQL,
         "hll_distinct_merge": sketches.HLL_DISTINCT_MERGE_SQL,
         "kll_quantile_merge": sketches.KLL_QUANTILE_MERGE_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,

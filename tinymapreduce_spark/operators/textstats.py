@@ -2484,3 +2484,117 @@ JOIN ctx3 USING (w1, w2)
 JOIN p2 ON p2.v = tc.w2 AND p2.w = tc.w3
 WHERE c3 >= {KN_MIN_COUNT}
 """
+
+
+# --- Vocabulary growth curve (round 7) ---------------------------------------
+
+
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the corpus in (doc_id, pos)
+    order: per decile of the global token stream, the token count, the
+    number of FIRST-SEEN types, and the cumulative vocabulary. The
+    scalable formulation: global token indexes come from per-document
+    offsets (a one-row-per-doc cumulative sum, broadcastable) rather
+    than a global single-partition window; first occurrence is
+    min(global index) per type — one token-keyed shuffle with partial
+    aggregation. Decile boundaries use exact integer math
+    (floor(10 * (idx - 1) / N))."""
+    from pyspark.sql.window import Window
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_doc.select(
+        "doc_id",
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("offset"),
+    )
+    total = per_doc.agg(F.sum("n_toks").alias("n_total"))
+    indexed = (
+        toks.join(F.broadcast(offsets), "doc_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            (F.col("offset") + F.col("pos") + 1).alias("idx"),
+            "n_total",
+        )
+    )
+    # integral division on both engines (Spark `div`, DuckDB `//`):
+    # float division + cast would truncate here but ROUND in DuckDB
+    deciled = indexed.withColumn(
+        "decile", F.expr("(10 * (idx - 1)) div n_total")
+    )
+    token_counts = deciled.groupBy("decile").agg(
+        F.count("*").alias("token_count")
+    )
+    firsts = (
+        deciled.groupBy("tok")
+        .agg(F.min("decile").alias("first_decile"))
+        .groupBy("first_decile")
+        .agg(F.count("*").alias("new_types"))
+        .withColumnRenamed("first_decile", "decile")
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        token_counts.join(firsts, "decile", "left")
+        .na.fill(0, ["new_types"])
+        .select(
+            "decile",
+            "token_count",
+            "new_types",
+            F.sum("new_types").over(wd).alias("vocab_cum"),
+        )
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z]+'), x -> x <> '')) AS tok,
+                UNNEST(range(0, length(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> x <> '')))) AS pos
+       ) t
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+), offsets AS (
+  SELECT doc_id,
+         COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM per_doc
+), total AS (
+  SELECT SUM(n_toks) AS n_total FROM per_doc
+), indexed AS (
+  SELECT t.tok, o.off + t.pos + 1 AS idx, n_total,
+         CAST((10 * (o.off + t.pos)) // n_total AS BIGINT) AS decile
+  FROM toks t JOIN offsets o USING (doc_id) CROSS JOIN total
+), token_counts AS (
+  SELECT decile, COUNT(*) AS token_count FROM indexed GROUP BY decile
+), firsts AS (
+  SELECT first_decile AS decile, COUNT(*) AS new_types
+  FROM (SELECT tok, MIN(decile) AS first_decile FROM indexed GROUP BY tok)
+  GROUP BY first_decile
+)
+SELECT tc.decile,
+       CAST(tc.token_count AS BIGINT) AS token_count,
+       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY tc.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM token_counts tc LEFT JOIN firsts f USING (decile)
+"""

@@ -106,6 +106,29 @@ PROBES = [
     "zip_shard_ingest",
     "avro_ingest_stats",
     "tiff_decode_stats",
+    # round-7: the codec-boundary rungs are all row-local Arrow kernel
+    # work (should track row count): TIFF-LZW, the four new JPEG
+    # processes, sub-byte/16-bit PNG, the 4:2:0 AVI, snappy Avro,
+    # ADPCM and the Parquet encodings. BWT is row-local but O(len^2
+    # log len) per doc in rotation sorting — constant per doc, rows
+    # scale it linearly. The KN models are word-keyed shuffles with
+    # partial aggregation: the x16 corpus multiplies counts, not
+    # distinct grams, so the model tables should grow SUB-linearly
+    # while the scan cost tracks input.
+    "tiff_lzw_decode_stats",
+    "jpeg12_decode_stats",
+    "jpeg_arith_decode_stats",
+    "jpeg_lossless_decode_stats",
+    "jpeg_hier_decode_stats",
+    "png16_decode_stats",
+    "png_subbyte_decode_stats",
+    "video420_decode_stats",
+    "avro_snappy_ingest",
+    "audio_adpcm_stats",
+    "columnar_encoding_stats",
+    "bwt_transform_stats",
+    "ngram_lm_kneser_ney",
+    "ngram_lm_kn_trigram",
 ]
 # The REGISTERED winnow pair join applies the stop-fingerprint filter
 # by default since round 4 (fingerprints shared by > WINNOW_HOT_FP_CAP
