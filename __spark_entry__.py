@@ -206,6 +206,8 @@ _R7_WINDOW = [
     # and the storage-format rung (Parquet RLE-hybrid + delta-binary-
     # packed, encoded byte lengths replayed in SQL)
     # and the Heaps-law vocabulary growth curve (scalable offsets form)
+    # and the corpus Merkle root (distributed tree reduction)
+    "corpus_merkle_root",
     "vocab_growth_stats",
     "columnar_encoding_stats",
     "audio_adpcm_stats",
@@ -643,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_kneser_ney": textstats.ngram_lm_kneser_ney,
         "ngram_lm_kn_trigram": textstats.ngram_lm_kn_trigram,
         "vocab_growth_stats": textstats.vocab_growth_stats,
+        "corpus_merkle_root": curation.corpus_merkle_root,
         # --- sketches / graph ---
         "hll_portable_distinct": sketches.hll_portable_distinct,
         "digit_bucket_quantiles": sketches.digit_bucket_quantiles,
@@ -973,6 +976,7 @@ GROUP BY word
         "ngram_lm_kneser_ney": textstats.KN_LM_SQL,
         "ngram_lm_kn_trigram": textstats.KN_TRIGRAM_SQL,
         "vocab_growth_stats": textstats.VOCAB_GROWTH_SQL,
+        "corpus_merkle_root": curation.CORPUS_MERKLE_SQL,
         "hll_distinct_merge": sketches.HLL_DISTINCT_MERGE_SQL,
         "kll_quantile_merge": sketches.KLL_QUANTILE_MERGE_SQL,
         "manifest_skipping_scan": manifest_sink.MANIFEST_SKIP_SQL,

@@ -244,6 +244,27 @@ HEADLINE = [
     "url_host_stats",
     "html_extract_stats",
     "approx_aggregates",
+    # round 7: the former rows-only tier (now oracle-backed audit
+    # forms), the codec-boundary rungs, the LM/corpus-stats tier and
+    # the storage-format rung
+    "compressibility",
+    "hll_distinct_merge",
+    "kll_quantile_merge",
+    "avro_snappy_ingest",
+    "png16_decode_stats",
+    "video420_decode_stats",
+    "tiff_lzw_decode_stats",
+    "jpeg_lossless_decode_stats",
+    "png_subbyte_decode_stats",
+    "jpeg12_decode_stats",
+    "jpeg_arith_decode_stats",
+    "jpeg_hier_decode_stats",
+    "bwt_transform_stats",
+    "audio_adpcm_stats",
+    "columnar_encoding_stats",
+    "ngram_lm_kneser_ney",
+    "ngram_lm_kn_trigram",
+    "vocab_growth_stats",
 ]
 
 

@@ -180,3 +180,38 @@ def test_kn_trigram_sql_matches_independent_recompute(duck):
     got = {(r.w1, r.w2, r.w3): (r.trigram_count, r.p3_num, r.p3_den)
            for r in df.itertuples()}
     assert got == want
+
+
+def test_corpus_merkle_sql_matches_independent_fold(duck):
+    """The 16-level unrolled Merkle oracle must agree with a direct
+    Python fold (pairwise md5, unpaired promoted unchanged), and the
+    extra levels past the root must be no-ops."""
+    import hashlib
+    import math
+
+    from tinymapreduce_spark.operators.curation import CORPUS_MERKLE_SQL
+
+    df = duck.execute(CORPUS_MERKLE_SQL).df()
+    rows = duck.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    level = [
+        hashlib.md5(
+            f"{d}:{hashlib.md5(t.encode()).hexdigest()}".encode()
+        ).hexdigest()
+        for d, t in rows
+    ]
+    h = 0
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level), 2):
+            if i + 1 < len(level):
+                nxt.append(hashlib.md5(
+                    (level[i] + level[i + 1]).encode()).hexdigest())
+            else:
+                nxt.append(level[i])
+        level = nxt
+        h += 1
+    assert df.iloc[0]["root_md5"] == level[0]
+    assert int(df.iloc[0]["n_leaves"]) == len(rows)
+    assert int(df.iloc[0]["height"]) == h == math.ceil(math.log2(len(rows)))

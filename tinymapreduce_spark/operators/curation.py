@@ -956,3 +956,101 @@ FROM documents d LEFT JOIN scores s USING (doc_id)
 
 
 DSIR_SQL = _dsir_sql()
+
+
+# --- Corpus Merkle root (round 7) --------------------------------------------
+# Content-addressable integrity for the whole corpus: leaves are
+# md5(doc_id || ':' || md5(text)) ordered by doc_id, interior nodes
+# md5(left_hex || right_hex), an unpaired node promoted UNCHANGED
+# (so extra folding levels are no-ops once the root is reached — the
+# SQL oracle unrolls a fixed 16 levels, valid to 65536 leaves, while
+# the Spark side loops until one row remains). The classic distributed
+# tree reduction: each level is one shuffle on pos//2 halving the
+# data; at 100 TB (2^40 docs) that is 40 halving shuffles — or fewer
+# with a wider fan-in, the same plan shape.
+MERKLE_LEVELS = 16
+
+
+def corpus_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the corpus into one Merkle root. Returns a single row
+    (n_leaves, height, root_md5). Leaf positions come from a doc-level
+    rank (serial over #docs rows only — the two-level prefix-sum note
+    in vocab_growth_stats applies here too)."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    level = docs.select(
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.md5(F.col("text")))
+        ).alias("h"),
+    )
+    n_leaves = level.count()
+    height = 0
+    n = n_leaves
+    while n > 1:
+        level = (
+            level.groupBy((F.col("pos") / 2).cast("long").alias("pos"))
+            .agg(
+                F.when(
+                    F.count("*") == 2,
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.array_join(
+                                F.transform(
+                                    F.array_sort(
+                                        F.collect_list(
+                                            F.struct(
+                                                F.col("pos").alias("p"),
+                                                F.col("h").alias("h"),
+                                            )
+                                        )
+                                    ),
+                                    lambda s: s["h"],
+                                ),
+                                "",
+                            ),
+                        )
+                    ),
+                )
+                .otherwise(F.min("h"))
+                .alias("h")
+            )
+        )
+        height += 1
+        n = (n + 1) // 2
+    root = level.select(F.col("h").alias("root_md5"))
+    return root.select(
+        F.lit(n_leaves).alias("n_leaves"),
+        F.lit(height).alias("height"),
+        "root_md5",
+    )
+
+
+def _merkle_sql() -> str:
+    fold = []
+    prev = "l0"
+    for k in range(1, MERKLE_LEVELS + 1):
+        fold.append(f""",
+l{k} AS (
+  SELECT pos // 2 AS pos,
+         CASE WHEN COUNT(*) = 2
+              THEN md5(string_agg(h, '' ORDER BY pos))
+              ELSE MIN(h) END AS h
+  FROM {prev} GROUP BY pos // 2
+)""")
+        prev = f"l{k}"
+    return f"""
+WITH l0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos,
+         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+  FROM documents
+){"".join(fold)}
+SELECT (SELECT COUNT(*) FROM l0) AS n_leaves,
+       CAST(CEIL(LOG2((SELECT COUNT(*) FROM l0))) AS BIGINT) AS height,
+       h AS root_md5
+FROM {prev}
+"""
+
+
+CORPUS_MERKLE_SQL = _merkle_sql()

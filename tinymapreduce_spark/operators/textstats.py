@@ -2498,7 +2498,12 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a global single-partition window; first occurrence is
     min(global index) per type — one token-keyed shuffle with partial
     aggregation. Decile boundaries use exact integer math
-    (floor(10 * (idx - 1) / N))."""
+    (floor(10 * (idx - 1) / N)).
+
+    Scale note: the offsets window is serial over #DOCS rows (not
+    tokens) — fine to ~10^8 docs; past that, replace it with the
+    standard two-level prefix sum (per-partition subtotals, then a
+    driver-side scan over #partitions)."""
     from pyspark.sql.window import Window
 
     docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
