@@ -245,9 +245,8 @@ HEADLINE = [
     "html_extract_stats",
     "approx_aggregates",
     # round 7: the former rows-only tier (now oracle-backed audit
-    # forms), the codec-boundary rungs, the LM/corpus-stats tier and
-    # the storage-format rung
-    "compressibility",
+    # forms; compressibility was already benched above), the codec-
+    # boundary rungs, the LM/corpus-stats tier, the storage-format rung
     "hll_distinct_merge",
     "kll_quantile_merge",
     "avro_snappy_ingest",

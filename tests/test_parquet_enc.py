@@ -99,3 +99,75 @@ def test_delta_truncation_raises():
     enc = delta_binary_packed_encode([v * v for v in vals])
     with pytest.raises(ValueError):
         delta_binary_packed_decode(enc[:-3])
+
+
+class TestLZ4:
+    """LZ4 raw block format (Parquet's LZ4_RAW page codec)."""
+
+    def test_roundtrips(self):
+        from tinymapreduce_spark.functions.parquet_enc import (
+            lz4_compress, lz4_decompress)
+
+        rnd = random.Random(6)
+        cases = [b"", b"a", b"abcd" * 5000, bytes(range(256)) * 10,
+                 b"x" * 100000, bytes(range(13))]
+        for _ in range(60):
+            n = rnd.randrange(0, 20000)
+            alpha = bytes(rnd.randrange(256)
+                          for _ in range(rnd.randrange(2, 30)))
+            cases.append(bytes(rnd.choice(alpha) for _ in range(n)))
+        for data in cases:
+            assert lz4_decompress(lz4_compress(data), len(data)) == data
+
+    def test_end_of_block_rules(self):
+        """The last sequence is literals-only and matches never cover
+        the final 5 bytes — walk the emitted tokens to verify."""
+        from tinymapreduce_spark.functions.parquet_enc import lz4_compress
+
+        data = b"abcdabcdabcdabcdabcdXYZVW"
+        blob = lz4_compress(data)
+        pos, n = 0, len(blob)
+        last_had_match = True
+        while pos < n:
+            token = blob[pos]
+            pos += 1
+            lit = token >> 4
+            if lit == 15:
+                while blob[pos] == 255:
+                    lit += 255
+                    pos += 1
+                lit += blob[pos]
+                pos += 1
+            pos += lit
+            if pos >= n:
+                last_had_match = False
+                break
+            pos += 2  # offset
+            ml = token & 0xF
+            if ml == 15:
+                while blob[pos] == 255:
+                    pos += 1
+                pos += 1
+        assert not last_had_match
+
+    def test_overlapping_copy_rle(self):
+        """offset < match length is the RLE idiom — decode must copy
+        byte-by-byte, not memmove."""
+        from tinymapreduce_spark.functions.parquet_enc import (
+            lz4_compress, lz4_decompress)
+
+        data = b"Q" * 5000
+        blob = lz4_compress(data)
+        assert len(blob) < 40
+        assert lz4_decompress(blob, 5000) == data
+
+    def test_defects_raise(self):
+        from tinymapreduce_spark.functions.parquet_enc import (
+            lz4_compress, lz4_decompress)
+
+        blob = lz4_compress(b"hello world, hello world, hello world!!")
+        with pytest.raises(ValueError):
+            lz4_decompress(blob[:-2], 40)
+        with pytest.raises(ValueError, match="offset"):
+            # token with a match at offset 0
+            lz4_decompress(b"\x01A\x00\x00", 10)

@@ -247,3 +247,114 @@ def delta_binary_packed_decode(data: bytes) -> list[int]:
             out.append(out[-1] + mind + d)
         remaining -= in_block
     return out
+
+
+# --- LZ4 raw block format (round 7) -----------------------------------------
+# Parquet's LZ4_RAW codec (the lz4 block format, public spec at
+# lz4.github.io/lz4/lz4_Block_format.html): sequences of
+# [token][literals][offset][match], token = (lit_len:4 | match_len:4)
+# with 255-saturated length extension bytes, 16-bit little-endian
+# offsets, minimum match 4, and the end-of-block rules (last sequence
+# is literals-only; the final 5 bytes are always literals; the last
+# match must start at least 12 bytes before the end).
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """Greedy hash-table LZ4 block compressor honoring the spec's
+    end-of-block margins."""
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        return b"\x00"  # one empty-literals token
+
+    def emit_sequence(lit: bytes, match_len: int, offset: int) -> None:
+        nonlocal out
+        ml = match_len - 4 if match_len else 0
+        tok_lit = min(len(lit), 15)
+        tok_ml = min(ml, 15) if match_len else 0
+        out.append((tok_lit << 4) | tok_ml)
+        rest = len(lit) - 15
+        while rest >= 0:
+            out.append(min(rest, 255))
+            if rest < 255:
+                break
+            rest -= 255
+        out += lit
+        if match_len:
+            out += offset.to_bytes(2, "little")
+            rest = ml - 15
+            while rest >= 0:
+                out.append(min(rest, 255))
+                if rest < 255:
+                    break
+                rest -= 255
+
+    heads: dict[bytes, int] = {}
+    i = lit_start = 0
+    # matches may not cover the final 12 bytes (spec end-of-block rule)
+    limit = n - 12
+    while i < limit:
+        key = data[i : i + 4]
+        j = heads.get(key)
+        heads[key] = i
+        if j is not None and i - j <= 0xFFFF and data[j : j + 4] == key:
+            ln = 4
+            # matches must leave the last 5 bytes as literals
+            maxl = n - 5 - i
+            while ln < maxl and data[j + ln] == data[i + ln]:
+                ln += 1
+            if ln >= 4:
+                emit_sequence(data[lit_start:i], ln, i - j)
+                i += ln
+                lit_start = i
+                continue
+        i += 1
+    emit_sequence(data[lit_start:], 0, 0)  # final literals-only sequence
+    return bytes(out)
+
+
+def lz4_decompress(data: bytes, expected: int) -> bytes:
+    """Full block decoder: token walk, length extensions, overlapping
+    copies; defects raise ValueError naming them."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("LZ4 literal length truncated")
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("LZ4 literals overrun block")
+        out += data[pos : pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # last sequence: literals only
+        offset = int.from_bytes(data[pos : pos + 2], "little")
+        pos += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError(f"LZ4 offset {offset} out of window")
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("LZ4 match length truncated")
+                b = data[pos]
+                pos += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - offset
+        for k in range(ml):  # overlapping copies are the RLE idiom
+            out.append(out[start + k])
+    if len(out) != expected:
+        raise ValueError(f"LZ4 block decoded {len(out)} != {expected}")
+    return bytes(out)

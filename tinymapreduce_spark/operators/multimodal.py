@@ -3686,6 +3686,8 @@ def columnar_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.functions.parquet_enc import (
         delta_binary_packed_decode,
         delta_binary_packed_encode,
+        lz4_compress,
+        lz4_decompress,
         rle_hybrid_decode,
         rle_hybrid_encode,
     )
@@ -3697,6 +3699,7 @@ def columnar_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows: dict[str, list] = {
                 "doc_id": [], "n_values": [], "bit_width": [],
                 "hybrid_bytes": [], "delta_bytes": [], "value_sum": [],
+                "lz4_ok": [],
             }
             for d in pdf["doc_id"]:
                 d = int(d)
@@ -3709,19 +3712,28 @@ def columnar_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dl = delta_binary_packed_encode(vals)
                 if delta_binary_packed_decode(dl) != vals:
                     raise ValueError(f"delta roundtrip broke on doc {d}")
+                # LZ4_RAW leg (the page-compression layer OVER the
+                # encoding layer, as Parquet stacks them): roundtrip
+                # both streams through the from-scratch block codec
+                for stream in (hyb, dl):
+                    if lz4_decompress(lz4_compress(stream),
+                                      len(stream)) != stream:
+                        raise ValueError(f"lz4 roundtrip broke on doc {d}")
                 rows["doc_id"].append(d)
                 rows["n_values"].append(n)
                 rows["bit_width"].append(bw)
                 rows["hybrid_bytes"].append(len(hyb))
                 rows["delta_bytes"].append(len(dl))
                 rows["value_sum"].append(sum(vals))
+                rows["lz4_ok"].append(True)
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         kernel,
         schema=(
             "doc_id long, n_values long, bit_width long,"
-            " hybrid_bytes long, delta_bytes long, value_sum long"
+            " hybrid_bytes long, delta_bytes long, value_sum long,"
+            " lz4_ok boolean"
         ),
     )
 
@@ -3841,7 +3853,8 @@ SELECT v.doc_id,
        CAST(ANY_VALUE(v.bw) AS BIGINT) AS bit_width,
        CAST(ANY_VALUE(h.hybrid_bytes) AS BIGINT) AS hybrid_bytes,
        CAST(ANY_VALUE(dl.delta_bytes) AS BIGINT) AS delta_bytes,
-       CAST(SUM(v.v) AS BIGINT) AS value_sum
+       CAST(SUM(v.v) AS BIGINT) AS value_sum,
+       TRUE AS lz4_ok
 FROM vals v
 JOIN hybrid h ON h.doc_id = v.doc_id
 JOIN delta_len dl ON dl.doc_id = v.doc_id
