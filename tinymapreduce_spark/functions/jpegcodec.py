@@ -1431,3 +1431,232 @@ def decode_jpeg_hier_lossless(payload: bytes):
             return w, h, out_px
         pos += seglen
     raise ValueError("no differential scan found")
+
+
+# --- Hierarchical DCT: SOF5 differential sequential (Annex J) ---------------
+# The DCT branch of hierarchical mode: a non-differential SOF0
+# reference frame at half resolution, EXP expansion, then a SOF5
+# DIFFERENTIAL sequential frame whose blocks code the residual. Two
+# differential-frame rules from the spec: DC coefficients are coded
+# WITHOUT prediction (PRED = 0 in differential frames), and there is
+# no level shift — the differential IDCT output is signed. This
+# two-level pyramid's differential frame IS the final output stage, so
+# reconstruction clamps ref_expanded + residual to [0, 2^P - 1]; the
+# residual itself is carried unclamped (exact integer IDCT), which the
+# oracle replays verbatim.
+
+
+def idct_block_signed(coef: list[list[int]]) -> list[list[int]]:
+    """Integer IDCT without level shift or clamping — the differential
+    frame's residual transform."""
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            s = 0
+            for v in range(8):
+                tv = IDCT_T[v][y]
+                crow = coef[v]
+                for u in range(8):
+                    c = crow[u]
+                    if c:
+                        s += c * IDCT_T[u][x] * tv
+            row.append((s + IDCT_ROUND) >> IDCT_OUT_SHIFT)
+        out.append(row)
+    return out
+
+
+def _write_dct_scan_nopred(out: bytearray, qblocks, dc_pred: bool) -> None:
+    """DHT + SOS + entropy body for one single-component sequential
+    scan; ``dc_pred=False`` codes each block's DC directly (the
+    differential-frame rule)."""
+    zz_blocks = [[blk[r][c] for (r, c) in ZIGZAG] for blk in qblocks]
+    streams = []
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    pred = 0
+    for zz in zz_blocks:
+        diff = zz[0] - pred
+        if dc_pred:
+            pred = zz[0]
+        stream = list(_block_symbols(zz, diff))
+        for is_dc, sym, _, _ in stream:
+            (dc_syms if is_dc else ac_syms).add(sym)
+        streams.append(stream)
+    dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(dc_vals)) + b"\x00"
+    out += bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(ac_vals)) + b"\x10"
+    out += bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([0, 63, 0])
+    w = _BitWriter()
+    for stream in streams:
+        for is_dc, sym, extra, nbits in stream:
+            code, ln = (dc_codes if is_dc else ac_codes)[sym]
+            w.write(code, ln)
+            if nbits:
+                w.write(extra, nbits)
+    out += w.flush()
+
+
+def encode_jpeg_hier_dct(
+    width: int,
+    height: int,
+    qtable: list[int],
+    ref_blocks: list[list[list[int]]],
+    diff_blocks: list[list[list[int]]],
+) -> bytes:
+    """Two-level hierarchical DCT stream from QUANTIZED coefficients:
+    DHP, SOF0 reference frame at (ceil(w/2), ceil(h/2)), EXP(1,1),
+    SOF5 differential frame at full resolution (DC coded without
+    prediction). Both frames share quant table 0."""
+    rw, rh = (width + 1) // 2, (height + 1) // 2
+    if len(ref_blocks) != ((rw + 7) // 8) * ((rh + 7) // 8):
+        raise ValueError("reference block count mismatch")
+    if len(diff_blocks) != ((width + 7) // 8) * ((height + 7) // 8):
+        raise ValueError("differential block count mismatch")
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, rh, rw, 1)
+    out += bytes([1, 0x11, 0])
+    _write_dct_scan_nopred(out, ref_blocks, dc_pred=True)
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    _write_dct_scan_nopred(out, diff_blocks, dc_pred=False)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_dct_scan_nopred(payload, pos, bw, bh, huff, dc_pred: bool):
+    """Entropy-decode one single-component sequential scan into zigzag
+    block lists; returns (blocks_zz, next_pos)."""
+    reader = _BitReader(payload, pos)
+    dc_t, ac_t = huff[(0, 0)], huff[(1, 0)]
+    preds = [0]
+    blocks = []
+    for _ in range(bw * bh):
+        zz = [0] * 64
+        _seq_block(reader, zz, dc_t, ac_t, preds, 0)
+        if not dc_pred:
+            preds[0] = 0  # differential frames: PRED stays 0
+        blocks.append(zz)
+    return blocks, reader.pos
+
+
+def decode_jpeg_hier_dct(payload: bytes):
+    """Decode the DHP/SOF0/EXP/SOF5 pyramid -> (width, height, pixels):
+    reference rendered with the usual level shift + clamp, expanded
+    per J.1.1.2, residual added unclamped, final output clamped to
+    0..255."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    full = cur = None
+    qtable = None
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    ref_px = None
+    expand_pending = False
+    is_diff_frame = False
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before the differential scan")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDE:
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1 or precision != 8:
+                raise ValueError("hierarchical DCT: 8-bit single component only")
+            full = (w, h)
+        elif marker == 0xDB:
+            if body[0] != 0x00:
+                raise ValueError("expected 8-bit quant table 0")
+            qtable = [0] * 64
+            for k, (r, c) in enumerate(ZIGZAG):
+                qtable[r * 8 + c] = body[1 + k]
+        elif marker in (0xC0, 0xC5):
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise ValueError("multi-component hierarchical unsupported")
+            is_diff_frame = marker == 0xC5
+            if is_diff_frame and (full is None or (w, h) != full):
+                raise ValueError("SOF5 dims disagree with DHP")
+            cur = (w, h)
+            huff = {}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported frame type in hierarchical DCT stream")
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc_th = body[at]
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                huff[(tc_th >> 4, tc_th & 0xF)] = _HuffTable(
+                    bits, list(body[at + 17 : at + 17 + n])
+                )
+                at += 17 + n
+        elif marker == 0xDF:
+            if body[0] != 0x11:
+                raise ValueError("only Eh=Ev=1 expansion supported")
+            expand_pending = True
+        elif marker == 0xDA:
+            if cur is None or qtable is None:
+                raise ValueError("SOS before SOF/DQT")
+            w, h = cur
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            blocks, end = _decode_dct_scan_nopred(
+                payload, pos + seglen, bw, bh, huff, dc_pred=not is_diff_frame
+            )
+            if not is_diff_frame:
+                # render the reference: dequant + IDCT + shift/clamp
+                plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+                for bi, zz in enumerate(blocks):
+                    coef = [[0] * 8 for _ in range(8)]
+                    for k, (r, c) in enumerate(ZIGZAG):
+                        if zz[k]:
+                            coef[r][c] = zz[k] * qtable[r * 8 + c]
+                    px = idct_block(coef)
+                    by, bx = divmod(bi, bw)
+                    for y in range(8):
+                        for x in range(8):
+                            plane[by * 8 + y][bx * 8 + x] = px[y][x]
+                ref_px = [row[:w] for row in plane[:h]]
+                pos = end
+                while pos < len(payload) and payload[pos] != 0xFF:
+                    pos += 1
+                continue
+            if full is None or ref_px is None:
+                raise ValueError("differential scan before reference")
+            base = _exp_expand(ref_px, w, h) if expand_pending else ref_px
+            plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+            for bi, zz in enumerate(blocks):
+                coef = [[0] * 8 for _ in range(8)]
+                for k, (r, c) in enumerate(ZIGZAG):
+                    if zz[k]:
+                        coef[r][c] = zz[k] * qtable[r * 8 + c]
+                px = idct_block_signed(coef)
+                by, bx = divmod(bi, bw)
+                for y in range(8):
+                    for x in range(8):
+                        plane[by * 8 + y][bx * 8 + x] = px[y][x]
+            out_px = [
+                [
+                    min(255, max(0, base[y][x] + plane[y][x]))
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            return w, h, out_px
+        pos += seglen
+    raise ValueError("no differential scan found")

@@ -3860,3 +3860,196 @@ JOIN hybrid h ON h.doc_id = v.doc_id
 JOIN delta_len dl ON dl.doc_id = v.doc_id
 GROUP BY v.doc_id
 """
+
+
+# --- Hierarchical DCT (SOF5 differential) (round 7) -------------------------
+# DHP / SOF0 half-res reference / EXP / SOF5 differential residual.
+# Differential-frame rules live in the codec (DC without prediction,
+# signed residual IDCT); the oracle replays BOTH IDCTs, the 4-neighbor
+# EXP interpolation and the final clamp.
+JHD_W = lambda d: 18 + d % 9  # noqa: E731
+JHD_H = lambda d: 16 + (3 * d) % 9  # noqa: E731
+JHD_QT = [1 + (3 * i) % 7 for i in range(64)]
+JHD_REF_COEF = {
+    (0, 0): "(doc_id + 5 * b) % 32 - 16",
+    (0, 1): "(doc_id + 3 * b) % 15 - 7",
+    (1, 0): "(2 * doc_id + b) % 11 - 5",
+}
+JHD_DIFF_COEF = {
+    (0, 0): "(doc_id + 3 * b) % 9 - 4",
+    (0, 2): "(2 * doc_id + b) % 7 - 3",
+    (2, 1): "(doc_id * b) % 5 - 2",
+}
+
+
+def _jhd_blocks(d: int, w: int, h: int, kind: str):
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = []
+    for b in range(bw * bh):
+        blk = [[0] * 8 for _ in range(8)]
+        if kind == "ref":
+            blk[0][0] = (d + 5 * b) % 32 - 16
+            blk[0][1] = (d + 3 * b) % 15 - 7
+            blk[1][0] = (2 * d + b) % 11 - 5
+        else:
+            blk[0][0] = (d + 3 * b) % 9 - 4
+            blk[0][2] = (2 * d + b) % 7 - 3
+            blk[2][1] = (d * b) % 5 - 2
+        out.append(blk)
+    return out
+
+
+def jpeg_hier_dct_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical-DCT decode over BinaryType: per document one
+    DHP/SOF0/EXP/SOF5 pyramid, decoded through the frame walk — the
+    reference rendered with the normal level shift + clamp, expanded
+    per J.1.1.2, the SOF5 residual entropy-decoded with DC PREDICTION
+    DISABLED (the differential-frame rule) and added unclamped before
+    the final 0..255 clamp. Exact pixel statistics; the oracle replays
+    both integer IDCTs, the 4-neighbor interpolation and the clamps.
+    Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.jpegcodec import (
+        decode_jpeg_hier_dct,
+        encode_jpeg_hier_dct,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "pixel_sum": [], "min_pixel": [], "max_pixel": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JHD_W(d), JHD_H(d)
+                rw, rh = (w + 1) // 2, (h + 1) // 2
+                blob = encode_jpeg_hier_dct(
+                    w, h, JHD_QT,
+                    _jhd_blocks(d, rw, rh, "ref"),
+                    _jhd_blocks(d, w, h, "diff"),
+                )
+                w2, h2, px = decode_jpeg_hier_dct(blob)
+                flat = [v for row in px for v in row]
+                rows["doc_id"].append(d)
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, width long, height long, pixel_sum long,"
+            " min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg_hier_dct_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    refcoefs = ", ".join(
+        f"({r}, {c}, {expr}, {JHD_QT[r * 8 + c]})"
+        for (r, c), expr in JHD_REF_COEF.items()
+    )
+    diffcoefs = ", ".join(
+        f"({r}, {c}, {expr}, {JHD_QT[r * 8 + c]})"
+        for (r, c), expr in JHD_DIFF_COEF.items()
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 18 + doc_id % 9 AS w, 16 + (3 * doc_id) % 9 AS h,
+         (18 + doc_id % 9 + 1) // 2 AS rw,
+         (16 + (3 * doc_id) % 9 + 1) // 2 AS rh
+  FROM documents
+), refblocks AS (
+  SELECT doc_id, w, h, rw, rh, bx.bx, by.by,
+         by.by * ((rw + 7) // 8) + bx.bx AS b
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, (rw + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (rh + 7) // 8)) AS by) by
+), refcoefs AS (
+  SELECT doc_id, rw, rh, bx, by, cf.r, cf.c, cf.val * cf.q AS coef
+  FROM refblocks, LATERAL (VALUES {refcoefs}) cf(r, c, val, q)
+), refpix AS (
+  SELECT doc_id, bx * 8 + xs.x AS rx, by * 8 + ys.y AS ry,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS rp
+  FROM refcoefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = refcoefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = refcoefs.r AND tvv.x = ys.y
+  WHERE bx * 8 + xs.x < rw AND by * 8 + ys.y < rh
+  GROUP BY doc_id, bx, by, xs.x, ys.y
+), diffblocks AS (
+  SELECT doc_id, w, h, bx.bx, by.by,
+         by.by * ((w + 7) // 8) + bx.bx AS b
+  FROM dims,
+       LATERAL (SELECT UNNEST(range(0, (w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (h + 7) // 8)) AS by) by
+), diffcoefs AS (
+  SELECT doc_id, w, h, bx, by, cf.r, cf.c, cf.val * cf.q AS coef
+  FROM diffblocks, LATERAL (VALUES {diffcoefs}) cf(r, c, val, q)
+), diffpix AS (
+  SELECT doc_id, w, h, bx * 8 + xs.x AS x, by * 8 + ys.y AS y,
+         CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                    / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT) AS dp
+  FROM diffcoefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = diffcoefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = diffcoefs.r AND tvv.x = ys.y
+  WHERE bx * 8 + xs.x < w AND by * 8 + ys.y < h
+  GROUP BY doc_id, w, h, bx, by, xs.x, ys.y
+), coords AS (
+  SELECT d.doc_id, d.w, d.h, d.rw, d.rh, p.x, p.y, p.dp,
+         CASE WHEN p.x % 2 = 0 THEN p.x // 2 ELSE (p.x - 1) // 2 END AS a0,
+         CASE WHEN p.x % 2 = 0 THEN p.x // 2
+              ELSE LEAST((p.x + 1) // 2, d.rw - 1) END AS a1,
+         CASE WHEN p.y % 2 = 0 THEN p.y // 2 ELSE (p.y - 1) // 2 END AS b0,
+         CASE WHEN p.y % 2 = 0 THEN p.y // 2
+              ELSE LEAST((p.y + 1) // 2, d.rh - 1) END AS b1
+  FROM dims d JOIN diffpix p USING (doc_id)
+), expd AS (
+  SELECT c.doc_id, c.w, c.h, c.x, c.y, c.dp,
+         CASE WHEN c.y % 2 = 0
+              THEN CASE WHEN c.x % 2 = 0 THEN r00.rp
+                        ELSE (r00.rp + r10.rp + 1) // 2 END
+              ELSE (CASE WHEN c.x % 2 = 0 THEN r00.rp
+                         ELSE (r00.rp + r10.rp + 1) // 2 END
+                    + CASE WHEN c.x % 2 = 0 THEN r01.rp
+                           ELSE (r01.rp + r11.rp + 1) // 2 END
+                    + 1) // 2
+         END AS e
+  FROM coords c
+  JOIN refpix r00 ON r00.doc_id = c.doc_id AND r00.rx = c.a0 AND r00.ry = c.b0
+  JOIN refpix r10 ON r10.doc_id = c.doc_id AND r10.rx = c.a1 AND r10.ry = c.b0
+  JOIN refpix r01 ON r01.doc_id = c.doc_id AND r01.rx = c.a0 AND r01.ry = c.b1
+  JOIN refpix r11 ON r11.doc_id = c.doc_id AND r11.rx = c.a1 AND r11.ry = c.b1
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(LEAST(255, GREATEST(0, e + dp))) AS BIGINT) AS pixel_sum,
+       CAST(MIN(LEAST(255, GREATEST(0, e + dp))) AS BIGINT) AS min_pixel,
+       CAST(MAX(LEAST(255, GREATEST(0, e + dp))) AS BIGINT) AS max_pixel
+FROM expd
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG_HIER_DCT_DECODE_SQL = _jpeg_hier_dct_sql()
