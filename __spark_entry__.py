@@ -208,6 +208,8 @@ _R7_WINDOW = [
     # and the Heaps-law vocabulary growth curve (scalable offsets form)
     # and the corpus Merkle root (distributed tree reduction)
     # and the SOF5 differential-DCT pyramid (Annex J, DCT branch)
+    # and the SOF10 progressive-arithmetic rung (Annex G.2 scan models)
+    "jpeg_arith_prog_decode_stats",
     "jpeg_hier_dct_decode_stats",
     "corpus_merkle_root",
     "vocab_growth_stats",
@@ -543,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_arith_decode_stats": multimodal.jpeg_arith_decode_stats,
         "jpeg_hier_decode_stats": multimodal.jpeg_hier_decode_stats,
         "jpeg_hier_dct_decode_stats": multimodal.jpeg_hier_dct_decode_stats,
+        "jpeg_arith_prog_decode_stats": multimodal.jpeg_arith_prog_decode_stats,
         "audio_adpcm_stats": multimodal.audio_adpcm_stats,
         "columnar_encoding_stats": multimodal.columnar_encoding_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
@@ -1165,6 +1168,7 @@ GROUP BY word
         "jpeg_arith_decode_stats": multimodal.JPEG_ARITH_DECODE_SQL,
         "jpeg_hier_decode_stats": multimodal.JPEG_HIER_DECODE_SQL,
         "jpeg_hier_dct_decode_stats": multimodal.JPEG_HIER_DCT_DECODE_SQL,
+        "jpeg_arith_prog_decode_stats": multimodal.JPEG_ARITH_PROG_DECODE_SQL,
         "audio_adpcm_stats": multimodal.AUDIO_ADPCM_SQL,
         "columnar_encoding_stats": multimodal.COLUMNAR_ENCODING_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE

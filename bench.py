@@ -264,6 +264,9 @@ HEADLINE = [
     "ngram_lm_kneser_ney",
     "ngram_lm_kn_trigram",
     "vocab_growth_stats",
+    "corpus_merkle_root",
+    "jpeg_hier_dct_decode_stats",
+    "jpeg_arith_prog_decode_stats",
 ]
 
 

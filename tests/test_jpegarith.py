@@ -170,8 +170,8 @@ class TestSOF9:
         with pytest.raises(ValueError, match="SOF9"):
             decode_jpeg_arith(bytes(huff))
         prog = blob.copy()
-        prog[at + 1] = 0xCA
-        with pytest.raises(ValueError, match="progressive"):
+        prog[at + 1] = 0xC2  # HUFFMAN progressive: not arithmetic
+        with pytest.raises(ValueError, match="SOF9/SOF10"):
             decode_jpeg_arith(bytes(prog))
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg_arith(b"\x00\x00")
@@ -184,3 +184,69 @@ class TestSOF9:
         blob = encode_jpeg_arith(8, 8, QT, _blocks(1, 8, 8))
         with pytest.raises(ValueError, match="arithmetic"):
             decode_jpeg(blob)
+
+
+class TestSOF10Progressive:
+    """Annex G.2 progressive arithmetic: the five-scan script must
+    reproduce the sequential result bit-exactly for any coefficients."""
+
+    def test_matches_sequential(self):
+        from tinymapreduce_spark.functions.jpegarith import (
+            encode_jpeg_arith_progressive)
+
+        for d in range(15):
+            w, h = 8 + d % 11, 8 + (d * 3) % 9
+            blocks = _blocks(d, w, h)
+            seq = decode_jpeg_arith(encode_jpeg_arith(w, h, QT, blocks))
+            prog = decode_jpeg_arith(
+                encode_jpeg_arith_progressive(w, h, QT, blocks))
+            assert seq == prog
+
+    def test_dense_and_kx_extremes(self):
+        from tinymapreduce_spark.functions.jpegarith import (
+            encode_jpeg_arith_progressive)
+
+        for t in range(6):
+            blocks = _blocks(0, 24, 24, dense_seed=t + 50)
+            seq = decode_jpeg_arith(encode_jpeg_arith(24, 24, QT, blocks))
+            for kx in (1, 63):
+                prog = decode_jpeg_arith(
+                    encode_jpeg_arith_progressive(24, 24, QT, blocks, kx=kx))
+                assert seq == prog
+
+    def test_negative_dc_refinement(self):
+        """Negative DC values exercise the arithmetic-shift + OR-bit
+        reconstruction (two's complement semantics)."""
+        from tinymapreduce_spark.functions.jpegarith import (
+            encode_jpeg_arith_progressive)
+
+        blocks = []
+        for dc in (-1, -2, -3, -5, -17, 3, 0, 255, -255):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = dc
+            blocks.append(blk)
+        while len(blocks) < 9:
+            blocks.append([[0] * 8 for _ in range(8)])
+        seq = decode_jpeg_arith(encode_jpeg_arith(24, 24, QT, blocks[:9]))
+        prog = decode_jpeg_arith(
+            encode_jpeg_arith_progressive(24, 24, QT, blocks[:9]))
+        assert seq == prog
+
+    def test_progressive_smaller_on_sparse(self):
+        """On sparse natural-statistics coefficients the progressive
+        organization should not blow up the stream (sanity: within 2x
+        of sequential)."""
+        from tinymapreduce_spark.functions.jpegarith import (
+            encode_jpeg_arith_progressive)
+
+        blocks = _blocks(3, 40, 40)
+        a = len(encode_jpeg_arith(40, 40, QT, blocks))
+        b = len(encode_jpeg_arith_progressive(40, 40, QT, blocks))
+        assert b < 2 * a
+
+    def test_lossless_arith_still_refused(self):
+        blob = bytearray(encode_jpeg_arith(8, 8, QT, _blocks(1, 8, 8)))
+        at = blob.index(b"\xff\xc9")
+        blob[at + 1] = 0xCB
+        with pytest.raises(ValueError, match="lossless"):
+            decode_jpeg_arith(bytes(blob))

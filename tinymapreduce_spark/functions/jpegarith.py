@@ -512,12 +512,18 @@ def decode_jpeg_arith(payload: bytes):
     qtable: list[int] | None = None
     low, up, kx = _DEFAULT_L, _DEFAULT_U, _DEFAULT_KX
     dims = None
+    progressive = False
+    coefs: list[list[int]] | None = None
+    dc_state: _DCState | None = None
+    dc_bins = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if progressive and coefs is not None:
+                return _render_arith(dims, qtable, coefs)
             raise ValueError("EOI before scan data")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + seglen]
@@ -540,22 +546,58 @@ def decode_jpeg_arith(payload: bytes):
                     if not 1 <= kx <= 63:
                         raise ValueError("bad AC conditioning Kx")
                 at += 2
-        elif marker == 0xC9:  # SOF9 arithmetic sequential
+        elif marker in (0xC9, 0xCA):  # SOF9 sequential / SOF10 progressive
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("arithmetic decode supports 8-bit only")
             if nc != 1:
                 raise ValueError("multi-component arithmetic unsupported")
             dims = (w, h)
+            progressive = marker == 0xCA
+            if progressive:
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                coefs = [[0] * 64 for _ in range(bw * bh)]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            raise ValueError("not an arithmetic-coded (SOF9) stream")
-        elif marker in (0xCA, 0xCB):
-            raise ValueError("progressive/lossless arithmetic unsupported")
+            raise ValueError("not an arithmetic-coded (SOF9/SOF10) stream")
+        elif marker == 0xCB:
+            raise ValueError("lossless arithmetic unsupported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported in arithmetic")
         elif marker == 0xDA:
             if dims is None or qtable is None:
-                raise ValueError("SOS before SOF9/DQT")
+                raise ValueError("SOS before SOF/DQT")
+            if progressive:
+                ns = body[0]
+                if ns != 1:
+                    raise ValueError("multi-component scan unsupported")
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                dec = ArithDecoder(payload, pos + seglen)
+                fixed = [113, 0]
+                if ss == 0 and ah == 0:  # DC first
+                    dc_bins = _new_bins(_DC_BINS)
+                    dc_state = _DCState()
+                    for zz in coefs:
+                        diff = _decode_dc(dec, dc_bins, dc_state, low, up)
+                        dc_state.prev += diff
+                        zz[0] = dc_state.prev << al
+                elif ss == 0:  # DC refinement
+                    p1 = 1 << al
+                    for zz in coefs:
+                        if dec.decode(fixed):
+                            zz[0] |= p1
+                elif ah == 0:  # AC first
+                    ac_bins = _new_bins(_AC_BINS)
+                    for zz in coefs:
+                        _dec_ac_first(dec, ac_bins, fixed, zz, ss, se, al, kx)
+                else:  # AC refinement
+                    ac_bins = _new_bins(_AC_BINS)
+                    for zz in coefs:
+                        _dec_ac_refine(dec, ac_bins, fixed, zz, ss, se, al)
+                pos = _skip_to_marker(payload, dec.pos)
+                continue
             w, h = dims
             dec = ArithDecoder(payload, pos + seglen)
             dc_bins, ac_bins = _new_bins(_DC_BINS), _new_bins(_AC_BINS)
@@ -581,3 +623,271 @@ def decode_jpeg_arith(payload: bytes):
             return w, h, [row[:w] for row in plane[:h]]
         pos += seglen
     raise ValueError("no scan found")
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF10): Annex G.2's arithmetic scan types
+# --------------------------------------------------------------------------
+# Scan script matches the Huffman progressive writer's (T.81
+# G.1.1.1.1): DC first at Al=1, DC refinement to Al=0, AC bands 1..5
+# and 6..63 at Al=1, then a full-band AC refinement. Per-scan rules:
+# DC first codes differences of the arithmetic-shifted values through
+# the same conditioned DC model; DC refinement is ONE FIXED-BIN bit
+# per block; AC first is the sequential AC model over point-shifted
+# magnitudes; AC refinement codes correction bits (per-k bin +2) for
+# previously-nonzero coefficients, significance (bin +1) + fixed-bin
+# sign for newly-nonzero ones, and allows EOB decisions only past the
+# last previously-nonzero index. Statistics bins re-initialize at
+# every scan. Bin layout follows the Annex G flowchart structure as
+# reproduced in this module; no external arithmetic-JPEG decoder
+# exists in this container, so the pinned evidence is the oracle's
+# coefficient-level replay plus the codec's own cross-scan
+# consistency (progressive output must equal sequential output for
+# identical coefficients, asserted in tests).
+
+_PROG_SCANS = [  # (ss, se, ah, al)
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 63, 1, 0),
+]
+
+
+def _pshift(v: int, al: int) -> int:
+    """AC point transform: magnitude toward zero, sign kept."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(enc, bins, fixed, zz, ss, se, al, kx) -> None:
+    shifted = [0] * 64
+    for k in range(ss, se + 1):
+        shifted[k] = _pshift(zz[k], al)
+    last_nz = 0
+    for k in range(se, ss - 1, -1):
+        if shifted[k]:
+            last_nz = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > last_nz:
+            enc.encode(bins[st], 1)  # EOB
+            return
+        enc.encode(bins[st], 0)
+        while shifted[k] == 0:
+            enc.encode(bins[st + 1], 0)
+            k += 1
+            st += 3
+        enc.encode(bins[st + 1], 1)
+        val = shifted[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, sign)
+        v = abs(val) - 1
+        st2 = bins[st + 2]
+        if v == 0:
+            enc.encode(st2, 0)
+        else:
+            enc.encode(st2, 1)
+            if v == 1:
+                enc.encode(st2, 0)
+                x, m = None, 1
+            else:
+                enc.encode(st2, 1)
+                m = 2
+                x = 189 if k <= kx else 217
+                while v >= (m << 1):
+                    enc.encode(bins[x], 1)
+                    m <<= 1
+                    x += 1
+                enc.encode(bins[x], 0)
+            mm = m >> 1
+            while mm:
+                enc.encode(bins[x + 14], 1 if v & mm else 0)
+                mm >>= 1
+        k += 1
+
+
+def _dec_ac_first(dec, bins, fixed, zz, ss, se, al, kx) -> None:
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(bins[st]):
+            return  # EOB
+        while dec.decode(bins[st + 1]) == 0:
+            k += 1
+            st += 3
+            if k > se:
+                raise ValueError("corrupt progressive AC run")
+        sign = dec.decode(fixed)
+        st2 = bins[st + 2]
+        m = dec.decode(st2)
+        x = st + 2
+        if m != 0:
+            if dec.decode(st2):
+                m <<= 1
+                x = 189 if k <= kx else 217
+                while dec.decode(bins[x]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt progressive AC magnitude")
+                    x += 1
+        v = m
+        mm = m >> 1
+        while mm:
+            if dec.decode(bins[x + 14]):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _enc_ac_refine(enc, bins, fixed, zz, ss, se, ah, al) -> None:
+    prev = [_pshift(zz[k], ah) for k in range(64)]
+    cur = [_pshift(zz[k], al) for k in range(64)]
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if prev[k]:
+            kex = k
+            break
+    ken = 0
+    for k in range(se, ss - 1, -1):
+        if cur[k]:
+            ken = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            eob = k > ken
+            enc.encode(bins[st], 1 if eob else 0)
+            if eob:
+                return
+        while True:
+            if prev[k]:
+                bit = (abs(zz[k]) >> al) & 1
+                enc.encode(bins[st + 2], bit)
+                break
+            if cur[k]:
+                enc.encode(bins[st + 1], 1)
+                enc.encode(fixed, 1 if cur[k] < 0 else 0)
+                break
+            enc.encode(bins[st + 1], 0)
+            st += 3
+            k += 1
+        k += 1
+
+
+def _dec_ac_refine(dec, bins, fixed, zz, ss, se, al) -> None:
+    p1 = 1 << al
+    m1 = -p1
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if zz[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(bins[st]):
+                return  # EOB
+        while True:
+            if zz[k]:
+                if dec.decode(bins[st + 2]):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(bins[st + 1]):
+                sign = dec.decode(fixed)
+                zz[k] = m1 if sign else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt AC refinement run")
+        k += 1
+
+
+def encode_jpeg_arith_progressive(
+    width: int,
+    height: int,
+    qtable: list[int],
+    blocks: list[list[list[int]]],
+    kx: int = _DEFAULT_KX,
+) -> bytes:
+    """Single-component 8-bit PROGRESSIVE arithmetic JPEG (SOF10) with
+    the classic five-scan script. Lossless over the coefficients, so
+    the sequential oracle replay carries over unchanged."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if len(blocks) != bw * bh:
+        raise ValueError("block count does not cover the image grid")
+    zz_blocks = [
+        [blk[r][c] for (r, c) in ZIGZAG] for blk in blocks
+    ]
+    out = bytearray()
+    out += b"\xff\xd8"
+    zz_q = bytes(qtable[r * 8 + c] for (r, c) in ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xcc" + struct.pack(">H", 6)
+    out += bytes([0x00, (_DEFAULT_U << 4) | _DEFAULT_L, 0x10, kx])
+    out += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    for ss, se, ah, al in _PROG_SCANS:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        enc = ArithEncoder()
+        fixed = [113, 0]
+        if ss == 0 and ah == 0:  # DC first
+            dc_bins = _new_bins(_DC_BINS)
+            dc = _DCState()
+            for zz in zz_blocks:
+                v = zz[0] >> al  # DC arithmetic shift (G.1.2.1)
+                diff = v - dc.prev
+                dc.prev = v
+                _encode_dc(enc, dc_bins, dc, diff, _DEFAULT_L, _DEFAULT_U)
+        elif ss == 0:  # DC refinement: one fixed bit per block
+            for zz in zz_blocks:
+                enc.encode(fixed, (zz[0] >> al) & 1)
+        elif ah == 0:  # AC first
+            ac_bins = _new_bins(_AC_BINS)
+            for zz in zz_blocks:
+                _enc_ac_first(enc, ac_bins, fixed, zz, ss, se, al, kx)
+        else:  # AC refinement
+            ac_bins = _new_bins(_AC_BINS)
+            for zz in zz_blocks:
+                _enc_ac_refine(enc, ac_bins, fixed, zz, ss, se, ah, al)
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past remaining entropy bytes to the next true marker
+    (0xFF followed by a non-zero byte — 0xFF00 is stuffed data)."""
+    n = len(payload)
+    while pos < n:
+        if payload[pos] == 0xFF and pos + 1 < n and payload[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return pos
+
+
+def _render_arith(dims, qtable, coefs):
+    """Dequant + IDCT the accumulated coefficient grid (progressive
+    EOI path)."""
+    w, h = dims
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for bi, zz in enumerate(coefs):
+        coef = [[0] * 8 for _ in range(8)]
+        for k, (r, c) in enumerate(ZIGZAG):
+            if zz[k]:
+                coef[r][c] = zz[k] * qtable[r * 8 + c]
+        px = idct_block(coef)
+        by, bx = divmod(bi, bw)
+        for y in range(8):
+            row = plane[by * 8 + y]
+            for x in range(8):
+                row[bx * 8 + x] = px[y][x]
+    return w, h, [row[:w] for row in plane[:h]]

@@ -4053,3 +4053,130 @@ GROUP BY doc_id, w, h
 
 
 JPEG_HIER_DCT_DECODE_SQL = _jpeg_hier_dct_sql()
+
+
+# --- Progressive arithmetic JPEG (SOF10) (round 7) --------------------------
+JAP_W = lambda d: 8 + d % 10  # noqa: E731
+JAP_H = lambda d: 8 + (7 * d) % 9  # noqa: E731
+
+
+def jpeg_arith_prog_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive arithmetic-coded JPEG decode over BinaryType:
+    one SOF10 stream per document (the classic five-scan script: DC
+    first/refine, AC bands at Al=1, full-band AC refinement), decoded
+    through the QM coder + the Annex G scan models — DC-first
+    conditioning, fixed-bin DC refinement bits, per-k significance/
+    correction bins with the EOB-past-kex rule. Entropy layers are
+    lossless over coefficients, so the oracle stays the sequential
+    dequant + integer-IDCT replay. Row-local Arrow kernels."""
+    from tinymapreduce_spark.functions.jpegarith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = JAP_W(d), JAP_H(d)
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                blocks = [_ja_block(d, b) for b in range(bw * bh)]
+                payloads.append(
+                    encode_jpeg_arith_progressive(
+                        w, h, JA_QT, blocks, kx=JA_KX[d % 4]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "kx": [], "width": [], "height": [],
+                "pixel_sum": [], "min_pixel": [], "max_pixel": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                w, h, px = decode_jpeg_arith(bytes(p))
+                flat = [v for row in px for v in row]
+                rows["doc_id"].append(d)
+                rows["kx"].append(JA_KX[d % 4])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(flat))
+                rows["min_pixel"].append(min(flat))
+                rows["max_pixel"].append(max(flat))
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, kx long, width long, height long,"
+            " pixel_sum long, min_pixel long, max_pixel long"
+        ),
+    )
+
+
+def _jpeg_arith_prog_sql() -> str:
+    from tinymapreduce_spark.functions.jpegcodec import (
+        IDCT_OUT_SHIFT,
+        IDCT_ROUND,
+        IDCT_T,
+    )
+
+    tvals = ", ".join(
+        f"({u}, {x}, {IDCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    coefs = ", ".join(
+        f"({r}, {c}, {expr}, {JA_QT[r * 8 + c]})"
+        for (r, c), expr in {
+            (0, 0): "(doc_id + 5 * b) % 32 - 16",
+            (0, 1): "(doc_id + 3 * b) % 15 - 7",
+            (1, 0): "(2 * doc_id + b) % 11 - 5",
+            (3, 2): "(doc_id * b + doc_id) % 7 - 3",
+        }.items()
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {tvals}),
+dims AS (
+  SELECT doc_id, 8 + doc_id % 10 AS w, 8 + (doc_id * 7) % 9 AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, bx.bx, by.by,
+         by.by * ((d.w + 7) // 8) + bx.bx AS b
+  FROM dims d,
+       LATERAL (SELECT UNNEST(range(0, (d.w + 7) // 8)) AS bx) bx,
+       LATERAL (SELECT UNNEST(range(0, (d.h + 7) // 8)) AS by) by
+), coefs AS (
+  SELECT doc_id, w, h, bx, by, cf.r, cf.c, cf.val * cf.q AS coef
+  FROM blocks, LATERAL (VALUES {coefs}) cf(r, c, val, q)
+), pix AS (
+  SELECT doc_id, w, h, bx * 8 + xs.x AS ix, by * 8 + ys.y AS iy,
+         LEAST(255, GREATEST(0,
+           128 + CAST(floor((SUM(coef * tu.tv * tvv.tv) + {IDCT_ROUND})
+                            / {1 << IDCT_OUT_SHIFT}.0) AS BIGINT))) AS p
+  FROM coefs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS y) ys
+  JOIN t tu ON tu.u = coefs.c AND tu.x = xs.x
+  JOIN t tvv ON tvv.u = coefs.r AND tvv.x = ys.y
+  GROUP BY doc_id, w, h, bx, by, xs.x, ys.y
+)
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 20
+            ELSE 63 END AS BIGINT) AS kx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+       CAST(MIN(p) AS BIGINT) AS min_pixel,
+       CAST(MAX(p) AS BIGINT) AS max_pixel
+FROM pix
+WHERE ix < w AND iy < h
+GROUP BY doc_id, w, h
+"""
+
+
+JPEG_ARITH_PROG_DECODE_SQL = _jpeg_arith_prog_sql()
