@@ -672,10 +672,59 @@ class TestHierarchicalDCT:
         blob = bytearray(self._encode(2, 20, 18))
         at = blob.index(b"\xff\xc5")
         bad = blob.copy()
-        bad[at + 1] = 0xC6  # differential progressive: unsupported
+        bad[at + 1] = 0xC7  # differential LOSSLESS in a DCT pyramid
         with pytest.raises(ValueError, match="unsupported frame"):
             decode_jpeg_hier_dct(bytes(bad))
         bad2 = blob.copy()
         bad2[at + 7] ^= 1  # SOF5 dims != DHP
         with pytest.raises(ValueError, match="disagree"):
             decode_jpeg_hier_dct(bytes(bad2))
+
+
+class TestSOF6DifferentialProgressive:
+    """SOF6: the five-scan progressive script over a differential
+    frame's residual (DC prediction disabled in DC scans)."""
+
+    QT = TestHierarchicalDCT.QT
+
+    def _mk(self, d, w, h):
+        mk = TestHierarchicalDCT()._blocks
+        rw, rh = (w + 1) // 2, (h + 1) // 2
+        return mk(d, rw, rh, "ref"), mk(d, w, h, "diff")
+
+    def test_equals_sof5(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_dct, encode_jpeg_hier_dct)
+
+        for d in range(10):
+            w, h = 18 + d % 9, 16 + (3 * d) % 9
+            rb, db = self._mk(d, w, h)
+            seq = decode_jpeg_hier_dct(
+                encode_jpeg_hier_dct(w, h, self.QT, rb, db))
+            prog = decode_jpeg_hier_dct(
+                encode_jpeg_hier_dct(w, h, self.QT, rb, db,
+                                     progressive=True))
+            assert seq == prog
+
+    def test_negative_residual_dcs(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            decode_jpeg_hier_dct, encode_jpeg_hier_dct)
+
+        rb, db = self._mk(5, 20, 18)
+        for i, blk in enumerate(db):
+            blk[0][0] = (-1, -3, -17, 7, 0, -255)[i % 6]
+        seq = decode_jpeg_hier_dct(
+            encode_jpeg_hier_dct(20, 18, self.QT, rb, db))
+        prog = decode_jpeg_hier_dct(
+            encode_jpeg_hier_dct(20, 18, self.QT, rb, db,
+                                 progressive=True))
+        assert seq == prog
+
+    def test_sof6_marker_present(self):
+        from tinymapreduce_spark.functions.jpegcodec import (
+            encode_jpeg_hier_dct)
+
+        rb, db = self._mk(1, 20, 18)
+        blob = encode_jpeg_hier_dct(20, 18, self.QT, rb, db,
+                                    progressive=True)
+        assert b"\xff\xc6" in blob and b"\xff\xc5" not in blob

@@ -386,14 +386,16 @@ def _write_baseline_scan(out, nc, sampling, mcux, mcuy, grids, zz_comps, dri):
 # ---- progressive scan event builders (events: ("sym", s) | ("bits", v, n))
 
 
-def _dc_first_events(nc, sampling, mcux, mcuy, grids, zz_comps, al):
+def _dc_first_events(nc, sampling, mcux, mcuy, grids, zz_comps, al,
+                     differential=False):
     events = []
     preds = [0] * nc
     for group in _interleaved_walk(nc, sampling, mcux, mcuy, grids):
         for ci, b in group:
             v = zz_comps[ci][b][0] >> al  # DC point transform: floor shift
             diff = v - preds[ci]
-            preds[ci] = v
+            if not differential:  # SOF6 rule: PRED stays 0
+                preds[ci] = v
             size = _category(diff)
             events.append(("sym", size))
             events.append(("bits", _extend_bits(diff, size), size))
@@ -532,7 +534,8 @@ def _ac_refine_events(blocks_zz, ss, se, al):
 
 
 def _write_progressive_scans(
-    out, width, height, nc, sampling, mcux, mcuy, grids, zz_comps
+    out, width, height, nc, sampling, mcux, mcuy, grids, zz_comps,
+    differential=False,
 ):
     all_cis = list(range(nc))
     scans = [
@@ -549,7 +552,8 @@ def _write_progressive_scans(
         if kind == "dc":
             if ah == 0:
                 events = _dc_first_events(
-                    nc, sampling, mcux, mcuy, grids, zz_comps, al
+                    nc, sampling, mcux, mcuy, grids, zz_comps, al,
+                    differential,
                 )
             else:
                 events = _dc_refine_events(
@@ -690,6 +694,7 @@ class _Frame:
     EOI, from the render sub-grid (ceil(xc/8) × ceil(yc/8))."""
 
     precision = 8  # overwritten from the SOF header (SOF1 may be 12)
+    differential = False  # SOF5/SOF6: DC coded without prediction
 
     def __init__(self, w: int, h: int, comps, progressive: bool) -> None:
         self.w, self.h = w, h
@@ -936,10 +941,16 @@ def _decode_scan(payload, pos, frame, huff, scan_comps, ss, se, ah, al, dri):
             dc_t, ac_t = tables[ci]
             if not frame.progressive:
                 _seq_block(reader, zz, dc_t, ac_t, preds, ci)
+                if frame.differential:
+                    preds[ci] = 0  # differential frames: PRED stays 0
             elif ss == 0 and ah == 0:  # DC first
                 size = dc_t.decode(reader)
-                preds[ci] += _extend(reader.receive(size), size)
-                zz[0] = preds[ci] << al
+                diff = _extend(reader.receive(size), size)
+                if frame.differential:
+                    zz[0] = diff << al  # no prediction chain
+                else:
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
             elif ss == 0:  # DC refinement: one appended bit per block
                 if reader.bit():
                     zz[0] |= 1 << al
@@ -1507,11 +1518,14 @@ def encode_jpeg_hier_dct(
     qtable: list[int],
     ref_blocks: list[list[list[int]]],
     diff_blocks: list[list[list[int]]],
+    progressive: bool = False,
 ) -> bytes:
     """Two-level hierarchical DCT stream from QUANTIZED coefficients:
     DHP, SOF0 reference frame at (ceil(w/2), ceil(h/2)), EXP(1,1),
-    SOF5 differential frame at full resolution (DC coded without
-    prediction). Both frames share quant table 0."""
+    then the differential frame at full resolution with DC coded
+    WITHOUT prediction — SOF5 (one sequential scan) by default, or
+    SOF6 with ``progressive=True`` (the full five-scan script over the
+    residual coefficients). Both frames share quant table 0."""
     rw, rh = (width + 1) // 2, (height + 1) // 2
     if len(ref_blocks) != ((rw + 7) // 8) * ((rh + 7) // 8):
         raise ValueError("reference block count mismatch")
@@ -1527,9 +1541,23 @@ def encode_jpeg_hier_dct(
     out += bytes([1, 0x11, 0])
     _write_dct_scan_nopred(out, ref_blocks, dc_pred=True)
     out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
-    out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    sof = b"\xff\xc6" if progressive else b"\xff\xc5"
+    out += sof + struct.pack(">HBHHB", 11, 8, height, width, 1)
     out += bytes([1, 0x11, 0])
-    _write_dct_scan_nopred(out, diff_blocks, dc_pred=False)
+    if progressive:
+        sampling = [(1, 1)]
+        hmax, vmax, mcux, mcuy, grids = _encode_geometry(
+            width, height, sampling
+        )
+        zz_comps = [
+            [[blk[r][c] for (r, c) in ZIGZAG] for blk in diff_blocks]
+        ]
+        _write_progressive_scans(
+            out, width, height, 1, sampling, mcux, mcuy, grids, zz_comps,
+            differential=True,
+        )
+    else:
+        _write_dct_scan_nopred(out, diff_blocks, dc_pred=False)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1564,12 +1592,17 @@ def decode_jpeg_hier_dct(payload: bytes):
     ref_px = None
     expand_pending = False
     is_diff_frame = False
+    diff_frame_obj = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if diff_frame_obj is not None and ref_px is not None:
+                return _finish_hier_dct(
+                    diff_frame_obj, full, qtable, ref_px, expand_pending
+                )
             raise ValueError("EOI before the differential scan")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + seglen]
@@ -1584,16 +1617,23 @@ def decode_jpeg_hier_dct(payload: bytes):
             qtable = [0] * 64
             for k, (r, c) in enumerate(ZIGZAG):
                 qtable[r * 8 + c] = body[1 + k]
-        elif marker in (0xC0, 0xC5):
+        elif marker in (0xC0, 0xC5, 0xC6):
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if nc != 1:
                 raise ValueError("multi-component hierarchical unsupported")
-            is_diff_frame = marker == 0xC5
+            is_diff_frame = marker in (0xC5, 0xC6)
             if is_diff_frame and (full is None or (w, h) != full):
-                raise ValueError("SOF5 dims disagree with DHP")
+                raise ValueError("SOF5/6 dims disagree with DHP")
             cur = (w, h)
             huff = {}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            diff_frame_obj = None
+            if marker == 0xC6:  # differential PROGRESSIVE residual
+                cid, sampling_b, tq = body[6:9]
+                diff_frame_obj = _Frame(
+                    w, h, [(cid, 1, 1, tq)], progressive=True
+                )
+                diff_frame_obj.differential = True
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported frame type in hierarchical DCT stream")
         elif marker == 0xC4:
@@ -1613,6 +1653,20 @@ def decode_jpeg_hier_dct(payload: bytes):
         elif marker == 0xDA:
             if cur is None or qtable is None:
                 raise ValueError("SOS before SOF/DQT")
+            if diff_frame_obj is not None:
+                # SOF6: progressive scans over the residual; decoded by
+                # the shared scan machinery with DC prediction pinned
+                ns = body[0]
+                scan_comps = []
+                for i in range(ns):
+                    cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                    scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+                ss_, se_, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                pos = _decode_scan(
+                    payload, pos + seglen, diff_frame_obj, huff,
+                    scan_comps, ss_, se_, ahal >> 4, ahal & 0xF, 0,
+                )
+                continue
             w, h = cur
             bw, bh = (w + 7) // 8, (h + 7) // 8
             blocks, end = _decode_dct_scan_nopred(
@@ -1660,3 +1714,28 @@ def decode_jpeg_hier_dct(payload: bytes):
             return w, h, out_px
         pos += seglen
     raise ValueError("no differential scan found")
+
+
+def _finish_hier_dct(frame, full, qtable, ref_px, expand_pending):
+    """Render a SOF6 differential frame's accumulated residual
+    coefficients and combine with the (expanded) reference."""
+    w, h = full
+    base = _exp_expand(ref_px, w, h) if expand_pending else ref_px
+    full_bw = frame.grid[0][0]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for by in range(bh):
+        for bx in range(bw):
+            zz = frame.coefs[0][by * full_bw + bx]
+            coef = [[0] * 8 for _ in range(8)]
+            for k, (r, c) in enumerate(ZIGZAG):
+                if zz[k]:
+                    coef[r][c] = zz[k] * qtable[r * 8 + c]
+            px = idct_block_signed(coef)
+            for y in range(8):
+                for x in range(8):
+                    plane[by * 8 + y][bx * 8 + x] = px[y][x]
+    return w, h, [
+        [min(255, max(0, base[y][x] + plane[y][x])) for x in range(w)]
+        for y in range(h)
+    ]

@@ -3901,13 +3901,16 @@ def _jhd_blocks(d: int, w: int, h: int, kind: str):
 
 def jpeg_hier_dct_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL hierarchical-DCT decode over BinaryType: per document one
-    DHP/SOF0/EXP/SOF5 pyramid, decoded through the frame walk — the
-    reference rendered with the normal level shift + clamp, expanded
-    per J.1.1.2, the SOF5 residual entropy-decoded with DC PREDICTION
-    DISABLED (the differential-frame rule) and added unclamped before
-    the final 0..255 clamp. Exact pixel statistics; the oracle replays
-    both integer IDCTs, the 4-neighbor interpolation and the clamps.
-    Row-local Arrow kernels."""
+    DHP/SOF0/EXP pyramid whose differential frame alternates SOF5
+    (sequential residual scan, even docs) and SOF6 (the PROGRESSIVE
+    five-scan script over the residual, odd docs) — both with DC
+    PREDICTION DISABLED per the differential-frame rule; the reference
+    renders with the normal level shift + clamp, expands per J.1.1.2,
+    and the residual adds unclamped before the final 0..255 clamp.
+    Exact pixel statistics; the oracle replays both integer IDCTs, the
+    4-neighbor interpolation and the clamps (frame type cannot change
+    pixels — SOF6 == SOF5 for identical coefficients, pinned in
+    pytest). Row-local Arrow kernels."""
     from tinymapreduce_spark.functions.jpegcodec import (
         decode_jpeg_hier_dct,
         encode_jpeg_hier_dct,
@@ -3918,7 +3921,7 @@ def jpeg_hier_dct_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
-                "doc_id": [], "width": [], "height": [],
+                "doc_id": [], "progressive": [], "width": [], "height": [],
                 "pixel_sum": [], "min_pixel": [], "max_pixel": [],
             }
             for d in pdf["doc_id"]:
@@ -3929,9 +3932,11 @@ def jpeg_hier_dct_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h, JHD_QT,
                     _jhd_blocks(d, rw, rh, "ref"),
                     _jhd_blocks(d, w, h, "diff"),
+                    progressive=bool(d % 2),
                 )
                 w2, h2, px = decode_jpeg_hier_dct(blob)
                 flat = [v for row in px for v in row]
+                rows["progressive"].append(d % 2)
                 rows["doc_id"].append(d)
                 rows["width"].append(w2)
                 rows["height"].append(h2)
@@ -3943,8 +3948,8 @@ def jpeg_hier_dct_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         roundtrip,
         schema=(
-            "doc_id long, width long, height long, pixel_sum long,"
-            " min_pixel long, max_pixel long"
+            "doc_id long, progressive long, width long, height long,"
+            " pixel_sum long, min_pixel long, max_pixel long"
         ),
     )
 
@@ -4042,6 +4047,7 @@ dims AS (
   JOIN refpix r11 ON r11.doc_id = c.doc_id AND r11.rx = c.a1 AND r11.ry = c.b1
 )
 SELECT doc_id,
+       CAST(doc_id % 2 AS BIGINT) AS progressive,
        CAST(w AS BIGINT) AS width,
        CAST(h AS BIGINT) AS height,
        CAST(SUM(LEAST(255, GREATEST(0, e + dp))) AS BIGINT) AS pixel_sum,
