@@ -1020,9 +1020,11 @@ def corpus_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         height += 1
         n = (n + 1) // 2
     root = level.select(F.col("h").alias("root_md5"))
+    # cast the driver-side scalars to long: the oracle's BIGINT lands
+    # as int64 and the driver's strict compare flags int32 vs int64
     return root.select(
-        F.lit(n_leaves).alias("n_leaves"),
-        F.lit(height).alias("height"),
+        F.lit(n_leaves).cast("long").alias("n_leaves"),
+        F.lit(height).cast("long").alias("height"),
         "root_md5",
     )
 
