@@ -209,6 +209,8 @@ _R7_WINDOW = [
     # and the corpus Merkle root (distributed tree reduction)
     # and the SOF5 differential-DCT pyramid (Annex J, DCT branch)
     # and the SOF10 progressive-arithmetic rung (Annex G.2 scan models)
+    # and the sorted-neighborhood blocking rung (SIGMOD'95 SNM)
+    "dedup_sorted_neighborhood",
     "jpeg_arith_prog_decode_stats",
     "jpeg_hier_dct_decode_stats",
     "corpus_merkle_root",
@@ -467,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "segment_dedup_clean": dedup.segment_dedup_clean,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_incremental": dedup.dedup_incremental,
@@ -1043,6 +1046,7 @@ GROUP BY word
         # the cleaned corpus itself oracle-checks (md5 per doc)
         "segment_dedup_clean": dedup.SEGMENT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
+        "dedup_sorted_neighborhood": dedup.DEDUP_SNM_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,

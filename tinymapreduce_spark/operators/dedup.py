@@ -1402,3 +1402,132 @@ SELECT t.doc_id,
        COALESCE(a.clean_md5, md5('')) AS clean_md5
 FROM tot t LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --- Sorted-neighborhood dedup (round 7) -------------------------------------
+# The classic entity-resolution blocking method (Hernandez & Stolfo,
+# SIGMOD'95): sort the corpus by a normalized key, slide a fixed
+# window, verify only pairs that fall inside it — O(n·w) candidates
+# instead of O(n^2). Complements the hash-bucket family (LSH/simhash/
+# phash): SNM catches near-dups whose PREFIXES agree even when no
+# band collides.
+SNM_WINDOW = 4
+SNM_KEY_LEN = 12
+SNM_THRESHOLD = 0.5  # token-set Jaccard
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation + exact token-set
+    Jaccard verification: sort by the first SNM_KEY_LEN chars of the
+    whitespace-normalized lowercased text, pair each doc with its
+    SNM_WINDOW successors, keep pairs with Jaccard >= SNM_THRESHOLD
+    (ids canonicalized doc_a < doc_b).
+
+    Scale shape: candidates are O(n*w); verification joins token sets
+    only for candidate pairs. The global row_number here is the
+    single-node stand-in for SNM's real deployment form — range
+    partition by key with w-row overlap margins between partitions
+    (same results, no global window)."""
+    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    key = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        1,
+        SNM_KEY_LEN,
+    )
+    from pyspark.sql.window import Window
+
+    ranked = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(key.alias("k"), F.col("doc_id")))
+        .alias("rn"),
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), "[^A-Za-z]+"), lambda t: t != ""
+                )
+            )
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    shared = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.col("n_shared")
+            >= SNM_THRESHOLD
+            * (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_SNM_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           1, {SNM_KEY_LEN}), doc_id) AS rn
+  FROM documents
+), cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+), toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(regexp_split_to_array(text,
+                        '[^A-Za-z]+'), x -> x <> '')) AS tok) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared >= {SNM_THRESHOLD} * (sa.n_tok + sb.n_tok - n_shared)
+"""
