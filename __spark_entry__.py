@@ -210,6 +210,8 @@ _R7_WINDOW = [
     # and the SOF5 differential-DCT pyramid (Annex J, DCT branch)
     # and the SOF10 progressive-arithmetic rung (Annex G.2 scan models)
     # and the sorted-neighborhood blocking rung (SIGMOD'95 SNM)
+    # and the distributed-PCA rung (integer power iteration, embeddings)
+    "embedding_pca_power",
     "dedup_sorted_neighborhood",
     "jpeg_arith_prog_decode_stats",
     "jpeg_hier_dct_decode_stats",
@@ -642,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "semdedup_drops": similarity.semdedup_drops,
+        "embedding_pca_power": similarity.embedding_pca_power,
         "pii_mask": textstats.pii_mask,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm": textstats.bigram_lm,
@@ -973,6 +976,7 @@ GROUP BY word
         "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
         "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
         "semdedup_drops": similarity.SEMDEDUP_DROPS_SQL,
+        "embedding_pca_power": similarity.EMBEDDING_PCA_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,

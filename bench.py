@@ -267,6 +267,8 @@ HEADLINE = [
     "corpus_merkle_root",
     "jpeg_hier_dct_decode_stats",
     "jpeg_arith_prog_decode_stats",
+    "dedup_sorted_neighborhood",
+    "embedding_pca_power",
 ]
 
 

@@ -215,3 +215,49 @@ def test_corpus_merkle_sql_matches_independent_fold(duck):
     assert df.iloc[0]["root_md5"] == level[0]
     assert int(df.iloc[0]["n_leaves"]) == len(rows)
     assert int(df.iloc[0]["height"]) == h == math.ceil(math.log2(len(rows)))
+
+
+def test_pca_power_converges_to_top_eigenvector(duck):
+    """The integer power iteration's SQL oracle must (a) match a
+    from-scratch Python recompute exactly and (b) align with the float
+    eigensolver's top eigenvector (cosine > 0.999) — convergence, not
+    just determinism."""
+    import math
+
+    import numpy as np
+
+    from tinymapreduce_spark.operators.similarity import (
+        EMBEDDING_PCA_SQL, PCA_ITERS, PCA_SCALE, PCA_SDIV_BITS,
+        PCA_VDIV_BITS, _tdiv)
+
+    duck.execute(
+        "CREATE VIEW IF NOT EXISTS embeddings_v AS SELECT * FROM embeddings"
+    )
+    df = duck.execute(EMBEDDING_PCA_SQL).df().sort_values("dim")
+    rows = duck.execute("SELECT embedding FROM embeddings").fetchall()
+    qa = np.array(
+        [[math.floor(x * PCA_SCALE) for x in e] for (e,) in rows],
+        dtype=np.int64,
+    )
+    n, d = qa.shape
+    si = qa.sum(axis=0)
+    sxy = qa.T @ qa
+    S = [[int(n) * int(sxy[i][j]) - int(si[i]) * int(si[j])
+          for j in range(d)] for i in range(d)]
+    smax = max(abs(v) for row in S for v in row)
+    sdiv = max(1, smax >> PCA_SDIV_BITS)
+    Sp = [[_tdiv(v, sdiv) for v in row] for row in S]
+    v = [1] * d
+    for _ in range(PCA_ITERS):
+        u = [sum(Sp[i][j] * v[j] for j in range(d)) for i in range(d)]
+        udiv = max(1, max(abs(x) for x in u) >> PCA_VDIV_BITS)
+        v = [_tdiv(x, udiv) for x in u]
+    assert dict(zip(df["dim"], df["component"])) == {
+        i: v[i] for i in range(d)
+    }
+    X = qa.astype(float)
+    Xc = X - X.mean(axis=0)
+    top = np.linalg.eigh(Xc.T @ Xc)[1][:, -1]
+    vv = np.array(v, dtype=float)
+    cos = abs(top @ vv) / (np.linalg.norm(top) * np.linalg.norm(vv))
+    assert cos > 0.999

@@ -1727,3 +1727,133 @@ FROM m
 
 
 SEMDEDUP_RECALL_SQL = _semdedup_recall_sql()
+
+
+# --- Distributed PCA power iteration (round 7) -------------------------------
+# Dominant principal direction of the embedding cloud, integer-exact:
+# coordinates quantize to the 1e-3 grid, the CENTERED scatter matrix
+# S_ij = N*Sum(q_i q_j) - Sum(q_i)*Sum(q_j) comes from one distributed
+# outer-product aggregation (offset-invariant, so the grid's sign
+# handling is free), and six power iterations run on the collected
+# 64x64 integer matrix with truncating-division rescales — the SAME
+# arithmetic DuckDB's `//` implements, so the oracle unrolls the
+# iterations verbatim (MATERIALIZED per step; a plain CTE chain
+# re-inlines exponentially). Deterministic sign (all-ones start);
+# iteration count sized for the synthetic cloud's ~1.07 spectral gap
+# (cosine > 0.999 vs the float eigensolver, pinned in pytest).
+PCA_SCALE = 1000
+PCA_ITERS = 96  # the synthetic cloud's spectral gap is ~1.07
+PCA_SDIV_BITS = 20  # scatter rescaled to ~2^20
+PCA_VDIV_BITS = 16  # iterate rescaled to ~2^16
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (matches DuckDB's `//`)."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return (dim, component) for the dominant principal direction
+    after PCA_ITERS integer power iterations. The heavy step — the
+    d^2 outer-product scatter — is a single groupBy aggregation over
+    exploded (i, j) coordinate pairs (map-side partials; at extreme N
+    use hierarchical re-aggregation to keep int64 headroom, noted in
+    DEPLOYMENT.md). The iteration itself touches only the collected
+    64x64 matrix: bounded driver state, same class as the trained-ANN
+    codebooks."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * PCA_SCALE).cast("long"),
+            )
+        ).alias("i", "qi"),
+    )
+    sums = q.groupBy("i").agg(F.sum("qi").alias("si"))
+    prods = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qi") * F.col("b.qi")).alias("sxy"))
+    )
+    n = emb.count()
+    srows = (
+        prods.alias("p")
+        .join(sums.alias("sa"), F.col("p.i") == F.col("sa.i"))
+        .join(sums.alias("sb"), F.col("p.j") == F.col("sb.i"))
+        .select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            (n * F.col("p.sxy") - F.col("sa.si") * F.col("sb.si")).alias("s"),
+        )
+        .collect()
+    )
+    d = 64
+    S = [[0] * d for _ in range(d)]
+    for r in srows:
+        S[r.i][r.j] = r.s
+    smax = max((abs(v) for row in S for v in row), default=1)
+    sdiv = max(1, smax >> PCA_SDIV_BITS)
+    Sp = [[_tdiv(v, sdiv) for v in row] for row in S]
+    v = [1] * d
+    for _ in range(PCA_ITERS):
+        u = [sum(Sp[i][j] * v[j] for j in range(d)) for i in range(d)]
+        umax = max((abs(x) for x in u), default=1)
+        udiv = max(1, umax >> PCA_VDIV_BITS)
+        v = [_tdiv(x, udiv) for x in u]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)], "dim long, component long"
+    )
+
+
+def _pca_sql() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(f""",
+u{k} AS MATERIALIZED (
+  SELECT s.i, SUM(s.sp * v.val) AS val
+  FROM sprime s JOIN {prev} v ON v.i = s.j
+  GROUP BY s.i
+), v{k} AS MATERIALIZED (
+  SELECT i, val // GREATEST(1, (SELECT MAX(ABS(val)) FROM u{k})
+                            // {1 << PCA_VDIV_BITS}) AS val
+  FROM u{k}
+)""")
+        prev = f"v{k}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, t.i - 1 AS i,
+         CAST(floor(t.x * {PCA_SCALE}) AS BIGINT) AS qi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) t
+), sums AS (
+  SELECT i, SUM(qi) AS si FROM q GROUP BY i
+), prods AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(a.qi * b.qi) AS sxy
+  FROM q a JOIN q b USING (vec_id)
+  GROUP BY a.i, b.i
+), n AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), scatter AS MATERIALIZED (
+  SELECT p.i, p.j, n.n * p.sxy - sa.si * sb.si AS s
+  FROM prods p
+  JOIN sums sa ON sa.i = p.i
+  JOIN sums sb ON sb.i = p.j
+  CROSS JOIN n
+), sprime AS MATERIALIZED (
+  SELECT i, j, s // GREATEST(1, (SELECT MAX(ABS(s)) FROM scatter)
+                             // {1 << PCA_SDIV_BITS}) AS sp
+  FROM scatter
+), v0 AS (
+  SELECT DISTINCT i, CAST(1 AS BIGINT) AS val FROM scatter
+){"".join(steps)}
+SELECT CAST(i AS BIGINT) AS dim, CAST(val AS BIGINT) AS component
+FROM {prev}
+"""
+
+
+EMBEDDING_PCA_SQL = _pca_sql()
