@@ -180,6 +180,64 @@ _R5_WINDOW = [
 # keys must be inserted at the HEAD of this list when registered
 # (new keys always in-window). Flip queries() to _R7_WINDOW at r7
 # start — the same one-line change as r5/r6.
+# Pre-staged r8 window (ROTATION.md): the freshness re-checks the
+# twenty-two r7 head insertions displaced past the 50-row cutoff —
+# exactly queries()[50:100] of the final r7 order. At r8 start flip
+# queries() to _R8_WINDOW (the same one-line change as r5/r6/r7) and
+# insert any r8-NEW keys at the very head.
+_R8_WINDOW = [
+    "semi_anti_join",
+    "outer_join_coverage",
+    "theta_join_nl",
+    "window_running_sum",
+    "topk_per_group",
+    "rollup_revenue",
+    "cube_orders",
+    "grouping_sets_revenue",
+    "distinct_counts",
+    "set_ops",
+    "set_ops_all",
+    "scalar_functions",
+    "variant_extract",
+    "collated_group",
+    "array_functions",
+    "sort_limit",
+    "correlated_scalar_subquery",
+    "in_subquery",
+    "exact_percentiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_clusters",
+    "boilerplate_spans",
+    "dup_passage_coverage",
+    "tf_cosine_pairs",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "embedding_quantize",
+    "bm25_topk",
+    "fuzzy_join_levenshtein",
+    "bpe_train_merges",
+    "bpe_encode_vocab",
+    "bigram_novelty",
+    "perceptron_quality",
+    "mr_wordcount_combiner",
+    "manifest_wap_roundtrip",
+    "recursive_cte_hierarchy",
+    "lateral_topn_per_group",
+    "segment_dedup_clean",
+    "hybrid_rrf_retrieval",
+    "hybrid_rrf_ndcg",
+    "observed_metrics",
+    "map_functions",
+    "custom_sink_roundtrip",
+    "custom_stream_sink",
+    "text_normalize",
+    "arrow_text_stats",
+]
+
 _R7_WINDOW = [
     # r7-CONVERTED keys first (VERDICT r6 #1): the former rows-only tier,
     # now oracle-backed — compressibility through the from-scratch
