@@ -269,6 +269,8 @@ _R7_WINDOW = [
     # and the SOF10 progressive-arithmetic rung (Annex G.2 scan models)
     # and the sorted-neighborhood blocking rung (SIGMOD'95 SNM)
     # and the distributed-PCA rung (integer power iteration, embeddings)
+    # and the JL random-projection rung (md5-derived sign matrix)
+    "embedding_random_projection",
     "embedding_pca_power",
     "dedup_sorted_neighborhood",
     "jpeg_arith_prog_decode_stats",
@@ -703,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "semdedup_drops": similarity.semdedup_drops,
         "embedding_pca_power": similarity.embedding_pca_power,
+        "embedding_random_projection": similarity.embedding_random_projection,
         "pii_mask": textstats.pii_mask,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm": textstats.bigram_lm,
@@ -1035,6 +1038,7 @@ GROUP BY word
         "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
         "semdedup_drops": similarity.SEMDEDUP_DROPS_SQL,
         "embedding_pca_power": similarity.EMBEDDING_PCA_SQL,
+        "embedding_random_projection": similarity.EMBEDDING_RP_SQL,
         "ann_ivf_recall": similarity.ANN_IVF_RECALL_SQL,
         "ann_lsh_recall": similarity.ANN_LSH_RECALL_VALUE_SQL,
         "ann_pq_recall": similarity.ANN_PQ_RECALL_SQL,

@@ -269,6 +269,7 @@ HEADLINE = [
     "jpeg_arith_prog_decode_stats",
     "dedup_sorted_neighborhood",
     "embedding_pca_power",
+    "embedding_random_projection",
 ]
 
 

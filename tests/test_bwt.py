@@ -261,3 +261,42 @@ def test_pca_power_converges_to_top_eigenvector(duck):
     vv = np.array(v, dtype=float)
     cos = abs(top @ vv) / (np.linalg.norm(top) * np.linalg.norm(vv))
     assert cos > 0.999
+
+
+def test_random_projection_sql_matches_independent_recompute(duck):
+    """The JL projection's md5-derived sign matrix and integer matmul,
+    recomputed from scratch; plus the JL property itself — projected
+    pairwise distances stay within a generous distortion band."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from tinymapreduce_spark.operators.similarity import (
+        EMBEDDING_RP_SQL, PCA_SCALE, RP_OUT_DIMS)
+
+    df = duck.execute(EMBEDDING_RP_SQL).df()
+    rows = duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+
+    def sign(i, k):
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        return 1 if (int(hx[k // 4], 16) >> (k % 4)) & 1 else -1
+
+    want = {}
+    for vid, e in rows:
+        q = [math.floor(x * PCA_SCALE) for x in e]
+        for k in range(RP_OUT_DIMS):
+            want[(vid, k)] = sum(q[i] * sign(i, k) for i in range(64))
+    got = {(r.vec_id, r.k): r.coord for r in df.itertuples()}
+    assert got == want
+
+    Q = np.array([[math.floor(x * PCA_SCALE) for x in e]
+                  for _, e in rows], dtype=float)
+    R = np.array([[sign(i, k) for k in range(RP_OUT_DIMS)]
+                  for i in range(64)], dtype=float)
+    P = Q @ R / math.sqrt(RP_OUT_DIMS)
+    rng_pairs = [(0, 1), (2, 9), (10, 40), (5, 77), (33, 99)]
+    for a, b in rng_pairs:
+        d0 = np.linalg.norm(Q[a] - Q[b])
+        d1 = np.linalg.norm(P[a] - P[b])
+        assert 0.5 < d1 / d0 < 1.6, (a, b, d1 / d0)

@@ -1857,3 +1857,83 @@ FROM {prev}
 
 
 EMBEDDING_PCA_SQL = _pca_sql()
+
+
+# --- Deterministic random projection (round 7) -------------------------------
+# Johnson-Lindenstrauss sketching with a CONTENT-DERIVED sign matrix:
+# R[i][k] = +1 if bit k of md5(i) else -1 (Achlioptas-style ±1
+# projection, no RNG — both engines derive the same matrix from md5),
+# applied to the 1e-3-grid quantized embeddings. One explode + join +
+# groupBy matmul: the scale shape of every distributed projection.
+RP_OUT_DIMS = 16
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project each embedding to RP_OUT_DIMS dimensions with the
+    md5-derived ±1 matrix and emit per-vector projected coordinates
+    (integer-exact). Verifiable JL sketch: downstream distance
+    computations can run on 16 ints instead of 64 floats."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * PCA_SCALE).cast("long"),
+            )
+        ).alias("i", "qi"),
+    )
+    dims = spark.range(64).select(F.col("id").alias("i"))
+    ks = spark.range(RP_OUT_DIMS).select(F.col("id").alias("k"))
+    # sign bit k of md5(i): hex digit k/4, bit k%4
+    r = dims.crossJoin(ks).select(
+        "i",
+        "k",
+        (
+            F.when(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("i").cast("string")),
+                            (F.col("k") / 4).cast("int") + 1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    .bitwiseAND(F.shiftleft(F.lit(1), (F.col("k") % 4).cast("int")))
+                )
+                > 0,
+                1,
+            ).otherwise(-1)
+        ).alias("sign"),
+    )
+    return (
+        q.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("qi") * F.col("sign")).alias("coord"))
+        .select("vec_id", "k", "coord")
+    )
+
+
+EMBEDDING_RP_SQL = f"""
+WITH q AS (
+  SELECT vec_id, t.i - 1 AS i,
+         CAST(floor(t.x * {PCA_SCALE}) AS BIGINT) AS qi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) t
+), r AS (
+  SELECT d.i, k.k,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR)),
+                                          k.k // 4 + 1, 1)) AS INTEGER)
+                    & (1 << (k.k % 4))) > 0
+              THEN 1 ELSE -1 END AS sign
+  FROM (SELECT UNNEST(range(0, 64)) AS i) d,
+       (SELECT UNNEST(range(0, {RP_OUT_DIMS})) AS k) k
+)
+SELECT q.vec_id, r.k AS k,
+       CAST(SUM(q.qi * r.sign) AS BIGINT) AS coord
+FROM q JOIN r USING (i)
+GROUP BY q.vec_id, r.k
+"""
