@@ -1885,27 +1885,16 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = spark.range(64).select(F.col("id").alias("i"))
     ks = spark.range(RP_OUT_DIMS).select(F.col("id").alias("k"))
-    # sign bit k of md5(i): hex digit k/4, bit k%4
+    # sign bit k of md5(i): hex digit k/4, bit k%4 (SQL expr — the
+    # Python shiftleft wrapper takes only literal shift counts)
     r = dims.crossJoin(ks).select(
         "i",
         "k",
-        (
-            F.when(
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.col("i").cast("string")),
-                            (F.col("k") / 4).cast("int") + 1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    ).cast("int")
-                    .bitwiseAND(F.shiftleft(F.lit(1), (F.col("k") % 4).cast("int")))
-                )
-                > 0,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            "CASE WHEN (cast(conv(substring(md5(cast(i AS string)),"
+            " cast(k div 4 AS int) + 1, 1), 16, 10) AS int)"
+            " & shiftleft(1, cast(k % 4 AS int))) > 0"
+            " THEN 1 ELSE -1 END"
         ).alias("sign"),
     )
     return (
