@@ -1124,3 +1124,68 @@ def test_metadata_agg_plan_reads_no_files(spark, sf_dir):
     p = plan_of(df)
     assert "Scan parquet" not in p and "FileScan" not in p, p
     assert df.inputFiles() == []
+
+
+def test_kn_trigram_partial_aggs_and_no_cartesian(spark, sf_dir):
+    """The recursive KN model: every gram count is a hash aggregation
+    with map-side partials; the only cross joins broadcast single-row
+    scalar totals (never a data-sized cartesian)."""
+    from tinymapreduce_spark.operators import textstats
+
+    p = plan_of(textstats.ngram_lm_kn_trigram(spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+    # scalar totals arrive via broadcast nested-loop cross joins only
+    assert "BroadcastNestedLoopJoin Cross" in p
+
+
+def test_vocab_growth_offsets_broadcast(spark, sf_dir):
+    """The Heaps-curve plan joins per-doc offsets and the total by
+    BROADCAST (they are doc-level/scalar aggregates); the token stream
+    itself never sort-merge joins."""
+    from tinymapreduce_spark.operators import textstats
+
+    p = plan_of(textstats.vocab_growth_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pca_scatter_partial_agg_before_collect(spark, sf_dir):
+    """The PCA outer-product scatter must partially aggregate map-side
+    (the d^2 groupBy) — the driver only ever sees 64x64 finalized
+    sums. The query result itself is a local relation (driver
+    iteration output)."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("i", "qi"),
+    )
+    prods = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qi") * F.col("b.qi")).alias("sxy"))
+    )
+    p = plan_of(prods)
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_snm_candidates_bounded_join(spark, sf_dir):
+    """Sorted-neighborhood candidates come from the rn-range self-join
+    — no cartesian product; verification joins are equi-joins on
+    doc ids/tokens."""
+    from tinymapreduce_spark.operators import dedup
+
+    p = plan_of(dedup.dedup_sorted_neighborhood(spark, sf_dir))
+    assert "CartesianProduct" not in p
