@@ -270,6 +270,8 @@ _R7_WINDOW = [
     # and the sorted-neighborhood blocking rung (SIGMOD'95 SNM)
     # and the distributed-PCA rung (integer power iteration, embeddings)
     # and the JL random-projection rung (md5-derived sign matrix)
+    # and the streaming ADPCM autoloader twin (codec x streaming)
+    "stream_adpcm_ingest",
     "embedding_random_projection",
     "embedding_pca_power",
     "dedup_sorted_neighborhood",
@@ -612,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_hier_dct_decode_stats": multimodal.jpeg_hier_dct_decode_stats,
         "jpeg_arith_prog_decode_stats": multimodal.jpeg_arith_prog_decode_stats,
         "audio_adpcm_stats": multimodal.audio_adpcm_stats,
+        "stream_adpcm_ingest": multimodal.stream_adpcm_ingest,
         "columnar_encoding_stats": multimodal.columnar_encoding_stats,
         "warc_ingest_stats": warcfiles.warc_ingest_stats,
         "stream_warc_ingest": warcfiles.stream_warc_ingest,
@@ -1240,6 +1243,7 @@ GROUP BY word
         "jpeg_hier_dct_decode_stats": multimodal.JPEG_HIER_DCT_DECODE_SQL,
         "jpeg_arith_prog_decode_stats": multimodal.JPEG_ARITH_PROG_DECODE_SQL,
         "audio_adpcm_stats": multimodal.AUDIO_ADPCM_SQL,
+        "stream_adpcm_ingest": multimodal.STREAM_ADPCM_SQL,
         "columnar_encoding_stats": multimodal.COLUMNAR_ENCODING_SQL,
         # WARC framing is exact; gzip-member decode is version-free INFLATE
         "warc_ingest_stats": warcfiles.WARC_INGEST_SQL,

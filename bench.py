@@ -270,6 +270,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "embedding_pca_power",
     "embedding_random_projection",
+    "stream_adpcm_ingest",
 ]
 
 

@@ -4186,3 +4186,158 @@ GROUP BY doc_id, w, h
 
 
 JPEG_ARITH_PROG_DECODE_SQL = _jpeg_arith_prog_sql()
+
+
+# --- Streaming ADPCM ingest (round 7) ----------------------------------------
+# Composition proof for the new audio codec: the landing-bucket
+# autoloader shape over .wav files — a checkpointed streaming
+# binaryFile index, the IMA ADPCM decoder running INSIDE the stream,
+# per-doc rows appended under Trigger.AvailableNow, idempotent on
+# re-run. Mirrors stream_tar_ingest / stream_warc_ingest.
+ADPCM_DOC_CAP = 500  # bounded file count for the file-based path
+
+
+def _ensure_wav_files(spark: SparkSession, sf_dir: str) -> str:
+    """One IMA-ADPCM .wav per document (formula samples, formula block
+    indices), written distributed with temp+rename commits; idempotent
+    per corpus fingerprint — the .tar.gz/.bmp convention."""
+    import os
+
+    from tinymapreduce_spark.sources.loaders import load_table
+    from tinymapreduce_spark.sources.manifest_sink import _src_fp
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _src_fp(sf_dir, "documents")
+    out_dir = os.path.join(SCRATCH, f"wav_files_{tag}_{fp}")
+    marker = f"spark.tinymr.wav_files_{tag.replace('.', '_')}_{fp}"
+    if not spark.conf.get(marker, None):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") < ADPCM_DOC_CAP)
+            .repartition(16)
+        )
+
+        def write_part(rows) -> None:
+            import os as _os
+
+            for row in rows:
+                d = int(row.doc_id)
+                nb = IMA_NB(d)
+                samples = [IMA_SAMPLE(d, t) for t in range(9 * nb)]
+                idxs = [(d + b) % 89 for b in range(nb)]
+                blob = encode_wav_ima(samples, idxs)
+                path = _os.path.join(out_dir, f"doc_{d:06d}.wav")
+                tmp = path + f".tmp{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                _os.replace(tmp, path)
+
+        docs.foreachPartition(write_part)
+        spark.conf.set(marker, "1")
+    return out_dir
+
+
+def stream_adpcm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lossy-audio ingest: stream the .wav landing dir
+    through the checkpointed binaryFile index, decode IMA ADPCM inside
+    the stream, append per-doc stats to a parquet sink under
+    Trigger.AvailableNow, then aggregate the sink to ONE summary row.
+    Idempotent: re-running against the same checkpoint ingests nothing.
+    Oracle aggregates the 8-step unrolled ADPCM replay over the same
+    capped corpus."""
+    import os
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tinymapreduce_spark.sources.textfiles import SCRATCH
+
+    src = _ensure_wav_files(spark, sf_dir)
+    base = os.path.join(SCRATCH, f"stream_{os.path.basename(src)}")
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.wav")
+        .load(src)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "n_samples": [],
+                                     "decoded_sum": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                d = int(_os.path.basename(path)[4:10])
+                sr, got = decode_wav_ima(bytes(blob))
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(got))
+                rows["decoded_sum"].append(sum(got))
+            yield pd.DataFrame(rows)
+
+    q = (
+        blobs.mapInPandas(
+            parse, schema="doc_id long, n_samples long, decoded_sum long"
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not self-terminate")
+
+    has_parts = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    back = (
+        spark.read.schema("doc_id long, n_samples long, decoded_sum long")
+        .parquet(sink)
+        if has_parts
+        else spark.createDataFrame(
+            [], "doc_id long, n_samples long, decoded_sum long"
+        )
+    )
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_samples"), F.lit(0)).alias("total_samples"),
+        F.coalesce(F.sum("decoded_sum"), F.lit(0)).alias("decoded_total"),
+    )
+
+
+def _stream_adpcm_sql() -> str:
+    inner = _ima_sql()
+    return f"""
+WITH adpcm AS ({inner})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(9 * n_blocks) AS BIGINT) AS total_samples,
+       CAST(SUM(decoded_sum) AS BIGINT) AS decoded_total
+FROM adpcm
+WHERE doc_id < {ADPCM_DOC_CAP}
+"""
+
+
+STREAM_ADPCM_SQL = _stream_adpcm_sql()
