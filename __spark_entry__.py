@@ -186,6 +186,8 @@ _R5_WINDOW = [
 # queries() to _R8_WINDOW (the same one-line change as r5/r6/r7) and
 # insert any r8-NEW keys at the very head.
 _R8_WINDOW = [
+    "q22_idle_customers",
+    "global_sort_range",
     "semi_anti_join",
     "outer_join_coverage",
     "theta_join_nl",
@@ -234,8 +236,6 @@ _R8_WINDOW = [
     "map_functions",
     "custom_sink_roundtrip",
     "custom_stream_sink",
-    "text_normalize",
-    "arrow_text_stats",
 ]
 
 _R7_WINDOW = [
