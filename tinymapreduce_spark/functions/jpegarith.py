@@ -24,10 +24,11 @@ M2..M15 areas at 189/217 split by the Kx conditioning bound (default
 5). The DAC segment (0xCC) carries the bounds; defaults are written
 explicitly so the parse path is exercised.
 
-Scope: single-component 8-bit sequential frames (the query shape);
-multi-component interleave, restart intervals, progressive (SOF10) and
-lossless (SOF11) arithmetic variants raise ValueError naming the gap —
-the honest-boundary policy of the Huffman codec.
+Scope: single-component 8-bit sequential (SOF9) and progressive
+(SOF10, Annex G.2 — see decode_jpeg_arith_progressive below) frames;
+multi-component interleave, restart intervals and lossless (SOF11)
+arithmetic variants raise ValueError naming the gap — the
+honest-boundary policy of the Huffman codec.
 
 Reference analog: none; public spec: ITU-T T.81 (1992) Annexes D/F.
 """
@@ -353,7 +354,7 @@ def _decode_dc(dec, bins, st8, low, up) -> int:
                 raise ValueError("corrupt arithmetic DC magnitude")
             x += 1
     else:
-        x = base + 2 + sign - 14  # unused: no magnitude bits follow
+        x = None  # no magnitude bits follow when m == 0; fail loudly if used
     if m < (1 << low) >> 1:
         st8.context = 0
     elif m > (1 << up) >> 1:

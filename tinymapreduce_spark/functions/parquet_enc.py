@@ -158,9 +158,11 @@ def rle_hybrid_decode(data: bytes, bit_width: int, count: int) -> list[int]:
             v = int.from_bytes(data[pos : pos + vbytes], "little")
             pos += vbytes
             out.extend([v] * run)
-    if len(out) < count:
-        raise ValueError("stream short of declared count")
-    return out[:count]  # bit-packed padding may overshoot; trim
+    if len(out) > count + 7:
+        # Well-formed streams overshoot only by bit-packed padding to a
+        # multiple of 8; anything more means a malformed group/run header.
+        raise ValueError("stream overshoots declared count")
+    return out[:count]  # bit-packed padding may overshoot by <8; trim
 
 
 DELTA_BLOCK, DELTA_MINIBLOCKS = 128, 4  # 32 values per miniblock

@@ -1734,8 +1734,8 @@ SEMDEDUP_RECALL_SQL = _semdedup_recall_sql()
 # coordinates quantize to the 1e-3 grid, the CENTERED scatter matrix
 # S_ij = N*Sum(q_i q_j) - Sum(q_i)*Sum(q_j) comes from one distributed
 # outer-product aggregation (offset-invariant, so the grid's sign
-# handling is free), and six power iterations run on the collected
-# 64x64 integer matrix with truncating-division rescales — the SAME
+# handling is free), and PCA_ITERS (96) power iterations run on the
+# collected 64x64 integer matrix with truncating-division rescales — the SAME
 # arithmetic DuckDB's `//` implements, so the oracle unrolls the
 # iterations verbatim (MATERIALIZED per step; a plain CTE chain
 # re-inlines exponentially). Deterministic sign (all-ones start);

@@ -2193,6 +2193,11 @@ def bwt_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "n": [], "primary_index": [],
                     "bwt_md5": [], "roundtrip_ok": []}
             for d, t in zip(pdf["doc_id"], pdf["text"]):
+                if not t:
+                    # The SQL oracle builds rotations via range(0, n),
+                    # so an n=0 doc yields no rows there; skip it here
+                    # too to keep Spark/DuckDB parity on empty texts.
+                    continue
                 last, p = bwt_forward(t)
                 ok = bwt_inverse(last, p) == t
                 alpha = sorted(set(last))
