@@ -820,3 +820,47 @@ def test_reliable_checkpoint_materialization(spark, sf_dir, monkeypatch):
     )
     reliable = {(r.event_type): (r.n, r.total_value) for r in out.collect()}
     assert reliable == default
+
+
+def test_decontaminate_eval_grams_built_once_per_run(spark, monkeypatch):
+    """VERDICT r7 #2: the eval 3-gram set is a run-scoped invariant —
+    computed and lineage-truncated ONCE before the stream starts, then
+    broadcast into every micro-batch. Pins two behaviors: (a) the gram
+    generator runs exactly once for the eval slice plus once per
+    micro-batch for the arriving training slice (n_batches + 1 total —
+    a per-batch eval rebuild would double it), and (b) a checkpoint
+    materializes the eval set BETWEEN the first and second gram builds,
+    so batch-side broadcasts replay materialized partitions instead of
+    re-tokenizing the corpus every trigger."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from tinymapreduce_spark.operators import curation
+    from tinymapreduce_spark.streaming.sinks import stream_decontaminate
+
+    events: list[str] = []
+    real_grams = curation._grams
+    real_ckpt = ClassicDF.localCheckpoint
+
+    def spy_grams(df):
+        events.append("grams")
+        return real_grams(df)
+
+    def spy_ckpt(self, eager=True):
+        events.append("ckpt")
+        return real_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(curation, "_grams", spy_grams)
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", spy_ckpt)
+
+    out = stream_decontaminate(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+
+    # 8 source files at 2 per trigger = 4 micro-batches
+    gram_calls = events.count("grams")
+    assert gram_calls == 5, (
+        f"expected 1 eval + 4 batch gram builds, saw {gram_calls}: {events}"
+    )
+    second = [i for i, e in enumerate(events) if e == "grams"][1]
+    assert "ckpt" in events[:second], (
+        "eval gram set must be materialized before the first micro-batch"
+    )

@@ -412,7 +412,21 @@ class ManifestTable:
                 )
                 n_rows = sum(s["rows"] for s in stats.values())
             else:
-                n_rows = staged.count()
+                # The audited row count comes from the staged parquet
+                # FOOTERS (what was actually written — footers are the
+                # format's own authoritative counts), read driver-side:
+                # one metadata read per file instead of a whole Spark
+                # count() job per publish. Per-micro-batch sinks commit
+                # tiny frames every trigger, so the saved job is a
+                # material slice of each trigger's fixed cost
+                # (stream_decontaminate warm lap, BASELINE.md round 8).
+                import pyarrow.parquet as pq
+
+                n_rows = sum(
+                    pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+                    for f in os.listdir(staging)
+                    if f.endswith(".parquet")
+                )
             problems = audit(staged) if audit else None
             if problems:
                 raise AuditError(problems)
