@@ -185,6 +185,64 @@ _R5_WINDOW = [
 # exactly queries()[50:100] of the final r7 order. At r8 start flip
 # queries() to _R8_WINDOW (the same one-line change as r5/r6/r7) and
 # insert any r8-NEW keys at the very head.
+# Pre-staged r9 window (ROTATION.md): pure freshness, oldest-checked
+# first — the two keys r8's head insertion displaced past the 50-row
+# cutoff, then the r2 cohort (24), then the 24 oldest r3 keys. At r9
+# start flip queries() to _R9_WINDOW (one line) and insert any r9-NEW
+# keys at the very head.
+_R9_WINDOW = [
+    "custom_sink_roundtrip",
+    "custom_stream_sink",
+    "text_normalize",
+    "arrow_text_stats",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "stream_kv_state",
+    "stream_tws_counter",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_stream_join",
+    "deterministic_sample",
+    "train_val_test_split",
+    "contamination_check",
+    "sequence_pack",
+    "doc_chunk_overlap",
+    "training_shuffle",
+    "curation_pipeline",
+    "multimodal_features",
+    "audio_energy_windows",
+    "image_header_parse",
+    "text_roundtrip_wordcount",
+    "json_runs_roundtrip",
+    "kmeans_clusters",
+    "pagerank_trade",
+    "cms_heavy_hitters",
+    "stream_sliding_window",
+    "stream_wap_sink",
+    "stream_cms_sink",
+    "grouped_arrow_stats",
+    "manifest_skipping_scan",
+    "manifest_delete_rewrite",
+    "manifest_append_incremental",
+    "manifest_upsert",
+    "dedup_incremental_bloom",
+    "stream_dedup_within_watermark",
+    "token_budget_mix",
+    "stream_stream_outer_join",
+    "exact_quota_split",
+    "manifest_optimize",
+    "stream_observe_metrics",
+    "stream_available_now",
+    "pretrain_mix_pipeline",
+    "iterator_udf_scoring",
+    "catalog_partition_overwrite",
+    "dedup_survivors",
+    "dedup_incremental_minhash",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
+]
+
 _R8_WINDOW = [
     # VERDICT r7 #1: ngram_lm_kn_trigram was registered late in r7 and
     # is the ONLY registry key with zero driver CORRECTNESS rows — it

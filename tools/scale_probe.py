@@ -163,7 +163,7 @@ def build_inflated(spark, out_dir: str) -> None:
     big = parts[0]
     for p in parts[1:]:
         big = big.unionByName(p)
-    big.repartition(8).write.mode("overwrite").parquet(
+    big.repartition(max(8, COPIES // 4)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
 
@@ -211,8 +211,50 @@ def build_inflated_events(spark, out_dir: str) -> None:
     big = parts[0]
     for p in parts[1:]:
         big = big.unionByName(p)
-    big.repartition(8).write.mode("overwrite").parquet(
+    big.repartition(max(8, COPIES // 4)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
+    )
+
+
+EMB_PROBES = [
+    # round-8 (VERDICT r7 #4): the ANN tier at the decade scale. The
+    # brute-force top-k is a linear scan against a broadcast query
+    # side; IVF/LSH probe only their buckets (training stays capped-
+    # sample driver-side); semdedup pairs are salted within cells.
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "semdedup_drops",
+]
+
+
+def build_inflated_embeddings(spark, out_dir: str) -> None:
+    """COPIES x embeddings: vec ids shifted per copy, each copy's
+    vectors deterministically nudged (+copy-dependent epsilon on every
+    dim) so copies are near- but not exact-duplicates — the SemDeDup /
+    near-dup-ANN stress axis, mirroring the documents inflation."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "embeddings.parquet", "_SUCCESS")):
+        return
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    parts = []
+    for i in range(COPIES):
+        eps = (i % 13) * 1e-3
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, x -> cast(x + {eps} AS float))"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(max(8, COPIES // 4)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
     )
 
 
@@ -226,6 +268,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     build_inflated(spark, out_dir)
     build_inflated_events(spark, out_dir)
+    build_inflated_embeddings(spark, out_dir)
 
     # warm python workers / codegen like bench.py does
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
@@ -233,7 +276,9 @@ def main() -> None:
     # optional CLI filter: python tools/scale_probe.py q1 q2 ...
     selected = sys.argv[1:]
     names = [
-        n for n in PROBES + EVENT_PROBES if not selected or n in selected
+        n
+        for n in PROBES + EVENT_PROBES + EMB_PROBES
+        if not selected or n in selected
     ]
     print(
         f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
