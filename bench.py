@@ -3,6 +3,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line with per-query wall seconds.
 
+Two-lap protocol (VERDICT r7 #3): every query runs twice in the same
+session. The WARM lap (second execution — steady state, one-time costs
+paid) is the headline value and the number the regression gate judges
+against tools/bench_baseline.json; the COLD lap rides along in the full
+map so host slowdowns read as a cold/warm gap instead of plan rot. Keys
+whose warm wall exceeds 1.5x their recorded baseline are listed in the
+output and printed as `# REGRESSION` lines — each needs an isolated
+re-measurement (tools/isolated_bench.py) or a documented cause before
+round close.
+
 Targets (BASELINE.md): any single query < 120 s at sf0.1; flagship word
 count < 180 s; the whole suite here well under the reference's 900 s cap.
 """
@@ -274,6 +284,11 @@ HEADLINE = [
 ]
 
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(REPO, "tools", "bench_baseline.json")
+REGRESSION_GATE = 1.5  # warm-vs-recorded-baseline ratio that flags a key
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -292,14 +307,49 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        # count() forces the full plan without driver-side collect cost.
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    # Two-lap protocol (VERDICT r7 #3). Lap 1 ("cold") pays one-time
+    # costs: interpreted-expression compiles, scratch-table builds,
+    # trained ANN/semdedup codebooks, whole-stage codegen. Lap 2
+    # ("warm") is steady state — the cross-round comparable number and
+    # the one the regression gate judges. Host noise shows up as a
+    # cold/warm gap, not as a phantom plan regression.
+    def lap(tag: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            # count() forces the full plan without driver-side collect cost.
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# [{tag}] {name}: {timings[name]:.2f}s ({n} rows)",
+                  file=sys.stderr)
+        return timings
+
+    cold = lap("cold")
+    warm = lap("warm")
+
+    # Regression gate: warm wall vs the committed per-key baseline
+    # (tools/bench_baseline.json — refreshed at round close once every
+    # flagged key is re-measured isolated or has a documented cause).
+    baseline: dict[str, float] = {}
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f).get("warm", {})
+    regressions = sorted(
+        (
+            (name, round(warm[name] / baseline[name], 2))
+            for name in warm
+            if baseline.get(name, 0) >= 0.5
+            and warm[name] > REGRESSION_GATE * baseline[name]
+        ),
+        key=lambda kv: -kv[1],
+    )
+    for name, ratio in regressions:
+        print(
+            f"# REGRESSION {name}: warm {warm[name]:.2f}s ="
+            f" {ratio}x recorded {baseline[name]:.2f}s",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -309,21 +359,23 @@ def main() -> None:
 
     full = {
         "metric": "headline_suite_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "regressions": dict(regressions),
         "sf": sf_val,
-        "n_queries": len(timings),
+        "n_queries": len(warm),
     }
     # Full per-query map: stderr + sidecar file (the driver's stdout tail
     # capture truncated the 93-query map in round 1 -> "parsed": null).
     print(json.dumps(full), file=sys.stderr)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
-    with open(out_path, "w") as f:
+    with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)
 
     # Final stdout line stays well under 1 KB: totals + the 10 slowest.
-    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    worst = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
@@ -331,8 +383,10 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": worst,
+                "cold_value": full["cold_value"],
+                "n_regressions": len(regressions),
                 "sf": sf_val,
-                "n_queries": len(timings),
+                "n_queries": len(warm),
                 "full_map": "BENCH_full.json",
             }
         )

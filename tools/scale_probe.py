@@ -274,12 +274,10 @@ def main() -> None:
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
 
     # optional CLI filter: python tools/scale_probe.py q1 q2 ...
+    # CLI names run verbatim (any registry key), so one-off laps can
+    # probe flagship compositions the preset lists don't carry.
     selected = sys.argv[1:]
-    names = [
-        n
-        for n in PROBES + EVENT_PROBES + EMB_PROBES
-        if not selected or n in selected
-    ]
+    names = selected or (PROBES + EVENT_PROBES + EMB_PROBES)
     print(
         f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
         f"  rows(base->x{COPIES})"
