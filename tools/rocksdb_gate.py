@@ -55,7 +55,13 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     q, o = mod.queries(), mod.oracle_sql()
-    stream_keys = sorted(k for k in q if k.startswith("stream_"))
+    # stream_* plus the stream-adjacent keys the r7 one-off lap covered:
+    # the custom streaming DataSource sink and the State Data Source read
+    stream_keys = sorted(
+        k
+        for k in q
+        if k.startswith("stream_") or k in ("custom_stream_sink", "state_store_read")
+    )
     t_start = time.monotonic()
     n_match = 0
     mismatches: list[str] = []
