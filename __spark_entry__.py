@@ -244,6 +244,10 @@ _R9_WINDOW = [
 ]
 
 _R8_WINDOW = [
+    # r8-NEW key (always in-window): duplicate clusters over the
+    # minhash pair graph — the scale path the x100 probe measured
+    # (BASELINE.md round-8 notes), full recursive-CTE oracle.
+    "dedup_clusters_minhash",
     # VERDICT r7 #1: ngram_lm_kn_trigram was registered late in r7 and
     # is the ONLY registry key with zero driver CORRECTNESS rows — it
     # leads the window so r8's driver run restores the "every key has
@@ -601,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         "boilerplate_spans": dedup.boilerplate_spans,
         "dup_passage_coverage": dedup.dup_passage_coverage,
         "tf_cosine_pairs": dedup.tf_cosine_pairs,
@@ -1183,6 +1188,7 @@ GROUP BY word
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "dedup_clusters_minhash": dedup.DEDUP_CLUSTERS_MINHASH_SQL,
         "bpe_train_merges": tokenizer.BPE_TRAIN_SQL,
         "bpe_encode_vocab": tokenizer.BPE_ENCODE_SQL,
         "bigram_novelty": textstats.BIGRAM_NOVELTY_SQL,

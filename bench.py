@@ -281,6 +281,9 @@ HEADLINE = [
     "embedding_pca_power",
     "embedding_random_projection",
     "stream_adpcm_ingest",
+    # round 8: clusters over the minhash pair graph (the scale path the
+    # x100 probe measured; exact-tier clusters stay benched above)
+    "dedup_clusters_minhash",
 ]
 
 

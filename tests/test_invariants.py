@@ -1806,3 +1806,27 @@ def test_robots_parser_group_selection():
     text = "User-agent: a\nUser-agent: b\nDisallow:\nDisallow: /x\n"
     assert parse_robots(text, "B") == [("/x", False)]
     assert parse_robots(text, "c") == []  # no '*' group -> allow all
+
+
+def test_minhash_clusters_refine_exact_clusters(spark, sf_dir):
+    """Minhash edges are a subset of the exact tier's (band collisions
+    only ADD candidates; the shared exact-Jaccard verify removes them),
+    so every dedup_clusters_minhash cluster must sit INSIDE exactly one
+    dedup_clusters cluster — the scale path never merges docs the exact
+    tier keeps apart, it can only split clusters it lacked an edge for."""
+    from tinymapreduce_spark.operators import dedup
+
+    exact = {
+        r.doc_id: r.component for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    mh = dedup.dedup_clusters_minhash(spark, sf_dir).collect()
+    assert mh, "minhash tier found no clusters on the test corpus"
+    by_cluster: dict[int, set[int]] = {}
+    for r in mh:
+        # every minhash-clustered doc appears in some exact pair too
+        assert r.doc_id in exact, f"doc {r.doc_id} clustered only by minhash"
+        by_cluster.setdefault(r.component, set()).add(exact[r.doc_id])
+    for comp, exact_comps in by_cluster.items():
+        assert len(exact_comps) == 1, (
+            f"minhash cluster {comp} spans exact clusters {exact_comps}"
+        )

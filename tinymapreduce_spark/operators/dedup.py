@@ -861,6 +861,82 @@ FROM comp c JOIN (
 """
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the MINHASH pair graph — the scale path
+    of `dedup_clusters`: same connected-components contraction, but the
+    edges come from the banded LSH join instead of the exact PPJoin
+    tier, whose prefix-filter candidates grow quadratically in
+    clone-count on duplicate-saturated corpora (the round-8 x100 probe:
+    exact-tier pair graph DNF after 35 min on a 100-clone corpus;
+    components over the 27.3M-edge minhash graph finished in 69.9 s —
+    4.1x the base wall at 100x the docs, BASELINE.md round-8 notes).
+
+    Because band collisions only ADD candidates and the exact Jaccard
+    verify removes them, minhash edges are a SUBSET of the exact
+    tier's — so every cluster here is contained in exactly one
+    `dedup_clusters` cluster (pinned in tests/test_invariants.py), and
+    components never merge docs the exact tier would keep apart."""
+    from tinymapreduce_spark.operators.graph import cluster_stats, connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(edges)
+    return cluster_stats(comp).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+# Full-pipeline oracle: the minhash replay (signatures -> bands ->
+# candidates -> exact verify, identical to DEDUP_MINHASH_SQL) feeding
+# the same recursive reachability closure the exact-tier clusters use.
+DEDUP_CLUSTERS_MINHASH_SQL = f"""
+WITH RECURSIVE {_SH60_CTE},
+mh AS (
+  SELECT doc_id, i,
+         MIN(((h >> 30) + (i + 1) * (h & {(1 << 30) - 1})) % {_MH_PRIME}) AS m
+  FROM sh CROSS JOIN range({NUM_MINHASH}) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, band,
+         ((l[1] * 31 + l[2]) * 31 + l[3]) * 31 + l[4] AS band_hash
+  FROM (
+    SELECT doc_id, CAST(i // {NUM_MINHASH // LSH_BANDS} AS INT) AS band,
+           list(m ORDER BY i) AS l
+    FROM mh GROUP BY doc_id, i // {NUM_MINHASH // LSH_BANDS}
+  )
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), prs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+), good AS (
+  SELECT doc_a, doc_b
+  FROM prs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {NGRAM_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM good
+  UNION
+  SELECT doc_b, doc_a FROM good
+), reach (u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+
 TF_COSINE_THRESHOLD = 0.8
 TF_COSINE_DF_CAP = 50  # terms in more docs than this are too common to discriminate
 
