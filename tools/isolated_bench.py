@@ -26,19 +26,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# round-5 default: the r4 bench's most expensive queries + the
-# semdedup_drops re-time the r4 verdict asked for post-leak-fix
+# round-8 default: the warm-lap top-10 of the r8 seeding bench (the
+# keys the regression gate is most likely to flag on a noisy host)
 DEFAULT = [
-    "stream_cdc_apply_changes",
-    "stream_cdc_upsert",
-    "stream_perplexity_buckets",
-    "stream_pack_nextfit",
-    "dedup_ngram_jaccard",
+    "hybrid_rrf_ndcg",
     "pagerank_trade",
-    "semdedup_drops",
-    "winnow_neardup_pairs",
+    "stream_perplexity_buckets",
+    "stream_dv_erasure",
+    "stream_pack_nextfit",
     "ann_ivfpq_topk",
-    "dedup_survivors",
+    "stream_cdc_upsert",
+    "winnow_neardup_pairs",
+    "semdedup_recall",
+    "stream_cdc_apply_changes",
 ]
 
 _CHILD = r"""
