@@ -1189,3 +1189,40 @@ def test_snm_candidates_bounded_join(spark, sf_dir):
 
     p = plan_of(dedup.dedup_sorted_neighborhood(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+def test_minhash_clusters_cc_rounds_bounded_and_no_cartesian(spark, sf_dir):
+    """dedup_clusters_minhash: the LSH edge generation keeps the exact
+    tier's plan discipline (equi-joins only, no Python eval), and the
+    star-contraction loop converges in O(log n) driver rounds — pinned
+    by counting localCheckpoint materializations during one run (each
+    CC round checkpoints once; a linear-chain regression would blow
+    past the bound)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from tinymapreduce_spark.operators.dedup import dedup_clusters_minhash, dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    p = plan_of(pairs)
+    try:
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    finally:
+        pairs.sparkSession.catalog.clearCache()
+
+    calls = {"n": 0}
+    real = ClassicDF.localCheckpoint
+
+    def spy(self, eager=True):
+        calls["n"] += 1
+        return real(self, eager=eager)
+
+    ClassicDF.localCheckpoint = spy
+    try:
+        out = dedup_clusters_minhash(spark, sf_dir)
+        assert out.count() > 0
+    finally:
+        ClassicDF.localCheckpoint = real
+    # sf0.001 clusters are tiny chains: star contraction must finish in
+    # well under 12 checkpointed rounds (50 is the hard max_rounds cap)
+    assert 0 < calls["n"] <= 12, calls["n"]

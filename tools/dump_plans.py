@@ -66,6 +66,7 @@ SELECTED = {
     "hybrid_rrf_retrieval": "dense+lexical fusion: both corpus passes groupBy-reduced pre-join, query sides broadcast, fusion full-outer bounded by |queries|x|pool|",
     "dup_passage_coverage": "window hashes as 8-byte keys; coverage via interval-union windows, O(dup windows)",
     "dedup_minhash_lsh": "banded signatures: one (doc, k*8B) shuffle; candidates from band-bucket equi-join",
+    "dedup_clusters_minhash": "clusters scale path: LSH edges (band-bucket equi-join, no cartesian) feed the star-contraction CC loop",
     "doc_ann_topk": "hashed-embedding ANN: query docs broadcast, integer dot products in codegen",
     "perceptron_quality": "trained scoring pass: ONE broadcast weight row, margins in codegen, zero data shuffle",
     "sql_pipe_syntax": "pipe dialect resolves to the same broadcast-dim + decimal-fold plan as ANSI",
