@@ -355,7 +355,9 @@ def main_tpch() -> None:
     import __spark_entry__ as mod
     from tinymapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-probe-tpch", cpus="32")
+    spark = get_spark(
+        app_name="scale-probe-tpch", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     q = mod.queries()
     out_dir = os.path.join(REPO, ".tmp", f"tpchx{COPIES}")
     os.makedirs(out_dir, exist_ok=True)
@@ -365,7 +367,8 @@ def main_tpch() -> None:
         f"{'query':28s} {'sf0.1':>8s} {f'x{COPIES}':>8s} {'ratio':>6s}"
         f"  rows(base->x{COPIES})"
     )
-    for name in TPCH_PROBES:
+    # CLI names run verbatim, as in main()
+    for name in sys.argv[1:] or TPCH_PROBES:
         fn = q[name]
         t0 = time.time()
         n1 = fn(spark, BASE_SF).count()
