@@ -141,6 +141,15 @@ PROBES = [
 PROBES.insert(PROBES.index("pretrain_mix_pipeline"), "winnow_neardup_pairs")
 
 
+# SPARK_GRAFT_PROBE_VOCAB_GROW=1 switches the documents inflation from
+# near-duplicate clones (prefix tag — vocabulary SATURATES, the
+# self-similar-crawl axis) to copy-unique tokens (every token suffixed
+# per copy — vocabulary grows x COPIES, the adversarial axis for any
+# operator whose shuffle is bounded by distinct grams/terms). Dir gets
+# a "v" suffix so both corpora can coexist.
+VOCAB_GROW = os.environ.get("SPARK_GRAFT_PROBE_VOCAB_GROW") == "1"
+
+
 def build_inflated(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -149,12 +158,16 @@ def build_inflated(spark, out_dir: str) -> None:
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     parts = []
     for i in range(COPIES):
+        if VOCAB_GROW:
+            text = F.regexp_replace("text", r"([A-Za-z]+)", rf"$1q{i}x")
+        else:
+            # perturb text per copy so copies are near- (not exact-)
+            # duplicates: realistic for crawl re-scrapes
+            text = F.concat(F.lit(f"cp{i} "), F.col("text"))
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                # perturb text per copy so copies are near- (not exact-)
-                # duplicates: realistic for crawl re-scrapes
-                F.concat(F.lit(f"cp{i} "), F.col("text")).alias("text"),
+                text.alias("text"),
                 "lang",
                 "source",
                 (F.col("n_chars") + 4).alias("n_chars"),
@@ -264,11 +277,13 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-probe", cpus="32")
     q = mod.queries()
-    out_dir = os.path.join(REPO, ".tmp", f"sfx{COPIES}")
+    suffix = "v" if VOCAB_GROW else ""
+    out_dir = os.path.join(REPO, ".tmp", f"sfx{COPIES}{suffix}")
     os.makedirs(out_dir, exist_ok=True)
     build_inflated(spark, out_dir)
-    build_inflated_events(spark, out_dir)
-    build_inflated_embeddings(spark, out_dir)
+    if not VOCAB_GROW:  # the vocab-grow corpus probes document ops only
+        build_inflated_events(spark, out_dir)
+        build_inflated_embeddings(spark, out_dir)
 
     # warm python workers / codegen like bench.py does
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
