@@ -198,13 +198,26 @@ def pagerank(
     # feeds BOTH the contribution join and the mass aggregate each
     # round — checkpoint every round so the second consumer never
     # recomputes the chain.
-    ckpt_every = 1 if has_dangling else 5
+    #
+    # BIG GRAPHS (round-8 x100 probe, BASELINE.md): the 5-round lazy
+    # chain pipelines five joins' + aggregations' hash maps into ONE
+    # executed stage, and AQE keeps broadcasting the rank table — at
+    # 3.2M nodes that multiplied per-task memory past the 16g/32-task
+    # envelope (AGGREGATE_OUT_OF_MEMORY). Above the node threshold,
+    # checkpoint every round (one join + one agg live per task) and
+    # hint the contribution join to a SHUFFLED hash join so the rank
+    # relation is partitioned, never replicated per task. Base-scale
+    # plans are untouched (broadcast stays optimal while ranks are
+    # small — the threshold is ~50 MB of hash relation).
+    big_graph = n_nodes > 1_000_000
+    ckpt_every = 1 if (has_dangling or big_graph) else 5
     # Init is a narrow map over the checkpointed node set — no separate
     # materialization job; the first round's consumer computes it.
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_i"))
     for it in range(iters):
+        rhs = ranks.hint("shuffle_hash") if big_graph else ranks
         contribs = (
-            fanout.join(ranks, fanout["src"] == ranks["node"])
+            fanout.join(rhs, fanout["src"] == rhs["node"])
             .select("dst", F.expr("rank_i DIV outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
