@@ -191,6 +191,17 @@ _R5_WINDOW = [
 # start flip queries() to _R9_WINDOW (one line) and insert any r9-NEW
 # keys at the very head.
 _R9_WINDOW = [
+    # r9-TOUCHED keys (always in-window): VERDICT r8 #1-#2 changed the
+    # registered shapes — semdedup_drops/recall now derive an
+    # occupancy-scaled k from the corpus size, and the exact PPJoin
+    # tier (ngram pairs -> pair graph -> clusters/survivors) applies
+    # the default-on hot-shingle df cap. Outputs at the driver SFs are
+    # unchanged (base max shingle df 25 << cap 64; derived k == 8 at
+    # n <= 2000), but the changed keys need fresh green rows.
+    "semdedup_drops",
+    "semdedup_recall",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "custom_sink_roundtrip",
     "custom_stream_sink",
     "text_normalize",
@@ -946,7 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
-    window = {k: base[k] for k in _R8_WINDOW}
+    window = {k: base[k] for k in _R9_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 

@@ -502,6 +502,61 @@ def test_winnow_stop_fingerprints_drop_boilerplate_buckets(spark):
     )
 
 
+def test_ngram_default_path_is_hot_shingle_capped(spark, tmp_path):
+    """The exact PPJoin tier's REGISTERED default must be the
+    scale-safe path (VERDICT r8 #2, the winnow r4 treatment): a planted
+    boilerplate template shared by >= DEDUP_HOT_SHINGLE_DF docs
+    produces no pairs under the default (its shingles leave the
+    universe), the rare-shingle near-dup pair survives, the uncapped
+    knob (hot_df_cap=None) still surfaces the boilerplate cluster, and
+    DuckDB replays the capped semantics identically on this corpus —
+    the one place the cap actually fires (base corpora never reach it).
+    """
+    import duckdb
+
+    from tinymapreduce_spark.operators.dedup import (
+        DEDUP_HOT_SHINGLE_DF,
+        DEDUP_NGRAM_SQL,
+        ngram_jaccard_pairs,
+    )
+
+    letters = lambda i: "".join(chr(97 + int(d)) for d in str(i))  # noqa: E731
+    template = " ".join("boiler" + letters(j) for j in range(40))
+    rare = " ".join("xq" + letters(j) for j in range(40))
+    n_hot = DEDUP_HOT_SHINGLE_DF + 8
+    rows = [(i, f"uq{letters(i)} uq{letters(i)}tail " + template) for i in range(n_hot)]
+    rows += [
+        (9100, "alpha " + rare + " beta"),
+        (9101, "gamma " + rare + " delta"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    default_pairs = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, str(sf)).collect()
+    }
+    assert default_pairs == {(9100, 9101)}, (
+        "default must keep the rare pair and drop hot-template pairs: "
+        f"{sorted(default_pairs)[:5]}"
+    )
+    # the oracle applies the identical cap on the same corpus
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    oracle_pairs = {
+        (a, b) for a, b, *_ in con.sql(DEDUP_NGRAM_SQL).fetchall()
+    }
+    assert oracle_pairs == default_pairs
+    # ground-truth knob: uncapped still surfaces the boilerplate cluster
+    exact_pairs = ngram_jaccard_pairs(spark, str(sf), hot_df_cap=None)
+    sample = exact_pairs.where("doc_a < 9000 AND doc_b < 9000").limit(1).collect()
+    assert sample, "hot_df_cap=None must still emit boilerplate pairs"
+
+
 def test_winnow_default_path_is_stop_fingerprint_filtered(spark):
     """The REGISTERED query's default must be the scale-safe path: a
     planted boilerplate template shared by > WINNOW_HOT_FP_CAP docs
@@ -948,6 +1003,51 @@ class TestSemDeDup:
         for r in drops:
             assert r.kept_by < r.vec_id
             assert r.kept_by in true_by_id[r.vec_id]
+
+    def test_occupancy_scaled_k_fires_and_oracle_replays_it(self, spark, tmp_path):
+        """The REGISTERED shape's k derives from the corpus size
+        (VERDICT r8 #1): on a planted 3000-vector corpus the rule fires
+        (k = 3000 // 250 = 12 > the k=8 floor), the trained codebook
+        really has 12 cells, and DuckDB's kp CTE derives the identical
+        k — the full pipeline (training included) still hash-matches on
+        a corpus where fixed-k and derived-k would diverge."""
+        import duckdb
+
+        from tinymapreduce_spark.operators.similarity import (
+            _SEMDEDUP_CENT_CACHE,
+            _semdedup_k,
+            SEMDEDUP_DROPS_SQL,
+            semdedup_drops,
+        )
+
+        n = 3000
+        rows = [
+            (i, [((i * 31 + d * 17) % 97) / 97.0 for d in range(16)], i % 5)
+            for i in range(n)
+        ]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(4).write.parquet(str(sf / "embeddings.parquet"))
+
+        got = {
+            (r.vec_id, r.kept_by, r.cosine)
+            for r in semdedup_drops(spark, str(sf)).collect()
+        }
+        emb = load_table(spark, str(sf), "embeddings")
+        k = _semdedup_k(str(sf), emb)
+        assert k == 12
+        assert len(_SEMDEDUP_CENT_CACHE[(str(sf), 12)]) == 12
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf}/embeddings.parquet/*.parquet'"
+        )
+        want = {(v, kb, c) for v, kb, c in con.sql(SEMDEDUP_DROPS_SQL).fetchall()}
+        assert got == want
+        assert got, "planted corpus must produce at least one drop"
 
 
 class TestPageRank:

@@ -25,7 +25,8 @@ M2..M15 areas at 189/217 split by the Kx conditioning bound (default
 explicitly so the parse path is exercised.
 
 Scope: single-component 8-bit sequential (SOF9) and progressive
-(SOF10, Annex G.2 — see decode_jpeg_arith_progressive below) frames;
+(SOF10, Annex G.2 — decoded by decode_jpeg_arith's SOF10 branch, with
+encode_jpeg_arith_progressive as the test-vector producer) frames;
 multi-component interleave, restart intervals and lossless (SOF11)
 arithmetic variants raise ValueError naming the gap — the
 honest-boundary policy of the Huffman codec.

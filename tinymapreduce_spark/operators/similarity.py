@@ -483,16 +483,38 @@ WHERE ROUND(
 # cosine ~0.47), so the semantic-dedup bar is set where real neighbor
 # structure exists in this corpus.
 SEMDEDUP_THRESHOLD = 0.35
-SEMDEDUP_K = 8  # codebook size
+SEMDEDUP_K = 8  # codebook size FLOOR (the occupancy rule never goes below it)
 SEMDEDUP_NASSIGN = 2  # soft assignment: each vector lives in its 2 nearest cells
 SEMDEDUP_SALT = 8  # pair-join fan-out per cell (see pair stage below)
+# Occupancy rule (VERDICT r8 #1): the registered k is derived from the
+# corpus size — k = max(SEMDEDUP_K, min(TRAIN_SAMPLE_CAP, n // 250)) —
+# so cells stay ~250*nassign vectors at ANY scale instead of growing
+# linearly with N (fixed k=8 put ~50k vectors per cell at the x100
+# probe: ~1e9 within-cell pairs, killed after 25 min; the same corpus
+# at the derived k=800 completes in ~250 s). The TRAIN_SAMPLE_CAP
+# clamp is the honest boundary: init centroids come from the bounded
+# sample, so past n = TRAIN_SAMPLE_CAP * 250 (~512k vectors) the cells
+# grow again until the sample cap is raised with the fleet size.
+SEMDEDUP_TARGET_CELL = 250
+
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _semdedup_k(sf_dir: str, emb: DataFrame) -> int:
+    """Occupancy-scaled codebook size (see SEMDEDUP_TARGET_CELL above).
+    Pure integer arithmetic on COUNT(*) — the SQL oracle derives the
+    identical k with GREATEST/LEAST/// over the same count."""
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    n = _EMB_COUNT_CACHE[sf_dir]
+    return max(SEMDEDUP_K, min(TRAIN_SAMPLE_CAP, n // SEMDEDUP_TARGET_CELL))
 
 
 def semdedup_drops(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = SEMDEDUP_THRESHOLD,
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     nassign: int = SEMDEDUP_NASSIGN,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
@@ -509,9 +531,13 @@ def semdedup_drops(
     the driver only), cell assignment is one narrow pass, and the
     pairwise stage is an equi-join on cid — cost O(N^2 * nassign^2 / k)
     instead of O(N^2), with each cell's pairs co-located in one shuffle
-    partition. At 100 TB: train the codebook on a sample, grow k with N
-    (k >> nassign^2, e.g. k ~ sqrt(N)) so cells stay bounded, and recurse
-    into oversized cells.
+    partition. Since round 9 the REGISTERED default derives k from the
+    corpus size (`_semdedup_k`: occupancy ~SEMDEDUP_TARGET_CELL *
+    nassign vectors per cell), so the within-cell pair cost is
+    O(N * TARGET_CELL * nassign^2) — linear in N — up to the
+    training-sample clamp documented at SEMDEDUP_TARGET_CELL. At 100 TB
+    the remaining moves are raising the sample cap with the fleet and
+    recursing into oversized cells.
 
     Still approximate by construction (a near-dup pair outside any
     shared cell is missed) — but since round 4 the cell index trains
@@ -525,6 +551,8 @@ def semdedup_drops(
     emitted cosine really clears the threshold (precision = 1).
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    if k is None:
+        k = _semdedup_k(sf_dir, emb)
     cache_key = (sf_dir, k)
     if cache_key not in _SEMDEDUP_CENT_CACHE:
         x = _collect_quantized_sample(emb)
@@ -1358,15 +1386,17 @@ def _quant_cte() -> str:
 )"""
 
 
-def _train_ctes(k: int, iters: int) -> str:
+def _train_ctes(k: int, iters: int, k_sql: str | None = None) -> str:
     """tv (bounded training sample) + c0..c{iters} integer-Lloyd's
     rounds for a k-centroid codebook — shared by the IVF oracle
-    (k=NLIST) and the SemDeDup oracle (k=SEMDEDUP_K)."""
+    (k=NLIST) and the SemDeDup oracle, whose k is corpus-derived, so it
+    passes ``k_sql`` (a scalar subquery over a kp CTE) for the LIMIT."""
+    k_lim = k_sql if k_sql is not None else str(k)
     parts = [f"""tv AS MATERIALIZED (
   SELECT * FROM v WHERE vec_id IN ({_TRAIN_IDS_SQL})
 ), c0 AS MATERIALIZED (
   SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, dim, q AS c
-  FROM tv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv ORDER BY vec_id LIMIT {k})
+  FROM tv WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv ORDER BY vec_id LIMIT {k_lim})
 )"""]
     for i in range(iters):
         parts.append(f"""ca{i} AS MATERIALIZED (
@@ -1589,7 +1619,15 @@ def _semdedup_drops_sql() -> str:
     )
     return f"""
 WITH {_quant_cte()},
-{_train_ctes(SEMDEDUP_K, KMEANS_ITERS)},
+kp AS MATERIALIZED (
+  -- the occupancy-scaled codebook size, same integer rule as
+  -- _semdedup_k: max(floor k, min(sample cap, n // target cell))
+  SELECT GREATEST({SEMDEDUP_K},
+                  LEAST({TRAIN_SAMPLE_CAP},
+                        COUNT(*) // {SEMDEDUP_TARGET_CELL})) AS k
+  FROM embeddings
+),
+{_train_ctes(SEMDEDUP_K, KMEANS_ITERS, k_sql="(SELECT k FROM kp)")},
 cells AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
