@@ -290,6 +290,7 @@ HEADLINE = [
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(REPO, "tools", "bench_baseline.json")
 REGRESSION_GATE = 1.5  # warm-vs-recorded-baseline ratio that flags a key
+REGRESSION_FLOOR_SEC = 1.0  # AND the absolute slide must exceed this
 
 
 def main() -> None:
@@ -316,7 +317,18 @@ def main() -> None:
     # ("warm") is steady state — the cross-round comparable number and
     # the one the regression gate judges. Host noise shows up as a
     # cold/warm gap, not as a phantom plan regression.
+    # Each lap starts with an empty Spark cache + a full GC (VERDICT r8
+    # #4's "look at lap ordering/GC around hybrid_rrf_ndcg"): several
+    # dedup-tier operators cache() purpose-built frames that live in
+    # the CacheManager until explicitly released, so by mid-lap the
+    # 16g heap carries ~70 keys' worth of pinned blocks and the keys
+    # right AFTER the dedup block (hybrid_rrf_ndcg) absorb the GC
+    # pauses — 24-25 s in-lap vs 6.5 s isolated, twice in r8. Clearing
+    # between laps also keeps `warm` honest: identical logical plans
+    # would otherwise silently REUSE the cold lap's cached data.
     def lap(tag: str) -> dict[str, float]:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
@@ -334,6 +346,12 @@ def main() -> None:
     # Regression gate: warm wall vs the committed per-key baseline
     # (tools/bench_baseline.json — refreshed at round close once every
     # flagged key is re-measured isolated or has a documented cause).
+    # Two conditions, BOTH required (VERDICT r8 #4 — the ratio-only
+    # gate flagged 10-19 sub-second keys per lap, 100% host co-load):
+    # ratio > REGRESSION_GATE AND absolute delta > REGRESSION_FLOOR_SEC,
+    # so episodic ±2-3x jitter on fast keys can't flag while a real
+    # multi-second slide on any key (fast keys included — ADVICE r8's
+    # 0.2s -> 2s example trips the 1 s delta) still does.
     baseline: dict[str, float] = {}
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -342,15 +360,33 @@ def main() -> None:
         (
             (name, round(warm[name] / baseline[name], 2))
             for name in warm
-            if baseline.get(name, 0) >= 0.5
+            if name in baseline
             and warm[name] > REGRESSION_GATE * baseline[name]
+            and warm[name] - baseline[name] > REGRESSION_FLOOR_SEC
         ),
         key=lambda kv: -kv[1],
     )
+    below_floor = sum(
+        1
+        for name in warm
+        if name in baseline
+        and warm[name] > REGRESSION_GATE * baseline[name]
+        and warm[name] - baseline[name] <= REGRESSION_FLOOR_SEC
+    )
+    unseeded = sum(1 for name in warm if name not in baseline)
+    if below_floor or unseeded:
+        # no silent caps: say what the floor exempted and what has no seed
+        print(
+            f"# gate note: {below_floor} key(s) over {REGRESSION_GATE}x but"
+            f" within the {REGRESSION_FLOOR_SEC}s absolute floor;"
+            f" {unseeded} key(s) missing from the baseline",
+            file=sys.stderr,
+        )
     for name, ratio in regressions:
         print(
             f"# REGRESSION {name}: warm {warm[name]:.2f}s ="
-            f" {ratio}x recorded {baseline[name]:.2f}s",
+            f" {ratio}x recorded {baseline[name]:.2f}s"
+            f" (+{warm[name] - baseline[name]:.2f}s)",
             file=sys.stderr,
         )
 

@@ -77,6 +77,9 @@ class Snapshot:
     # tables of (_dv_file, _dv_pos) row positions readers must subtract.
     # Absent/None for copy-on-write-only histories (backward compatible).
     deletes: list[str] | None = None
+    # Where bloom `ref` sidecars resolve from (set by snapshot();
+    # None for hand-built Snapshots, which then read inline bits only).
+    manifest_dir: str | None = None
 
 
 def _norm_file_path(p: str) -> str:
@@ -124,6 +127,86 @@ def _json_stat(v, widen: str | None = None):
 # ship the same mechanism as bloom filter indexes.
 BLOOM_M = 65536
 BLOOM_K = 4
+# Inline-vs-sidecar cutover (VERDICT r8 #5, measured by
+# tools/manifest_meta_probe.py): bitmaps are hex-inlined in the
+# manifest entry while their TOTAL stays under this many hex chars
+# (~4 MB JSON — a few hundred files at the default m), and move to a
+# packed-binary per-snapshot sidecar (`blooms-<snapshot>-<uuid>.bin`
+# next to the manifests, Iceberg's puffin shape) past it. The manifest
+# entry then carries {k, m, ref, off, len} (~100 B/file), so manifest
+# size and snapshot() load stay O(#files x small-const) at 10^5 files
+# while planners seek-read ONLY the bitmaps of range-surviving files.
+BLOOM_INLINE_BUDGET = 4 * 1024 * 1024
+# MERGE/DELETE planning ships at most this many files' bitmaps into the
+# broadcast probe frame at once (see _split_files_by_key_frame) — 4096
+# files x 16 KB hex = 64 MB peak, #files-independent.
+MERGE_PLAN_CHUNK = 4096
+
+
+def _bloom_pack(hex_bits: str) -> bytes:
+    """Nibble-hex bitmap -> packed bytes (2 nibbles/byte, even index =
+    low nibble), halving on-disk size vs the JSON hex form. fromhex
+    reads char pairs high-nibble-first, so one byte-level nibble swap
+    lands the convention (C speed — the per-nibble Python loop cost
+    ~2.5 ms/bitmap, which dominated large-table commits)."""
+    if len(hex_bits) % 2:  # m is a multiple of 8 everywhere; stay total
+        hex_bits += "0"
+    return bytes.fromhex(hex_bits).translate(_NIBSWAP)
+
+
+# standard hex() prints each byte high-nibble-first; the manifest hex
+# convention is low-nibble-first — one byte-level nibble swap makes
+# bytes.hex() emit it directly (C speed; a per-byte format() loop cost
+# ~3 ms/bitmap, which dominated point lookups at 10^3+ files)
+_NIBSWAP = bytes((b >> 4) | ((b & 15) << 4) for b in range(256))
+
+
+def _bloom_unpack(data: bytes) -> str:
+    """Inverse of ``_bloom_pack`` — restores the exact hex convention
+    ``_bloom_hex_test`` / the point-lookup bit probe consume."""
+    return data.translate(_NIBSWAP).hex()
+
+
+def _bloom_bits_hex(
+    snap: "Snapshot", bl: dict | None, handles: dict | None = None
+) -> str | None:
+    """Resolve a manifest bloom entry to its nibble-hex bitmap: inline
+    ``bits`` verbatim, else a seek-read of [off, len) from the packed
+    sidecar named by ``ref`` (resolved against the snapshot's manifest
+    dir). ``handles`` (a per-planning-call dict) caches open sidecar
+    file objects so an N-file plan does N seek-reads, not N opens.
+    Returns None when unresolvable — the bloom is a pruning
+    optimization, so a lost sidecar degrades to 'keep the file'."""
+    if not bl:
+        return None
+    if bl.get("bits"):
+        return bl["bits"]
+    ref = bl.get("ref")
+    if not (ref and snap.manifest_dir):
+        return None
+    try:
+        fh = handles.get(ref) if handles is not None else None
+        if fh is None:
+            fh = open(os.path.join(snap.manifest_dir, ref), "rb")  # noqa: SIM115
+            if handles is not None:
+                handles[ref] = fh
+        try:
+            fh.seek(bl["off"])
+            data = fh.read(bl["len"])
+        finally:
+            if handles is None:
+                fh.close()
+    except OSError:
+        return None
+    return _bloom_unpack(data)
+
+
+def _close_handles(handles: dict) -> None:
+    for fh in handles.values():
+        try:
+            fh.close()
+        except OSError:
+            pass
 
 
 def _bloom_salt(i: int) -> str:
@@ -224,6 +307,7 @@ def _split_files_by_key_frame(
     key_fam = _stat_family(j_lo)
     stats = snap.stats or {}
     untouched, candidates, overlapping = [], [], []
+    handles: dict = {}
     for f in snap.files:
         s = stats.get(f)
         smin = s["min"].get(key_col) if s else None
@@ -240,7 +324,11 @@ def _split_files_by_key_frame(
             untouched.append(f)
         else:
             bloom = (s.get("bloom") or {}).get(key_col) if s else None
-            if not (bloom and bloom.get("k") == BLOOM_K and bloom.get("bits")):
+            if not (
+                bloom
+                and bloom.get("k") == BLOOM_K
+                and (bloom.get("bits") or bloom.get("ref"))
+            ):
                 bloom = None
             overlapping.append((f, smin, smax, bloom))
     if not overlapping:
@@ -261,24 +349,15 @@ def _split_files_by_key_frame(
     use_bloom = dom in ("bigint", "string") and any(
         bl is not None for _, _, _, bl in overlapping
     )
-    files_df = spark.createDataFrame(
-        [
-            (f, a, b, bl["bits"] if use_bloom and bl else None,
-             bl["m"] if use_bloom and bl else None)
-            for f, a, b, bl in overlapping
-        ],
-        f"_file string, _fmin {dom}, _fmax {dom}, _bloom string, _m int",
-    )
     probe = (
         keys_df.select(F.col(key_col).cast(dom).alias("_k"))
         .where(F.col("_k").isNotNull())
         .distinct()
     )
-    pairs = F.broadcast(files_df).join(
-        probe,
-        (F.col("_k") >= F.col("_fmin")) & (F.col("_k") <= F.col("_fmax")),
-        "inner",
-    )
+    if len(overlapping) > MERGE_PLAN_CHUNK:
+        # the probe side re-enters the join once per chunk below —
+        # compute the distinct key set once instead of per chunk
+        probe = probe.localCheckpoint(eager=True)
     conj = None
     for i in range(BLOOM_K):
         pos = F.pmod(
@@ -287,13 +366,39 @@ def _split_files_by_key_frame(
         )
         t = _bloom_hex_test(F.col("_bloom"), pos)
         conj = t if conj is None else (conj & t)
-    hit = {
-        r["_file"]
-        for r in pairs.where(F.col("_bloom").isNull() | conj)
-        .select("_file")
-        .distinct()
-        .collect()
-    }
+    # Chunked probe (the 10^5-file posture, tools/manifest_meta_probe):
+    # bitmaps are resolved AND shipped at most MERGE_PLAN_CHUNK files at
+    # a time, so driver/broadcast peak stays ~chunk x m/4 bytes (64 MB)
+    # instead of #files x m/4 (1.6 GB at 10^5 files, which OOM'd the
+    # one-shot local frame). Range-pruned files never touch the sidecar.
+    hit: set[str] = set()
+    for lo in range(0, len(overlapping), MERGE_PLAN_CHUNK):
+        chunk = overlapping[lo : lo + MERGE_PLAN_CHUNK]
+        resolved = [
+            (f, a, b, _bloom_bits_hex(snap, bl, handles) if use_bloom else None,
+             bl["m"] if use_bloom and bl else None)
+            for f, a, b, bl in chunk
+        ]
+        files_df = spark.createDataFrame(
+            [
+                (f, a, b, bits, m if bits is not None else None)
+                for f, a, b, bits, m in resolved
+            ],
+            f"_file string, _fmin {dom}, _fmax {dom}, _bloom string, _m int",
+        )
+        pairs = F.broadcast(files_df).join(
+            probe,
+            (F.col("_k") >= F.col("_fmin")) & (F.col("_k") <= F.col("_fmax")),
+            "inner",
+        )
+        hit |= {
+            r["_file"]
+            for r in pairs.where(F.col("_bloom").isNull() | conj)
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+    _close_handles(handles)
     for f, _, _, _bl in overlapping:
         (candidates if f in hit else untouched).append(f)
     return untouched, candidates
@@ -335,6 +440,7 @@ class ManifestTable:
             schema_ddl=m["schema_ddl"],
             stats=m.get("stats"),
             deletes=m.get("deletes"),
+            manifest_dir=self.manifest_dir,
         )
 
     def history(self) -> list[Snapshot]:
@@ -390,8 +496,10 @@ class ManifestTable:
         (``bloom_m`` bits, ``BLOOM_K`` h60-salted hashes of each
         distinct value's string form) for those columns — the pruning
         level for HASH-distributed keys, where every file's [min, max]
-        spans the domain and range stats prune nothing. O(#files x m/4)
-        hex chars of manifest metadata; the MERGE/DELETE planner tests
+        spans the domain and range stats prune nothing. Bitmaps ride
+        inline (O(#files x m/4) hex chars) only up to
+        BLOOM_INLINE_BUDGET, then move to a packed per-version sidecar
+        with O(#files) fixed-size refs; the MERGE/DELETE planner tests
         candidate keys against each overlapping file's bitmap and a
         file with no maybe-hit is untouched without being read.
         """
@@ -503,9 +611,10 @@ class ManifestTable:
             # rows per (file, column) — m/8 bytes, the bitmap itself —
             # never a position list (which a dense file could blow up
             # to m * 8 bytes). The hex lands inline in the manifest
-            # entry; a deployment with 10^5+ files would move it to a
-            # per-file sidecar like the deletion vectors (Iceberg's
-            # puffin shape) with the manifest holding paths.
+            # entry while small; _write_manifest_locked externalizes it
+            # to a packed per-version sidecar past BLOOM_INLINE_BUDGET
+            # (the Iceberg-puffin shape; tools/manifest_meta_probe.py
+            # measures both postures at 10^3..10^5 files).
             from tinymapreduce_spark.functions.hashing import h60
 
             m_of = {
@@ -625,6 +734,7 @@ class ManifestTable:
         """Manifest write + pointer flip. Caller MUST hold the commit
         lock and have performed its validations."""
         version = (self.current_version() or 0) + 1
+        stats = self._externalize_blooms(stats, version)
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -652,6 +762,46 @@ class ManifestTable:
             f.write(str(version))
         os.replace(tmp, self._current_path())
         return version
+
+    def _externalize_blooms(self, stats: dict | None, version: int) -> dict | None:
+        """Inline-to-sidecar bloom cutover (see BLOOM_INLINE_BUDGET):
+        when the TOTAL inline hex across the manifest-to-be crosses the
+        budget, every inline bitmap is packed into one per-version
+        binary sidecar and its entry becomes {k, m, ref, off, len}.
+        Entries already externalized by earlier versions (appends carry
+        them forward by reference) are left untouched — their sidecars
+        stay live until vacuum() finds no surviving manifest naming
+        them. Runs under the commit lock; a crash between sidecar and
+        manifest write leaves only an orphan .bin that vacuum removes."""
+        if not stats:
+            return stats
+        inline = [
+            (f, col, bl)
+            for f, s in stats.items()
+            for col, bl in (s.get("bloom") or {}).items()
+            if bl.get("bits")
+        ]
+        if sum(len(bl["bits"]) for _, _, bl in inline) <= BLOOM_INLINE_BUDGET:
+            return stats
+        ref = f"blooms-{version:06d}-{uuid.uuid4().hex[:8]}.bin"
+        out = {
+            f: ({**s, "bloom": dict(s["bloom"])} if s.get("bloom") else s)
+            for f, s in stats.items()
+        }
+        off = 0
+        with open(os.path.join(self.manifest_dir, ref), "wb") as fh:
+            for f, col, bl in inline:
+                data = _bloom_pack(bl["bits"])
+                fh.write(data)
+                out[f]["bloom"][col] = {
+                    "k": bl["k"],
+                    "m": bl["m"],
+                    "ref": ref,
+                    "off": off,
+                    "len": len(data),
+                }
+                off += len(data)
+        return out
 
     @contextmanager
     def _commit_lock(self, timeout_s: float = 30.0):
@@ -787,6 +937,21 @@ class ManifestTable:
         def h60_py(s: str) -> int:
             return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+        # The K salted positions depend only on (value, m) — computed
+        # once per distinct m, not per file. For sidecar-backed entries
+        # the probe seek-reads K single BYTES per file (packed layout:
+        # bit p at byte p//8, bit p%8) instead of materializing the
+        # whole bitmap — O(K) I/O per overlapping file.
+        pos_of_m: dict[int, list[int]] = {}
+
+        def positions(m: int) -> list[int]:
+            if m not in pos_of_m:
+                pos_of_m[m] = [
+                    h60_py(f"{_bloom_salt(i)}{value}") % m for i in range(BLOOM_K)
+                ]
+            return pos_of_m[m]
+
+        handles: dict = {}
         kept = []
         for f in snap.files:
             s = stats.get(f)
@@ -818,17 +983,33 @@ class ManifestTable:
                 or (probe_is_str and isinstance(smin, str) and isinstance(smax, str))
             )
             bl = (s.get("bloom") or {}).get(col)
-            if same_domain and bl and bl.get("k") == BLOOM_K and bl.get("bits"):
+            trusted = same_domain and bl and bl.get("k") == BLOOM_K
+            if trusted and bl.get("ref") and snap.manifest_dir:
+                maybe = True
+                try:
+                    fh = handles.get(bl["ref"])
+                    if fh is None:
+                        fh = handles[bl["ref"]] = open(  # noqa: SIM115
+                            os.path.join(snap.manifest_dir, bl["ref"]), "rb"
+                        )
+                    for p in positions(bl["m"]):
+                        fh.seek(bl["off"] + p // 8)
+                        byte = fh.read(1)
+                        if not byte or not (byte[0] >> (p % 8)) & 1:
+                            maybe = False
+                            break
+                except OSError:
+                    maybe = True  # lost sidecar -> keep the file
+                if not maybe:
+                    continue
+            elif trusted and bl.get("bits"):
                 bits, m = bl["bits"], bl["m"]
                 if not all(
-                    (int(bits[p // 4], 16) >> (p % 4)) & 1
-                    for p in (
-                        h60_py(f"{_bloom_salt(i)}{value}") % m
-                        for i in range(BLOOM_K)
-                    )
+                    (int(bits[p // 4], 16) >> (p % 4)) & 1 for p in positions(m)
                 ):
                     continue
             kept.append(f)
+        _close_handles(handles)
         return kept
 
     def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
@@ -1640,9 +1821,12 @@ class ManifestTable:
 
     def vacuum(self) -> list[str]:
         """Delete data directories no surviving manifest references
-        (expired snapshots' files + crashed writers' orphans). Returns
-        the removed directories."""
+        (expired snapshots' files + crashed writers' orphans), plus
+        bloom sidecar .bin files no surviving manifest names (expired
+        versions' sidecars + crashed commits' orphans). Returns the
+        removed paths."""
         live: set[str] = set()
+        live_refs: set[str] = set()
         cur = self.current_version()
         for v in range(1, (cur or 0) + 1):
             try:
@@ -1653,11 +1837,24 @@ class ManifestTable:
                 live.add(os.path.dirname(f))
             for d in snap.deletes or []:  # DV sidecars are live data too
                 live.add(d)
+            for s in (snap.stats or {}).values():
+                for bl in (s.get("bloom") or {}).values():
+                    if bl.get("ref"):
+                        live_refs.add(bl["ref"])
         removed = []
         for d in sorted(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, d)
             if full not in live:
                 shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if (
+                name.startswith("blooms-")
+                and name.endswith(".bin")
+                and name not in live_refs
+            ):
+                full = os.path.join(self.manifest_dir, name)
+                os.remove(full)
                 removed.append(full)
         return removed
 

@@ -33,6 +33,38 @@ sys.path.insert(0, REPO)
 SF = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
 
 
+def _frames_equal(a, b) -> bool:
+    """Value-tolerant frame compare, mirroring
+    tests/test_oracle_parity.py::_values_equal (ADVICE r8: the previous
+    dtype-strict DataFrame.equals flagged int32-vs-int64 / NaN-repr
+    differences between Spark and DuckDB as spurious MISMATCH lines)."""
+    import math
+
+    import pandas as pd
+
+    def values_equal(x, y) -> bool:
+        if x is None and y is None:
+            return True
+        if isinstance(x, float) and isinstance(y, float):
+            if math.isnan(x) and math.isnan(y):
+                return True
+            return x == y
+        try:
+            if pd.isna(x) and pd.isna(y):
+                return True
+        except (TypeError, ValueError):
+            pass
+        return x == y
+
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for col in a.columns:
+        for x, y in zip(a[col].tolist(), b[col].tolist()):
+            if not values_equal(x, y):
+                return False
+    return True
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() != "rocksdb":
         sys.exit(
@@ -74,7 +106,7 @@ def main() -> None:
         b = b.reindex(sorted(b.columns), axis=1).sort_values(
             by=sorted(b.columns), ignore_index=True
         )
-        ok = a.equals(b)
+        ok = _frames_equal(a, b)
         print(name, "MATCH" if ok else "MISMATCH", len(a), flush=True)
         if ok:
             n_match += 1
