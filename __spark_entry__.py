@@ -191,6 +191,8 @@ _R5_WINDOW = [
 # start flip queries() to _R9_WINDOW (one line) and insert any r9-NEW
 # keys at the very head.
 _R9_WINDOW = [
+    # r9-NEW key (always in-window): the bloom-sidecar posture twin
+    "manifest_bloom_sidecar",
     # r9-TOUCHED keys (always in-window): VERDICT r8 #1-#2 changed the
     # registered shapes — semdedup_drops/recall now derive an
     # occupancy-scaled k from the corpus size, and the exact PPJoin
@@ -202,6 +204,7 @@ _R9_WINDOW = [
     "semdedup_recall",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_survivors",
     "custom_sink_roundtrip",
     "custom_stream_sink",
     "text_normalize",
@@ -247,7 +250,6 @@ _R9_WINDOW = [
     "pretrain_mix_pipeline",
     "iterator_udf_scoring",
     "catalog_partition_overwrite",
-    "dedup_survivors",
     "dedup_incremental_minhash",
     "tfidf_top_terms",
     "winnow_fingerprints",
@@ -955,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randomized_response_estimate": maintenance.randomized_response_estimate,
         "stream_quality_filter": stream_sinks.stream_quality_filter,
         "manifest_bloom_skipping": manifest_sink.manifest_bloom_skipping,
+        # --- new in round 9: the bloom sidecar posture, driver-checked ---
+        "manifest_bloom_sidecar": manifest_sink.manifest_bloom_sidecar,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
     window = {k: base[k] for k in _R9_WINDOW}
@@ -1112,6 +1116,7 @@ GROUP BY word
         "randomized_response_estimate": maintenance.RANDOMIZED_RESPONSE_SQL,
         "stream_quality_filter": stream_sinks.STREAM_QUALITY_SQL,
         "manifest_bloom_skipping": manifest_sink.MANIFEST_BLOOM_SQL,
+        "manifest_bloom_sidecar": manifest_sink.MANIFEST_BLOOM_SIDECAR_SQL,
         "stream_perplexity_buckets": stream_sinks.STREAM_PPLX_SQL,
         "golden_wc_parity": reference_queries.GOLDEN_WC_PARITY_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,

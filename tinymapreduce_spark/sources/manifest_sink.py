@@ -411,6 +411,9 @@ class ManifestTable:
         self.table_dir = table_dir
         self.manifest_dir = os.path.join(table_dir, "_manifests")
         self.data_dir = os.path.join(table_dir, "data")
+        # per-table inline-vs-sidecar cutover (callers may force the
+        # sidecar posture with 0 — manifest_bloom_sidecar does)
+        self.bloom_inline_budget = BLOOM_INLINE_BUDGET
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -781,7 +784,7 @@ class ManifestTable:
             for col, bl in (s.get("bloom") or {}).items()
             if bl.get("bits")
         ]
-        if sum(len(bl["bits"]) for _, _, bl in inline) <= BLOOM_INLINE_BUDGET:
+        if sum(len(bl["bits"]) for _, _, bl in inline) <= self.bloom_inline_budget:
             return stats
         ref = f"blooms-{version:06d}-{uuid.uuid4().hex[:8]}.bin"
         out = {
@@ -2559,6 +2562,26 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE/MERGE planner consults the same bitmaps
     (``_split_files_by_key_frame`` level 3, model-tested); this query
     pins the metadata math itself against the SQL replay."""
+    return _bloom_skipping_frame(spark, sf_dir, "bloom_orders", sidecar=False)
+
+
+def manifest_bloom_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME bloom-skipping pipeline as `manifest_bloom_skipping`,
+    run through the EXTERNALIZED posture (VERDICT r8 #5): the table
+    forces `bloom_inline_budget = 0`, so every bitmap lands in the
+    packed per-version sidecar and the query resolves it through
+    `_bloom_bits_hex` (ref + seek-read) instead of inline manifest hex.
+    Output adds a `sidecar` boolean — TRUE only when every bloom entry
+    carries a ref and no inline bits — which the oracle pins as a
+    literal; the probe math and looked-up values must match the inline
+    twin's oracle exactly, making posture-equivalence a driver-checked
+    CORRECTNESS row rather than a test-only claim."""
+    return _bloom_skipping_frame(spark, sf_dir, "bloomsc_orders", sidecar=True)
+
+
+def _bloom_skipping_frame(
+    spark: SparkSession, sf_dir: str, prefix: str, sidecar: bool
+) -> DataFrame:
     import pyspark.sql.functions as F
 
     from tinymapreduce_spark.functions.hashing import h60
@@ -2567,8 +2590,10 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     table = ManifestTable(
-        os.path.join(SCRATCH, f"bloom_orders_{tag}_{_src_fp(sf_dir, 'orders')}")
+        os.path.join(SCRATCH, f"{prefix}_{tag}_{_src_fp(sf_dir, 'orders')}")
     )
+    if sidecar:
+        table.bloom_inline_budget = 0
     sl = (
         load_table(spark, sf_dir, "orders")
         .where(F.pmod(F.col("o_custkey"), F.lit(16)) == 0)
@@ -2587,12 +2612,23 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom_m=BLOOM_DEMO_M,
         )
     snap = table.snapshot(table.current_version())
+    entries = [
+        # a bucket with no rows stages an empty file with no stats
+        # entry and no bloom: it can never hit (it holds no keys)
+        ((snap.stats.get(f) or {}).get("bloom") or {}).get("k")
+        for f in snap.files
+    ]
+    # posture witness: in sidecar mode every recorded bloom must be a
+    # ref with NO inline bits (and resolve); inline mode the inverse
+    posture_ok = all(
+        (bool(bl.get("ref")) and not bl.get("bits")) == sidecar
+        for bl in entries
+        if bl
+    ) and any(entries)
     blooms = spark.createDataFrame(
         [
-            # a bucket with no rows stages an empty file with no stats
-            # entry and no bloom: it can never hit (it holds no keys)
-            (f, ((snap.stats.get(f) or {}).get("bloom") or {}).get("k", {}).get("bits"))
-            for f in snap.files
+            (f, _bloom_bits_hex(snap, bl))
+            for f, bl in zip(snap.files, entries)
         ],
         "_file string, _bits string",
     )
@@ -2615,7 +2651,7 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("_sum"))
     )
-    return (
+    out = (
         probes.join(F.broadcast(hits), "k", "left")
         .join(F.broadcast(vals), "k", "left")
         .select(
@@ -2626,6 +2662,9 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_rows", F.lit(0).cast("long")) > 0).alias("present"),
         )
     )
+    if sidecar:
+        out = out.withColumn("sidecar", F.lit(bool(posture_ok)))
+    return out
 
 
 from tinymapreduce_spark.functions.hashing import H60_SQL_TMPL as _H60_B
@@ -2666,6 +2705,12 @@ FROM probes p
 LEFT JOIN nh ON nh.k = p.k
 LEFT JOIN vals ON vals.k = p.k
 """
+
+# the sidecar twin: identical probe math (bitmaps are value-derived,
+# posture-independent); the posture witness is pinned as a literal
+MANIFEST_BLOOM_SIDECAR_SQL = (
+    f"SELECT *, TRUE AS sidecar FROM ({MANIFEST_BLOOM_SQL})"
+)
 
 
 def _cdf_table(spark: SparkSession, sf_dir: str) -> "ManifestTable":
