@@ -284,6 +284,8 @@ HEADLINE = [
     # round 8: clusters over the minhash pair graph (the scale path the
     # x100 probe measured; exact-tier clusters stay benched above)
     "dedup_clusters_minhash",
+    # round 9: the bloom-sidecar posture twin (externalized bitmaps)
+    "manifest_bloom_sidecar",
 ]
 
 
