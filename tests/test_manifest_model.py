@@ -43,8 +43,13 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     model = {i: i * 3 for i in range(0, 600)}
     model[None] = 999
     # half the runs carry bloom sidecars from birth, so the whole op
-    # sequence (rewrites, optimize, expiry) exercises bloom carry-over
+    # sequence (rewrites, optimize, expiry) exercises bloom carry-over;
+    # half of THOSE force the externalized posture (r9 sidecar cutover),
+    # so random op chains also exercise ref carry-forward + vacuum of
+    # superseded .bin sidecars
     with_bloom = rng.random() < 0.5
+    if with_bloom and rng.random() < 0.5:
+        table.bloom_inline_budget = 0
     table.publish(
         _df_of(spark, model).repartitionByRange(6, "id"),
         snapshot_id="init",
