@@ -78,6 +78,7 @@ SELECTED = {
     "join_skew_profile": "map-side-combined key counts; one-row stats broadcast; zero extra scans",
     "manifest_skipping_scan": "manifest min/max pruning: the scan lists only range-intersecting files",
     "manifest_delete_rewrite": "copy-on-write delete: untouched files carried by path, candidates re-clustered",
+    "manifest_bloom_sidecar": "externalized bloom posture: bitmaps resolved ref+seek-read driver-side; probe math = broadcast bit-test joins, O(#files) metadata only",
     "dedup_incremental_bloom": "bloom bitmap broadcast; k=4 probe joins shuffle-free; only maybe-hits reach exact verify",
     "pseudonymized_join": "token-space analytics: keyed-hash projections in codegen, dims broadcast",
     "try_arithmetic": "NULL-on-error scalar family entirely in codegen over one narrow scan",
