@@ -100,19 +100,31 @@ def _assign(vecs: DataFrame, centroids: list[list[int]]) -> DataFrame:
 def _update_centroids(
     assigned: DataFrame, centroids: list[list[int]]
 ) -> list[list[int]]:
-    """Floor-mean per (cluster, dim) — one bounded shuffle; empty
-    clusters keep their previous centroid. Only K*D ints reach the
+    """Floor-mean per (cluster, dim) — ONE grouped aggregate of D
+    per-dimension sums + a count (guide §2.3 shuffle fewer bytes: the
+    former posexplode shape shuffled N*D (cluster, dim, v) rows through
+    TWO groupBys; this shuffles K partial-agg rows of D sums, map-side
+    combined, and needs no second exchange or collect_list). The
+    floor-means are computed driver-side from the exact integer sums —
+    SUM(v) DIV COUNT(1) per dim, the identical update rule — and empty
+    clusters keep their previous centroid. Only K*(D+1) ints reach the
     driver."""
+    dims = len(centroids[0])
     new_rows = (
-        assigned.select("cluster", F.posexplode("a").alias("dim", "v"))
-        .groupBy("cluster", "dim")
-        .agg(F.expr("SUM(v) DIV COUNT(1)").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("a", d + 1)).alias(f"s{d}")
+                for d in range(dims)
+            ],
+        )
         .collect()
     )
-    by_id = {r["cluster"]: [int(v) for v in r["c"]] for r in new_rows}
+    by_id = {
+        r["cluster"]: [int(r[f"s{d}"]) // int(r["n"]) for d in range(dims)]
+        for r in new_rows
+    }
     return [by_id.get(i, centroids[i]) for i in range(K_CLUSTERS)]
 
 

@@ -245,7 +245,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, probes and scores — a FULL-pipeline oracle;
     tests/test_invariants.py additionally asserts recall >= 0.7 vs
     ann_topk_cosine."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from tinymapreduce_spark.sources.loaders import spread_for_cpu
+
+    # spread_for_cpu: assignment (k x dim distance fold per row) and the
+    # within-cell scoring join otherwise run on the single-file scan's
+    # ONE task (guide §2.5 input skew); no-op on multi-file corpora.
+    emb = spread_for_cpu(spark, load_table(spark, sf_dir, "embeddings"))
     cp = _ivf_cells_probes(spark, sf_dir, emb)
     if cp is None:
         return spark.createDataFrame([], _EMPTY_TOPK_DDL)
@@ -553,6 +558,14 @@ def semdedup_drops(
     emb = load_table(spark, sf_dir, "embeddings")
     if k is None:
         k = _semdedup_k(sf_dir, emb)
+    # spread_for_cpu for the assignment/pair chain below: the k x dim
+    # distance fold per row and the norm pass otherwise run on the
+    # single-file scan's ONE task (guide §2.5 input skew); the count()
+    # and training sample above stay on the raw scan (partition-count
+    # independent). No-op on multi-file corpora.
+    from tinymapreduce_spark.sources.loaders import spread_for_cpu
+
+    emb_s = spread_for_cpu(spark, emb)
     cache_key = (sf_dir, k)
     if cache_key not in _SEMDEDUP_CENT_CACHE:
         x = _collect_quantized_sample(emb)
@@ -583,7 +596,7 @@ def semdedup_drops(
         nassign,
     )
     cells = (
-        emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
+        emb_s.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
         .join(F.broadcast(cdf))
         .select("vec_id", "embedding", dists.alias("ds"))
         .select("vec_id", "embedding", F.explode(cell_structs).alias("p"))
@@ -1682,10 +1695,16 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     never data-proportional."""
     from tinymapreduce_spark.functions.vectors import dot, l2_norm
 
+    from tinymapreduce_spark.sources.loaders import spread_for_cpu
+
     emb = load_table(spark, sf_dir, "embeddings")
     # carry each row's norm once so the pair pass is one dot product
-    # (sqrt of the same ordered fold -> bit-identical cosine values)
-    sample = emb.where(F.col("vec_id") < SEM_RECALL_SAMPLE).withColumn(
+    # (sqrt of the same ordered fold -> bit-identical cosine values).
+    # spread_for_cpu: the single-file testdata otherwise leaves the
+    # |sample|^2 nested-loop pair pass on ONE task (measured: two
+    # concurrent ~5 s single-task jobs at sf0.1 — guide §2.5 input
+    # skew); the gate makes this a no-op on multi-file corpora.
+    sample = spread_for_cpu(spark, emb.where(F.col("vec_id") < SEM_RECALL_SAMPLE)).withColumn(
         "nrm", l2_norm(F.col("embedding"))
     )
     a = sample.select(
@@ -1711,6 +1730,12 @@ def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_b")
         .distinct()
+        # truth feeds BOTH the semi-join and its own count below —
+        # materialize the (tiny, <= sample-sized) id set once instead
+        # of running the |sample|^2 pair pass twice (guide §5 caching:
+        # reused AND expensive to recompute; eager localCheckpoint so
+        # blocks release with the frame, not the CacheManager)
+        .localCheckpoint(eager=True)
     )
     drops = (
         semdedup_drops(spark, sf_dir)

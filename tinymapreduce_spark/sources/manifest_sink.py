@@ -254,6 +254,138 @@ def _stat_family(v) -> str:
     return "other"
 
 
+def _key_family_from_dtype(dtype: str) -> str:
+    """Comparison family of a key COLUMN TYPE — the schema-side twin of
+    ``_stat_family`` (which classifies aggregated VALUES): numerics and
+    decimals aggregate to num stats, strings/dates/timestamps serialize
+    to order-preserving str forms, booleans and everything else are
+    unprunable. Used by the one-job planner to classify files before
+    any aggregate has run."""
+    base = dtype.split("(")[0]
+    if base in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+        return "num"
+    if base in ("string", "varchar", "char", "date", "timestamp", "timestamp_ntz"):
+        return "str"
+    return "other"
+
+
+# Conditional-aggregation planning fast path cap: above this many
+# stats-bearing files the planner falls back to the broadcast-join probe
+# (_split_files_by_key_frame), whose chunking bounds driver memory at
+# the 10^5-file posture. 64 keeps the agg expression tree small.
+PLAN_FLAG_FAST_MAX = 64
+
+
+def _plan_candidates(
+    spark: SparkSession,
+    snap: "Snapshot",
+    key_col: str,
+    keys_df: DataFrame,
+    new_rows: DataFrame | None = None,
+):
+    """MERGE/DELETE planning in ONE Spark job (guide §1.2/§2.4: the
+    per-micro-batch fixed cost of the streaming CDC sinks was 3 jobs +
+    their scheduling gaps — bounds agg, null-insert probe, file-hit
+    probe — measured ~0.7-1.0 s of a ~1.5 s batch at sf0.1).
+
+    Returns ``(n_keys, has_null_inserts, untouched, candidates)``.
+
+    Fast path — no key-column blooms and at most PLAN_FLAG_FAST_MAX
+    stats-bearing files: ONE aggregate over the non-null keys computes
+    the key count, the null-insert count (via a cross-joined 1-row
+    sub-aggregate when ``new_rows`` is given) AND a per-file hit flag
+    ``max(CASE WHEN key BETWEEN file_min AND file_max THEN 1 END)``
+    — exactly the range test the join probe evaluates, in the same
+    serialized-stat domain, so the (untouched, candidates) split is
+    identical. Files without stats or with an unprunable domain go
+    straight to candidates, as before.
+
+    Fallback — blooms present or very many files: the original bounds
+    aggregate (still fused with the null probe) followed by the
+    chunked broadcast-join probe ``_split_files_by_key_frame``, which
+    remains the memory-bounded 10^5-file path."""
+    from pyspark.sql import functions as F
+
+    nn_keys = keys_df.where(F.col(key_col).isNotNull())
+    key_fam = _key_family_from_dtype(dict(keys_df.dtypes)[key_col])
+    stats = snap.stats or {}
+    eligible, pre_candidates = [], []
+    for f in snap.files:
+        s = stats.get(f)
+        smin = s["min"].get(key_col) if s else None
+        smax = s["max"].get(key_col) if s else None
+        if smin is None or smax is None:
+            pre_candidates.append(f)
+        elif (
+            key_fam == "other"
+            or _stat_family(smin) != key_fam
+            or _stat_family(smax) != key_fam
+        ):
+            pre_candidates.append(f)
+        else:
+            bloom = (s.get("bloom") or {}).get(key_col)
+            if not (
+                bloom
+                and bloom.get("k") == BLOOM_K
+                and (bloom.get("bits") or bloom.get("ref"))
+            ):
+                bloom = None
+            eligible.append((f, smin, smax, bloom))
+
+    fast = (
+        0 < len(eligible) <= PLAN_FLAG_FAST_MAX
+        and not any(bl is not None for _, _, _, bl in eligible)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.min(key_col).alias("_lo"),
+        F.max(key_col).alias("_hi"),
+    ]
+    if fast:
+        if key_fam == "str":
+            dom = "string"
+        elif all(
+            isinstance(v, int) and not isinstance(v, bool)
+            for _, a, b, _bl in eligible
+            for v in (a, b)
+        ):
+            dom = "bigint"
+        else:
+            dom = "double"
+        k = F.col(key_col).cast(dom)
+        aggs += [
+            F.max(
+                F.when((k >= F.lit(a).cast(dom)) & (k <= F.lit(b).cast(dom)), 1)
+            ).alias(f"_h{i}")
+            for i, (_f, a, b, _bl) in enumerate(eligible)
+        ]
+    plan = nn_keys.agg(*aggs)
+    if new_rows is not None:
+        plan = plan.crossJoin(
+            new_rows.where(F.col(key_col).isNull()).agg(
+                F.count(F.lit(1)).alias("_nulls")
+            )
+        )
+    row = plan.first()
+    n_keys = row["_n"]
+    has_null_inserts = new_rows is not None and row["_nulls"] > 0
+    if n_keys == 0:
+        # no keys match anything: every file carries over untouched
+        # (pure NULL-key inserts, if any, rewrite no existing file)
+        return 0, has_null_inserts, list(snap.files), []
+    if fast:
+        untouched, candidates = [], list(pre_candidates)
+        for i, (f, _a, _b, _bl) in enumerate(eligible):
+            (candidates if row[f"_h{i}"] == 1 else untouched).append(f)
+        return n_keys, has_null_inserts, untouched, candidates
+    if not eligible:
+        return n_keys, has_null_inserts, [], pre_candidates
+    untouched, candidates = _split_files_by_key_frame(
+        spark, snap, key_col, nn_keys, row["_lo"], row["_hi"]
+    )
+    return n_keys, has_null_inserts, untouched, candidates
+
+
 def _split_files_by_key_frame(
     spark: SparkSession,
     snap: "Snapshot",
@@ -404,6 +536,62 @@ def _split_files_by_key_frame(
     return untouched, candidates
 
 
+def _footer_file_stats(files: list[str], stats_cols: list[str]) -> dict | None:
+    """Per-file (rows, min/max) stats read from the parquet FOOTERS,
+    driver-side — no Spark job (guide §1.2: the per-publish stats pass
+    was one full re-read job of the staged files; footers are the
+    format's own authoritative stats and publish() already reads them
+    for row counts on the no-stats path). Returns the same dict shape
+    as ``_collect_file_stats``, or None to fall back to the Spark pass.
+
+    Exactness gate — footer min/max are only trusted where they equal
+    what the Spark aggregate would produce: plain signed INT32/INT64
+    and FLOAT/DOUBLE physical columns (no decimals — publish widens
+    those; no strings — footers may truncate; no dates/timestamps —
+    the Spark pass serializes their Python forms). Any missing
+    statistics, unexpected logical type, or row group with values but
+    no recorded min/max returns None."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        schema = md.schema
+        idx = {schema.column(i).name: i for i in range(len(schema))}
+        entry = {"rows": md.num_rows, "min": {}, "max": {}}
+        for c in stats_cols:
+            i = idx.get(c)
+            if i is None:
+                return None
+            col = schema.column(i)
+            logical = str(col.logical_type)
+            if col.physical_type not in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                return None
+            if not (
+                logical == "None"
+                or (logical.startswith("Int(") and "isSigned=true" in logical)
+            ):
+                return None
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                st = rgm.column(i).statistics
+                if st is None or st.null_count is None:
+                    return None
+                if st.has_min_max:
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+                elif st.null_count != rgm.num_rows:
+                    return None  # values present but no min/max recorded
+            entry["min"][c] = lo
+            entry["max"][c] = hi
+        out[f] = entry
+    return out
+
+
 class ManifestTable:
     """A directory-backed versioned parquet table with WAP commits."""
 
@@ -518,9 +706,21 @@ class ManifestTable:
             staged = spark.read.parquet(staging)
             stats = None
             if stats_cols or bloom_cols:
-                stats = self._collect_file_stats(
-                    staged, stats_cols or [], bloom_cols, bloom_m
-                )
+                if not bloom_cols:
+                    # driver-side footer fast path (exact for plain
+                    # int/float columns; None -> Spark pass below)
+                    stats = _footer_file_stats(
+                        sorted(
+                            os.path.join(staging, f)
+                            for f in os.listdir(staging)
+                            if f.endswith(".parquet")
+                        ),
+                        stats_cols or [],
+                    )
+                if stats is None:
+                    stats = self._collect_file_stats(
+                        staged, stats_cols or [], bloom_cols, bloom_m
+                    )
                 n_rows = sum(s["rows"] for s in stats.values())
             else:
                 # The audited row count comes from the staged parquet
@@ -1473,23 +1673,11 @@ class ManifestTable:
             )
 
         nn_keys = keys_df.where(F.col(key_col).isNotNull())
-        bounds = nn_keys.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(key_col).alias("_lo"),
-            F.max(key_col).alias("_hi"),
-        ).first()
-        has_null_inserts = (
-            new_rows is not None
-            and new_rows.where(F.col(key_col).isNull()).limit(1).count() > 0
+        n_keys, has_null_inserts, untouched, candidates = _plan_candidates(
+            spark, snap, key_col, keys_df, new_rows
         )
-        if bounds["_n"] == 0 and not has_null_inserts:
+        if n_keys == 0 and not has_null_inserts:
             return cur  # nothing matches / nothing to insert
-        if bounds["_n"] == 0:
-            untouched, candidates = list(snap.files), []
-        else:
-            untouched, candidates = _split_files_by_key_frame(
-                spark, snap, key_col, nn_keys, bounds["_lo"], bounds["_hi"]
-            )
         stats = snap.stats or {}
 
         remaining = (
@@ -1538,12 +1726,18 @@ class ManifestTable:
                     bloom_m_of.setdefault(c, b["m"])
             try:
                 if new_files:
-                    # one stats pass + one stacked bloom pass over the
-                    # rewritten files, regardless of bloom column count
-                    staged_read = spark.read.parquet(*new_files)
-                    restats = self._collect_file_stats(
-                        staged_read, stat_cols, sorted(bloom_m_of), bloom_m_of
-                    )
+                    restats = None
+                    if not bloom_m_of:
+                        # driver-side footer fast path (exact for plain
+                        # int/float columns; None -> Spark pass below)
+                        restats = _footer_file_stats(new_files, stat_cols)
+                    if restats is None:
+                        # one stats pass + one stacked bloom pass over the
+                        # rewritten files, regardless of bloom column count
+                        staged_read = spark.read.parquet(*new_files)
+                        restats = self._collect_file_stats(
+                            staged_read, stat_cols, sorted(bloom_m_of), bloom_m_of
+                        )
                 else:
                     restats = {}
             except Exception:
@@ -1666,17 +1860,10 @@ class ManifestTable:
                 raise FileNotFoundError(f"no published version in {self.table_dir}")
             snap = self.snapshot(cur)
             nn_keys = keys_df.where(F.col(key_col).isNotNull())
-            bounds = nn_keys.agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.min(key_col).alias("_lo"),
-                F.max(key_col).alias("_hi"),
-            ).first()
-            if bounds["_n"] == 0:
-                return cur
-            untouched, candidates = _split_files_by_key_frame(
-                spark, snap, key_col, nn_keys, bounds["_lo"], bounds["_hi"]
+            n_keys, _nulls, untouched, candidates = _plan_candidates(
+                spark, snap, key_col, keys_df
             )
-            if not candidates:
+            if n_keys == 0 or not candidates:
                 return cur
             matched = (
                 self._read_files(spark, candidates, snap.schema_ddl)
@@ -1702,7 +1889,16 @@ class ManifestTable:
                 self.data_dir, f"dv-{snapshot_id}-{uuid.uuid4().hex[:8]}"
             )
             matched.repartition(1).write.mode("errorifexists").parquet(dv_dir)
-            n_del = spark.read.parquet(dv_dir).count()
+            # written-DV count from the parquet footers (what was
+            # actually written), driver-side — same authority as a
+            # count() job without paying one per micro-batch
+            import pyarrow.parquet as pq
+
+            n_del = sum(
+                pq.ParquetFile(os.path.join(dv_dir, f)).metadata.num_rows
+                for f in os.listdir(dv_dir)
+                if f.endswith(".parquet")
+            )
             if n_del == 0:
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 return cur

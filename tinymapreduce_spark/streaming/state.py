@@ -724,9 +724,21 @@ def stream_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stream_pack_{uuid.uuid4().hex[:8]}"
-    q = bins.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The grouping-key domain is exactly PACK_SHARDS by construction
+    # (shard = doc_id % PACK_SHARDS), so state partitions beyond that
+    # are permanently empty — cap them for this query's lifetime
+    # (session.bounded_state_partitions: 10.7 s -> 4.2 s warm at sf0.1).
+    from tinymapreduce_spark.session import bounded_state_partitions
+
+    with bounded_state_partitions(spark, PACK_SHARDS):
+        q = (
+            bins.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {name}").orderBy("shard", "bin_id")
