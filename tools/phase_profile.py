@@ -41,6 +41,9 @@ n = q(spark, {sf!r}).count()
 cold = round(time.monotonic() - t0, 2)
 spark.sparkContext.setJobDescription("===LAP2 START===")
 spark.range(1).count()
+# clear the marker or every subsequent job inherits it and the per-job
+# call-site descriptions are lost
+spark.sparkContext.setJobDescription(None)
 t0 = time.monotonic()
 if lap != "cold":
     n = q(spark, {sf!r}).count()
