@@ -154,9 +154,12 @@ def stream_cms_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         CMS_TOPK,
         _cms_cells,
     )
-    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+    from tinymapreduce_spark.sources.loaders import load_table
 
-    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text")
+    # RAW table for the feed write (the tokenize + sketch fold runs on
+    # the BATCH reads): the spread-for-CPU view would just move the
+    # text through a second exchange before the repartition(8) one.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     run = uuid.uuid4().hex[:8]
     src = os.path.join(SCRATCH, f"cms_stream_src_{run}")
     docs.repartition(8).write.mode("overwrite").parquet(src)
@@ -757,10 +760,15 @@ def stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     never text), each batch's delta is a narrow map + digest-width
     shuffle, and a re-delivered batch can never double-count a chunk."""
     from tinymapreduce_spark.operators.dedup import content_chunks_df
-    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+    from tinymapreduce_spark.sources.loaders import load_table
 
+    # RAW table for the feed write: the only consumer of `docs` is the
+    # 8-file source materialization, whose repartition is already an
+    # exchange — routing it through the spread-for-CPU view would move
+    # the full text payload through a second, useless exchange (the
+    # CPU-heavy chunking runs on the BATCH reads, not here).
     docs = (
-        documents_for_cpu(spark, sf_dir)
+        load_table(spark, sf_dir, "documents")
         .where(F.length("text") > 0)
         .select("doc_id", "source", "text")
     )
@@ -922,9 +930,13 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch verdict partials are O(|langs| x 2) rows regardless of
     batch size, and table history time-travels the acceptance rate."""
     from tinymapreduce_spark.operators.textstats import gopher_rules_df
-    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+    from tinymapreduce_spark.sources.loaders import load_table
 
-    docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text", "lang")
+    # RAW table for the feed write (not the spread-for-CPU view): the
+    # rule battery runs on the BATCH reads inside foreachBatch; here
+    # the text would just pay a second full exchange before the
+    # repartition(8) one.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     run = uuid.uuid4().hex[:8]
     src = os.path.join(SCRATCH, f"quality_stream_src_{run}")
     docs.repartition(8).write.mode("overwrite").parquet(src)
@@ -1013,7 +1025,12 @@ def stream_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymapreduce_spark.sources.loaders import documents_for_cpu
 
     docs = documents_for_cpu(spark, sf_dir).select("doc_id", "text", "lang")
-    bg_full = pplx_bigrams_df(docs)
+    # Materialize the bigram pass ONCE: both the LM build and the
+    # calibration scoring below consume bg_full, and since each is
+    # frozen by its own eager materialization they would otherwise run
+    # the doc-scan + explode + groupBy twice (separate jobs see no
+    # ReuseExchange). One checkpoint halves the model-training setup.
+    bg_full = pplx_bigrams_df(docs).transform(_materialize)
     lm, starts = pplx_model_df(bg_full)
     lm = lm.transform(_materialize)
     starts = starts.transform(_materialize)
@@ -1021,7 +1038,15 @@ def stream_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = uuid.uuid4().hex[:8]
     src = os.path.join(SCRATCH, f"pplx_stream_src_{run}")
-    docs.repartition(8).write.mode("overwrite").parquet(src)
+    # Feed write from the RAW table: `docs` (the spread view) is the
+    # right input for the CPU-heavy model training above, but routing
+    # the feed write through it would pay the spread exchange a second
+    # time just to re-exchange into 8 files.
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).repartition(8).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1113,7 +1138,14 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run = uuid.uuid4().hex[:8]
     src = os.path.join(SCRATCH, f"decontam_stream_src_{run}")
-    docs.where(F.col("doc_id") % EVAL_MOD != 0).repartition(8).write.mode(
+    # Feed write from the RAW table: `docs` (the spread view) is the
+    # right input for the eval-gram tokenize above, but the feed write
+    # needs no CPU spread — only the 8-file exchange.
+    from tinymapreduce_spark.sources.loaders import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).where(F.col("doc_id") % EVAL_MOD != 0).repartition(8).write.mode(
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
