@@ -1362,7 +1362,16 @@ def content_chunks_df(docs: DataFrame) -> DataFrame:
     codes_col = F.transform(
         F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")), F.ascii
     )
-    base = docs.repartition(64, "doc_id").select(
+    # Keyed repartition at the session's parallelism: the exchange both
+    # spreads the rolling-hash projection below across the cluster
+    # (otherwise it fuses onto a possibly single-task scan — and the
+    # shuffled bytes are small relative to the per-row CPU, so an
+    # AQE-coalescible keyless form would collapse it back to one task)
+    # and pre-satisfies the per-doc window's distribution. The explicit
+    # count tracks the cluster's cores instead of the previous hard 64,
+    # a local-mode constant that micro-batch plans paid in full.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, "doc_id").select(
         "doc_id", "source", "text", codes_col.alias("codes")
     )
     codes = F.col("codes")

@@ -774,7 +774,11 @@ def winnow_fps_df(docs: DataFrame) -> DataFrame:
     codes_col = F.transform(
         F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")), F.ascii
     )
-    base = docs.repartition(64, "doc_id").select("doc_id", codes_col.alias("codes"))
+    # explicit count (not AQE-coalescible: small bytes, heavy per-row
+    # rolling-hash CPU) that tracks cluster cores instead of a hard 64
+    base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", codes_col.alias("codes"))
     codes = F.col("codes")
     n = F.size(codes)
     positions = F.when(

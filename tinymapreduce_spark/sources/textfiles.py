@@ -180,8 +180,21 @@ def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str, compression: str 
     out = os.path.join(SCRATCH, f"{fam}_lineitem_{tag}")
     marker = f"spark.tinymr.{fam}_lineitem_{tag.replace('.', '_')}"
     if not spark.conf.get(marker, None):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+        from tinymapreduce_spark.sources.loaders import spread_for_cpu
+
+        # Spread the single-file scan before the write so the
+        # round-tripped layout has >= cores files: the READ-BACK side
+        # pays a per-record text parse (XML worst: ~600k StaxXmlParser
+        # records at sf0.1 ran as ONE task, 3.5 s of the 3.6 s wall),
+        # and these text formats split at file granularity only. At
+        # scale the source scan already has >= cores files and the
+        # gate is a no-op; the aggregate is order-independent (exact
+        # decimal sums), so layout cannot change the result.
+        li = spread_for_cpu(
+            spark,
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+            ),
         )
         writer = li.write.mode("overwrite")
         if fmt == "csv":
