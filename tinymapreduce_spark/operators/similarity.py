@@ -633,8 +633,19 @@ def semdedup_drops(
         "cid",
         F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_SALT)).cast("int").alias("salt"),
     )
+    # Pin the pair-join exchanges to an EXPLICIT partition count. The
+    # join shuffles both sides on (cid, salt) anyway, but left implicit
+    # the exchanges are AQE-coalescible — and this is the textbook
+    # small-bytes/heavy-CPU shuffle AQE coalescing ruins: a few MB of
+    # embedding rows fan out into O(cell^2) dot products, so the
+    # byte-sized target collapsed the pair stage to 1-6 tasks (and the
+    # runtime build-side flip made it bimodal: measured 2.5 s vs
+    # 6.7-10.9 s for identical runs in one session). An explicit count
+    # is exempt from coalescing; it tracks cluster cores at scale.
+    par = spark.sparkContext.defaultParallelism
     pairs = (
-        a.join(b, ["cid", "salt"])
+        a.repartition(par, "cid", "salt")
+        .join(b.repartition(par, "cid", "salt"), ["cid", "salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -929,7 +940,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (codebooks, codes, distance tables, pool, re-rank); recall
     vs the exact baseline additionally asserted in
     tests/test_invariants.py."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cb = _cached_pq_codebook(spark, sf_dir, emb)
 
     qemb = emb.select("vec_id", "embedding", _quantize(F.col("embedding")).alias("qv"))
@@ -994,7 +1007,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cached_pq_codebook), so ANN_IVFPQ_TOPK_SQL replays the composed
     pipeline end to end; recall vs the exact baseline additionally
     asserted in tests/test_invariants.py."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    # One materialization serves all four consumers (cell assignment,
+    # PQ code build, query projection, exact re-rank join). Relying on
+    # AQE exchange reuse here proved NONDETERMINISTIC: when the reuse
+    # missed, the scan + repartition + quantize subtree re-executed per
+    # consumer (event-log: 10 heavy stages instead of 5, 2.0 s vs
+    # 4.5 s for identical runs). The explicit count tracks cluster
+    # cores instead of the previous hard 32.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=True)
+    )
 
     # IVF: cell assignment + query probes (shared with ann_ivf_topk)
     cp = _ivf_cells_probes(spark, sf_dir, emb)
