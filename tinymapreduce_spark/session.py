@@ -98,6 +98,21 @@ def get_spark(
         # memory instead (this knob maps to spark.executor.memory there).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Generated-class cache sized to the WORKLOAD, not the 100-entry
+        # default: this application runs a 320-query registry (242 in
+        # the bench) through one session, and whole-stage-codegen
+        # classes are cached by source text with LRU eviction — at 100
+        # entries every query's classes are evicted long before its
+        # next execution, so steady-state laps silently re-pay Janino
+        # compilation (measured: ann_ivfpq_topk 2.7 s warm -> 5.0 s
+        # after 40 intervening queries, pure recompile). ~10-15 codegen
+        # units per query x 320 queries -> 4096 keeps every unit
+        # resident for ~200 MB of metaspace; any multi-query production
+        # session sizes this the same way (static conf: set at launch).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in the loader (lossless:
