@@ -88,9 +88,16 @@ def test_ngram_dedup_candidate_join_on_hashes(spark, sf_dir):
     # materialization; this pins the plan that produces it)
     p = plan_of(dedup.ngram_jaccard_pairs(spark, sf_dir))
     # shingles travel as xxhash64 longs — no shingle strings in any
-    # exchange; every hashpartitioning key is doc_id/hash/band typed
-    assert "xxhash64" in p
-    for line in p.splitlines():
+    # exchange; every hashpartitioning key is doc_id/hash/band typed.
+    # The hashing itself happens in the shingle relation, which the
+    # pair pipeline materializes eagerly (released-on-GC checkpoint,
+    # not a CacheManager pin) — so the hash expression is pinned on the
+    # PRODUCING plan and the pair plan is checked for exchange hygiene.
+    from tinymapreduce_spark.sources.loaders import documents_for_cpu
+
+    p_sh = plan_of(dedup._shingles(documents_for_cpu(spark, sf_dir)))
+    assert "xxhash64" in p_sh
+    for line in (p + p_sh).splitlines():
         if "Exchange hashpartitioning" in line:
             assert "shingle" not in line
 

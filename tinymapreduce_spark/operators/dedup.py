@@ -183,7 +183,7 @@ def ngram_jaccard_pairs(
     if hot_df_cap is not None:
         dfreq = dfreq.where(F.col("df") < hot_df_cap)
     # one inner join applies the cap AND attaches df for prefix ranking
-    sh = raw.join(dfreq, "h").cache()
+    sh = raw.join(dfreq, "h").localCheckpoint(eager=True)
     sets = _doc_sets(sh.select("doc_id", "h"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix = (
@@ -263,9 +263,16 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte keys."""
     docs = documents_for_cpu(spark, sf_dir)
     # Both the df-count branch and the semi-join branch consume the
-    # shingle relation — cache it so the corpus scans + explode run once
-    # (same convention as dedup_ngram_jaccard).
-    sh = _shingles(docs).cache()
+    # shingle relation — materialize it so the corpus scans + explode
+    # run once. Eager localCheckpoint, not cache(): checkpoint blocks
+    # are released by the context cleaner when the frame is GC'd,
+    # whereas cache() pins blocks in the CacheManager until an explicit
+    # clear — in a long-lived multi-query session (the bench lap, any
+    # real analytics service) the dedup tier's pinned frames otherwise
+    # accumulate and later CPU-heavy queries absorb the GC pressure
+    # (r8's 24 s hybrid_rrf_ndcg walls; same convention as
+    # semdedup_drops' cells frame).
+    sh = _shingles(docs).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -413,7 +420,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = NGRAM
     portability is not needed and hashing throughput matters more.
     """
     docs = documents_for_cpu(spark, sf_dir)
-    sh = _shingles_portable(docs).cache()
+    sh = _shingles_portable(docs).localCheckpoint(eager=True)
     bands = _lsh_bands(_minhash_signature(sh))
     cand = (
         bands.alias("a")
@@ -540,7 +547,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
     the portable hash family — the driver hash-compares against
     DEDUP_SIMHASH_SQL exactly."""
     docs = documents_for_cpu(spark, sf_dir)
-    sim = _simhash(docs).cache()
+    sim = _simhash(docs).localCheckpoint(eager=True)
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -1232,7 +1239,7 @@ def dedup_incremental_minhash(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
     flagged = docs.withColumn("is_new", batch_byte < 64)
-    sh = _shingles_portable(flagged).cache()
+    sh = _shingles_portable(flagged).localCheckpoint(eager=True)
     flags = flagged.select("doc_id", "is_new")
     bands = _lsh_bands(_minhash_signature(sh)).join(flags, "doc_id")
     new_b = bands.where(F.col("is_new")).select("doc_id", "band", "band_hash")
