@@ -476,6 +476,36 @@ def test_bloom_sidecar_carry_forward_and_vacuum(spark, tmp_path, monkeypatch):
     assert orphan in removed and not _os.path.exists(orphan)
 
 
+def test_truncated_sidecar_degrades_to_keep(spark, tmp_path, monkeypatch):
+    """A truncated bloom sidecar (short read inside the bit probe — bad
+    off/len metadata or a half-written file) must KEEP the file, same
+    as the lost-sidecar OSError path: a corrupt sidecar may only lose
+    pruning, never rows (ADVICE r9 — the short read used to PRUNE)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources import manifest_sink as ms
+
+    monkeypatch.setattr(ms, "BLOOM_INLINE_BUDGET", 0)
+    t = ManifestTable(str(tmp_path / "trunc"))
+    t.append(
+        spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1),
+        snapshot_id="a1",
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    # healthy sidecar: an in-range key resolves to its hosting file
+    assert len(t.point_lookup_files("k", 5)) == 1
+    # truncate the sidecar to zero bytes: every seek-read comes back
+    # empty -> the planner must degrade to keeping the file
+    for name in _os.listdir(t.manifest_dir):
+        if name.startswith("blooms-") and name.endswith(".bin"):
+            with open(_os.path.join(t.manifest_dir, name), "wb"):
+                pass
+    assert len(t.point_lookup_files("k", 5)) == 1
+
+
 def test_files_without_bloom_keep_range_behavior(spark, tmp_path):
     """A bloomless publish is classified exactly as before the sidecar
     existed: range-overlapping files are candidates."""

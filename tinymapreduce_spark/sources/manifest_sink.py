@@ -1156,6 +1156,22 @@ class ManifestTable:
 
         handles: dict = {}
         kept = []
+        try:
+            self._point_lookup_scan(
+                snap, col, stats, jv, fam, probe_is_int, probe_is_str,
+                positions, handles, kept,
+            )
+        finally:
+            _close_handles(handles)
+        return kept
+
+    def _point_lookup_scan(
+        self, snap, col, stats, jv, fam, probe_is_int, probe_is_str,
+        positions, handles, kept,
+    ) -> None:
+        """Body of ``point_lookup_files``'s planning loop, split out so
+        the caller can guarantee sidecar handles close on ANY exit
+        (ADVICE r9: an exception mid-scan leaked them)."""
         for f in snap.files:
             s = stats.get(f)
             if s is None:
@@ -1198,7 +1214,14 @@ class ManifestTable:
                     for p in positions(bl["m"]):
                         fh.seek(bl["off"] + p // 8)
                         byte = fh.read(1)
-                        if not byte or not (byte[0] >> (p % 8)) & 1:
+                        if not byte:
+                            # short read = truncated sidecar / bad
+                            # off+len metadata: degrade to KEEP, same
+                            # as the lost-sidecar OSError path — a
+                            # corrupt sidecar may only lose pruning,
+                            # never rows (ADVICE r9)
+                            break
+                        if not (byte[0] >> (p % 8)) & 1:
                             maybe = False
                             break
                 except OSError:
@@ -1212,8 +1235,6 @@ class ManifestTable:
                 ):
                     continue
             kept.append(f)
-        _close_handles(handles)
-        return kept
 
     def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
         """Read the current version scanning only
@@ -2023,7 +2044,20 @@ class ManifestTable:
         (expired snapshots' files + crashed writers' orphans), plus
         bloom sidecar .bin files no surviving manifest names (expired
         versions' sidecars + crashed commits' orphans). Returns the
-        removed paths."""
+        removed paths.
+
+        Runs under the commit lock (ADVICE r9): concurrent with an
+        in-flight commit, an unlocked vacuum could delete the commit's
+        just-written ``blooms-*.bin`` (or staged data) in the window
+        between the sidecar write and the manifest that references it,
+        leaving that version's refs permanently unresolvable. The lock
+        serializes vacuum against the manifest write + pointer flip; a
+        racing committer waits (or times out with CommitConflict) the
+        same way two committers already do."""
+        with self._commit_lock():
+            return self._vacuum_locked()
+
+    def _vacuum_locked(self) -> list[str]:
         live: set[str] = set()
         live_refs: set[str] = set()
         cur = self.current_version()

@@ -71,16 +71,18 @@ def build(table_dir: str, n_files: int, inline: bool) -> dict:
             "max": {"k": KEY_HI},
             "bloom": {"k": {"k": ms.BLOOM_K, "m": m, "bits": ms._bloom_unpack(raw)}},
         }
-    orig_budget = ms.BLOOM_INLINE_BUDGET
-    ms.BLOOM_INLINE_BUDGET = 10**12 if inline else 0
+    # Set the INSTANCE attribute: ManifestTable snapshots the module
+    # default into self.bloom_inline_budget at __init__, and
+    # _externalize_blooms reads only the instance value — patching the
+    # module global after construction silently left BOTH postures on
+    # the 4 MB default (ADVICE r9 #1), so every probed size >= 10^3
+    # files externalized even in the "inline" runs.
+    t.bloom_inline_budget = 10**12 if inline else 0
     t0 = time.time()
-    try:
-        with t._commit_lock():
-            t._write_manifest_locked(
-                files, n_files * ROWS_PER_FILE, "k BIGINT", "probe", stats
-            )
-    finally:
-        ms.BLOOM_INLINE_BUDGET = orig_budget
+    with t._commit_lock():
+        t._write_manifest_locked(
+            files, n_files * ROWS_PER_FILE, "k BIGINT", "probe", stats
+        )
     commit_s = time.time() - t0
 
     man = t._manifest_path(t.current_version())
