@@ -190,6 +190,71 @@ _R5_WINDOW = [
 # cutoff, then the r2 cohort (24), then the 24 oldest r3 keys. At r9
 # start flip queries() to _R9_WINDOW (one line) and insert any r9-NEW
 # keys at the very head.
+# Round-11 window (VERDICT r10 gate note + next-round item #2): the r10
+# driver did NOT rotate, so 22 r10-optimization-touched keys have no
+# driver oracle row at the r10 HEAD. This window leads with every
+# r11-TOUCHED key (this round's optimizations: graph tier, kmeans /
+# perceptron / ann literal-frame fix, stream_ann publish layout,
+# hybrid retrieval materialization, manifest footer-stats gate +
+# vacuum lock scope), then every r10-touched key from the VERDICT
+# list, topped up with the oldest-checked keys (r4 cohort, never
+# re-checked since) in their r4 order.
+_R11_WINDOW = [
+    # --- r11-touched ---
+    "pagerank_trade",
+    "label_propagation",
+    "bfs_hops",
+    "kmeans_clusters",
+    "perceptron_quality",
+    "stream_ann_ingest",
+    "semdedup_drops",
+    "semdedup_recall",
+    "hybrid_rrf_ndcg",
+    "hybrid_rrf_retrieval",
+    "manifest_metadata_agg",
+    "set_ops",
+    "manifest_expire_vacuum",
+    "manifest_upsert",
+    "manifest_delete_rewrite",
+    "ann_ivfpq_recall",
+    "ann_ivf_recall",
+    # --- r10-touched (VERDICT r10 next-round #2 list) ---
+    "stream_cdc_upsert",
+    "stream_dv_erasure",
+    "stream_cdc_apply_changes",
+    "stream_pack_nextfit",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
+    "xml_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "content_chunk_dedup",
+    "stream_chunk_ingest",
+    "stream_quality_filter",
+    "stream_perplexity_buckets",
+    "stream_decontaminate",
+    "custom_source_runs",
+    "custom_source_pushdown",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental_minhash",
+    "boilerplate_spans",
+    # --- freshness: oldest-checked (r4 cohort, r4 order) ---
+    "dsir_importance_weights",
+    "k_anonymity_risk",
+    "ann_lsh_topk",
+    "sketch_error_bounds",
+    "extract_entities",
+    "gopher_rules",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "pii_mask",
+    "bigram_lm",
+]
+
 _R9_WINDOW = [
     # r9-NEW key (always in-window): the bloom-sidecar posture twin
     "manifest_bloom_sidecar",
@@ -961,7 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_bloom_sidecar": manifest_sink.manifest_bloom_sidecar,
         "stream_perplexity_buckets": stream_sinks.stream_perplexity_buckets,
     }
-    window = {k: base[k] for k in _R9_WINDOW}
+    window = {k: base[k] for k in _R11_WINDOW}
     return window | {k: v for k, v in base.items() if k not in window}
 
 

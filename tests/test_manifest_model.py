@@ -630,3 +630,142 @@ def test_point_lookup_bloom_needs_domain_witness(spark, tmp_path):
     # probed as the exact float the stats witness: same answer
     got_f = t.read_point(spark, "p", 5.0).where(F.col("p") == 5.0).collect()
     assert [(r.p, r.v) for r in got_f] == [(5.0, 5)]
+
+
+def test_distributed_bloom_probe_matches_chunked_planner(
+    spark, tmp_path, monkeypatch
+):
+    """The file-parallel distributed probe (round 11 — the 10^5-file
+    MERGE-planning path) must classify files EXACTLY like the chunked
+    driver probe, for both bitmap postures (inline bits and sidecar
+    refs), and must fall back to the chunked path above PROBE_KEYS_CAP
+    distinct keys."""
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources import manifest_sink as ms
+
+    del_keys = [3, 77, 1234, 2999, 3777]
+    keys_df = spark.createDataFrame([(k,) for k in del_keys], "k long")
+
+    for posture, budget in (("inline", ms.BLOOM_INLINE_BUDGET), ("sidecar", 0)):
+        t, snap, bucket_of, file_of_bucket = _bloom_table(
+            spark, tmp_path / f"dp_{posture}"
+        )
+        t.bloom_inline_budget = budget
+        if posture == "sidecar":
+            # re-publish the same rows through the sidecar posture
+            df = t.read(spark)
+            t2 = ms.ManifestTable(str(tmp_path / "dp_sc2"))
+            t2.bloom_inline_budget = 0
+            for i in range(8):
+                t2.append(
+                    df.where(F.pmod(F.xxhash64("k"), F.lit(8)) == i).coalesce(1),
+                    snapshot_id=f"b{i}",
+                    stats_cols=["k"],
+                    bloom_cols=["k"],
+                )
+            snap = t2.snapshot(t2.current_version())
+            assert any(
+                (s.get("bloom") or {}).get("k", {}).get("ref")
+                for s in snap.stats.values()
+            ), "sidecar posture not in effect"
+        base = ms._split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+        # force the distributed branch: every file count now exceeds the
+        # "chunk" threshold
+        monkeypatch.setattr(ms, "MERGE_PLAN_CHUNK", 2)
+        dist = ms._split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+        assert (sorted(base[0]), sorted(base[1])) == (
+            sorted(dist[0]),
+            sorted(dist[1]),
+        ), f"distributed != chunked for {posture}"
+        # cap fallback: a tiny key cap sends the same call down the
+        # chunked path — results unchanged
+        monkeypatch.setattr(ms, "PROBE_KEYS_CAP", 2)
+        capped = ms._split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+        assert (sorted(capped[0]), sorted(capped[1])) == (
+            sorted(base[0]),
+            sorted(base[1]),
+        )
+        monkeypatch.undo()
+
+
+def test_distributed_probe_short_sidecar_degrades_to_keep(
+    spark, tmp_path, monkeypatch
+):
+    """A truncated sidecar in the DISTRIBUTED probe may only lose
+    pruning, never rows: every range-overlapping file whose bitmap
+    cannot be fully read must stay a candidate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinymapreduce_spark.sources import manifest_sink as ms
+
+    t, snap, bucket_of, file_of_bucket = _bloom_table(spark, tmp_path / "dpt")
+    df = t.read(spark)
+    t2 = ms.ManifestTable(str(tmp_path / "dpt2"))
+    t2.bloom_inline_budget = 0
+    for i in range(8):
+        t2.append(
+            df.where(F.pmod(F.xxhash64("k"), F.lit(8)) == i).coalesce(1),
+            snapshot_id=f"b{i}",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    snap = t2.snapshot(t2.current_version())
+    # truncate every sidecar to a few bytes
+    for name in os.listdir(t2.manifest_dir):
+        if name.startswith("blooms-") and name.endswith(".bin"):
+            path = os.path.join(t2.manifest_dir, name)
+            with open(path, "r+b") as fh:
+                fh.truncate(3)
+    keys_df = spark.createDataFrame([(3,)], "k long")
+    # chunked path first: with every bitmap unreadable, any file whose
+    # [min, max] hosts the key must stay a candidate (the r11
+    # short-read guard in _bloom_bits_hex — a partial bitmap would
+    # otherwise read as all-bits-clear and PRUNE the hosting file)
+    unt_c, cand_c = ms._split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+    # the hosting file was re-bucketed into t2 — recover candidates by range
+    in_range = [
+        f
+        for f in snap.files
+        if snap.stats[f]["min"]["k"] <= 3 <= snap.stats[f]["max"]["k"]
+    ]
+    assert sorted(cand_c) == sorted(in_range)
+    # distributed path classifies identically
+    monkeypatch.setattr(ms, "MERGE_PLAN_CHUNK", 2)
+    unt_d, cand_d = ms._split_files_by_key_frame(spark, snap, "k", keys_df, 0, 4000)
+    assert (sorted(unt_c), sorted(cand_c)) == (sorted(unt_d), sorted(cand_d))
+
+
+def test_footer_stats_reject_floats_and_match_spark_on_nan(spark, tmp_path):
+    """VERDICT r10 #2: Parquet footer min/max for FLOAT/DOUBLE columns
+    diverge from Spark aggregates when NaN is present (Spark orders NaN
+    greatest; writers variously drop or pollute footer stats), and
+    these stats feed MERGE/point-lookup PRUNING. The footer fast path
+    must refuse float columns entirely — publish falls back to the
+    Spark stats pass — and the recorded max for a NaN-bearing double
+    column must be what the Spark aggregate says, not the footer."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tinymapreduce_spark.sources import manifest_sink as ms
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, 2.5)], "k long, v double"
+    ).coalesce(1)
+    t = ms.ManifestTable(str(tmp_path / "nan"))
+    t.publish(df, snapshot_id="s1", stats_cols=["k", "v"])
+    snap = t.snapshot(t.current_version())
+    (f,) = snap.files
+    # the footer fast path must have refused the double column
+    assert ms._footer_file_stats([f], ["k", "v"]) is None
+    # the Spark pass ran: integer bounds exact, double max reflects
+    # Spark's NaN-greatest ordering (serialized as NaN or the JSON
+    # fallback the writer uses — assert via the stats the planner sees)
+    s = snap.stats[f]
+    assert s["min"]["k"] == 1 and s["max"]["k"] == 3
+    assert s["min"]["v"] == 1.5
+    vmax = s["max"]["v"]
+    assert (isinstance(vmax, float) and math.isnan(vmax)) or vmax == "NaN"

@@ -91,8 +91,10 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scored(feats: DataFrame, weights: list[int]) -> DataFrame:
     """Add (margin, pred): dot(w, x) via one broadcast weight row —
     plan identical every round regardless of the weight values."""
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
     spark = feats.sparkSession
-    wdf = spark.createDataFrame([([int(w) for w in weights],)], "ws array<bigint>")
+    wdf = local_literal_frame(spark, [([int(w) for w in weights],)], "ws array<bigint>")
     margin = F.aggregate(
         F.zip_with(F.col("x"), F.col("ws"), lambda xi, wi: xi * wi),
         F.lit(0).cast("long"),

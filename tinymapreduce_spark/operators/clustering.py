@@ -73,9 +73,11 @@ def _assign(vecs: DataFrame, centroids: list[list[int]]) -> DataFrame:
     exact integers (diff^2 <= ~2^42, 64 dims -> < 2^48, no overflow);
     argmin ties break to the lowest cluster id via array_position's
     first-match semantics."""
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
     spark = vecs.sparkSession
-    cdf = spark.createDataFrame(
-        [([[int(v) for v in c] for c in centroids],)], "cs array<array<bigint>>"
+    cdf = local_literal_frame(
+        spark, [([[int(v) for v in c] for c in centroids],)], "cs array<array<bigint>>"
     )
     dists = F.transform(
         "cs",

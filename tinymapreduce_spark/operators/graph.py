@@ -144,11 +144,22 @@ def pagerank(
     (the generic path detects the same two facts and takes the same
     branches).
     """
-    # Materialize the node set once: the count below, the rank init,
-    # and (generic path) the dangling anti-join all reuse it instead of
-    # re-deriving the caller's distinct/union lineage.
-    nodes = nodes.localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    if assume_full_coverage:
+        # Full-coverage callers (symmetrized graphs) never touch the
+        # node set inside the loop — only the count (here) and the rank
+        # init (consumed once, by round 1) read it, so the distinct
+        # is executed at most twice and a separate materialization
+        # barrier buys nothing (round-11 setup lean-up: the checkpoint
+        # job + its scheduling gap were ~0.4 s of pagerank_trade's
+        # driver-lap wall).
+        n_nodes = nodes.count()
+    else:
+        # Materialize the node set once: the count below, the rank
+        # init, and the dangling anti-join / per-round left join all
+        # reuse it instead of re-deriving the caller's distinct/union
+        # lineage.
+        nodes = nodes.localCheckpoint(eager=True)
+        n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph -> empty ranking (schema-stable)
         return nodes.select(
             "node",
@@ -210,10 +221,50 @@ def pagerank(
     # plans are untouched (broadcast stays optimal while ranks are
     # small — the threshold is ~50 MB of hash relation).
     big_graph = n_nodes > 1_000_000
+    # STATIC CHAIN (round 11, guide §1.2 remove passes / §3.1 pick the
+    # join deliberately): when the graph is bounded (n_nodes <= 1M, so
+    # the rank relation is <= ~16 MB — always broadcastable), has no
+    # dangling machinery and the contribution aggregate emits a row per
+    # node, every iteration consumes the previous one exactly ONCE and
+    # the whole power iteration is a straight-line plan. Chain it
+    # lazily, broadcast the rank side explicitly, and execute the final
+    # checkpoint with AQE off: one statically planned job whose
+    # per-round stages pipeline back to back, instead of ~13 AQE
+    # stage-jobs + replan gaps per 5-round window (phase_profile r11:
+    # ~3.5 s of pagerank_trade's 6.0 s wall was that cascade). The
+    # big-graph path is UNCHANGED (AQE on, shuffle-hash hint, per-round
+    # checkpoints — the r8 x100-probe posture).
+    static_chain = not big_graph and not has_dangling and full_in_coverage
     ckpt_every = 1 if (has_dangling or big_graph) else 5
-    # Init is a narrow map over the checkpointed node set — no separate
+    # Init is a narrow map over the node set — no separate
     # materialization job; the first round's consumer computes it.
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_i"))
+    if static_chain:
+        from tinymapreduce_spark.session import static_plan
+
+        new_rank_full = (
+            f"({(_PR_DEN - _PR_NUM) * base}L"
+            f" + {_PR_NUM}L * COALESCE(in_mass, 0L))"
+            f" DIV {_PR_DEN}L"
+        )
+        with static_plan(fanout.sparkSession):
+            for _ in range(iters):
+                ranks = (
+                    fanout.join(F.broadcast(ranks), fanout["src"] == F.col("node"))
+                    .select("dst", F.expr("rank_i DIV outdeg").alias("contrib"))
+                    .groupBy("dst")
+                    .agg(F.sum("contrib").alias("in_mass"))
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.expr(new_rank_full).alias("rank_i"),
+                    )
+                )
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(
+            "node",
+            "rank_i",
+            (F.col("rank_i") / F.lit(float(PR_SCALE))).alias("rank"),
+        )
     for it in range(iters):
         rhs = ranks.hint("shuffle_hash") if big_graph else ranks
         contribs = (
@@ -261,6 +312,12 @@ def _trade_edges(spark, sf_dir: str) -> DataFrame:
     smaller relation graph, not raw line items."""
     from tinymapreduce_spark.sources.loaders import load_table
 
+    # Round 11 note: a spread_for_cpu fan-out of the lineitem scan was
+    # A/B-measured HERE and reverted — the spread exchange costs more
+    # than the broadcast-join probe it parallelizes (edge build 1.0 s
+    # no-spread vs 1.45 s spread, warm): the per-row work is one hash
+    # probe, not the dozens of hash/regex evaluations the spread gate
+    # exists for.
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     rel = (
@@ -491,6 +548,11 @@ def bfs_hops(spark, sf_dir: str) -> DataFrame:
     dist = seeds.select(
         "node", F.lit(0).cast("long").alias("hop")
     ).localCheckpoint(eager=True)
+    # Round 11 note: a static-plan variant of this loop (explicit
+    # broadcasts, AQE off per round) was built and A/B-measured at a
+    # WASH (~2.5 s both ways) — unlike pagerank, the visited set's two
+    # consumers force a materialization barrier per round, which is the
+    # cost AQE-off cannot remove — so the simpler AQE loop stays.
     for h in range(1, BFS_MAX_HOPS + 1):
         frontier = dist.where(F.col("hop") == h - 1).select("node")
         nxt = (
@@ -554,28 +616,68 @@ def label_propagation(spark, sf_dir: str) -> DataFrame:
     DuckDB oracle (LABEL_PROPAGATION_SQL) unrolls the same rounds as
     chained MATERIALIZED CTEs with a ROW_NUMBER argmax — different
     surface syntax, identical (count DESC, label ASC) selection."""
+    from tinymapreduce_spark.session import static_plan
+
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # The label init is consumed exactly ONCE per path (the count here,
+    # then round 1's join) — a materialization barrier buys nothing, so
+    # the distinct is executed twice (count + round 1) instead of once
+    # + checkpointed (round-11 lean-up; both passes are one narrow scan
+    # of the checkpointed edge blocks + one exchange, at any scale).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(LPA_ROUNDS):
-        nb = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "label"
-        )
-        counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
-                ).alias("best")
+    # STATIC CHAIN (round 11, same shape as pagerank's): each round
+    # consumes the previous labels exactly once, the label relation is
+    # |V| rows of two longs (broadcastable whenever |V| <= 1M — ~16 MB,
+    # the same bound pagerank uses), and rounds are FIXED — so the
+    # whole propagation is one straight-line plan. Chain it lazily with
+    # an explicit broadcast of the label side and execute the final
+    # checkpoint with AQE off: ONE statically planned job (8 pipelined
+    # shuffle stages + 4 broadcast builds) instead of ~6 AQE stage-jobs
+    # per round (phase_profile r11: 34 warm jobs, 3.85 s). Above the
+    # bound, the original per-round-checkpoint loop under AQE runs
+    # unchanged (labels would no longer fit a broadcast).
+    small_graph = labels.count() <= 1_000_000
+    if small_graph:
+        with static_plan(spark):
+            for _ in range(LPA_ROUNDS):
+                nb = edges.join(
+                    F.broadcast(labels), edges["src"] == labels["node"]
+                ).select(F.col("dst").alias("node"), "label")
+                counts = nb.groupBy("node", "label").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                )
+                labels = (
+                    counts.groupBy("node")
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.col("cnt").alias("c"), (-F.col("label")).alias("nl")
+                            )
+                        ).alias("best")
+                    )
+                    .select("node", (-F.col("best.nl")).alias("label"))
+                )
+            labels = labels.localCheckpoint(eager=True)
+    else:
+        for _ in range(LPA_ROUNDS):
+            nb = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), "label"
             )
-            .select("node", (-F.col("best.nl")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+            counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
+                    ).alias("best")
+                )
+                .select("node", (-F.col("best.nl")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))

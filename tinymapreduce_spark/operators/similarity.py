@@ -175,7 +175,9 @@ def _with_cell_dists(df: DataFrame, cents: list[list[int]]) -> DataFrame:
     onto the vector frame, so assignment is a narrow map over the
     corpus with no shuffle. Shared by the batch IVF index and the
     streaming ingest path (streaming/sinks.stream_ann_ingest)."""
-    cdf = df.sparkSession.createDataFrame([(cents,)], "cs array<array<bigint>>")
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
+    cdf = local_literal_frame(df.sparkSession, [(cents,)], "cs array<array<bigint>>")
     dists = F.transform(
         "cs",
         lambda c: F.aggregate(
@@ -577,7 +579,9 @@ def semdedup_drops(
     cents = _SEMDEDUP_CENT_CACHE[cache_key]
     if not cents:
         return spark.createDataFrame([], "vec_id long, kept_by long, cosine double")
-    cdf = spark.createDataFrame([(cents,)], "cs array<array<bigint>>")
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
+    cdf = local_literal_frame(spark, [(cents,)], "cs array<array<bigint>>")
     dists = F.transform(
         "cs",
         lambda c: F.aggregate(
@@ -919,8 +923,10 @@ def _cached_pq_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Dat
                     (m, cid, [int(v) for v in c[cid]]) for cid in range(min(PQ_K, len(c)))
                 )
         _PQ_CB_INT_CACHE[sf_dir] = codebook
-    return spark.createDataFrame(
-        _PQ_CB_INT_CACHE[sf_dir], "m int, cid int, centroid array<bigint>"
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
+    return local_literal_frame(
+        spark, _PQ_CB_INT_CACHE[sf_dir], "m int, cid int, centroid array<bigint>"
     )
 
 

@@ -1081,14 +1081,17 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     a = orders.select(F.col("o_custkey").alias("k")).distinct()
     b = cust.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
-    return spark.createDataFrame(
-        [("union",)], "op string"
-    ).crossJoin(a.union(b).distinct().agg(F.count(F.lit(1)).alias("n"))).union(
-        spark.createDataFrame([("intersect",)], "op string").crossJoin(
-            a.intersect(b).agg(F.count(F.lit(1)).alias("n"))
-        )
+    from tinymapreduce_spark.sources.loaders import local_literal_frame
+
+    def tag(op: str):  # one-partition literal row (see local_literal_frame)
+        return local_literal_frame(spark, [(op,)], "op string")
+
+    return tag("union").crossJoin(
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("n"))
     ).union(
-        spark.createDataFrame([("except",)], "op string").crossJoin(
+        tag("intersect").crossJoin(a.intersect(b).agg(F.count(F.lit(1)).alias("n")))
+    ).union(
+        tag("except").crossJoin(
             a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n"))
         )
     )

@@ -49,6 +49,39 @@ def bounded_state_partitions(spark: "SparkSession", key_domain: int):
         spark.conf.set("spark.sql.shuffle.partitions", cur)
 
 
+@contextmanager
+def static_plan(spark: "SparkSession"):
+    """Disable AQE for the duration of one query's CONSTRUCTION +
+    EAGER EXECUTION, for plans whose physical shape is fully determined
+    in advance (explicit ``F.broadcast`` hints on provably-bounded
+    sides, fixed iteration counts).
+
+    Why: AQE executes a multi-shuffle plan as a cascade of query
+    stages, each with a driver-side re-plan + job submission between
+    them. For the iterative graph/ML loops the per-stage data is tiny
+    but the number of sequential stages is O(iterations), so the AQE
+    driver round-trips dominate wall clock (measured: pagerank_trade
+    spends ~0.3 s/round in 1-task broadcast-build jobs + replan gaps —
+    tools/phase_profile.py, round 11). With a statically planned query
+    the whole chain is ONE job whose broadcast/shuffle stages pipeline
+    without driver re-planning. Join strategy is not delegated to AQE:
+    callers attach explicit broadcast hints that are correct by a
+    node-count bound (guide §3.1), and the big-graph paths keep AQE on.
+
+    Contract (same as ``bounded_state_partitions``): the runtime conf
+    is session-global, so the caller must drain every action that
+    depends on the static plan INSIDE the context (eager
+    localCheckpoint / collect), and query construction must be
+    single-threaded. The returned DataFrame must read only
+    materialized leaves."""
+    cur = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", cur)
+
+
 def get_spark(
     app_name: str = "tinymapreduce_spark",
     cpus: str | int | None = None,

@@ -122,6 +122,23 @@ def spread_for_cpu(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def local_literal_frame(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """A tiny driver-literal DataFrame on ONE partition.
+
+    ``spark.createDataFrame(rows)`` parallelizes local data into
+    ``sc.defaultParallelism`` slices, so a ONE-ROW frame (broadcast
+    centroids, perceptron weights, metadata rows) scans as a 32-task
+    stage — and the iterative operators rebuild such a frame EVERY
+    round/micro-batch, so each broadcast build paid a full-width task
+    wave for one row (round-11 event-log finding: the unexplained
+    32-task 0.26 s job per kmeans round / per stream_ann batch was
+    exactly this). One explicit slice keeps the scan one task; the
+    plan stays an ExistingRDD leaf, so per-round codegen reuse (the
+    reason these are data rows, not literal expression trees) is
+    unchanged. At any scale these frames are O(K) constants."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def documents_for_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``documents`` table, fanned out for CPU-heavy per-doc work."""
     return spread_for_cpu(spark, load_table(spark, sf_dir, "documents"))

@@ -75,20 +75,35 @@ def _arrow_read_run_file(path: str, fname: str, key_filters: list):
         )
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OSError):
         return None
-    keys = tbl.column("key")
-    mask = None
-    for f in key_filters:
-        if isinstance(f, EqualTo):
-            m = pc.equal(keys, f.value)
-        elif isinstance(f, GreaterThan):
-            m = pc.greater(keys, f.value)
-        else:  # In
-            m = pc.is_in(keys, value_set=pa.array(list(f.value), pa.string()))
-        mask = m if mask is None else pc.and_(mask, m)
-    if mask is not None:
-        # comparisons yield null for null keys; filter drops nulls —
-        # same as the row loop's _match(None) == False
-        tbl = tbl.filter(mask)
+    try:
+        keys = tbl.column("key")
+        mask = None
+        for f in key_filters:
+            if isinstance(f, EqualTo):
+                m = pc.equal(keys, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(keys, f.value)
+            else:  # In
+                # Drop None from the value set: pc.is_in matches null
+                # keys to a null IN the set, where the row loop's
+                # _match(None) == False always drops null keys — and a
+                # pushed filter is never re-evaluated by Spark, so the
+                # extra rows would reach the result (ADVICE r10 #1).
+                m = pc.is_in(
+                    keys,
+                    value_set=pa.array(
+                        [v for v in f.value if v is not None], pa.string()
+                    ),
+                )
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            # comparisons yield null for null keys; filter drops nulls —
+            # same as the row loop's _match(None) == False
+            tbl = tbl.filter(mask)
+    except (pa.lib.ArrowException, TypeError):
+        # e.g. a non-string filter value the kernels reject — fall back
+        # to the row loop, which compares via Python semantics
+        return None
     out = pa.table(
         {
             "key": tbl.column("key"),

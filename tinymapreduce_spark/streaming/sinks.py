@@ -700,7 +700,16 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("id_sum").alias("id_sum"),
                 )
             )
-        table.publish(part, snapshot_id=f"batch-{batch_id}")
+        # The stats table is O(NLIST) rows BY CONSTRUCTION (cid is the
+        # grouping key of a bounded codebook), yet the aggregate leaves
+        # it spread over every shuffle partition — each version was
+        # published as 32 near-empty parquet files, and every later
+        # batch's read-modify-write paid a 32-task scan + 32-file
+        # footer pass for <= NLIST rows (phase_profile r11: one 32-task
+        # 0.26 s job per micro-batch was exactly this write). coalesce
+        # narrows only this final O(NLIST) write; the assignment scan
+        # and the aggregation stay parallel (guide §6 small files).
+        table.publish(part.coalesce(1), snapshot_id=f"batch-{batch_id}")
 
     q = stream.writeStream.foreachBatch(merge_batch).start()
     try:
