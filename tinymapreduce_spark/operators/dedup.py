@@ -272,6 +272,15 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate and later CPU-heavy queries absorb the GC pressure
     # (r8's 24 s hybrid_rrf_ndcg walls; same convention as
     # semdedup_drops' cells frame).
+    # Known tradeoff (ADVICE r10 #2, applies to every localCheckpoint
+    # in this tier): localCheckpoint TRUNCATES lineage with no
+    # recompute path — on a real cluster, losing an executor that
+    # holds checkpoint blocks fails the consuming query where cache()
+    # would recompute. Acceptable here (single-process local mode; on
+    # a cluster these are seconds-long intra-query intermediates whose
+    # retry is the query itself); a deployment that needs
+    # executor-loss tolerance for them should use reliable
+    # checkpoint(eager=True) to cluster storage instead.
     sh = _shingles(docs).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("h")
@@ -723,14 +732,21 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     new_batch = keyed.where(F.col("is_new"))
-    probed = new_batch
+    # All probe columns in TWO selects instead of 3k chained
+    # withColumns: every withColumn call re-analyzes the accumulated
+    # plan, and this chain cost ~1.0 s of pure driver-side Catalyst
+    # work per run (round 11, phase_profile: the jobs-25->26 gap).
+    # Same columns, same physical plan — construction cost only.
+    pos_list = _bloom_positions(F.col("content_key"))
+    probed = new_batch.select(
+        "*",
+        *[F.shiftright(p, 6).alias(f"w{j}") for j, p in enumerate(pos_list)],
+        *[
+            F.pmod(p, F.lit(64).cast("long")).cast("int").alias(f"b{j}")
+            for j, p in enumerate(pos_list)
+        ],
+    ).selectExpr("*", *[f"shiftleft(1L, b{j}) AS pm{j}" for j in range(BLOOM_K)])
     maybe = F.lit(True)
-    for j, p in enumerate(_bloom_positions(F.col("content_key"))):
-        probed = (
-            probed.withColumn(f"w{j}", F.shiftright(p, 6))
-            .withColumn(f"b{j}", F.pmod(p, F.lit(64).cast("long")).cast("int"))
-            .withColumn(f"pm{j}", F.expr(f"shiftleft(1L, b{j})"))
-        )
     # k broadcast joins against the tiny bitmap; absent word -> 0 mask
     for j in range(BLOOM_K):
         bm = bitmap.select(

@@ -616,68 +616,37 @@ def label_propagation(spark, sf_dir: str) -> DataFrame:
     DuckDB oracle (LABEL_PROPAGATION_SQL) unrolls the same rounds as
     chained MATERIALIZED CTEs with a ROW_NUMBER argmax — different
     surface syntax, identical (count DESC, label ASC) selection."""
-    from tinymapreduce_spark.session import static_plan
-
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    # The label init is consumed exactly ONCE per path (the count here,
-    # then round 1's join) — a materialization barrier buys nothing, so
-    # the distinct is executed twice (count + round 1) instead of once
-    # + checkpointed (round-11 lean-up; both passes are one narrow scan
-    # of the checkpointed edge blocks + one exchange, at any scale).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    # STATIC CHAIN (round 11, same shape as pagerank's): each round
-    # consumes the previous labels exactly once, the label relation is
-    # |V| rows of two longs (broadcastable whenever |V| <= 1M — ~16 MB,
-    # the same bound pagerank uses), and rounds are FIXED — so the
-    # whole propagation is one straight-line plan. Chain it lazily with
-    # an explicit broadcast of the label side and execute the final
-    # checkpoint with AQE off: ONE statically planned job (8 pipelined
-    # shuffle stages + 4 broadcast builds) instead of ~6 AQE stage-jobs
-    # per round (phase_profile r11: 34 warm jobs, 3.85 s). Above the
-    # bound, the original per-round-checkpoint loop under AQE runs
-    # unchanged (labels would no longer fit a broadcast).
-    small_graph = labels.count() <= 1_000_000
-    if small_graph:
-        with static_plan(spark):
-            for _ in range(LPA_ROUNDS):
-                nb = edges.join(
-                    F.broadcast(labels), edges["src"] == labels["node"]
-                ).select(F.col("dst").alias("node"), "label")
-                counts = nb.groupBy("node", "label").agg(
-                    F.count(F.lit(1)).alias("cnt")
-                )
-                labels = (
-                    counts.groupBy("node")
-                    .agg(
-                        F.max(
-                            F.struct(
-                                F.col("cnt").alias("c"), (-F.col("label")).alias("nl")
-                            )
-                        ).alias("best")
-                    )
-                    .select("node", (-F.col("best.nl")).alias("label"))
-                )
-            labels = labels.localCheckpoint(eager=True)
-    else:
-        for _ in range(LPA_ROUNDS):
-            nb = edges.join(labels, edges["src"] == labels["node"]).select(
-                F.col("dst").alias("node"), "label"
+    # Round 11 note: a pagerank-style static chain (all 4 rounds lazily
+    # chained, explicit label broadcast, AQE off for the final eager
+    # checkpoint) was built and interleaved-A/B-measured here — OLD
+    # 4.12-4.56 s vs NEW 4.34-4.77 s over 5 alternating rounds in one
+    # session: a consistent ~5% LOSS. With only 4 rounds the AQE
+    # stage-cascade this removes is small, and the non-AQE reduce
+    # stages run shuffle.partitions uncoalesced tasks each — the
+    # tradeoff that pays at pagerank's 10 rounds inverts here, so the
+    # per-round-checkpoint AQE loop stays.
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("best")
             )
-            counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-            labels = (
-                counts.groupBy("node")
-                .agg(
-                    F.max(
-                        F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
-                    ).alias("best")
-                )
-                .select("node", (-F.col("best.nl")).alias("label"))
-                .localCheckpoint(eager=True)
-            )
+            .select("node", (-F.col("best.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
